@@ -1,0 +1,40 @@
+"""Unit tests for aggregation operators (SURVEY §2.4, §2.5)."""
+
+from __future__ import annotations
+
+from xml_to_parquet_spark.operators import (
+    count_by_group,
+    grouped_multi_agg,
+    surrogate_keys,
+)
+
+
+def test_grouped_multi_agg_naming_and_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "g string, m double"
+    )
+    out = grouped_multi_agg(df, ["g"], ["m"]).orderBy("g").collect()
+    assert set(out[0].asDict()) == {
+        "g", "m_sum", "m_avg", "m_min", "m_max", "m_count"
+    }
+    a = out[0]
+    assert (a.m_sum, a.m_avg, a.m_min, a.m_max, a.m_count) == (4.0, 2.0, 1.0, 3.0, 2)
+
+
+def test_count_by_group(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "g string")
+    got = {r.g: r.n for r in count_by_group(df, ["g"]).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_surrogate_keys_global_dense_sorted(spark):
+    df = spark.createDataFrame(
+        [("electronics",), ("accessories",), ("electronics",), (None,)],
+        "category string",
+    )
+    rows = surrogate_keys(df, "category").orderBy("category_key").collect()
+    # sorted values → dense 1-based keys; nulls excluded (P3 then W1)
+    assert [(r.category_key, r.category) for r in rows] == [
+        (1, "accessories"),
+        (2, "electronics"),
+    ]

@@ -1,0 +1,33 @@
+from xml_to_parquet_spark.operators.relational import (
+    project,
+    drop_columns,
+    filter_not_null,
+    union_by_name,
+    distinct_values,
+    sort_limit,
+    left_broadcast_join,
+    chained_dim_joins,
+)
+from xml_to_parquet_spark.operators.aggregation import (
+    dsum,
+    davg,
+    grouped_multi_agg,
+    count_by_group,
+)
+from xml_to_parquet_spark.operators.window import surrogate_keys
+
+__all__ = [
+    "project",
+    "drop_columns",
+    "filter_not_null",
+    "union_by_name",
+    "distinct_values",
+    "sort_limit",
+    "left_broadcast_join",
+    "chained_dim_joins",
+    "dsum",
+    "davg",
+    "grouped_multi_agg",
+    "count_by_group",
+    "surrogate_keys",
+]

@@ -1,0 +1,132 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Reference parity:
+- grouped_multi_agg   R/star_transformer.R:148-165 (A2): group_by(dims) +
+                      sum/avg/min/max/count per measure with {col}_{fn} naming
+- count_by_group      R/schema_validator.R:200-204, README.md:256-262 (A3)
+
+Determinism note (the driver hash-compares results against a DuckDB oracle):
+floating-point SUM/AVG over doubles is summation-order dependent, and Spark's
+partition-parallel order differs from DuckDB's. For any result that must be
+bit-comparable we compute sums in exact DECIMAL arithmetic (the source data
+is 2-decimal currency-style values) and cast to double at the end. The
+identical expression shape is used in the oracle SQL, so both engines produce
+the exact same doubles. ``dsum``/``davg`` encode that pattern.
+
+At scale: groupBy aggregations are partial-aggregated map-side (Spark does
+this automatically for sum/min/max/count), so shuffle volume is proportional
+to (groups × measures), not input rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact-arithmetic working type for money-style doubles. 2 source decimals;
+# precision 38 leaves ~34 integer digits of headroom for the sum, enough for
+# 100 TB-scale row counts (1e12 rows × 1e6 values = 1e18 « 1e34).
+_DEC = "decimal(18,2)"
+_DEC_SUM = "decimal(38,2)"
+
+
+def dsum(col: str, alias: str | None = None) -> Column:
+    """Order-independent SUM of a 2-decimal double column, returned as double.
+
+    sum(cast(x as decimal)) is exact → identical across engines and across
+    partitionings; the final cast to double is a single deterministic
+    conversion.
+    """
+    c = F.sum(F.col(col).cast(_DEC)).cast(_DEC_SUM).cast("double")
+    return c.alias(alias or f"{col}_sum")
+
+
+def davg(col: str, alias: str | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum, then one double division."""
+    c = F.sum(F.col(col).cast(_DEC)).cast(_DEC_SUM).cast("double") / F.count(
+        F.col(col)
+    )
+    return c.alias(alias or f"{col}_avg")
+
+
+def dsum_sql(col: str, alias: str | None = None) -> str:
+    """DuckDB-side expression matching :func:`dsum` bit-for-bit."""
+    return (
+        f"CAST(CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)"
+        f" AS {alias or f'{col}_sum'}"
+    )
+
+
+def davg_sql(col: str, alias: str | None = None) -> str:
+    """DuckDB-side expression matching :func:`davg` bit-for-bit."""
+    return (
+        f"CAST(CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)"
+        f" / COUNT({col}) AS {alias or f'{col}_avg'}"
+    )
+
+
+def grouped_multi_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    measure_cols: Sequence[str],
+    fns: Sequence[str] = ("sum", "avg", "min", "max", "count"),
+) -> DataFrame:
+    """Grouped multi-measure aggregation with ``{col}_{fn}`` naming (A2).
+
+    Mirrors the reference's aggregate_fact_data: for each measure emit
+    sum/avg/min/max/count named ``{measure}_{fn}``. One shuffle on the group
+    keys; all five stats share the same exchange.
+    """
+    aggs: list[Column] = []
+    for m in measure_cols:
+        for fn in fns:
+            if fn == "sum":
+                aggs.append(dsum(m))
+            elif fn == "avg":
+                aggs.append(davg(m))
+            elif fn == "min":
+                aggs.append(F.min(m).alias(f"{m}_min"))
+            elif fn == "max":
+                aggs.append(F.max(m).alias(f"{m}_max"))
+            elif fn == "count":
+                aggs.append(F.count(F.col(m)).alias(f"{m}_count"))
+            else:
+                raise ValueError(f"unsupported aggregate fn: {fn}")
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def grouped_multi_agg_sql(
+    table: str,
+    group_cols: Sequence[str],
+    measure_cols: Sequence[str],
+    fns: Sequence[str] = ("sum", "avg", "min", "max", "count"),
+    order: bool = False,
+) -> str:
+    """Oracle SQL equivalent of :func:`grouped_multi_agg`."""
+    parts: list[str] = list(group_cols)
+    for m in measure_cols:
+        for fn in fns:
+            if fn == "sum":
+                parts.append(dsum_sql(m))
+            elif fn == "avg":
+                parts.append(davg_sql(m))
+            elif fn == "min":
+                parts.append(f"MIN({m}) AS {m}_min")
+            elif fn == "max":
+                parts.append(f"MAX({m}) AS {m}_max")
+            elif fn == "count":
+                parts.append(f"COUNT({m}) AS {m}_count")
+    sql = (
+        f"SELECT {', '.join(parts)} FROM {table} "
+        f"GROUP BY {', '.join(group_cols)}"
+    )
+    if order:
+        sql += f" ORDER BY {', '.join(group_cols)}"
+    return sql
+
+
+def count_by_group(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Count-by-group (A3): ``groupBy(k).count()`` with a stable alias."""
+    return df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))

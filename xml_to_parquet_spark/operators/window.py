@@ -1,0 +1,52 @@
+"""Window operators (SURVEY.md §2.5).
+
+Reference parity:
+- surrogate_keys   R/star_transformer.R:56-61 (W1): sort distinct dimension
+  values ascending, assign row_number() as the surrogate key.
+
+Scale note: a global Window.orderBy is a single-partition sort. That is the
+*correct* physical plan here because the star transformer only builds
+dimensions for cardinality-capped columns (<50 distinct values by the
+classifier rule, R/schema_analyzer.R:34) — the sorted input is tiny no matter
+how big the fact table is. For an uncapped column use
+``surrogate_keys_scalable`` (hash-based, no global sort, keys stable but not
+dense).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def surrogate_keys(
+    df: DataFrame, value_col: str, key_col: str | None = None
+) -> DataFrame:
+    """Distinct values of ``value_col`` → dense 1-based keys ordered by value.
+
+    Returns a two-column DataFrame ``(key_col, value_col)``. Global and
+    deterministic — fixes the reference's per-batch key inconsistency
+    (SURVEY §2.12 quirk 1; the intended semantics per README.md:184-196).
+    """
+    key_col = key_col or f"{value_col}_key"
+    distinct = df.select(value_col).filter(F.col(value_col).isNotNull()).distinct()
+    w = Window.orderBy(F.col(value_col).asc())
+    return distinct.select(
+        F.row_number().over(w).alias(key_col), F.col(value_col)
+    )
+
+
+def surrogate_keys_scalable(
+    df: DataFrame, value_col: str, key_col: str | None = None
+) -> DataFrame:
+    """Hash-based surrogate keys for high-cardinality columns.
+
+    xxhash64 of the value: deterministic, collision-unlikely (64-bit), and
+    computed with zero global sort — each partition keys its own values.
+    Keys are stable across runs but not dense/ordinal.
+    """
+    key_col = key_col or f"{value_col}_key"
+    distinct = df.select(value_col).filter(F.col(value_col).isNotNull()).distinct()
+    return distinct.select(
+        F.xxhash64(F.col(value_col)).alias(key_col), F.col(value_col)
+    )

@@ -1,0 +1,60 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs ``local[N]``; the configuration is written so the same
+session settings transfer to a multi-executor cluster:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- auto broadcast threshold left at default (10MB) — dimension tables produced
+  by the star transformer are capped-cardinality and always broadcastable
+- Arrow execution for the few pandas-UDF paths (vectorized Python transfer)
+- shuffle partitions sized by env for local runs; on a real cluster AQE
+  coalescing makes the initial number less critical
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "xml_to_parquet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` (local core count),
+    ``SPARK_GRAFT_SHUFFLE`` (shuffle partition count).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet: vectorized reader + filter pushdown are defaults; keep
+        # explicit so a cluster-side config change can't silently disable them
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp —
+        # read as long and convert in catalog.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
