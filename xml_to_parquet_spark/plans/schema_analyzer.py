@@ -1,0 +1,229 @@
+"""Schema profiling + measure/dimension classification (SURVEY §2.4 A1/A4).
+
+Reference parity (/root/reference/R/schema_analyzer.R):
+- per-column profile: numeric_ratio, unique_count, null_ratio, mean_length,
+  sample_values (first 3) — schema_analyzer.R:4-24
+- classification ladder — schema_analyzer.R:27-44:
+    column in (id, record_id)                  → identifier
+    column in (source_file_name, load_timestamp) → audit
+    numeric_ratio > 0.8 (NUMERIC_THRESHOLD)    → measure
+    unique_count < 10% of rows AND < 50        → dimension
+    unique_count == n_rows                     → potential_key
+    else                                       → attribute
+- data_type: numeric_ratio > 0.95 → numeric; > 0.5 → mixed_numeric;
+  mean_length > 100 → text; else string — schema_analyzer.R:38-43
+
+Spark-first design (vs the reference's eager per-column loops):
+- ONE aggregation job computes every count metric for every column
+  (the reference makes N passes; SURVEY §4 calls this out explicitly)
+- the wide 1-row result is melted with ``stack`` and pivoted back per column
+  (A4 melt/pivot parity) — this reshape runs on a 1-row dataset, cost ~0
+- ratios are double divisions of exact longs → engine-independent values
+
+Scale: the count metrics are single-pass map-side-combinable aggregates.
+``unique_count`` uses exact count_distinct by default — switch
+``approx=True`` for 100 TB inputs (approx_count_distinct, one pass, bounded
+memory). ``sample_values``/profiling of unbounded-cardinality columns should
+run on a sampled DataFrame (``df.limit(n)`` / ``df.sample``), mirroring the
+reference's first-100-files sample (main.R:19,95).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUMERIC_THRESHOLD = 0.8  # reference main.R:13
+DIMENSION_MAX_UNIQUE = 50  # reference schema_analyzer.R:34
+DIMENSION_MAX_UNIQUE_FRAC = 0.10
+IDENTIFIER_NAMES = ("id", "record_id")
+AUDIT_NAMES = ("source_file_name", "source_file_path", "load_timestamp")
+
+_METRICS = ("nonnull", "uniquecnt", "sumlen", "numcnt", "nrows")
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = False,
+    sample_k: int = 3,
+) -> DataFrame:
+    """One-pass per-column profile → long DataFrame, one row per column.
+
+    Output columns: column, n_rows, nonnull_count, unique_count,
+    numeric_ratio, null_ratio, mean_length, sample_values, data_type.
+    """
+    cols = list(cols or df.columns)
+
+    uniq = F.approx_count_distinct if approx else F.count_distinct
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(s).alias(f"{c}__nonnull"),
+            uniq(s).cast("long").alias(f"{c}__uniquecnt"),
+            F.sum(F.length(s)).alias(f"{c}__sumlen"),
+            F.count(F.when(s.try_cast("double").isNotNull(), 1)).alias(
+                f"{c}__numcnt"
+            ),
+            F.count(F.lit(1)).alias(f"{c}__nrows"),
+            # first-3 sorted distinct values, pipe-joined (reference O3);
+            # bounded memory only for capped-cardinality / sampled input
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set(s)), 1, sample_k), "|"
+            ).alias(f"{c}__samples"),
+        ]
+    wide = df.agg(*aggs)
+
+    # melt the numeric metrics: stack('c1__nonnull', val, ...) → (key, value)
+    pairs = []
+    for c in cols:
+        for m in _METRICS:
+            pairs += [f"'{c}__{m}'", f"`{c}__{m}`"]
+    n_stack = len(cols) * len(_METRICS)
+    long = wide.select(
+        F.expr(f"stack({n_stack}, {', '.join(pairs)}) as (key, value)"),
+        *[F.col(f"{c}__samples").alias(f"__samples_{c}") for c in cols],
+    )
+
+    # split key → (column, metric), pivot metrics back to one row per column
+    split = long.select(
+        F.regexp_extract("key", r"^(.*)__([a-z]+)$", 1).alias("column"),
+        F.regexp_extract("key", r"^(.*)__([a-z]+)$", 2).alias("metric"),
+        "value",
+        *[F.col(f"__samples_{c}") for c in cols],
+    )
+    pivoted = (
+        split.groupBy("column")
+        .pivot("metric", list(_METRICS))
+        .agg(F.first("value"))
+    )
+
+    # samples live in every melted row (same 1-row source); re-attach by name
+    samples_map = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.col(f"__samples_{c}"))]
+    )
+    samples = (
+        long.limit(1)
+        .select(F.explode(samples_map).alias("column", "sample_values"))
+    )
+    prof = pivoted.join(samples, on="column", how="left")
+
+    mean_length = (
+        F.col("sumlen").cast("double") / F.col("nonnull")
+    ).alias("mean_length")
+    numeric_ratio = (
+        F.col("numcnt").cast("double") / F.col("nonnull")
+    ).alias("numeric_ratio")
+    null_ratio = (
+        (F.col("nrows") - F.col("nonnull")).cast("double") / F.col("nrows")
+    ).alias("null_ratio")
+
+    out = prof.select(
+        "column",
+        F.col("nrows").cast("long").alias("n_rows"),
+        F.col("nonnull").cast("long").alias("nonnull_count"),
+        F.col("uniquecnt").cast("long").alias("unique_count"),
+        numeric_ratio,
+        null_ratio,
+        mean_length,
+        "sample_values",
+    )
+    data_type = (
+        F.when(F.col("numeric_ratio") > 0.95, F.lit("numeric"))
+        .when(F.col("numeric_ratio") > 0.5, F.lit("mixed_numeric"))
+        .when(F.col("mean_length") > 100, F.lit("text"))
+        .otherwise(F.lit("string"))
+    )
+    return out.withColumn("data_type", data_type)
+
+
+def classify_profile(profile: DataFrame) -> DataFrame:
+    """Apply the reference's classification ladder as a column expression."""
+    cls = (
+        F.when(F.col("column").isin(*IDENTIFIER_NAMES), F.lit("identifier"))
+        .when(F.col("column").isin(*AUDIT_NAMES), F.lit("audit"))
+        .when(F.col("numeric_ratio") > NUMERIC_THRESHOLD, F.lit("measure"))
+        .when(
+            (F.col("unique_count") < DIMENSION_MAX_UNIQUE_FRAC * F.col("n_rows"))
+            & (F.col("unique_count") < DIMENSION_MAX_UNIQUE),
+            F.lit("dimension"),
+        )
+        .when(F.col("unique_count") == F.col("n_rows"), F.lit("potential_key"))
+        .otherwise(F.lit("attribute"))
+    )
+    return profile.withColumn("classification", cls)
+
+
+def analyze_schema(
+    df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
+) -> dict[str, dict]:
+    """Driver-side catalog: {column: {classification, data_type, stats...}}.
+
+    This is the engine's equivalent of the reference's ``schema_info`` table —
+    intentionally driver-side (it's one tiny row per column) and the input to
+    ``build_star_schema``.
+    """
+    rows = classify_profile(profile_columns(df, cols, approx=approx)).collect()
+    return {
+        r["column"]: {
+            "classification": r["classification"],
+            "data_type": r["data_type"],
+            "n_rows": r["n_rows"],
+            "unique_count": r["unique_count"],
+            "numeric_ratio": r["numeric_ratio"],
+            "null_ratio": r["null_ratio"],
+            "mean_length": r["mean_length"],
+            "sample_values": r["sample_values"],
+        }
+        for r in rows
+    }
+
+
+def profile_oracle_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB oracle producing the same profile+classification rows.
+
+    Caveat: length/sample metrics require identical string rendering across
+    engines — restrict ``cols`` to string/int columns (double→varchar
+    rendering differs between Spark and DuckDB in edge ranges).
+    """
+    selects = []
+    for c in cols:
+        ident_lit = "TRUE" if c in IDENTIFIER_NAMES else "FALSE"
+        audit_lit = "TRUE" if c in AUDIT_NAMES else "FALSE"
+        selects.append(
+            f"""
+SELECT '{c}' AS "column",
+       COUNT(*) AS n_rows,
+       COUNT(s) AS nonnull_count,
+       COUNT(DISTINCT s) AS unique_count,
+       CAST(COUNT(CASE WHEN TRY_CAST(s AS DOUBLE) IS NOT NULL THEN 1 END) AS DOUBLE)
+         / COUNT(s) AS numeric_ratio,
+       CAST(COUNT(*) - COUNT(s) AS DOUBLE) / COUNT(*) AS null_ratio,
+       CAST(SUM(LENGTH(s)) AS DOUBLE) / COUNT(s) AS mean_length,
+       (SELECT STRING_AGG(v, '|' ORDER BY v) FROM
+          (SELECT DISTINCT CAST({c} AS VARCHAR) AS v FROM {table}
+           WHERE {c} IS NOT NULL ORDER BY v LIMIT 3)) AS sample_values,
+       {ident_lit} AS is_ident, {audit_lit} AS is_audit
+FROM (SELECT CAST({c} AS VARCHAR) AS s FROM {table})
+"""
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+SELECT "column", n_rows, nonnull_count, unique_count, numeric_ratio,
+       null_ratio, mean_length, sample_values,
+       CASE WHEN numeric_ratio > 0.95 THEN 'numeric'
+            WHEN numeric_ratio > 0.5 THEN 'mixed_numeric'
+            WHEN mean_length > 100 THEN 'text'
+            ELSE 'string' END AS data_type,
+       CASE WHEN is_ident THEN 'identifier'
+            WHEN is_audit THEN 'audit'
+            WHEN numeric_ratio > {NUMERIC_THRESHOLD} THEN 'measure'
+            WHEN unique_count < {DIMENSION_MAX_UNIQUE_FRAC} * n_rows
+                 AND unique_count < {DIMENSION_MAX_UNIQUE} THEN 'dimension'
+            WHEN unique_count = n_rows THEN 'potential_key'
+            ELSE 'attribute' END AS classification
+FROM ({union})
+"""

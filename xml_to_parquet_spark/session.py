@@ -50,6 +50,7 @@ def get_spark(
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp —
         # read as long and convert in catalog.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

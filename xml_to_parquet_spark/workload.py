@@ -402,6 +402,68 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# A1/A4: one-pass schema profiling + classification (the engine's catalog).
+# Profiled columns restricted to string/int (double→varchar rendering differs
+# across engines; see profile_oracle_sql docstring).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+def q_profile_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.plans.schema_analyzer import (
+        classify_profile,
+        profile_columns,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return classify_profile(profile_columns(cust, _PROFILE_COLS)).orderBy(
+        "column"
+    )
+
+
+def _profile_oracle() -> str:
+    from xml_to_parquet_spark.plans.schema_analyzer import profile_oracle_sql
+
+    return profile_oracle_sql("customer", _PROFILE_COLS) + ' ORDER BY "column"'
+
+
+# ---------------------------------------------------------------------------
+# Star transformer end-to-end (J1/J3/W1/P2/F1/A6): catalog-driven star build
+# over part, returning the fact with attached surrogate keys.
+# ---------------------------------------------------------------------------
+
+def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.plans.star_transformer import build_star_schema
+
+    part = _t(spark, sf_dir, "part")
+    catalog = {
+        "p_partkey": {"classification": "identifier"},
+        "p_brand": {"classification": "dimension"},
+        "p_retailprice": {"classification": "measure"},
+        "p_size": {"classification": "measure"},
+    }
+    star = build_star_schema(
+        part, catalog, id_column="p_partkey", include_audit=False
+    )
+    return star.fact.select(
+        "p_partkey", "p_retailprice", "p_size", "p_brand_key"
+    ).orderBy("p_partkey")
+
+
+_Q_STAR_BUILD_SQL = """
+WITH dim_brand AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS INT) AS p_brand_key, p_brand
+  FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL)
+)
+SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+       CAST(p_size AS DOUBLE) AS p_size, p_brand_key
+FROM part LEFT JOIN dim_brand USING (p_brand)
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -442,5 +504,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q13_json_extract": QuerySpec(
         q_json_extract, _Q_JSON_EXTRACT_SQL, "JSON path extraction"
+    ),
+    "q14_profile_classify": QuerySpec(
+        q_profile_classify, _profile_oracle(), "A1/A4 schema profiling"
+    ),
+    "q15_star_build": QuerySpec(
+        q_star_build, _Q_STAR_BUILD_SQL, "catalog-driven star transform"
     ),
 }
