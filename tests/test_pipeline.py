@@ -1,0 +1,97 @@
+"""End-to-end pipeline tests: XML dir → star-schema parquet + reports.
+
+Covers the reference's E2E smoke (test_conversion.R) with golden values, the
+validation gate, and the comment business-key path — all through the single
+public entry point ``process_xml_to_parquet``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_xml_source import COMMENT_XML, ORDERS_XML, PRODUCTS_XML
+from xml_to_parquet_spark.pipeline import (
+    process_xml_to_parquet,
+    star_integrity_report,
+)
+
+
+@pytest.fixture()
+def io_dirs(tmp_path):
+    inp = tmp_path / "input"
+    out = tmp_path / "output"
+    inp.mkdir()
+    return inp, out
+
+
+def test_e2e_products_star(spark, io_dirs):
+    inp, out = io_dirs
+    # replicate each record enough times that category/brand clear the
+    # 10%-of-rows dimension rule (as the reference's real inputs would)
+    body = PRODUCTS_XML.split("<products>")[1].split("</products>")[0]
+    (inp / "products.xml").write_text(
+        "<?xml version='1.0'?><products>" + body * 20 + "</products>"
+    )
+    res = process_xml_to_parquet(spark, str(inp), str(out))
+
+    fact = spark.read.parquet(os.path.join(str(out), "fact_main.parquet"))
+    assert fact.count() == 60
+    assert "category_key" in fact.columns and "brand_key" in fact.columns
+    assert "category" not in fact.columns  # dim values dropped from fact
+    assert dict(fact.dtypes)["price"] == "double"
+    for audit in ("source_file_name", "load_timestamp", "load_date", "batch_id"):
+        assert audit in fact.columns
+
+    dim_cat = spark.read.parquet(os.path.join(str(out), "dim_category.parquet"))
+    got = {(r.category_key, r.category) for r in dim_cat.collect()}
+    assert got == {(1, "accessories"), (2, "electronics")}
+
+    assert star_integrity_report(res) == {"fact": [], "dimensions": []}
+    assert os.path.exists(os.path.join(str(out), "processing_manifest.csv"))
+    assert os.path.exists(os.path.join(str(out), "parquet_metadata.csv"))
+
+
+def test_e2e_multi_file_union_and_manifest(spark, io_dirs):
+    inp, out = io_dirs
+    (inp / "products.xml").write_text(PRODUCTS_XML)
+    (inp / "orders.xml").write_text(ORDERS_XML)
+    res = process_xml_to_parquet(spark, str(inp), str(out))
+    fact = spark.read.parquet(res.paths["fact_main"])
+    assert fact.count() == 5  # 3 products + 2 orders, ragged union
+    m = res.manifest.collect()[0]
+    assert m.files_processed == 2 and m.records_total == 5
+
+
+def test_e2e_validation_gate_drops_malformed(spark, io_dirs):
+    inp, out = io_dirs
+    (inp / "good.xml").write_text(PRODUCTS_XML)
+    (inp / "bad.xml").write_text("<root><record id='1'><a>1</a>")  # truncated
+    res = process_xml_to_parquet(spark, str(inp), str(out), validate=True)
+    v = {r.source_file_path.split("/")[-1]: r.status
+         for r in res.validation.collect()}
+    assert v == {"good.xml": "success", "bad.xml": "error"}
+    fact = spark.read.parquet(res.paths["fact_main"])
+    # only records from the valid file survive the gate
+    assert fact.count() == 3
+    names = {r.source_file_name for r in
+             fact.select("source_file_name").distinct().collect()}
+    assert names == {"good.xml"}
+
+
+def test_e2e_comment_business_key_becomes_dimension(spark, io_dirs):
+    inp, out = io_dirs
+    body = COMMENT_XML.split("<orders>")[1].split("</orders>")[0]
+    (inp / "bk.xml").write_text(
+        "<?xml version='1.0'?>\n<!-- OrderType:B2B -->\n<orders>"
+        + body * 15
+        + "</orders>"
+    )
+    res = process_xml_to_parquet(spark, str(inp), str(out))
+    assert res.catalog.get("OrderType", {}).get("classification") == "dimension"
+    dim = spark.read.parquet(res.paths["dim_OrderType"])
+    assert [(r.OrderType_key, r.OrderType) for r in dim.collect()] == [(1, "B2B")]
+    fact = spark.read.parquet(res.paths["fact_main"])
+    assert fact.filter(F.col("OrderType_key") == 1).count() == fact.count()

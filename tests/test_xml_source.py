@@ -1,0 +1,228 @@
+"""XML ingest tests (SURVEY §2.1 S1-S6, FIXTURES.md §A).
+
+Fixture XML mirrors the reference's example shapes: flat records with
+attributes + leaf children (products), nested children (orders), comment
+business keys, ragged/duplicate-tag/adversarial variants.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.sources import (
+    attach_business_keys,
+    extract_business_keys,
+    flatten_records,
+    read_xml_auto,
+    read_xml_records,
+)
+
+PRODUCTS_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<products>
+  <record id="1" category="electronics" brand="Samsung">
+    <name>Galaxy S21</name>
+    <price>799.99</price>
+    <quantity>50</quantity>
+    <rating>4.5</rating>
+  </record>
+  <record id="2" category="electronics" brand="Apple">
+    <name>iPhone 13</name>
+    <price>999.99</price>
+    <quantity>30</quantity>
+    <rating>4.8</rating>
+  </record>
+  <record id="3" category="accessories" brand="Samsung">
+    <name>Charger</name>
+    <price>29.99</price>
+    <quantity>200</quantity>
+  </record>
+</products>
+"""
+
+ORDERS_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<orders>
+  <record id="1001" customer="ABC Corp" region="North">
+    <order_date>2024-01-15</order_date>
+    <items>
+      <total_amount>2549.97</total_amount>
+      <item_count>3</item_count>
+      <discount>127.50</discount>
+    </items>
+    <status>completed</status>
+  </record>
+  <record id="1002" customer="XYZ Ltd" region="South">
+    <order_date>2024-01-16</order_date>
+    <items>
+      <total_amount>999.99</total_amount>
+      <item_count>1</item_count>
+      <discount>0.00</discount>
+    </items>
+    <status>pending</status>
+  </record>
+</orders>
+"""
+
+COMMENT_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<!-- OrderType:B2B -->
+<orders>
+  <record id="2001" customer="Acme" region="East">
+    <status>completed</status>
+  </record>
+  <record id="2002" customer="Beta" region="West">
+    <status>pending</status>
+  </record>
+</orders>
+"""
+
+DUP_TAGS_XML = """<?xml version="1.0"?>
+<root>
+  <item id="1">
+    <name>first</name>
+    <name>second</name>
+    <other>x</other>
+  </item>
+  <item id="2">
+    <name>only</name>
+    <other>y</other>
+  </item>
+</root>
+"""
+
+RAGGED_XML = """<?xml version="1.0"?>
+<root>
+  <record id="1"><a>1</a><b>2</b></record>
+  <record id="2"><b>3</b><c>4</c></record>
+</root>
+"""
+
+NO_ID_XML = """<?xml version="1.0"?>
+<root>
+  <record><v>10</v></record>
+  <record><v>20</v></record>
+</root>
+"""
+
+FALLBACK_TAG_XML = """<?xml version="1.0"?>
+<library>
+  <book isbn="111"><title>A</title></book>
+  <book isbn="222"><title>B</title></book>
+</library>
+"""
+
+
+@pytest.fixture(scope="module")
+def xml_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml_fixtures")
+    for name, content in [
+        ("products.xml", PRODUCTS_XML),
+        ("orders.xml", ORDERS_XML),
+    ]:
+        (d / name).write_text(content)
+    return str(d)
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+def test_products_flat_parse(spark, tmp_path):
+    path = _write(tmp_path, "products.xml", PRODUCTS_XML)
+    df = read_xml_records(spark, path, lineage=False)
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {"1", "2", "3"}
+    r1 = rows["1"]
+    assert (r1.category, r1.brand, r1.name, r1.price) == (
+        "electronics", "Samsung", "Galaxy S21", "799.99",
+    )
+    assert r1.record_id == "1"
+    assert rows["3"].rating is None  # ragged: missing optional child
+
+
+def test_orders_nested_flatten(spark, tmp_path):
+    path = _write(tmp_path, "orders.xml", ORDERS_XML)
+    df = read_xml_records(spark, path, lineage=False)
+    r = {row.id: row for row in df.collect()}["1001"]
+    # grandchildren text space-concatenated into the child's column.
+    # Order is the inferred schema's (alphabetical: discount, item_count,
+    # total_amount) — a documented departure from the reference's document
+    # order; lexical values ("127.50") are preserved via inferSchema=false.
+    assert r.items == "127.50 3 2549.97"
+    assert r.status == "completed"
+    assert r.order_date == "2024-01-15"
+
+
+def test_comment_business_key(spark, tmp_path):
+    path = _write(tmp_path, "bk.xml", COMMENT_XML)
+    keys = extract_business_keys(spark, path)
+    k = keys.collect()
+    assert len(k) == 1
+    assert (k[0].business_key_name, k[0].business_key_value) == ("OrderType", "B2B")
+
+    records = read_xml_records(spark, path)
+    out = attach_business_keys(records, keys)
+    rows = out.collect()
+    assert all(r.OrderType == "B2B" for r in rows)
+    assert all(r.business_key_name == "OrderType" for r in rows)
+
+
+def test_comment_nonmatching_ignored(spark, tmp_path):
+    xml = COMMENT_XML.replace("OrderType:B2B", "just a note, no key")
+    path = _write(tmp_path, "nokey.xml", xml)
+    assert extract_business_keys(spark, path).count() == 0
+
+
+def test_duplicate_tags_make_unique(spark, tmp_path):
+    path = _write(tmp_path, "dup.xml", DUP_TAGS_XML)
+    df = read_xml_records(spark, path, lineage=False)
+    assert "name" in df.columns and "name.1" in df.columns
+    rows = {r.id: r for r in df.collect()}
+    assert rows["1"]["name"] == "first" and rows["1"]["name.1"] == "second"
+    assert rows["2"]["name"] == "only" and rows["2"]["name.1"] is None
+
+
+def test_ragged_union_nulls(spark, tmp_path):
+    path = _write(tmp_path, "ragged.xml", RAGGED_XML)
+    df = read_xml_records(spark, path, lineage=False)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["1"].c is None and rows["2"].a is None
+
+
+def test_no_id_generates_record_id(spark, tmp_path):
+    path = _write(tmp_path, "noid.xml", NO_ID_XML)
+    df = read_xml_records(spark, path, lineage=False)
+    ids = [r.record_id for r in df.collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2 and all(ids)
+
+
+def test_row_tag_fallback_to_root_children(spark, tmp_path):
+    path = _write(tmp_path, "books.xml", FALLBACK_TAG_XML)
+    df = read_xml_records(spark, path, lineage=False)
+    rows = {r.isbn: r for r in df.collect()}
+    assert rows["111"].title == "A"
+
+
+def test_directory_scan_and_lineage(spark, xml_dir):
+    df = read_xml_records(spark, os.path.join(xml_dir, "*.xml"))
+    rows = df.collect()
+    # products(3) + orders(2) union with null-fill
+    assert len(rows) == 5
+    names = {r.source_file_name for r in rows}
+    assert names == {"products.xml", "orders.xml"}
+    assert all(r.load_timestamp is not None for r in rows)
+    # ragged columns null-filled across files
+    got = {r.id: r for r in rows}
+    assert got["1001"].price is None and got["1"].status is None
+
+
+def test_malformed_xml_permissive(spark, tmp_path):
+    path = _write(tmp_path, "bad.xml", "<root><record id='1'><a>1</a></record>")
+    # PERMISSIVE mode (default) routes unparseable rows to _corrupt_record
+    df = read_xml_auto(
+        spark, path, row_tag="record", columnNameOfCorruptRecord="_corrupt_record"
+    )
+    assert df.count() >= 1

@@ -1,0 +1,125 @@
+"""End-to-end XML→star-schema-Parquet pipeline (reference main.R:58-126).
+
+The reference's orchestration (worker pools, 50-file batches, globals
+shipping, parallel-parse/sequential-write) collapses into ONE lazy Spark
+plan with two actions:
+
+    action 1 (small): profile a sample → classification catalog
+    action 2:         parse-all → star transform → parquet write
+
+Batching, memory hygiene, and the parallel/sequential split are the
+scheduler's job (SURVEY §3.1 "Spark shape").
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xml_to_parquet_spark.plans.schema_analyzer import analyze_schema
+from xml_to_parquet_spark.plans.star_transformer import (
+    StarSchema,
+    build_star_schema,
+    validate_star_schema,
+)
+from xml_to_parquet_spark.sinks.writers import (
+    parquet_metadata,
+    processing_manifest,
+    write_csv_report,
+    write_star_schema,
+)
+from xml_to_parquet_spark.sources.xml_source import (
+    attach_business_keys,
+    extract_business_keys,
+    read_xml_records,
+)
+from xml_to_parquet_spark.validation.xml_validation import (
+    gate_valid,
+    validate_files,
+)
+
+SCHEMA_SAMPLE_SIZE = 100  # files profiled for inference (reference main.R:19)
+
+
+@dataclass
+class PipelineResult:
+    star: StarSchema
+    catalog: dict[str, dict]
+    paths: dict[str, str] = field(default_factory=dict)
+    manifest: DataFrame | None = None
+    validation: DataFrame | None = None
+
+
+def process_xml_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str | None = None,
+    validate: bool = False,
+    schema_dir: str | None = None,
+    extract_comments: bool = True,
+    id_attribute: str = "id",
+    write_reports: bool = True,
+) -> PipelineResult:
+    """The reference's ``process_xml_to_parquet`` as one declarative plan.
+
+    With ``output_dir=None`` the star schema is built but not written
+    (useful for tests / composing into bigger plans).
+    """
+    pattern = os.path.join(input_dir, "*.xml")
+    files = sorted(_glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no XML files under {input_dir}")
+
+    # 1. ingest: parse + flatten + lineage (lazy)
+    records = read_xml_records(spark, pattern, id_attribute=id_attribute)
+
+    # 2. optional validation gate (reference ENABLE_VALIDATION path)
+    validation = None
+    if validate:
+        validation = validate_files(spark, files, schema_dir=schema_dir)
+        records = gate_valid(records, validation)
+
+    # 3. comment business keys (reference S6; constant per file)
+    if extract_comments:
+        keys = extract_business_keys(spark, pattern)
+        if not keys.isEmpty():
+            records = attach_business_keys(records, keys)
+
+    # 4. schema inference on a sample (reference first-100-files ≈ limit)
+    sample = records.limit(SCHEMA_SAMPLE_SIZE * 1000)
+    catalog = analyze_schema(sample.drop("source_file_path", "load_timestamp"))
+    # audit columns keep their classification regardless of stats
+    for c in ("source_file_name", "source_file_path", "load_timestamp"):
+        if c in records.columns:
+            catalog[c] = {"classification": "audit"}
+
+    # 5. star transform (global surrogate keys)
+    star = build_star_schema(
+        records, catalog, id_column="record_id"
+    )
+
+    result = PipelineResult(star=star, catalog=catalog, validation=validation)
+
+    # 6. sinks + reports
+    if output_dir:
+        result.paths = write_star_schema(star, output_dir)
+        if write_reports:
+            manifest = processing_manifest(spark, records, validation)
+            result.manifest = manifest
+            write_csv_report(
+                manifest, os.path.join(output_dir, "processing_manifest.csv")
+            )
+            meta = parquet_metadata(spark, result.paths)
+            write_csv_report(
+                meta,
+                os.path.join(output_dir, "parquet_metadata.csv"),
+                mode="overwrite",
+            )
+    return result
+
+
+def star_integrity_report(result: PipelineResult) -> dict[str, list[str]]:
+    return validate_star_schema(result.star)

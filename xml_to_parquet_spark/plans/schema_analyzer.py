@@ -111,14 +111,16 @@ def profile_columns(
     )
     prof = pivoted.join(samples, on="column", how="left")
 
-    mean_length = (
-        F.col("sumlen").cast("double") / F.col("nonnull")
+    # try_divide: all-null columns (nonnull=0) profile as null ratios
+    # instead of erroring under ANSI mode
+    mean_length = F.try_divide(
+        F.col("sumlen").cast("double"), F.col("nonnull")
     ).alias("mean_length")
-    numeric_ratio = (
-        F.col("numcnt").cast("double") / F.col("nonnull")
+    numeric_ratio = F.try_divide(
+        F.col("numcnt").cast("double"), F.col("nonnull")
     ).alias("numeric_ratio")
-    null_ratio = (
-        (F.col("nrows") - F.col("nonnull")).cast("double") / F.col("nrows")
+    null_ratio = F.try_divide(
+        (F.col("nrows") - F.col("nonnull")).cast("double"), F.col("nrows")
     ).alias("null_ratio")
 
     out = prof.select(

@@ -58,4 +58,34 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Equivalent of ``spark-submit --py-files pkg.zip``: pandas-UDF closures
+    are pickled by reference to their defining module, so workers must be
+    able to import it regardless of their working directory. Zips the
+    package once per session and registers it via addPyFile.
+    """
+    import zipfile
+
+    if getattr(spark, "_xml_to_parquet_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        "/tmp", f"xml_to_parquet_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._xml_to_parquet_spark_shipped = True

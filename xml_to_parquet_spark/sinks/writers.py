@@ -1,0 +1,121 @@
+"""Sinks + observability outputs (SURVEY §2.1 K1-K3, §2.4 A5).
+
+Reference parity (/root/reference/R/parquet_writer.R):
+- K1 fact sink:  merge batches → fact_main.parquet, snappy + dictionary
+  (parquet_writer.R:53-81). Spark's parquet writer defaults to snappy +
+  dictionary; batching disappears (the cluster scheduler replaces it).
+- K2 dim sinks:  dedupe + write dim_<col>.parquet (parquet_writer.R:84-131).
+- K3 CSV sinks:  error summary, processing manifest (append), parquet
+  metadata, validation report (parquet_writer.R:13-26,134-197).
+
+Scale notes: fact writes stay fully parallel (one file per partition);
+``single_file=True`` coalesces to 1 only for byte-parity with the
+reference's one-file outputs — never do that at 100 TB. Manifest/metadata
+are one-row-per-table DataFrames computed Spark-side (fixes reference quirk
+2: driver-side counters that under-count under parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.plans.star_transformer import StarSchema
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. snappy+dictionary are Spark defaults (reference K1).
+
+    ``partition_by`` enables hive-style partition pruning for downstream
+    readers — the 100 TB-scale replacement for the reference's flat file.
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_star_schema(
+    star: StarSchema,
+    output_dir: str,
+    single_file: bool = False,
+    fact_name: str = "fact_main",
+) -> dict[str, str]:
+    """Write fact + all dimension tables; returns {table: path}.
+
+    Dimensions are deduped before write (reference parquet_writer.R:115-116)
+    — a no-op for globally-built dims, kept as a safety invariant.
+    """
+    paths: dict[str, str] = {}
+    fact_path = os.path.join(output_dir, f"{fact_name}.parquet")
+    write_parquet(star.fact, fact_path, single_file=single_file)
+    paths[fact_name] = fact_path
+    for name, dim in star.dimensions.items():
+        p = os.path.join(output_dir, f"dim_{name}.parquet")
+        write_parquet(dim.dropDuplicates(), p, single_file=True)
+        paths[f"dim_{name}"] = p
+    return paths
+
+
+def write_csv_report(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Tiny-report CSV sink (reference K3): single file, header, append."""
+    df.coalesce(1).write.mode(mode).option("header", "true").csv(path)
+
+
+def parquet_metadata(spark: SparkSession, paths: dict[str, str]) -> DataFrame:
+    """Per-table metadata DF (reference parquet_writer.R:163-189):
+    table, path, n_rows, n_columns, size_bytes."""
+    rows = []
+    for table, p in paths.items():
+        df = spark.read.parquet(p)
+        n = df.count()
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ) if os.path.isdir(p) else os.path.getsize(p)
+        rows.append((table, p, n, len(df.columns), size))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, path string, n_rows long, n_columns int, "
+        "size_bytes long",
+    )
+
+
+def processing_manifest(
+    spark: SparkSession,
+    records: DataFrame,
+    validation: DataFrame | None = None,
+) -> DataFrame:
+    """Run manifest computed Spark-side (reference parquet_writer.R:134-160,
+    fixed per quirk 2): files seen, records parsed, success/error counts."""
+    per_file = records.groupBy("source_file_path").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    agg = per_file.agg(
+        F.count(F.lit(1)).alias("files_processed"),
+        F.sum("n_records").alias("records_total"),
+    )
+    if validation is not None:
+        vagg = validation.agg(
+            F.count(F.lit(1)).alias("files_validated"),
+            F.sum(
+                (F.col("status") == "success").cast("long")
+            ).alias("files_valid"),
+        )
+        agg = agg.crossJoin(vagg)
+    return agg.withColumn(
+        "run_timestamp",
+        F.lit(datetime.now(timezone.utc).isoformat()),
+    )

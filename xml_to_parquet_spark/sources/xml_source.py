@@ -1,0 +1,321 @@
+"""XML ingest (SURVEY §2.1 S1-S6) on Spark's native XML data source.
+
+Reference behavior being re-expressed (/root/reference/R/xml_parser.R):
+- S2/S3 record selection: nodes matching ``.//record|.//Record|.//item|
+  .//Item``, falling back to the root's children (xml_parser.R:98-104).
+  Spark's XML source selects by ``rowTag``; we probe the candidate tags and
+  fall back to the root's first child tag (sniffed driver-side from one
+  file's bytes).
+- S4 attributes → columns (xml_parser.R:146-151): the XML source surfaces
+  them with an ``attributePrefix``; we strip the prefix.
+- S5 flatten (xml_parser.R:172-199): leaf child → trimmed text column;
+  child-with-children → space-concatenated descendant leaf text in the
+  child's own column; repeated sibling tags → ``name, name.1, ...``
+  (make.unique parity). The Spark source parses these as
+  StructType/ArrayType with full fidelity; ``flatten_records`` reproduces
+  the reference's lossy-but-simple tabular shape from that faithful parse.
+- record_id from the ``id`` attribute, else a generated id
+  (xml_parser.R:137-143; generation here is monotonically_increasing_id —
+  partition-local, no global sort, unlike the reference's per-chunk seq).
+- S6 comment business keys (xml_parser.R:227-261, main.R:229-237): first
+  XML comment matching ``^([A-Za-z]+):([^:]+)$`` becomes constant columns
+  for every row of that file. Comments don't survive the rowTag parse, so
+  this is a separate whole-file text pass + broadcast join on file path —
+  no UDF.
+
+Scale notes: one Spark job reads every file in the directory glob
+(parallelism = files × codec splits); the flatten pass is pure column
+expressions (whole-stage codegen, no Python); the business-key pass reads
+each file once more but produces one row per file and broadcasts.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CANDIDATE_ROW_TAGS = ("record", "Record", "item", "Item")
+ATTR_PREFIX = "_"
+VALUE_TAG = "_VALUE"
+
+# reference main.R:231-237 (COMMENT_PATTERNS)
+COMMENT_PATTERNS = {
+    "standard": r"^([A-Za-z]+):([^:]+)$",
+    "underscore": r"^([A-Za-z_]+):([^:]+)$",
+    "equals": r"^([A-Za-z]+)=([^=]+)$",
+    "spaced": r"^([A-Za-z]+)\s*:\s*([^:]+)$",
+    "numeric_key": r"^([A-Za-z0-9]+):([^:]+)$",
+}
+
+
+def _sniff_first_child_tag(spark: SparkSession, path: str) -> str | None:
+    """Driver-side peek: the tag name of the root's first child element.
+
+    Used only for the row-tag fallback (reference xml_parser.R:100-104).
+    Reads one file's head via Spark's text reader so it works on any
+    Hadoop-compatible filesystem, not just local paths.
+    """
+    head = spark.read.text(path, wholetext=True).limit(1).collect()
+    if not head:
+        return None
+    text = head[0][0]
+    # strip prolog/comments, find root open tag then the next open tag
+    tags = re.findall(r"<([A-Za-z_][\w.\-]*)[\s>/]", text)
+    return tags[1] if len(tags) > 1 else None
+
+
+def read_xml_auto(
+    spark: SparkSession,
+    path: str,
+    row_tag: str | None = None,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML source with the reference's row-tag discovery semantics.
+
+    Probes ``CANDIDATE_ROW_TAGS`` (first tag yielding rows wins), then falls
+    back to the root's first child tag. Pass ``row_tag`` to skip probing.
+    """
+    def _read(tag: str) -> DataFrame:
+        reader = (
+            spark.read.format("xml")
+            .option("rowTag", tag)
+            .option("attributePrefix", ATTR_PREFIX)
+            .option("valueTag", VALUE_TAG)
+            .option("ignoreSurroundingSpaces", "true")
+            # reference parity: everything arrives as text (xml_parser.R
+            # extracts xml_text); callers opt back into typing via schema=
+            # or options. Also preserves lexical values ("127.50", "0.00").
+            .option("inferSchema", "false")
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
+
+    if row_tag:
+        return _read(row_tag)
+    for tag in CANDIDATE_ROW_TAGS:
+        df = _read(tag)
+        if df.columns and not df.isEmpty():
+            return df
+    fallback = _sniff_first_child_tag(spark, path)
+    if fallback and fallback not in CANDIDATE_ROW_TAGS:
+        df = _read(fallback)
+        if df.columns and not df.isEmpty():
+            return df
+    raise ValueError(f"no XML records found under any row tag in {path}")
+
+
+def _leaf_text_exprs(col: F.Column, dtype: T.DataType) -> list[F.Column]:
+    """All descendant leaf-text values of a parsed XML value, in field order.
+
+    Mirrors xml2::xml_text over grandchildren: element text yes (including
+    ``_VALUE`` of mixed-content elements), attributes no.
+    """
+    if isinstance(dtype, T.StructType):
+        out: list[F.Column] = []
+        for f in dtype.fields:
+            if f.name.startswith(ATTR_PREFIX) and f.name != VALUE_TAG:
+                continue  # attribute of a nested element — not text content
+            out.extend(_leaf_text_exprs(col.getField(f.name), f.dataType))
+        return out
+    if isinstance(dtype, T.ArrayType):
+        # repeated nested tags: join each element's text; array_join skips
+        # nulls. Element leaves are flattened via transform into strings.
+        elem = dtype.elementType
+        if isinstance(elem, (T.StructType, T.ArrayType)):
+            mapped = F.transform(
+                col,
+                lambda x: F.concat_ws(
+                    " ", *_leaf_text_exprs(x, elem)
+                ),
+            )
+        else:
+            mapped = F.transform(col, lambda x: F.trim(x.cast("string")))
+        return [F.array_join(mapped, " ")]
+    return [F.trim(col.cast("string"))]
+
+
+def _make_unique(names: list[str]) -> list[str]:
+    """R make.unique parity: duplicates get .1, .2, ... suffixes."""
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            out.append(f"{n}.{seen[n]}")
+        else:
+            seen[n] = 0
+            out.append(n)
+    return out
+
+
+def flatten_records(df: DataFrame, max_repeat: int | None = None) -> DataFrame:
+    """Reference flatten semantics over the XML source's faithful parse.
+
+    - attribute columns: ``_id`` → ``id``
+    - primitive child: trimmed string column
+    - struct child: one column = space-joined descendant leaf text.
+      DEPARTURE from the reference: leaf order is the inferred schema's
+      field order (alphabetical), not document order — the Spark XML source
+      does not preserve element order in its inferred schema. Pass an
+      explicit ``schema`` to ``read_xml_auto`` with fields in document
+      order when that matters.
+    - array child (repeated tag): ``name, name.1, ...`` columns, one per
+      occurrence up to the observed max (computed in one tiny agg job unless
+      ``max_repeat`` is given); each occurrence flattened like a child
+    - rowTag-level ``_VALUE`` (direct text) → ``text_content``
+    """
+    arrays = [
+        f for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
+    ]
+    if arrays and max_repeat is None:
+        maxes = df.agg(
+            *[F.max(F.size(F.col(f.name))).alias(f.name) for f in arrays]
+        ).collect()[0]
+        repeat_of = {f.name: maxes[f.name] or 0 for f in arrays}
+    else:
+        repeat_of = {f.name: (max_repeat or 1) for f in arrays}
+
+    cols: list[F.Column] = []
+    names: list[str] = []
+    for f in df.schema.fields:
+        col, dt = F.col(f.name), f.dataType
+        if f.name == "_corrupt_record":
+            # PERMISSIVE-mode parse-error channel; excluded from the tabular
+            # output (error files are handled by the validation gate — the
+            # reference's status-envelope equivalent, xml_parser.R:348-359)
+            continue
+        if f.name == VALUE_TAG:
+            cols.append(F.trim(col.cast("string")))
+            names.append("text_content")
+        elif f.name.startswith(ATTR_PREFIX):
+            cols.append(F.trim(col.cast("string")))
+            names.append(f.name[len(ATTR_PREFIX):])
+        elif isinstance(dt, T.ArrayType):
+            elem = dt.elementType
+            for i in range(repeat_of[f.name]):
+                # try_element_at: records with fewer occurrences → null
+                item = F.try_element_at(col, F.lit(i + 1))
+                if isinstance(elem, T.StructType):
+                    cols.append(F.concat_ws(" ", *_leaf_text_exprs(item, elem)))
+                else:
+                    cols.append(F.trim(item.cast("string")))
+                names.append(f.name)
+        elif isinstance(dt, T.StructType):
+            cols.append(F.concat_ws(" ", *_leaf_text_exprs(col, dt)))
+            names.append(f.name)
+        else:
+            cols.append(F.trim(col.cast("string")))
+            names.append(f.name)
+
+    names = _make_unique(names)
+    return df.select(*[c.alias(n) for c, n in zip(cols, names)])
+
+
+def add_lineage(df: DataFrame) -> DataFrame:
+    """Audit columns (reference xml_parser.R:332-335): source_file_name,
+    source_file_path, load_timestamp."""
+    path = F.input_file_name()
+    return (
+        df.withColumn("source_file_path", path)
+        .withColumn(
+            "source_file_name", F.regexp_extract(path, r"([^/]+)$", 1)
+        )
+        .withColumn("load_timestamp", F.current_timestamp())
+    )
+
+
+def with_record_id(df: DataFrame, id_attribute: str = "id") -> DataFrame:
+    """record_id = the id attribute when present, else a generated id
+    (reference xml_parser.R:137-143; generation is partition-local)."""
+    if id_attribute in df.columns:
+        return df.withColumn("record_id", F.col(id_attribute))
+    return df.withColumn(
+        "record_id", F.monotonically_increasing_id().cast("string")
+    )
+
+
+def read_xml_records(
+    spark: SparkSession,
+    path: str,
+    row_tag: str | None = None,
+    lineage: bool = True,
+    id_attribute: str = "id",
+    **options: str,
+) -> DataFrame:
+    """Full ingest: parse → flatten → record_id → lineage. One logical plan."""
+    df = flatten_records(read_xml_auto(spark, path, row_tag, **options))
+    df = with_record_id(df, id_attribute)
+    if lineage:
+        df = add_lineage(df)
+    return df
+
+
+def extract_business_keys(
+    spark: SparkSession,
+    path: str,
+    pattern: str = COMMENT_PATTERNS["standard"],
+) -> DataFrame:
+    """Per-file business key from the FIRST XML comment (reference S6).
+
+    Returns (source_file_path, business_key_name, business_key_value) for
+    files whose first comment matches ``pattern``. Whole-file text read —
+    one row per file, no UDF.
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("source_file_path"),
+        F.col("value"),
+    )
+    first_comment = F.trim(
+        F.regexp_extract(F.col("value"), r"<!--([\s\S]*?)-->", 1)
+    )
+    # translate the anchored comment pattern into capture extractions
+    inner = pattern.strip("^$")
+    name_ = F.regexp_extract(first_comment, f"^{inner}$", 1)
+    value_ = F.regexp_extract(first_comment, f"^{inner}$", 2)
+    return (
+        raw.select(
+            "source_file_path",
+            name_.alias("business_key_name"),
+            value_.alias("business_key_value"),
+        )
+        .filter(F.col("business_key_name") != "")
+    )
+
+
+def attach_business_keys(
+    records: DataFrame,
+    keys: DataFrame,
+    as_columns: bool = True,
+    key_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Join per-file business keys onto records (broadcast — one row/file).
+
+    With ``as_columns``, each distinct key name also becomes its own column
+    (reference xml_parser.R:294-301: rows gain ``OrderType="B2B"`` etc.).
+    Key names are collected driver-side unless provided — tiny by
+    construction (≤ #files).
+    """
+    out = records.join(F.broadcast(keys), on="source_file_path", how="left")
+    if as_columns:
+        if key_names is None:
+            key_names = [
+                r[0]
+                for r in keys.select("business_key_name").distinct().collect()
+            ]
+        for kn in key_names:
+            out = out.withColumn(
+                kn,
+                F.when(
+                    F.col("business_key_name") == kn,
+                    F.col("business_key_value"),
+                ),
+            )
+    return out
