@@ -1,0 +1,104 @@
+"""Tests for similarity search + multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions import multimodal, similarity
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("d"),
+        similarity.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert r.d == 11.0
+    assert math.isclose(r.c, 11.0 / (math.sqrt(5) * math.sqrt(25)))
+
+
+def test_cosine_topk_exact(spark):
+    out = similarity.cosine_topk(_vecs(spark), query_ids=[0, 2], k=2)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    assert got[(0, 1)] == 1  # nearest to e_x is the 0.9/0.1 vector
+    assert got[(2, 1)] == 3
+
+
+def test_cosine_topk_excludes_self_and_respects_k(spark):
+    out = similarity.cosine_topk(_vecs(spark), query_ids=[4], k=3).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_id != 4 for r in out)
+
+
+def test_lsh_bucket_topk_subset_of_bucket(spark):
+    # with 1 plane everything lands in one of two buckets: results must be
+    # consistent with exact ranking restricted to the query's bucket
+    out = similarity.lsh_bucket_topk(
+        _vecs(spark), query_ids=[0], k=4, n_planes=1
+    ).collect()
+    assert len(out) >= 1
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_embedding_neardup_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(
+            _vecs(spark), threshold=0.95
+        ).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_attach_binary_metadata_and_fake_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], "id long, text string"
+    )
+    with_bin = docs.withColumn(
+        "payload", multimodal.text_as_binary(F.col("text"))
+    )
+    with_meta = multimodal.attach_binary_metadata(
+        with_bin, "payload", "image", "raw"
+    )
+    m = with_meta.select("payload_meta.*").collect()[0]
+    assert m.modality == "image" and m.size_bytes == 11
+    assert len(m.checksum) == 32
+
+    decoded = multimodal.decode_batch(with_meta).collect()
+    assert len(decoded) == 2
+    for r in decoded:
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert r.format in ("png", "jpeg", "webp")
+    # determinism across runs/partitionings
+    again = multimodal.decode_batch(with_meta.repartition(2)).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in decoded}
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"bytes")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 10)], "id long, n_frames int")
+    idx = [r.frame_idx for r in multimodal.frame_sample_plan(df, 3).collect()]
+    assert idx == [0, 3, 6, 9]

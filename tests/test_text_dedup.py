@@ -1,0 +1,126 @@
+"""Tests for text analysis + dedup operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions import dedup, text
+
+
+def _docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "el gato y el perro en la casa de la abuela"),
+        (5, "completely different words entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c ",), ("one",)], "text string")
+    out = df.select(
+        text.token_count(F.col("text")).alias("t"),
+        text.subtoken_count(F.col("text")).alias("s"),
+    ).collect()
+    assert [r.t for r in out] == [3, 1]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat, the dog!")], "doc_id long, text string"
+    )
+    r = text.quality_features(df).collect()[0]
+    assert r.n_tokens == 4
+    assert r.punct_ratio == 2 / 17
+    assert r.stopword_ratio == 2 / 4  # 'the' twice
+
+
+def test_language_id(spark):
+    df = _docs(spark)
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", text.language_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got[1] == "en" and got[4] == "es"
+
+
+def test_fingerprints_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: (r.fp, r.roll)
+        for r in df.select(
+            "doc_id",
+            text.fingerprint_md5(F.col("text")).alias("fp"),
+            text.fingerprint_rolling(F.col("text")).alias("roll"),
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # case/whitespace-insensitive
+    assert fps[1] != fps[3]
+    assert isinstance(fps[1][1], int) and fps[1][1] > 0
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    dup = [r for r in out if r.n_copies == 2][0]
+    assert dup.keep_id == 1
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    sh = dedup.shingle_table(df).collect()
+    assert [r.shingle for r in sh] == ["one two"]
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in got and got[(1, 3)] < 1.0  # near dup above 0.5
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    cand = dedup.minhash_lsh_candidates(_docs(spark)).collect()
+    got = {(r.id_a, r.id_b) for r in cand}
+    assert (1, 2) in got  # identical signatures share every band
+    assert (1, 5) not in got and (4, 5) not in got
+
+
+def test_minhash_signature_matches_oracle(spark):
+    """Spark minhash signatures must equal the DuckDB construction."""
+    import duckdb
+
+    df = _docs(spark)
+    sig = {
+        (r.doc_id, r.perm_id): r.minhash
+        for r in dedup.minhash_signatures(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({r.doc_id}, '{r.text}')" for r in df.collect()
+        )
+        + ") t(doc_id, text)"
+    )
+    oracle = con.execute(dedup.minhash_sql("docs")).fetchall()
+    osig = {(r[0], r[1]): r[2] for r in oracle}
+    assert sig == osig
+
+
+def test_simhash_and_neardup(spark):
+    sig = dedup.simhash(_docs(spark))
+    rows = {r.doc_id: r.simhash for r in sig.collect()}
+    assert rows[1] == rows[2]  # identical docs → identical signature
+    pairs = dedup.simhash_neardup_pairs(sig, max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 4) not in got  # different language/content far apart

@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five strategies, scale-ranked:
+
+- exact_dedup:        hash-groupBy on a normalized fingerprint. One shuffle
+                      whose volume is #distinct keys (map-side combine).
+- ngram_jaccard_pairs: word n-gram shingles → inverted-index self-join →
+                      exact Jaccard. Exact but O(pairs-sharing-a-shingle);
+                      use minhash_lsh_candidates first at scale.
+- minhash_lsh_candidates: shingle → K minhashes → band buckets → bucket
+                      join. Near-dup candidates in ~linear time; the
+                      canonical 100 TB dedup path (MMDS ch.3 construction).
+- simhash:            32-bit per-doc signature via per-token hash bit votes;
+                      near-dups = small Hamming distance on signatures.
+- embedding_neardup_pairs: cosine over an embedding column (semantic dups).
+
+Everything is built-in column expressions (explode/groupBy/join — JVM side,
+no Python UDFs). Hash functions are MD5-derived 32-bit ints so the DuckDB
+oracles can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions.text import fingerprint_md5, norm_text
+
+# MinHash parameters. Permutation constants (a,b) are generated from a
+# fixed linear-congruential recurrence so both engines can regenerate them;
+# values kept < 2^20 so a*h + b < 2^52 (no bigint overflow under ANSI).
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 rows/band
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _perm_constants() -> list[tuple[int, int, int]]:
+    """[(perm_id, a, b)] — deterministic, shared with the oracle SQL."""
+    out = []
+    a, b = 484_751, 918_873  # arbitrary fixed seeds < 2^20
+    for i in range(MINHASH_PERMS):
+        a = (a * 69069 + 1) % (1 << 20) or 7
+        b = (b * 69069 + 1) % (1 << 20)
+        out.append((i, a, b))
+    return out
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 8 hex digits of MD5 as a 32-bit unsigned int (bigint-typed).
+
+    conv(hex, 16, 10) — DuckDB twin: CAST('0x'||substr(md5(x),1,8) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array)."""
+    toks = F.split(norm_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # short docs (< n tokens): single shingle = whole text
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(norm_text(col))
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text fingerprint.
+
+    min() as the representative picker is deterministic and commutative —
+    safe under any partitioning. Returns (fingerprint, keep_id, n_copies).
+    """
+    return (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows — distinct shingles per doc."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Plan: explode shingles → self-join on shingle (id_a < id_b) → count
+    shared → join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).
+    Jaccard is a double division of exact ints → oracle-identical.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na")
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb")
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, perm_id, minhash) — K minhashes per doc.
+
+    One explode (shingles) × K permutations via a tiny cross-joined perm
+    table, then min per (doc, perm): a single shuffle keyed on the doc id;
+    shuffle volume is docs × K rows, independent of text size.
+    """
+    spark = df.sparkSession
+    perms = spark.createDataFrame(
+        _perm_constants(), "perm_id int, a long, b long"
+    )
+    sh = shingle_table(df, text_col, id_col, n).withColumn(
+        "h", md5_hash32(F.col("shingle"))
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .withColumn(
+            "ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_PRIME)
+        )
+        .groupBy(id_col, "perm_id")
+        .agg(F.min("ph").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket.
+
+    Band key = ordered concat of the band's minhashes; bucket join on
+    (band, key). Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = MINHASH_PERMS // bands
+    sig = minhash_signatures(df, text_col, id_col, n)
+    band = (
+        sig.withColumn(
+            "band", F.floor(F.col("perm_id") / rows_per_band).cast("int")
+        )
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":", F.col("perm_id"), F.col("minhash")
+                        )
+                    )
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = band.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = band.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash signature: bit j set iff sum over tokens of
+    (+1 if token-hash bit j else -1) > 0.
+
+    Pure column math over an exploded token table: one shuffle keyed by doc.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", md5_hash32(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    All-pairs here (fine to ~1e4 docs); at scale, block on bit-chunks of
+    the signature first (pigeonhole: some chunk must match exactly) and
+    join per block — same expressions, bounded pair count.
+    """
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB dialect of the exact same computations)
+# --------------------------------------------------------------------------
+
+NORM_SQL = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+def shingle_sql(table: str, id_col: str = "doc_id", n: int = 3) -> str:
+    """DuckDB CTE body producing (id, shingle) distinct rows."""
+    norm = NORM_SQL.format(col="text")
+    return f"""
+SELECT {id_col}, unnest(list_distinct(
+  CASE WHEN len(toks) >= {n}
+       THEN list_transform(range(len(toks) - {n} + 1),
+                           i -> array_to_string(toks[i+1:i+{n}], ' '))
+       ELSE [norm] END)) AS shingle
+FROM (SELECT {id_col}, {norm} AS norm,
+             string_split({norm}, ' ') AS toks
+      FROM {table})
+"""
+
+
+def minhash_sql(table: str, id_col: str = "doc_id", n: int = 3) -> str:
+    """DuckDB CTEs: shingles → 32-bit md5 hash → per-perm minima."""
+    perms_rows = ", ".join(f"({i}, {a}, {b})" for i, a, b in _perm_constants())
+    return f"""
+WITH perms(perm_id, a, b) AS (VALUES {perms_rows}),
+shingles AS ({shingle_sql(table, id_col, n)}),
+hashed AS (
+  SELECT {id_col},
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM shingles
+)
+SELECT {id_col}, perm_id,
+       MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+FROM hashed CROSS JOIN perms
+GROUP BY {id_col}, perm_id
+"""

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk:      brute-force exact top-k for a set of query vectors.
+                    Query set is broadcast; each partition scores its slice
+                    of the corpus and per-partition top-k merges via a
+                    rank-window — O(corpus × queries) compute, no corpus
+                    shuffle until the tiny ranked output.
+- lsh_bucket_topk:  the scale path — random-hyperplane (sign) LSH buckets
+                    shrink the candidate set, then exact cosine re-ranks
+                    within buckets. Hyperplane components are derived from
+                    md5 hashes (deterministic; no stored model).
+
+Dot products stay JVM-side via zip_with + aggregate (sequential fold over
+the array — deterministic order). Output contract returns (query, neighbor,
+rank) — ranks, not raw floats, so engine-level ulp noise can't break
+hash-comparison; ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic per element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Returns (query_id, neighbor_id, rank). The query side is a broadcast of
+    |Q| rows; corpus is scanned once. rank = row_number ordered by
+    (cosine desc, neighbor_id asc) — fully deterministic.
+    """
+    # norms are precomputed per row BEFORE the |corpus|×|queries| join, so
+    # per-pair work is one dot product — at scale this halves the flops and
+    # is how a normalized-embedding store would behave
+    base = df.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2norm(F.col("v")))
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qnrm") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank"
+        )
+    )
+
+
+def hyperplane_component(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    md5(plane:dim) first 8 hex digits / 2^32 - 0.5. No stored model — any
+    executor can regenerate any component."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", plane, dim)), 1, 8), 16, 10
+    ).cast("double")
+    return h / F.lit(float(1 << 32)) - F.lit(0.5)
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit p = (v · hyperplane_p) >= 0."""
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda i: hyperplane_component(F.lit(p), i),
+                ),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    bucket = None
+    for p in range(n_planes):
+        bucket = plane_bit(p) if bucket is None else bucket + plane_bit(p)
+    return bucket.cast("int")
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank within the query's LSH bucket.
+
+    The corpus is scored once into buckets (linear scan, no shuffle), then
+    only same-bucket candidates join each query — at scale this cuts the
+    candidate set by ~2^n_planes while the bucket assignment stays a pure
+    map. Recall is tunable via n_planes (fewer planes = bigger buckets =
+    higher recall).
+    """
+    base = df.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(queries), on=F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    All-pairs within LSH buckets would be the scale path; this exact variant
+    is the correctness baseline and the oracle target (pairs only — no float
+    in the output)."""
+    base = df.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

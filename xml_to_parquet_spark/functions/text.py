@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All hot-path logic is built-in column expressions (JVM, whole-stage
+codegen) — no Python UDFs. Every operator has an exact DuckDB-oracle twin
+because the underlying counts are integers and ratios are single double
+divisions (engine-independent).
+
+Operators:
+- token_count:       whitespace tokens + BPE-ish sub-token count (regex)
+- quality_features:  length / punctuation / stopword / uppercase ratios
+- language_id:       stopword-hit n-gram heuristic with deterministic argmax
+- fingerprint:       normalized-text MD5 (exact-dedup key) + rolling
+                     polynomial hash (Spark-side; order-sensitive)
+
+Scale: all per-row expressions — embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the heuristic language ID
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+# BPE-ish sub-token pattern: letter runs, single digits, other symbols
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased canonical form."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (regexp_count — identical in DuckDB)."""
+    return F.regexp_count(col, F.lit(r"\S+"))
+
+
+def subtoken_count(col: Column) -> Column:
+    """BPE-ish sub-token count."""
+    return F.regexp_count(col, F.lit(BPE_ISH))
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring (ratios of exact integer counts)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    punct = F.regexp_count(t, F.lit(PUNCT))
+    upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    stops = stopword_hits(t, LANG_STOPWORDS["en"])
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "punct_ratio": F.try_divide(punct.cast("double"), n_chars),
+            "upper_ratio": F.try_divide(upper.cast("double"), n_chars),
+            "stopword_ratio": F.try_divide(stops.cast("double"), n_tokens),
+            "mean_token_len": F.try_divide(
+                F.regexp_count(t, F.lit(r"\S")).cast("double"), n_tokens
+            ),
+        }
+    )
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+def language_id(col: Column) -> Column:
+    """Deterministic argmax over per-language stopword hits.
+
+    Tie-break = language order in LANG_STOPWORDS (first wins via strict
+    '>' comparison against previous maxima) — mirrored exactly in the
+    oracle SQL's CASE ladder.
+    """
+    scores = language_scores(col)
+    langs = list(scores)
+    expr = F.lit(langs[-1])
+    # build right-to-left: lang_i wins if score_i >= all later scores
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[langs[i]] >= scores[langs[j]]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dedup key: MD5 of the normalized text."""
+    return F.md5(norm_text(col))
+
+
+def fingerprint_rolling(col: Column, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """Rolling polynomial hash over the normalized text's characters.
+
+    h = (h*base + code(ch)) mod p, folded left across the string via
+    F.aggregate — stays JVM-side (no UDF). Order-sensitive by construction
+    (unlike MD5 it exposes the rolling structure the reference-style
+    fingerprinting asks for).
+    """
+    chars = F.split(norm_text(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % F.lit(mod),
+    )

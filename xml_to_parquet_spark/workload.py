@@ -463,6 +463,505 @@ ORDER BY p_partkey
 """
 
 
+# ===========================================================================
+# Large-scale pipeline extensions (BASELINE.json north star): text analysis,
+# dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+# similarity search, multimodal plumbing.
+# ===========================================================================
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.text import subtoken_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count(F.col("text")).alias("tok"),
+            subtoken_count(F.col("text")).alias("sub"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("long").alias("tokens_sum"),
+            F.sum("sub").cast("long").alias("subtokens_sum"),
+            (F.sum("tok").cast("double") / F.count(F.lit(1))).alias(
+                "tokens_avg"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q_TOKEN_COUNT_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens_sum,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+            AS BIGINT) AS subtokens_sum,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) / COUNT(*)
+         AS tokens_avg
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+    ).orderBy("doc_id")
+
+
+_Q_TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         / length(text) AS upper_ratio,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS DOUBLE)
+         / len(regexp_extract_all(text, '\S+')) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '\S')) AS DOUBLE)
+         / len(regexp_extract_all(text, '\S+')) AS mean_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _lang_id_sql() -> str:
+    from xml_to_parquet_spark.functions.text import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    scores = ", ".join(
+        rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b')) AS s_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    # identical argmax ladder to functions.text.language_id
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1:]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    ladder = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+SELECT lang, {ladder} AS predicted, COUNT(*) AS n
+FROM (SELECT lang, {scores} FROM documents)
+GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.text import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+_Q_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ shifted-copy (every text has 2 ids)."""
+    from xml_to_parquet_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return exact_dedup(doubled).orderBy("keep_id")
+
+
+_Q_DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+GROUP BY fingerprint ORDER BY keep_id
+"""
+
+
+_SHINGLE_SQL = f"""
+SELECT doc_id, unnest(list_distinct(
+  CASE WHEN len(toks) >= 3
+       THEN list_transform(range(len(toks) - 2),
+                           i -> array_to_string(toks[i+1:i+3], ' '))
+       ELSE [norm] END)) AS shingle
+FROM (SELECT doc_id, {_NORM_SQL} AS norm,
+             string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.1).orderBy("id_a", "id_b")
+
+
+_Q_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.1
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs).orderBy("doc_id", "perm_id")
+
+
+def _minhash_sig_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import minhash_sql
+
+    return minhash_sql("documents") + " ORDER BY doc_id, perm_id"
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+def _minhash_lsh_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        minhash_sql,
+    )
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    return f"""
+WITH sigs AS ({minhash_sql('documents')}),
+bands AS (
+  SELECT doc_id, CAST(perm_id // {rows_per_band} AS INT) AS band,
+         STRING_AGG(perm_id || ':' || minhash, ',' ORDER BY perm_id || ':' || minhash)
+           AS band_key
+  FROM sigs GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+_Q_DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_ids=list(range(10)), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_Q_KNN_BRUTE_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN via sign-LSH buckets — Spark-side only (the bucket
+    hyperplanes use conv/md5-derived floats; no SQL twin → rows-only)."""
+    from xml_to_parquet_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, query_ids=list(range(10)), k=5, n_planes=4)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.functions.multimodal import (
+        attach_binary_metadata,
+        text_as_binary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    with_bin = docs.withColumn("payload", text_as_binary(F.col("text")))
+    out = attach_binary_metadata(with_bin, "payload", "text", "utf-8")
+    return out.select(
+        "doc_id",
+        F.col("payload_meta.size_bytes").alias("size_bytes"),
+        F.col("payload_meta.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+_Q_MULTIMODAL_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS size_bytes, md5(text) AS checksum
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fake-decode plumbing (deterministic stub) — rows-only."""
+    from xml_to_parquet_spark.functions.multimodal import (
+        decode_batch,
+        text_as_binary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        text_as_binary(F.col("text")).alias("payload"),
+    )
+    return decode_batch(docs).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators: analytic window, tumbling window, semi/anti joins,
+# rollup, SQL frontend
+# ---------------------------------------------------------------------------
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_Q_WINDOW_RUNNING_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events WHERE user_id < 5
+ORDER BY user_id, event_id
+"""
+
+
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xml_to_parquet_spark.operators.aggregation import dsum
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+_Q_TIME_BUCKET_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type, COUNT(*) AS n, {dsum_sql('value', 'value_sum')}
+FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(
+            f_orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left_semi"
+        )
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-load pattern (README.md:253-268): rows NOT already seen —
+    here, parts with no lineitem shipped in the final months of the data."""
+    part = _t(spark, sf_dir, "part")
+    recent = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select("l_partkey")
+    )
+    return (
+        part.join(
+            recent, on=F.col("p_partkey") == F.col("l_partkey"), how="left_anti"
+        )
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+_Q_ANTI_JOIN_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= TIMESTAMP '2001-06-01')
+ORDER BY p_partkey
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty_sum"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {dsum_sql('l_quantity', 'qty_sum')}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL API (spark.sql over registered views) — TPC-H-q6
+    shape. The reference has no SQL frontend; this is capability-plus."""
+    from xml_to_parquet_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    )
+
+
+_Q_SQL_FRONTEND_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -510,5 +1009,57 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q15_star_build": QuerySpec(
         q_star_build, _Q_STAR_BUILD_SQL, "catalog-driven star transform"
+    ),
+    "q16_token_count": QuerySpec(
+        q_token_count, _Q_TOKEN_COUNT_SQL, "token + BPE-ish subtoken counts"
+    ),
+    "q17_text_quality": QuerySpec(
+        q_text_quality, _Q_TEXT_QUALITY_SQL, "doc quality features"
+    ),
+    "q18_lang_id": QuerySpec(
+        q_lang_id, _lang_id_sql(), "heuristic language ID confusion"
+    ),
+    "q19_fingerprint": QuerySpec(
+        q_fingerprint, _Q_FINGERPRINT_SQL, "normalized-text fingerprints"
+    ),
+    "q20_dedup_exact": QuerySpec(
+        q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
+    ),
+    "q21_dedup_ngram_jaccard": QuerySpec(
+        q_dedup_ngram_jaccard, _Q_NGRAM_JACCARD_SQL, "3-gram Jaccard pairs"
+    ),
+    "q22_dedup_minhash_sig": QuerySpec(
+        q_dedup_minhash_sig, _minhash_sig_sql(), "MinHash signatures"
+    ),
+    "q23_dedup_minhash_lsh": QuerySpec(
+        q_dedup_minhash_lsh, _minhash_lsh_sql(), "MinHash LSH candidates"
+    ),
+    "q24_dedup_simhash": QuerySpec(
+        q_dedup_simhash, _simhash_sql(), "SimHash signatures"
+    ),
+    "q25_dedup_embedding": QuerySpec(
+        q_dedup_embedding, _Q_DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups"
+    ),
+    "q26_knn_brute": QuerySpec(
+        q_knn_brute, _Q_KNN_BRUTE_SQL, "brute-force cosine top-k"
+    ),
+    "q27_knn_lsh": QuerySpec(q_knn_lsh, None, "sign-LSH bucketed top-k"),
+    "q28_multimodal_meta": QuerySpec(
+        q_multimodal_meta, _Q_MULTIMODAL_META_SQL, "binary payload metadata"
+    ),
+    "q29_multimodal_decode": QuerySpec(
+        q_multimodal_decode, None, "mapInPandas decode plumbing (stub kernel)"
+    ),
+    "q30_window_running_sum": QuerySpec(
+        q_window_running_sum, _Q_WINDOW_RUNNING_SQL, "analytic running sum"
+    ),
+    "q31_time_bucket": QuerySpec(
+        q_time_bucket, _Q_TIME_BUCKET_SQL, "tumbling event-time window"
+    ),
+    "q32_semi_join": QuerySpec(q_semi_join, _Q_SEMI_JOIN_SQL, "left semi join"),
+    "q33_anti_join": QuerySpec(q_anti_join, _Q_ANTI_JOIN_SQL, "left anti join"),
+    "q34_rollup": QuerySpec(q_rollup, _Q_ROLLUP_SQL, "rollup grouping sets"),
+    "q35_sql_frontend": QuerySpec(
+        q_sql_frontend, _Q_SQL_FRONTEND_SQL, "spark.sql frontend (TPC-H q6)"
     ),
 }
