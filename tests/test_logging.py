@@ -1,0 +1,42 @@
+"""Tests for observability utilities (K4, A5)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from xml_to_parquet_spark.logging_utils import (
+    get_logger,
+    processing_report,
+    spark_task_metrics,
+)
+
+
+def test_rotating_logger_writes(tmp_path):
+    log = get_logger("engine_test", log_dir=str(tmp_path))
+    log.info("hello audit")
+    log.error("hello error")
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("engine_test") for f in files)
+    content = open(tmp_path / "engine_test.log").read()
+    assert "hello audit" in content and "[ERROR]" in content
+
+
+def test_processing_report(spark):
+    records = spark.createDataFrame(
+        [("f1", 1), ("f1", 2), ("f2", 3)], "source_file_path string, x int"
+    )
+    validation = spark.createDataFrame(
+        [("f1", "success"), ("f2", "error")], "source_file_path string, status string"
+    )
+    rep = processing_report(
+        records, datetime.now(timezone.utc), validation
+    )
+    assert rep["files_processed"] == 2
+    assert rep["records_processed"] == 3
+    assert rep["files_valid"] == 1 and rep["validation_rate"] == 0.5
+
+
+def test_spark_task_metrics(spark):
+    m = spark_task_metrics(spark)
+    assert m["default_parallelism"] >= 1

@@ -1,0 +1,61 @@
+"""Structured Streaming tests: AvailableNow file streams."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.test_xml_source import PRODUCTS_XML
+from xml_to_parquet_spark.streaming import (
+    stream_events_windowed,
+    stream_xml_dir,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_window_equals_batch(spark):
+    from xml_to_parquet_spark.catalog import load_table
+    from xml_to_parquet_spark.operators.aggregation import dsum
+
+    streamed = stream_events_windowed(spark, SF).collect()
+
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+        .orderBy("bucket_start", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_streaming_xml_exactly_once(spark, tmp_path):
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    inp.mkdir()
+    (inp / "a.xml").write_text(PRODUCTS_XML)
+
+    first = stream_xml_dir(spark, str(inp), str(out), checkpoint_dir=str(ckpt))
+    assert first.count() == 3
+
+    # second run, same checkpoint, one new file → the sink gains exactly
+    # the new file's rows (a.xml is in the processed-files log; no dups)
+    (inp / "b.xml").write_text(PRODUCTS_XML.replace('id="1"', 'id="9"'))
+    second = stream_xml_dir(spark, str(inp), str(out), checkpoint_dir=str(ckpt))
+    rows = second.collect()
+    assert len(rows) == 6
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r.source_file_path), []).append(r)
+    assert len(by_file["a.xml"]) == 3 and len(by_file["b.xml"]) == 3

@@ -1,0 +1,147 @@
+"""Structured Streaming ingestion (SURVEY §2.9 — parity-plus).
+
+The reference is strictly batch; its incremental story is "check the audit
+columns for files you already loaded" (README.md:241,253-268). The Spark
+native equivalent is a file-source stream with ``Trigger.AvailableNow``:
+each run picks up exactly the files not yet processed (checkpoint-tracked),
+processes them as micro-batches, and stops — the batch-of-new-files
+semantics the reference approximates by hand.
+
+- ``stream_xml_dir``: streaming XML ingest of a directory (each new file
+  becomes rows exactly once; checkpoint dir = the reference's manifest).
+- ``stream_events_windowed``: event-time tumbling-window aggregation with a
+  watermark for late data — the streaming twin of workload q31; with
+  AvailableNow over a static dir it converges to the batch answer, which is
+  what the DuckDB oracle checks.
+
+Scale: file-source streams list only new files per trigger; windowed aggs
+keep state per (window × key) — bounded by the watermark horizon. State
+store is RocksDB-backed on a real cluster (set
+``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into a memory
+    sink; returns the final result as a batch DataFrame."""
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
+
+
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
+def stream_events_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming event-time tumbling window over the events table.
+
+    Watermark bounds state: windows older than (max event time − watermark)
+    are finalized and their state dropped. With AvailableNow on a static
+    directory the final memory-sink table equals the batch aggregation.
+    """
+    schema = _events_schema(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) parquet read as long (see catalog.load_table)
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    from xml_to_parquet_spark.operators.aggregation import dsum
+
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return run_available_now(
+        agg, query_name=f"events_windowed_{abs(hash(sf_dir)) % 99991}"
+    ).orderBy("bucket_start", "event_type")
+
+
+def stream_xml_dir(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    row_tag: str = "record",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming XML ingest: each file in ``input_dir`` is appended to the
+    parquet sink exactly once across runs sharing a checkpoint — the
+    reference's manual incremental-loading intent, automated (checkpoint =
+    its audit-column bookkeeping).
+
+    Schema is inferred from a one-off batch read of the current directory
+    contents (file-source streams require an explicit schema). Returns a
+    batch view of the sink after the run.
+    """
+    from xml_to_parquet_spark.sources.xml_source import (
+        add_lineage,
+        flatten_records,
+        read_xml_auto,
+        with_record_id,
+    )
+
+    batch = read_xml_auto(spark, os.path.join(input_dir, "*.xml"), row_tag)
+    stream = (
+        spark.readStream.format("xml")
+        .schema(batch.schema)
+        .option("rowTag", row_tag)
+        .option("attributePrefix", "_")
+        .option("valueTag", "_VALUE")
+        .option("ignoreSurroundingSpaces", "true")
+        .option("pathGlobFilter", "*.xml")
+        .load(input_dir)
+    )
+    out = add_lineage(with_record_id(flatten_records(stream, max_repeat=1)))
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_xml_")
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(output_dir)

@@ -802,6 +802,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_batch(docs).orderBy("id")
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming (readStream → watermark → window →
+    AvailableNow): final state must equal the batch tumbling-window answer,
+    which is exactly what the shared oracle SQL asserts."""
+    from xml_to_parquet_spark.streaming.file_stream import (
+        stream_events_windowed,
+    )
+
+    return stream_events_windowed(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Event-time operators: analytic window, tumbling window, semi/anti joins,
 # rollup, SQL frontend
@@ -1061,5 +1072,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q34_rollup": QuerySpec(q_rollup, _Q_ROLLUP_SQL, "rollup grouping sets"),
     "q35_sql_frontend": QuerySpec(
         q_sql_frontend, _Q_SQL_FRONTEND_SQL, "spark.sql frontend (TPC-H q6)"
+    ),
+    "q36_streaming_window": QuerySpec(
+        q_streaming_window,
+        _Q_TIME_BUCKET_SQL,
+        "Structured Streaming tumbling window (AvailableNow == batch)",
     ),
 }
