@@ -30,6 +30,11 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), unreadable by Spark
+        # without this legacy conf; runtime-settable, so self-defend here —
+        # the session may be driver-provided without our session defaults
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as a
     # raw long of ns-since-epoch — convert to a microsecond timestamp (the

@@ -145,28 +145,38 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, perm_id, minhash) — K minhashes per doc.
 
-    One explode (shingles) × K permutations via a tiny cross-joined perm
-    table, then min per (doc, perm): a single shuffle keyed on the doc id;
-    shuffle volume is docs × K rows, independent of text size.
+    The K permutation minima are computed as K aggregate expressions over
+    ONE pass of the exploded shingles (map-side combined), then melted to
+    long form. No row multiplication by K: shuffle volume is docs × 1 row
+    with K columns — at 100 TB this beats the naive shingles×K cross join
+    by the factor K.
     """
-    spark = df.sparkSession
-    perms = spark.createDataFrame(
-        _perm_constants(), "perm_id int, a long, b long"
-    )
-    sh = shingle_table(df, text_col, id_col, n).withColumn(
-        "h", md5_hash32(F.col("shingle"))
-    )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .withColumn(
-            "ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_PRIME)
-        )
-        .groupBy(id_col, "perm_id")
-        .agg(F.min("ph").alias("minhash"))
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, text_col, id_col, n)
+    ).withColumn("h", md5_hash32(F.col("shingle")))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh_{i}")
+        for i, a, b in _perm_constants()
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i, _, _ in _perm_constants())
+    return wide.select(
+        F.col(id_col),
+        F.expr(
+            f"stack({MINHASH_PERMS}, {stack_args}) as (perm_id, minhash)"
+        ),
     )
 
 
@@ -176,6 +186,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n: int = 3,
     bands: int = MINHASH_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any LSH band bucket.
 
@@ -183,7 +194,7 @@ def minhash_lsh_candidates(
     (band, key). Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = MINHASH_PERMS // bands
-    sig = minhash_signatures(df, text_col, id_col, n)
+    sig = minhash_signatures(df, text_col, id_col, n, shingles=shingles)
     band = (
         sig.withColumn(
             "band", F.floor(F.col("perm_id") / rows_per_band).cast("int")
@@ -262,6 +273,53 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_via_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """The 100 TB dedup pipeline: MinHash-LSH candidate generation followed
+    by exact n-gram Jaccard verification on candidates only.
+
+    Replaces the quadratic inverted-index self-join of
+    :func:`ngram_jaccard_pairs` with work proportional to
+    (docs × K) + (candidate pairs × shingles). Same output contract.
+    """
+    # one shingle explode feeds candidate generation, sizes, and the
+    # verify join — persist it so the three consumers share the work
+    # (freed by Spark's LRU once the plan's actions finish)
+    sh = shingle_table(df, text_col, id_col, n).persist()
+    cand = minhash_lsh_candidates(df, text_col, id_col, n, shingles=sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        cand.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

