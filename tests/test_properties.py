@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for engine invariants.
+
+Spark-job properties use few examples (each example is a Spark job);
+pure-Python properties run the full default budget.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xml_to_parquet_spark.sources.xml_source import _make_unique
+
+# ---------------------------------------------------------------------------
+# pure-python: make.unique parity
+# ---------------------------------------------------------------------------
+
+names = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(names)
+def test_make_unique_outputs_unique_and_preserves_firsts(ns):
+    out = _make_unique(ns)
+    assert len(out) == len(ns)
+    assert len(set(out)) == len(out)
+    seen = set()
+    for orig, new in zip(ns, out):
+        if orig not in seen:
+            assert new == orig  # first occurrence keeps its name
+            seen.add(orig)
+        else:
+            assert new.startswith(orig + ".")
+
+
+# ---------------------------------------------------------------------------
+# spark: exact-decimal aggregation is partitioning-invariant and exact
+# ---------------------------------------------------------------------------
+
+money = st.decimals(
+    min_value=Decimal("-99999.99"),
+    max_value=Decimal("99999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(money, min_size=1, max_size=60), st.integers(1, 7))
+def test_dsum_exact_and_partition_invariant(spark, values, nparts):
+    from xml_to_parquet_spark.operators.aggregation import dsum
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in values], "m double"
+    ).repartition(nparts)
+    got = df.agg(dsum("m")).collect()[0][0]
+    expected = float(sum(values))  # exact decimal sum → one double convert
+    assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=50))
+def test_surrogate_keys_dense_and_value_ordered(spark, xs):
+    from xml_to_parquet_spark.operators.window import surrogate_keys
+
+    df = spark.createDataFrame([(str(x),) for x in xs], "v string")
+    rows = surrogate_keys(df, "v").orderBy("v_key").collect()
+    vals = sorted({str(x) for x in xs})
+    assert [r["v_key"] for r in rows] == list(range(1, len(vals) + 1))
+    assert [r["v"] for r in rows] == vals
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet=" aAbB\t", min_size=0, max_size=30), min_size=1, max_size=20
+    )
+)
+def test_fingerprint_whitespace_case_invariant(spark, texts):
+    """Normalized fingerprints ignore case and whitespace runs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.text import fingerprint_md5
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", fingerprint_md5(F.col("t")).alias("fp")
+        ).collect()
+    }
+    norm = {i: re.sub(r"\s+", " ", t).strip().lower() for i, t in rows}
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if norm[i] == norm[j]:
+                assert got[i] == got[j]

@@ -844,6 +844,108 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# XML→star golden (S2-S5, W1, J1, F1 end-to-end): fixture XML written to a
+# temp dir, ingested via the native XML source, star-transformed; the
+# oracle is the fully-determined expected output as VALUES literals.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<products>
+  <record id="1" category="electronics" brand="Samsung">
+    <name>Galaxy S21</name><price>799.99</price>
+    <quantity>50</quantity><rating>4.5</rating>
+  </record>
+  <record id="2" category="electronics" brand="Apple">
+    <name>iPhone 13</name><price>999.99</price>
+    <quantity>30</quantity><rating>4.8</rating>
+  </record>
+  <record id="3" category="accessories" brand="Samsung">
+    <name>Charger</name><price>29.99</price>
+    <quantity>200</quantity>
+  </record>
+</products>
+"""
+
+
+def q_xml_star_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from xml_to_parquet_spark.plans.star_transformer import build_star_schema
+    from xml_to_parquet_spark.sources.xml_source import read_xml_records
+
+    d = tempfile.mkdtemp(prefix="xml_golden_")
+    with open(os.path.join(d, "products.xml"), "w") as fh:
+        fh.write(_GOLDEN_XML)
+    records = read_xml_records(spark, os.path.join(d, "*.xml"), lineage=False)
+    catalog = {
+        "record_id": {"classification": "identifier"},
+        "category": {"classification": "dimension"},
+        "brand": {"classification": "dimension"},
+        "price": {"classification": "measure"},
+        "quantity": {"classification": "measure"},
+        "rating": {"classification": "measure"},
+    }
+    star = build_star_schema(
+        records, catalog, id_column="record_id", include_audit=False
+    )
+    return star.fact.select(
+        "record_id", "price", "quantity", "rating", "category_key", "brand_key"
+    ).orderBy("record_id")
+
+
+_Q_XML_STAR_GOLDEN_SQL = """
+SELECT record_id,
+       CAST(price AS DOUBLE) AS price,
+       CAST(quantity AS DOUBLE) AS quantity,
+       CAST(rating AS DOUBLE) AS rating,
+       CAST(category_key AS INT) AS category_key,
+       CAST(brand_key AS INT) AS brand_key
+FROM (VALUES
+  ('1', 799.99, 50.0, 4.5, 2, 2),
+  ('2', 999.99, 30.0, 4.8, 2, 1),
+  ('3', 29.99, 200.0, NULL, 1, 2)
+) AS t(record_id, price, quantity, rating, category_key, brand_key)
+ORDER BY record_id
+"""
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9-F11: date extraction, arithmetic, diffs (fixed anchor date so the
+    result is deterministic, unlike current_date)."""
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    anchor = F.lit("1998-01-01").cast("date")
+    return (
+        orders.select(
+            F.year(od).alias("y"),
+            F.month(od).alias("m"),
+            F.datediff(anchor, od).alias("days_to_anchor"),
+            F.date_format(od, "yyyy-MM").alias("ym"),
+        )
+        .groupBy("y", "m", "ym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("days_to_anchor").alias("min_dd"),
+            F.max("days_to_anchor").alias("max_dd"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+_Q_DATE_ARITH_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+       COUNT(*) AS n,
+       CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01'))
+            AS INT) AS min_dd,
+       CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01'))
+            AS INT) AS max_dd
+FROM orders GROUP BY 1, 2, 3 ORDER BY y, m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-time operators: analytic window, tumbling window, semi/anti joins,
 # rollup, SQL frontend
 # ---------------------------------------------------------------------------
@@ -1109,5 +1211,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_window,
         _Q_TIME_BUCKET_SQL,
         "Structured Streaming tumbling window (AvailableNow == batch)",
+    ),
+    "q37_xml_star_golden": QuerySpec(
+        q_xml_star_golden,
+        _Q_XML_STAR_GOLDEN_SQL,
+        "XML ingest -> star transform vs fully-determined golden values",
+    ),
+    "q38_date_arith": QuerySpec(
+        q_date_arith, _Q_DATE_ARITH_SQL, "date extraction/arithmetic/diffs"
     ),
 }
