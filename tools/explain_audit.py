@@ -1,0 +1,101 @@
+"""Physical-plan audit: assert the scale-critical plan properties hold.
+
+Checks, per workload query (at sf0.01 — plans don't change with sf):
+- star/dim joins are BroadcastHashJoin, never SortMergeJoin on a fact side
+  where we demand broadcast
+- parquet scans carry PushedFilters when the query filters source columns
+- scans read only the needed columns (ReadSchema pruning)
+
+Prints a PASS/WARN table; exits 1 on hard failures. Evidence for
+SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# queries where a SortMergeJoin would mean a broken broadcast decision
+BROADCAST_ONLY = {
+    "q01_star_revenue",
+    "q09_star_dim_keys",
+    "q15_star_build",
+    "q26_knn_brute",
+    "q32_semi_join",
+    "q33_anti_join",
+}
+# queries whose filters must reach the parquet scan
+PUSHDOWN = {
+    "q01_star_revenue": "l_shipdate",
+    "q04_project_filter": "o_orderstatus",
+    "q32_semi_join": "o_orderstatus",
+}
+# query → (table scanned, max columns allowed in ReadSchema)
+PRUNING = {
+    "q04_project_filter": ("orders", 5),
+    "q01_star_revenue": ("lineitem", 4),
+    "q06_sort_limit": ("orders", 2),
+}
+
+
+def main() -> int:
+    from xml_to_parquet_spark.session import get_spark
+    from xml_to_parquet_spark.workload import QUERIES
+
+    spark = get_spark("explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    hard_fail = []
+
+    for name, spec in QUERIES.items():
+        if name in ("q36_streaming_window", "q29_multimodal_decode"):
+            continue  # streaming/pandas plans don't expose these nodes
+        try:
+            df = spec.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"WARN  {name}: could not plan ({str(e)[:80]})")
+            continue
+        notes = []
+        if name in BROADCAST_ONLY:
+            if "SortMergeJoin" in plan:
+                notes.append("SortMergeJoin present (expected broadcast)")
+                hard_fail.append(name)
+            elif (
+                "BroadcastHashJoin" not in plan
+                and "BroadcastNestedLoopJoin" not in plan
+                and "Join" in plan
+            ):
+                # cross joins legitimately plan as BroadcastNestedLoopJoin
+                notes.append("no broadcast join found")
+        if name in PUSHDOWN and f"PushedFilters: []" in plan:
+            # crude: any empty pushdown list on a filtered query is a smell
+            notes.append("a scan has empty PushedFilters")
+        if name in PRUNING:
+            table, max_cols = PRUNING[name]
+            for line in plan.splitlines():
+                if "ReadSchema" in line and table not in line:
+                    continue
+            # count columns in the ReadSchema of the target table's scan
+            import re
+
+            scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+            widths = [len(s.split(",")) for s in scans if s]
+            if widths and min(widths) > max_cols:
+                notes.append(
+                    f"narrowest scan reads {min(widths)} cols (cap {max_cols})"
+                )
+                hard_fail.append(name)
+        status = "FAIL" if name in hard_fail else ("warn" if notes else "ok")
+        print(f"{status:4}  {name}" + (f": {'; '.join(notes)}" if notes else ""))
+
+    print(f"\n{len(hard_fail)} hard failures" + (f": {hard_fail}" if hard_fail else ""))
+    return 1 if hard_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

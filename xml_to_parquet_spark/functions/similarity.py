@@ -14,6 +14,11 @@ Dot products stay JVM-side via zip_with + aggregate (sequential fold over
 the array — deterministic order). Output contract returns (query, neighbor,
 rank) — ranks, not raw floats, so engine-level ulp noise can't break
 hash-comparison; ties break on neighbor id.
+
+Pattern references (see PAPERS.md): distributed top-k similarity search
+with per-partition pruning + merge (REPOSE, ICDE 2021; incremental top-k,
+EDBT 2020) — our rank-window-over-partitioned-scores is the DataFrame
+rendering of the same per-partition top-k + global merge shape.
 """
 
 from __future__ import annotations

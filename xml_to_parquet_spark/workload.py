@@ -1106,6 +1106,187 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 
 
 # ---------------------------------------------------------------------------
+# Set ops, pivot, string functions, exact percentiles, cube, as-of join
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-set intersect / exceptAll (SURVEY §2.7 'available in Spark')."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    positive = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    both = building.intersect(positive).select(
+        F.lit("intersect").alias("op"), "c_custkey"
+    )
+    only_building = building.exceptAll(positive).select(
+        F.lit("except").alias("op"), "c_custkey"
+    )
+    return both.unionByName(only_building).orderBy("op", "c_custkey")
+
+
+_Q_SET_OPS_SQL = """
+SELECT 'intersect' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+ORDER BY op, c_custkey
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A4 family): daily event counts, one column per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+_Q_PIVOT_SQL = f"""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       {', '.join(
+           f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY day ORDER BY day
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.lower(F.col("p_type")).alias("type_lower"),
+            F.substring(F.col("p_name"), 1, 5).alias("name_head"),
+            F.regexp_replace(F.col("p_type"), " ", "_").alias("type_snake"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_pad"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_Q_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substring(p_name, 1, 5) AS name_head,
+       replace(p_type, ' ', '_') AS type_snake,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — identical formula in both
+    engines over identical doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("price_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS qty_p50,
+       quantile_cont(l_quantity, 0.9) AS qty_p90,
+       quantile_cont(l_extendedprice, 0.5) AS price_p50
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "total_sum"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_Q_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'total_sum')}
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, composed from
+    union + window (SURVEY 'custom operators' path (a)): for each click,
+    the user's most recent purchase at-or-before its timestamp.
+
+    One shuffle (window partition by user); no range-explosion join. The
+    oracle uses DuckDB's native ASOF LEFT JOIN.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # purchases sort before clicks at equal ts → 'at-or-before' semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1).asc(),
+            F.col("event_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("purchase_event_id", last_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_event_id"),
+            "purchase_event_id",
+        )
+        .orderBy("user_id", "click_event_id")
+    )
+
+
+_Q_ASOF_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_event_id,
+       p.event_id AS purchase_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, click_event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1219,5 +1400,19 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q38_date_arith": QuerySpec(
         q_date_arith, _Q_DATE_ARITH_SQL, "date extraction/arithmetic/diffs"
+    ),
+    "q39_set_ops": QuerySpec(
+        q_set_ops, _Q_SET_OPS_SQL, "row-set intersect / exceptAll"
+    ),
+    "q40_pivot": QuerySpec(q_pivot, _Q_PIVOT_SQL, "pivot wide by event type"),
+    "q41_string_funcs": QuerySpec(
+        q_string_funcs, _Q_STRING_FUNCS_SQL, "string function battery"
+    ),
+    "q42_percentile": QuerySpec(
+        q_percentile, _Q_PERCENTILE_SQL, "exact interpolated percentiles"
+    ),
+    "q43_cube": QuerySpec(q_cube, _Q_CUBE_SQL, "cube grouping sets"),
+    "q44_asof_join": QuerySpec(
+        q_asof_join, _Q_ASOF_JOIN_SQL, "as-of join composed from window"
     ),
 }
