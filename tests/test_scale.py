@@ -1,0 +1,77 @@
+"""Scale-pattern tests: bucketed co-located joins, salting, dim merge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.operators.scale import (
+    merge_dimension,
+    salted_grouped_sum,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # warehouse dir is a static conf — managed tables land in the session
+    # default (spark-warehouse under cwd); dropped in the finally block
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") * 3)
+    write_bucketed(a, "t_bucket_a", ["id"], n_buckets=8, sort_cols=["id"])
+    write_bucketed(b, "t_bucket_b", ["id"], n_buckets=8, sort_cols=["id"])
+    ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+    # force a non-broadcast plan so bucketing (not broadcast) does the work
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.join(tb, on="id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_salted_grouped_sum_matches_direct(spark):
+    rows = [("hot", float(i % 7)) for i in range(5000)] + [
+        ("cold", 1.5),
+        ("cold", 2.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    salted = {
+        r["k"]: (r["v_sum"], r["n"])
+        for r in salted_grouped_sum(df, ["k"], ["v"], n_salts=8).collect()
+    }
+    direct = {
+        r["k"]: (float(r["s"]), r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert salted == direct
+
+
+def test_merge_dimension_preserves_and_extends(spark):
+    existing = spark.createDataFrame(
+        [(1, "accessories"), (2, "electronics")], "category_key int, category string"
+    )
+    new = spark.createDataFrame(
+        [("electronics",), ("home",), ("garden",), (None,)], "category string"
+    )
+    merged = {
+        r["category"]: r["category_key"]
+        for r in merge_dimension(existing, new, "category").collect()
+    }
+    # existing keys untouched; new values keyed after max, sorted
+    assert merged == {
+        "accessories": 1,
+        "electronics": 2,
+        "garden": 3,
+        "home": 4,
+    }

@@ -1,0 +1,85 @@
+"""Stateful streaming sessionization vs its batch twin."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stateful,
+)
+
+
+def _event_rows():
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(seconds):
+        return base + datetime.timedelta(seconds=seconds)
+
+    return [
+        # user 1: two sessions (gap 3600s > 1800s threshold)
+        (1, t(0), 1.0),
+        (1, t(60), 2.0),
+        (1, t(120), 3.0),
+        (1, t(120 + 3600), 4.0),
+        (1, t(180 + 3600), 5.0),
+        # user 2: one session
+        (2, t(0), 10.0),
+        (2, t(1000), 20.0),
+    ]
+
+
+def test_sessionize_batch(spark):
+    df = spark.createDataFrame(
+        _event_rows(), "user_id long, ts timestamp, value double"
+    )
+    rows = sessionize_batch(df, gap_seconds=1800).orderBy(
+        "user_id", "session_start"
+    ).collect()
+    got = [
+        (r.user_id, r.n_events, r.value_sum)
+        for r in rows
+    ]
+    assert got == [(1, 3, 6.0), (1, 2, 9.0), (2, 2, 30.0)]
+
+
+def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    df = spark.createDataFrame(
+        _event_rows(), "user_id long, ts timestamp, value double"
+    )
+    src = tmp_path / "events_src"
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    sessions = sessionize_stateful(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # the state-cleanup trigger stays active while timeouts are pending, so
+    # processAllAvailable()/availableNow never return here — poll the sink
+    # for the expected closed session, then stop
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(q.exception())
+        if spark.table("sess_test").count() >= 1:
+            break
+        time.sleep(2)
+    q.stop()
+    out = spark.table("sess_test").collect()
+    # sessions closed by a later event emit immediately; the final open
+    # session per user stays in state until its processing-time timeout
+    got = {(r.user_id, r.n_events, r.value_sum) for r in out}
+    assert (1, 3, 6.0) in got
+    assert all(r.user_id == 1 for r in out)

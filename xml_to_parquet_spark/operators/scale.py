@@ -1,0 +1,112 @@
+"""Scale-out execution patterns: bucketing, salting, incremental dims.
+
+These are the knobs SURVEY §4/§2.11 says a 100 TB deployment needs beyond
+the default plans:
+
+- bucketed tables: co-located joins with NO shuffle on either side
+  (the physical replacement for the reference's per-batch locality)
+- salted aggregation: two-stage groupBy that spreads a skewed key across
+  ``n_salts`` partial groups before the final combine — identical results,
+  bounded per-task state (AQE's skew-join handles join skew; this handles
+  aggregation skew, which AQE does not repartition)
+- incremental dimension merge: assign surrogate keys to NEW values only,
+  preserving existing keys — the multi-load star-maintenance the reference
+  intends (README.md:184-196) but cannot do with per-batch keys
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Two tables bucketed the same way join WITHOUT any Exchange — at 100 TB
+    this converts every recurring fact⋈fact / fact⋈bridge join from a full
+    shuffle into a local zip of co-located buckets.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_grouped_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe grouped sum: partial-aggregate on (keys, salt), then
+    combine per key. Bit-identical to the direct groupBy because the sums
+    are exact decimals (order-independent) — see operators/aggregation.py.
+
+    Use when one group key holds a disproportionate share of rows (heavy
+    hitters): the first stage spreads that key over ``n_salts`` reducers.
+    """
+    from xml_to_parquet_spark.operators.aggregation import _DEC, _DEC_SUM
+
+    salt = (F.spark_partition_id() % n_salts).alias("__salt")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(
+            *[
+                F.sum(F.col(c).cast(_DEC)).alias(f"__p_{c}")
+                for c in sum_cols
+            ],
+            F.count(F.lit(1)).alias("__p_n"),
+        )
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[
+            F.sum(F.col(f"__p_{c}")).cast(_DEC_SUM).cast("double").alias(f"{c}_sum")
+            for c in sum_cols
+        ],
+        F.sum("__p_n").alias("n"),
+    )
+
+
+def merge_dimension(
+    existing_dim: DataFrame,
+    new_values: DataFrame,
+    value_col: str,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Incremental dimension maintenance: keep every existing (key, value)
+    pair; assign NEW values dense keys continuing after the current max.
+
+    This is the reference's intended cross-load semantics (one global key
+    per value, stable across loads — README.md:184-196) made real. The new
+    slice is tiny by the dimension cardinality cap, so the anti-join is
+    broadcast and the row_number window sorts only the new values.
+    """
+    key_col = key_col or f"{value_col}_key"
+    incoming = (
+        new_values.select(value_col)
+        .filter(F.col(value_col).isNotNull())
+        .distinct()
+    )
+    novel = incoming.join(
+        F.broadcast(existing_dim.select(value_col)), on=value_col, how="left_anti"
+    )
+    base_max = existing_dim.agg(
+        F.coalesce(F.max(key_col), F.lit(0)).alias("m")
+    ).collect()[0]["m"]
+    w = Window.orderBy(F.col(value_col).asc())
+    keyed_new = novel.select(
+        (F.row_number().over(w) + F.lit(base_max)).cast("int").alias(key_col),
+        F.col(value_col),
+    )
+    return existing_dim.select(key_col, value_col).unionByName(keyed_new)

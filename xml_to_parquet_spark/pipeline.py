@@ -118,6 +118,18 @@ def process_xml_to_parquet(
                 os.path.join(output_dir, "parquet_metadata.csv"),
                 mode="overwrite",
             )
+            if validation is not None:
+                # error channel (reference error_summary.csv,
+                # parquet_writer.R:13-26): one row per failed file
+                from pyspark.sql import functions as F
+
+                errors = validation.filter(F.col("status") != "success")
+                if not errors.isEmpty():
+                    write_csv_report(
+                        errors,
+                        os.path.join(output_dir, "error_summary.csv"),
+                        mode="overwrite",
+                    )
     return result
 
 

@@ -1286,6 +1286,51 @@ ORDER BY c.user_id, click_event_id
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag/cumsum session windows) — the batch twin
+    of the applyInPandasWithState streaming operator in
+    streaming/stateful.py."""
+    from xml_to_parquet_spark.streaming.stateful import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        "n_events",
+        "value_sum",
+    ).orderBy("user_id", "s_start")
+
+
+_Q_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE user_id < 10
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, s_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1414,5 +1459,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q43_cube": QuerySpec(q_cube, _Q_CUBE_SQL, "cube grouping sets"),
     "q44_asof_join": QuerySpec(
         q_asof_join, _Q_ASOF_JOIN_SQL, "as-of join composed from window"
+    ),
+    "q45_sessionize": QuerySpec(
+        q_sessionize,
+        _Q_SESSIONIZE_SQL,
+        "session windows (batch twin of the stateful streaming operator)",
     ),
 }
