@@ -58,6 +58,34 @@ def test_lsh_bucket_topk_subset_of_bucket(spark):
     assert ranks == list(range(1, len(out) + 1))
 
 
+def test_ivf_topk_recall_against_brute_force(spark):
+    # IVF over the real testdata embeddings: with n_probe cells out of
+    # n_centroids, the probed results must (a) be validly ranked, (b) agree
+    # with brute force on a majority of neighbors (recall sanity)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    ivf = similarity.ivf_topk(emb, query_ids=qids, k=5, n_centroids=8, n_probe=4)
+    brute = similarity.cosine_topk(emb, query_ids=qids, k=5)
+    ivf_sets = {}
+    for r in ivf.collect():
+        assert r.neighbor_id != r.query_id
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute_sets = {}
+    for r in brute.collect():
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(ivf_sets[q] & brute_sets[q]) / len(brute_sets[q]) for q in qids
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_topk_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.ivf_topk(emb, query_ids=[0, 5], k=3).collect()
+    b = similarity.ivf_topk(emb, query_ids=[0, 5], k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_embedding_neardup_pairs(spark):
     pairs = {
         (r.id_a, r.id_b)

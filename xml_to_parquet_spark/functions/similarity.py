@@ -167,6 +167,74 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, search only the ``n_probe`` cells nearest each query.
+
+    Centroids here are hash-seeded (the first ``n_centroids`` vectors by id)
+    so the whole index build is deterministic and SQL-expressible — a
+    production build would Lloyd-iterate the centroids (each iteration is
+    one groupBy-average over the assignment), which changes recall, not the
+    plan shape below.
+
+    Plan shape (the part that matters at 100 TB):
+    - centroids are broadcast; cell assignment is a map-side argmax over
+      n_centroids cosines — a single linear scan of the corpus, no shuffle;
+    - the probe join hits only ~(n_probe / n_centroids) of the corpus per
+      query instead of all of it (brute force = cosine_topk);
+    - exact cosine re-ranks inside the probed cells; ranks are returned, so
+      float ulp noise can't break result comparison.
+    """
+    base = df.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    )
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+
+    def nearest_cells(side: DataFrame, n: int, out_id: str) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).withColumn(
+            "cos_c", cosine(F.col("v"), F.col("cv"))
+        )
+        w = Window.partitionBy(side[id_col]).orderBy(
+            F.col("cos_c").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(
+                F.col(id_col).alias(out_id), F.col("v"), F.col("centroid_id")
+            )
+        )
+
+    assigned = nearest_cells(base, 1, "corpus_id")
+    qprobe = nearest_cells(
+        base.filter(F.col(id_col).isin(query_ids)), n_probe, "query_id"
+    ).select("query_id", F.col("v").alias("qv"), "centroid_id")
+
+    scored = (
+        assigned.join(F.broadcast(qprobe), on="centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.8,

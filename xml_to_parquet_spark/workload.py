@@ -1331,6 +1331,181 @@ ORDER BY user_id, s_start
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular price-band range join via bin-decomposition + broadcast
+    equi-join (operators/range_join.py) — no nested-loop join in the plan."""
+    from xml_to_parquet_spark.operators.range_join import range_join_binned
+
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 900.0, 925.0),
+            ("mid", 925.0, 960.0),
+            ("premium", 960.0, 985.0),
+            ("luxury", 985.0, 1000.0),
+        ],
+        "band_name string, lo double, hi double",
+    )
+    joined = range_join_binned(
+        part, bands, value_col="p_retailprice", bin_width=20.0
+    )
+    return (
+        joined.groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "retail_sum"),
+        )
+        .orderBy("band_name")
+    )
+
+
+_Q_RANGE_JOIN_SQL = f"""
+WITH bands(band_name, lo, hi) AS (
+  VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 960.0),
+         ('premium', 960.0, 985.0), ('luxury', 985.0, 1000.0)
+)
+SELECT band_name, COUNT(*) AS n_parts, {dsum_sql('p_retailprice', 'retail_sum')}
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_name ORDER BY band_name
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (functions/similarity.ivf_topk):
+    hash-seeded centroids → cell assignment → n_probe cell search."""
+    from xml_to_parquet_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_ids=list(range(10)), k=5, n_centroids=8, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+_Q_KNN_IVF_SQL = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id AS corpus_id, embedding AS v, centroid_id FROM (
+    SELECT b.vec_id, b.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_cosine_similarity(b.embedding, c.cv) DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM embeddings b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+    SELECT b.vec_id, b.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_cosine_similarity(b.embedding, c.cv) DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM embeddings b CROSS JOIN cents c WHERE b.vec_id < 10
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.query_id, a.corpus_id AS neighbor_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM qprobe q JOIN assigned a USING (centroid_id)
+  WHERE a.corpus_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+         ) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_incremental_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dimension maintenance (operators/scale.merge_dimension):
+    keys from load 1 survive load 2 unchanged; new values continue the key
+    sequence — the reference's intended cross-load star semantics
+    (README.md:184-196) that its per-batch keys break (SURVEY §2.12.1)."""
+    from xml_to_parquet_spark.operators.scale import merge_dimension
+    from xml_to_parquet_spark.operators.window import surrogate_keys
+
+    cust = _t(spark, sf_dir, "customer")
+    load1 = cust.filter(F.col("c_custkey") < 50)
+    existing = surrogate_keys(load1, "c_nationkey")
+    merged = merge_dimension(existing, cust, "c_nationkey")
+    return merged.select(
+        F.col("c_nationkey_key").cast("int").alias("nation_key"),
+        F.col("c_nationkey").alias("nation_id"),
+    ).orderBy("nation_key")
+
+
+_Q_INCREMENTAL_DIM_SQL = """
+WITH l1 AS (
+  SELECT DISTINCT c_nationkey FROM customer
+  WHERE c_custkey < 50 AND c_nationkey IS NOT NULL
+),
+k1 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_nationkey) AS INT) AS nation_key,
+         c_nationkey
+  FROM l1
+),
+novel AS (
+  SELECT DISTINCT c_nationkey FROM customer
+  WHERE c_nationkey IS NOT NULL
+    AND c_nationkey NOT IN (SELECT c_nationkey FROM l1)
+)
+SELECT nation_key, c_nationkey AS nation_id FROM k1
+UNION ALL
+SELECT CAST((SELECT MAX(nation_key) FROM k1)
+            + ROW_NUMBER() OVER (ORDER BY c_nationkey) AS INT) AS nation_key,
+       c_nationkey AS nation_id
+FROM novel
+ORDER BY nation_key
+"""
+
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: daily aggregates computed FROM the
+    hourly partial aggregates, not from raw rows — the continuous-aggregate
+    maintenance pattern. Exact decimal partials make re-aggregation
+    bit-identical to a direct daily groupBy (which is what the oracle runs),
+    and at scale the daily job reads |hours × keys| rows instead of raw."""
+    from xml_to_parquet_spark.operators.aggregation import _DEC, _DEC_SUM
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast(_DEC)).alias("pv"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pv").cast(_DEC_SUM).cast("double").alias("value_sum"),
+            (
+                F.sum("pv").cast(_DEC_SUM).cast("double") / F.sum("pn")
+            ).alias("value_avg"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_Q_ROLLUP_CASCADE_SQL = f"""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       event_type, COUNT(*) AS n,
+       {dsum_sql('value', 'value_sum')},
+       {davg_sql('value', 'value_avg')}
+FROM events GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1464,5 +1639,21 @@ QUERIES: dict[str, QuerySpec] = {
         q_sessionize,
         _Q_SESSIONIZE_SQL,
         "session windows (batch twin of the stateful streaming operator)",
+    ),
+    "q46_range_join": QuerySpec(
+        q_range_join, _Q_RANGE_JOIN_SQL, "binned range join (price bands)"
+    ),
+    "q47_knn_ivf": QuerySpec(
+        q_knn_ivf, _Q_KNN_IVF_SQL, "IVF approximate nearest neighbors"
+    ),
+    "q48_incremental_dim": QuerySpec(
+        q_incremental_dim,
+        _Q_INCREMENTAL_DIM_SQL,
+        "incremental dimension merge with stable keys",
+    ),
+    "q49_rollup_cascade": QuerySpec(
+        q_rollup_cascade,
+        _Q_ROLLUP_CASCADE_SQL,
+        "daily-from-hourly rollup cascade (continuous aggregate)",
     ),
 }
