@@ -1506,6 +1506,82 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/scale.salted_grouped_sum):
+    partial-agg on (key, salt) then combine per key. The oracle is a plain
+    GROUP BY — exact decimal sums make the two bit-identical, which is the
+    point: salting changes the physical plan, never the answer."""
+    from xml_to_parquet_spark.operators.scale import salted_grouped_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_grouped_sum(
+        li, group_cols=["l_returnflag"], sum_cols=["l_quantity"], n_salts=16
+    ).orderBy("l_returnflag")
+
+
+_Q_SALTED_AGG_SQL = f"""
+SELECT l_returnflag, {dsum_sql('l_quantity', 'l_quantity_sum')},
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap fill: materialize every (hour × event_type) cell in
+    the observed range, zero-filling hours with no events — the dense-series
+    output downstream forecasting/monitoring jobs need. Spine = sequence +
+    explode (tiny: hours × types), so the only real work is the hourly agg;
+    the spine join is a broadcast of the dense grid."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "value_sum")
+    ).select(F.col("w.start").alias("h"), "event_type", "n", "value_sum")
+
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    return (
+        grid.join(hourly, on=["h", "event_type"], how="left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+_Q_GAPFILL_SQL = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+         date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+         event_type, COUNT(*) AS n, {dsum_sql('value', 'value_sum')}
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS bucket_start, t.event_type,
+       COALESCE(hr.n, 0) AS n, COALESCE(hr.value_sum, 0.0) AS value_sum
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly hr ON hr.h = s.h AND hr.event_type = t.event_type
+ORDER BY bucket_start, t.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1655,5 +1731,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_rollup_cascade,
         _Q_ROLLUP_CASCADE_SQL,
         "daily-from-hourly rollup cascade (continuous aggregate)",
+    ),
+    "q50_salted_agg": QuerySpec(
+        q_salted_agg,
+        _Q_SALTED_AGG_SQL,
+        "skew-salted two-stage aggregation (bit-identical to direct)",
+    ),
+    "q51_gapfill": QuerySpec(
+        q_gapfill, _Q_GAPFILL_SQL, "time-spine gap fill (dense hourly grid)"
     ),
 }
