@@ -1,0 +1,124 @@
+"""Sampling / mixture / top-k / contamination operators.
+
+The load-bearing property throughout: determinism under repartitioning —
+the sample a 1000-executor cluster draws must equal the one local[4] draws.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from xml_to_parquet_spark.functions.sampling import (
+    hash_sample,
+    hex_threshold,
+    stratified_hash_sample,
+    weighted_mixture,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "000000"
+    assert hex_threshold(1.0) == "gggggg"  # sorts above every hex string
+    assert hex_threshold(0.5) == "800000"
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_hash_sample_partition_invariant(docs):
+    a = sorted(
+        r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_rate_and_salt_independence(docs):
+    n = docs.count()
+    k = hash_sample(docs, "doc_id", 0.5, salt="a").count()
+    # binomial(n, .5): allow generous slack for small-n fixtures
+    assert abs(k / n - 0.5) < 0.2
+    sel_a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, "a").collect()}
+    sel_b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, "b").collect()}
+    assert sel_a != sel_b  # different salt → different draw
+
+
+def test_stratified_rates_respected(docs):
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", rates={"en": 0.0}, default_rate=1.0
+    )
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs and len(langs) > 0
+    assert out.count() == docs.filter(F.col("lang") != "en").count()
+
+
+def test_weighted_mixture_labels_and_determinism(docs):
+    mix = weighted_mixture(
+        {"a": (docs, 1.0), "b": (docs, 0.5)}, key_col="doc_id"
+    )
+    rows = mix.select("doc_id", "mix_source", "shuffle_key").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.mix_source, set()).add(r.doc_id)
+    assert by_src["a"] == {r.doc_id for r in docs.collect()}
+    assert 0 < len(by_src["b"]) < len(by_src["a"])
+    # shuffle_key deterministic: recompute equals
+    again = {(r.doc_id, r.mix_source, r.shuffle_key) for r in mix.collect()}
+    assert again == {(r.doc_id, r.mix_source, r.shuffle_key) for r in rows}
+
+
+def test_grouped_topk_semantics_and_plan(docs):
+    from xml_to_parquet_spark.operators.window import grouped_topk
+
+    out = grouped_topk(
+        docs.select("lang", "doc_id", "n_chars"),
+        ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=2,
+    )
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r)
+    for lang, rs in per.items():
+        assert len(rs) <= 2
+        top = sorted(
+            docs.filter(F.col("lang") == lang).collect(),
+            key=lambda r: (-r.n_chars, r.doc_id),
+        )[: len(rs)]
+        assert sorted(r.doc_id for r in rs) == sorted(r.doc_id for r in top)
+    # WindowGroupLimit must appear: the pre-shuffle top-k push-down
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_contamination_flags_planted_dup(spark):
+    from xml_to_parquet_spark.functions.dedup import contamination_check
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, base),  # exact copy of eval doc 100 → overlap 1.0
+            (2, "totally unrelated words nothing shared here at all ok"),
+            (3, base + " lambda mu"),  # superset → high overlap
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    out = {
+        r.train_id: (r.eval_id, r.overlap)
+        for r in contamination_check(train, evals, min_overlap=0.5).collect()
+    }
+    assert out[1] == (100, 1.0)
+    assert 3 in out and out[3][1] > 0.5
+    assert 2 not in out

@@ -361,3 +361,59 @@ SELECT {id_col}, perm_id,
 FROM hashed CROSS JOIN perms
 GROUP BY {id_col}, perm_id
 """
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: flag train docs whose shingle set is
+    substantially contained in some single eval doc.
+
+    For each train doc, overlap = |shingles(train) ∩ shingles(eval)| /
+    |shingles(train)| against every candidate eval doc sharing ≥1 shingle;
+    report the best-matching eval doc (ties → smallest eval id). Returns
+    (train_id, eval_id, shared, overlap) for overlap ≥ min_overlap.
+
+    Scale shape: two shingle explosions + one equi-join on the shingle
+    string — the same inverted-index join as ngram_jaccard_pairs, but
+    asymmetric (train × eval), so the join's build side is the eval set,
+    which is small by construction (benchmarks are KBs–MBs against TBs of
+    train) → broadcast the eval shingles and the fact side never shuffles.
+    """
+    sh_t = shingle_table(train, text_col, id_col, n).withColumnRenamed(
+        id_col, "train_id"
+    )
+    sh_e = shingle_table(eval_set, text_col, id_col, n).withColumnRenamed(
+        id_col, "eval_id"
+    )
+    sizes = sh_t.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    shared = (
+        sh_t.join(F.broadcast(sh_e), on="shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    best = shared.groupBy("train_id").agg(
+        F.max_by(
+            F.struct(F.col("eval_id"), F.col("shared")),
+            F.struct(F.col("shared"), -F.col("eval_id")),
+        ).alias("best")
+    )
+    return (
+        best.select(
+            "train_id",
+            F.col("best.eval_id").alias("eval_id"),
+            F.col("best.shared").alias("shared"),
+        )
+        .join(sizes, on="train_id")
+        .withColumn(
+            "overlap", F.col("shared") / F.col("n_shingles")
+        )
+        .filter(F.col("overlap") >= F.lit(min_overlap))
+        .select("train_id", "eval_id", "shared", "overlap")
+    )

@@ -1,0 +1,130 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+The reference has no sampling surface at all (its only "sample" is head-100
+files for schema inference, main.R:95); at 100 TB, *reproducible* sampling is
+a first-class operator: re-running the pipeline must select the same rows, on
+any cluster, at any partitioning — which rules out `df.sample()` (seeded
+per-partition, so the selection changes when partitioning changes).
+
+The primitive here is **hash-gate sampling**: keep a row iff the first
+`HEX_DIGITS` hex chars of `md5(key || ':' || salt)` fall below a threshold
+derived from the rate. Because lowercase fixed-width hex compares
+lexicographically exactly as it compares numerically, the gate is a plain
+string comparison — no bigint conversion — and is bit-identical in every
+engine that has md5 (Spark, DuckDB, Python). Changing the salt draws an
+independent sample; the rate error is < 16^-HEX_DIGITS.
+
+Scale notes: the gate is a deterministic per-row filter — no shuffle, no
+state, pushes down past column pruning, and composes with partition pruning.
+Stratified rates become one CASE ladder over the stratum column (still a
+single scan, no per-stratum jobs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 6  # rate resolution 16^-6 ≈ 6e-8
+
+
+def hex_threshold(rate: float, digits: int = HEX_DIGITS) -> str:
+    """Lowercase hex gate for ``rate`` ∈ [0, 1], zero-padded to ``digits``.
+
+    rate=1.0 must keep EVERY row, but 16^digits is a digits+1-char string
+    ("1000000") that sorts *below* most fixed-width hex keys — so saturated
+    rates return 'g'*digits instead: 'g' > 'f' beats every hex string while
+    keeping the gate a plain string comparison.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    n = int(rate * (16**digits))
+    if n >= 16**digits:
+        return "g" * digits
+    return format(n, "x").zfill(digits)
+
+
+def sample_key(key: Column, salt: str, digits: int = HEX_DIGITS) -> Column:
+    """The comparable hash prefix for a row key (lowercase hex string)."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, digits
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed on ``key_col``.
+
+    Same (key, salt) → same decision forever, regardless of partitioning,
+    cluster size, or engine. Replaces reference-style ``head(n)`` sampling
+    (main.R:95) with something that holds at 100 TB.
+    """
+    gate = sample_key(F.col(key_col), salt) < F.lit(hex_threshold(rate))
+    return df.filter(gate)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling in ONE scan (no per-stratum jobs).
+
+    ``rates`` maps stratum value → keep fraction; unlisted strata use
+    ``default_rate``. The per-row threshold is a CASE ladder, so the whole
+    thing stays a single pushed-down filter.
+    """
+    thr: Column = F.lit(hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == F.lit(value), F.lit(hex_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(sample_key(F.col(key_col), salt) < thr)
+
+
+def hash_sample_sql(
+    key_expr: str, rate: float, salt: str = "s0", digits: int = HEX_DIGITS
+) -> str:
+    """DuckDB/ANSI predicate equivalent to :func:`hash_sample`'s gate."""
+    thr = hex_threshold(rate, digits)
+    return (
+        f"substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, {digits})"
+        f" < '{thr}'"
+    )
+
+
+def weighted_mixture(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    shuffle_salt: str = "epoch0",
+) -> DataFrame:
+    """Compose a training mixture: per-source deterministic sampling rates +
+    provenance label + a deterministic global shuffle key.
+
+    ``sources`` maps label → (df, rate). The output carries ``mix_source``
+    and ``shuffle_key``; consumers ORDER BY shuffle_key for a reproducible
+    epoch order (a new salt = a new epoch permutation). No shuffle happens
+    here — the order is declared by the key, materialized only where needed
+    (e.g., the final write's sortWithinPartitions).
+    """
+    parts = []
+    for label, (df, rate) in sorted(sources.items()):
+        part = hash_sample(df, key_col, rate, salt="mix:" + label)
+        parts.append(
+            part.withColumn("mix_source", F.lit(label)).withColumn(
+                "shuffle_key",
+                sample_key(
+                    F.concat(F.col(key_col).cast("string"), F.lit("@" + label)),
+                    shuffle_salt,
+                    digits=8,
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

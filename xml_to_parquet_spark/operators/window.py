@@ -50,3 +50,26 @@ def surrogate_keys_scalable(
     return distinct.select(
         F.xxhash64(F.col(value_col)).alias(key_col), F.col(value_col)
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group via rank-filtered window.
+
+    The rank<=k filter sits directly on the row_number so Spark's
+    WindowGroupLimit pushes a per-partition top-k below the shuffle —
+    each map task keeps only k rows per group before exchanging, so the
+    shuffle volume is k·|groups| regardless of input size. That is the
+    property that makes window top-k survive 100 TB; verify with
+    .explain() (look for WindowGroupLimit above the Exchange).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -1582,6 +1582,248 @@ ORDER BY bucket_start, t.event_type
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reproducible sampling (functions/sampling.hash_sample):
+    md5-gate on the doc key, so the same 25% of rows are selected on any
+    cluster/partitioning/engine — unlike df.sample(), whose selection is
+    partition-dependent. The gate is a plain pushed-down filter."""
+    from xml_to_parquet_spark.functions.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25, salt="s0").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _hash_sample_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import hash_sample_sql
+
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {hash_sample_sql('doc_id', 0.25, 's0')}
+ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates in ONE scan (CASE-ladder threshold):
+    downsample dominant 'en', keep all 'zh' — the language-rebalancing step
+    of a multilingual training mix."""
+    from xml_to_parquet_spark.functions.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        rates={"en": 0.2, "zh": 1.0},
+        default_rate=0.5,
+        salt="s1",
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def _stratified_sample_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import hex_threshold
+
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 6) <
+      CASE WHEN lang = 'zh' THEN '{hex_threshold(1.0)}'
+           WHEN lang = 'en' THEN '{hex_threshold(0.2)}'
+           ELSE '{hex_threshold(0.5)}' END
+ORDER BY doc_id
+"""
+
+
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest docs per language (operators/window.grouped_topk).
+    The rank<=k filter rides on the row_number so WindowGroupLimit keeps
+    only k rows per group per map task BEFORE the shuffle — shuffle volume
+    is k·|groups| no matter how big the input."""
+    from xml_to_parquet_spark.operators.window import grouped_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_topk(
+        docs.select("lang", "doc_id", "n_chars"),
+        group_cols=["lang"],
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=3,
+    ).orderBy("lang", "rnk")
+
+
+_Q_GROUPED_TOPK_SQL = """
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 3 ORDER BY lang, rnk
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (functions/dedup.contamination_check):
+    flag train docs ≥50% shingle-contained in one eval doc. Inverted-index
+    equi-join with the (small) eval side broadcast — the train side never
+    shuffles, which is what makes this viable at 100 TB train vs MB eval."""
+    from xml_to_parquet_spark.functions.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(train, evals, min_overlap=0.5).orderBy(
+        "train_id"
+    )
+
+
+def _contamination_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import shingle_sql
+
+    return f"""
+WITH train_docs AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+eval_docs AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+sh_t AS ({shingle_sql('train_docs')}),
+sh_e AS ({shingle_sql('eval_docs')}),
+sizes AS (SELECT doc_id AS train_id, COUNT(*) AS n_shingles
+          FROM sh_t GROUP BY 1),
+shared AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS shared
+  FROM sh_t t JOIN sh_e e USING (shingle)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT train_id, eval_id, shared,
+         ROW_NUMBER() OVER (PARTITION BY train_id
+                            ORDER BY shared DESC, eval_id) AS rn
+  FROM shared
+)
+SELECT b.train_id, b.eval_id, b.shared,
+       CAST(b.shared AS DOUBLE) / s.n_shingles AS overlap
+FROM best b JOIN sizes s USING (train_id)
+WHERE rn = 1 AND CAST(b.shared AS DOUBLE) / s.n_shingles >= 0.5
+ORDER BY b.train_id
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char-length histogram via width_bucket — the distribution
+    check every curation pipeline runs before filtering. One scan, one
+    small groupBy; bucket math is a pure projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(600), F.lit(12))
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# width_bucket(x, 0, 600, 12) spelled out (DuckDB has no width_bucket):
+# x < lo → 0, x >= hi → n+1, else floor((x-lo)*n/(hi-lo)) + 1
+_Q_LENGTH_HISTOGRAM_SQL = """
+SELECT CASE WHEN n_chars < 0 THEN 0
+            WHEN n_chars >= 600 THEN 13
+            ELSE CAST(FLOOR(n_chars / 50.0) AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training mixture (functions/sampling.weighted_mixture):
+    per-source deterministic rates + provenance label + deterministic
+    shuffle key = a reproducible epoch ordering declared by a key, not by a
+    materialized global sort."""
+    from xml_to_parquet_spark.functions.sampling import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    mix = weighted_mixture(
+        {
+            "web": (docs.filter(F.col("source") == "src0"), 1.0),
+            "books": (docs.filter(F.col("source") == "src1"), 0.5),
+            "code": (docs.filter(F.col("source") == "src2"), 0.25),
+        },
+        key_col="doc_id",
+        shuffle_salt="epoch0",
+    )
+    return mix.select("doc_id", "mix_source", "shuffle_key").orderBy(
+        "shuffle_key", "doc_id"
+    )
+
+
+def _mixture_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import hex_threshold
+
+    def leg(label: str, src: str, rate: float) -> str:
+        return f"""
+SELECT doc_id, '{label}' AS mix_source,
+       substr(md5(CAST(doc_id AS VARCHAR) || '@{label}' || ':epoch0'), 1, 8)
+         AS shuffle_key
+FROM documents
+WHERE source = '{src}'
+  AND substr(md5(CAST(doc_id AS VARCHAR) || ':mix:{label}'), 1, 6)
+      < '{hex_threshold(rate)}'"""
+
+    return (
+        leg("books", "src1", 0.5)
+        + "\nUNION ALL"
+        + leg("code", "src2", 0.25)
+        + "\nUNION ALL"
+        + leg("web", "src0", 1.0)
+        + "\nORDER BY shuffle_key, doc_id"
+    )
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per doc, ranked by (tf DESC, df ASC, token).
+    Integer-only ranking (no float idf) so the oracle hash is exact. Shape:
+    explode tokens → per-doc tf agg → token df agg (broadcast back) →
+    WindowGroupLimit top-k. The df table is |vocab|-sized → broadcast."""
+    from xml_to_parquet_spark.functions.text import norm_text
+    from xml_to_parquet_spark.operators.window import grouped_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tab), on="token")
+    return grouped_topk(
+        scored.select("doc_id", "token", "tf", "df"),
+        group_cols=["doc_id"],
+        order_cols=[F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()],
+        k=3,
+    ).orderBy("doc_id", "rnk")
+
+
+_Q_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dft.df, tf.token) AS rnk
+  FROM tf JOIN dft USING (token)
+)
+SELECT doc_id, token, tf, df, rnk FROM ranked
+WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1739,5 +1981,40 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q51_gapfill": QuerySpec(
         q_gapfill, _Q_GAPFILL_SQL, "time-spine gap fill (dense hourly grid)"
+    ),
+    "q52_hash_sample": QuerySpec(
+        q_hash_sample,
+        _hash_sample_sql(),
+        "deterministic md5-gate sampling (partition-independent)",
+    ),
+    "q53_stratified_sample": QuerySpec(
+        q_stratified_sample,
+        _stratified_sample_sql(),
+        "per-stratum sampling rates in one pushed-down filter",
+    ),
+    "q54_grouped_topk": QuerySpec(
+        q_grouped_topk,
+        _Q_GROUPED_TOPK_SQL,
+        "per-group top-k via WindowGroupLimit rank filter",
+    ),
+    "q55_contamination": QuerySpec(
+        q_contamination,
+        _contamination_sql(),
+        "benchmark contamination scan (broadcast eval shingles)",
+    ),
+    "q56_length_histogram": QuerySpec(
+        q_length_histogram,
+        _Q_LENGTH_HISTOGRAM_SQL,
+        "doc-length width_bucket histogram",
+    ),
+    "q57_mixture": QuerySpec(
+        q_mixture,
+        _mixture_sql(),
+        "weighted source mixture with deterministic shuffle order",
+    ),
+    "q58_tfidf_terms": QuerySpec(
+        q_tfidf_terms,
+        _Q_TFIDF_SQL,
+        "top distinctive terms per doc (integer tf/df ranking)",
     ),
 }
