@@ -40,6 +40,14 @@ PRUNING = {
     "q04_project_filter": ("orders", 5),
     "q01_star_revenue": ("lineitem", 4),
     "q06_sort_limit": ("orders", 2),
+    "q52_hash_sample": ("documents", 4),
+    "q54_grouped_topk": ("documents", 3),
+}
+# query → physical node that MUST appear (scale-critical plan property)
+REQUIRED_NODES = {
+    "q54_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
+    "q58_tfidf_terms": "WindowGroupLimit",
+    "q55_contamination": "BroadcastHashJoin",  # eval shingles broadcast
 }
 
 
@@ -72,6 +80,9 @@ def main() -> int:
             ):
                 # cross joins legitimately plan as BroadcastNestedLoopJoin
                 notes.append("no broadcast join found")
+        if name in REQUIRED_NODES and REQUIRED_NODES[name] not in plan:
+            notes.append(f"missing required node {REQUIRED_NODES[name]}")
+            hard_fail.append(name)
         if name in PUSHDOWN and f"PushedFilters: []" in plan:
             # crude: any empty pushdown list on a filtered query is a smell
             notes.append("a scan has empty PushedFilters")
