@@ -122,3 +122,30 @@ def test_contamination_flags_planted_dup(spark):
     assert out[1] == (100, 1.0)
     assert 3 in out and out[3][1] > 0.5
     assert 2 not in out
+
+
+def test_training_shards_global_order(spark, sf_dir, tmp_path):
+    """Shards are range-placed and internally sorted → reading files in
+    partition order reproduces the exact global ORDER BY shuffle_key."""
+    from xml_to_parquet_spark.functions.sampling import weighted_mixture
+    from xml_to_parquet_spark.sinks.writers import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mix = weighted_mixture({"a": (docs, 1.0), "b": (docs, 0.6)}, "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(mix, out, n_shards=4)
+
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1
+    streamed = []
+    for f in files:
+        part = [r.shuffle_key for r in spark.read.parquet(f).collect()]
+        assert part == sorted(part)  # sorted within shard
+        streamed.extend(part)
+    expect = [
+        r.shuffle_key
+        for r in mix.select("shuffle_key").orderBy("shuffle_key").collect()
+    ]
+    assert streamed == expect  # global order across shard files

@@ -291,3 +291,50 @@ def embedding_neardup_pairs(
         base.mapInPandas(_block, "id_a long, id_b long")
         .orderBy("id_a", "id_b")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-label elementwise centroid over an array<float> column — the
+    class-prototype / cluster-update step of embedding pipelines.
+
+    Exactness strategy: float sums are order-dependent, so each component is
+    quantized to an integer first — ``floor(v * quant + 0.5)`` — and summed
+    as BIGINT (exact, commutative, partitioning-invariant); the centroid is
+    recovered as sum/(quant·n). float→double widening, the multiply, and
+    floor are all IEEE-deterministic, so every engine agrees bit-for-bit
+    (plain float→decimal casts do NOT agree: Spark converts via the
+    shortest decimal repr, DuckDB via binary expansion).
+
+    Scale shape: posexplode is map-side (rows × dim), but map-side partial
+    aggregation collapses each task's output to |labels|·dim rows before
+    the single shuffle — shuffle bytes are independent of corpus size.
+
+    Returns (label, pos, n, sum_q, centroid) — one row per label × dimension.
+    """
+    q = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("pos", "v"),
+        )
+        .withColumn(
+            "vq",
+            F.floor(F.col("v").cast("double") * F.lit(float(quant)) + F.lit(0.5))
+            .cast("long"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vq").alias("sum_q"))
+    )
+    return q.select(
+        "label",
+        "pos",
+        "n",
+        "sum_q",
+        (F.col("sum_q").cast("double") / F.lit(float(quant)) / F.col("n")).alias(
+            "centroid"
+        ),
+    )

@@ -119,3 +119,28 @@ def processing_manifest(
         "run_timestamp",
         F.lit(datetime.now(timezone.utc).isoformat()),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str = "shuffle_key",
+    n_shards: int = 8,
+) -> None:
+    """Materialize a deterministic global order into N sorted parquet shards.
+
+    The scale-correct way to write "globally shuffled" training data: a
+    global orderBy would funnel everything through one sorted range
+    exchange THEN write; instead repartitionByRange(order_col) gives
+    shard-level range placement and sortWithinPartitions orders inside each
+    shard — together: shard i's rows all precede shard i+1's rows, and each
+    file is internally sorted, so any reader streaming shards in filename
+    order sees the exact global epoch order. Both steps are one exchange +
+    a per-task sort — no single-node bottleneck, no driver involvement.
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

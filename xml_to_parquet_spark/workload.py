@@ -1824,6 +1824,29 @@ WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (functions/similarity.label_centroids):
+    quantized-integer vector sums → exact, partitioning-invariant, and
+    map-side-combined so shuffle bytes = |labels|·dim regardless of corpus
+    size."""
+    from xml_to_parquet_spark.functions.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb).orderBy("label", "pos")
+
+
+_Q_LABEL_CENTROIDS_SQL = """
+SELECT label, pos, COUNT(*) AS n,
+       SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sum_q,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings)
+GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2016,5 +2039,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_tfidf_terms,
         _Q_TFIDF_SQL,
         "top distinctive terms per doc (integer tf/df ranking)",
+    ),
+    "q59_label_centroids": QuerySpec(
+        q_label_centroids,
+        _Q_LABEL_CENTROIDS_SQL,
+        "per-label embedding centroids (exact quantized vector sums)",
     ),
 }
