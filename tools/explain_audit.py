@@ -48,6 +48,14 @@ REQUIRED_NODES = {
     "q54_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
     "q58_tfidf_terms": "WindowGroupLimit",
     "q55_contamination": "BroadcastHashJoin",  # eval shingles broadcast
+    # tiled all-pairs gemm runs as grouped pandas — NOT a driver collect
+    "q25_dedup_embedding": "FlatMapGroupsInPandas",
+}
+# query → physical node that must NOT appear
+FORBIDDEN_NODES = {
+    # a CollectLimit/driver materialization in the neardup path would mean
+    # the corpus flows through the driver again (VERDICT r1 finding #2)
+    "q25_dedup_embedding": "CollectLimit",
 }
 
 
@@ -82,6 +90,9 @@ def main() -> int:
                 notes.append("no broadcast join found")
         if name in REQUIRED_NODES and REQUIRED_NODES[name] not in plan:
             notes.append(f"missing required node {REQUIRED_NODES[name]}")
+            hard_fail.append(name)
+        if name in FORBIDDEN_NODES and FORBIDDEN_NODES[name] in plan:
+            notes.append(f"forbidden node {FORBIDDEN_NODES[name]} present")
             hard_fail.append(name)
         if name in PUSHDOWN and f"PushedFilters: []" in plan:
             # crude: any empty pushdown list on a filtered query is a smell

@@ -37,12 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as a
-    # raw long of ns-since-epoch — convert to a microsecond timestamp (the
-    # synthetic data is µs-resolution, so the floor division is lossless).
+    # raw long of ns-since-epoch — convert to a microsecond timestamp. Must
+    # be integer division (`div`): epoch-ns (~1.7e18) exceeds 2^53, so a
+    # float divide rounds the low microsecond bits on ~1.5% of rows.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -256,11 +256,11 @@ def simhash(
 def simhash_neardup_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming — ALL-PAIRS
+    small-data variant (fine to ~1e4 docs, e.g. within-partition refine).
 
-    All-pairs here (fine to ~1e4 docs); at scale, block on bit-chunks of
-    the signature first (pigeonhole: some chunk must match exactly) and
-    join per block — same expressions, bounded pair count.
+    The scale path is :func:`simhash_blocked_pairs`, which finds the exact
+    same pairs without ever forming the cross product.
     """
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
@@ -269,10 +269,68 @@ def simhash_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_blocked_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Exact Hamming-≤-k pairs via PIGEONHOLE BLOCKING — the scale path.
+
+    The b-bit signature splits into (max_hamming+1) chunks; any pair within
+    Hamming distance ``max_hamming`` must agree exactly on ≥1 chunk, so an
+    equi-join keyed on (chunk_id, chunk_value) finds every qualifying pair
+    (then exact bit_count verifies). Work ∝ docs sharing a chunk value —
+    the SimHash analogue of MinHash-LSH banding; no cross product anywhere.
+    Identical output contract to :func:`simhash_neardup_pairs`.
+    """
+    n_chunks = max_hamming + 1
+    width = (bits + n_chunks - 1) // n_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("ckey"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    keyed = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.ckey").alias("ckey"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "chunk", "ckey",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "chunk", "ckey",
+    )
+    return (
+        a.join(b, on=["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -8,7 +8,9 @@
 - lsh_bucket_topk:  the scale path — random-hyperplane (sign) LSH buckets
                     shrink the candidate set, then exact cosine re-ranks
                     within buckets. Hyperplane components are derived from
-                    md5 hashes (deterministic; no stored model).
+                    md5 hashes ONCE driver-side and embedded as integer
+                    literals (deterministic; no stored model; the projection
+                    sign is exact integer arithmetic, so any engine agrees).
 
 Dot products stay JVM-side via zip_with + aggregate (sequential fold over
 the array — deterministic order). Output contract returns (query, neighbor,
@@ -22,6 +24,9 @@ rendering of the same per-partition top-k + global merge shape.
 """
 
 from __future__ import annotations
+
+import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -92,37 +97,97 @@ def cosine_topk(
     )
 
 
-def hyperplane_component(plane: Column, dim: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    md5(plane:dim) first 8 hex digits / 2^32 - 0.5. No stored model — any
-    executor can regenerate any component."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", plane, dim)), 1, 8), 16, 10
-    ).cast("double")
-    return h / F.lit(float(1 << 32)) - F.lit(0.5)
+HYPERPLANE_QUANT = 1_000_000
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: bit p = (v · hyperplane_p) >= 0."""
-    def plane_bit(p: int) -> Column:
+def hyperplane_components_q(
+    n_planes: int, dim: int, quant: int = HYPERPLANE_QUANT
+) -> list[list[int]]:
+    """Deterministic quantized hyperplane components, built ONCE driver-side.
+
+    Component (p, d) = md5("p:d") first 8 hex digits / 2^32 - 0.5 (uniform in
+    [-0.5, 0.5)), quantized to an integer ``floor(c*quant + 0.5)``. The
+    planes are constants — round 1 regenerated them per ROW via md5
+    expressions (~n_planes × dim hashes per row, forever); literals make the
+    bucket one integer dot product per plane. Integer quantization makes the
+    projection SIGN exact, associativity-free arithmetic — bit-identical in
+    Spark and any SQL oracle (same convention as ``label_centroids``).
+    """
+    return [
+        [
+            int(
+                math.floor(
+                    (
+                        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+                        / float(1 << 32)
+                        - 0.5
+                    )
+                    * quant
+                    + 0.5
+                )
+            )
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def quantize_vec(vec: Column, quant: int = HYPERPLANE_QUANT) -> Column:
+    """Elementwise ``floor(v*quant + 0.5)`` as long — exact in any engine
+    (float→double widening, the multiply, and floor are IEEE-deterministic).
+    """
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant)) + F.lit(0.5)),
+    )
+
+
+def lsh_bucket(
+    vec: Column,
+    n_planes: int = 8,
+    dim: int = 64,
+    quant: int = HYPERPLANE_QUANT,
+) -> Column:
+    """Sign-LSH bucket id: bit p = (quantize(v) · quantized hyperplane_p) >= 0.
+
+    Pure integer arithmetic over literal plane components — cheap (one
+    zip_with fold per plane) and exactly reproducible in SQL, so bucketed
+    queries can carry a DuckDB oracle.
+    """
+    planes = hyperplane_components_q(n_planes, dim, quant)
+    vq = quantize_vec(vec, quant)
+    bucket: Column = F.lit(0)
+    for p in range(n_planes):
+        cq = F.array(*[F.lit(c) for c in planes[p]])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i: hyperplane_component(F.lit(p), i),
-                ),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
+            F.zip_with(vq, cq, lambda x, y: x * y),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-
-    bucket = None
-    for p in range(n_planes):
-        bucket = plane_bit(p) if bucket is None else bucket + plane_bit(p)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("int")
+
+
+def lsh_bucket_sql(
+    vec_expr: str,
+    n_planes: int,
+    dim: int,
+    quant: int = HYPERPLANE_QUANT,
+) -> str:
+    """ANSI-SQL twin of ``lsh_bucket`` (1-indexed list access, DuckDB-style).
+
+    Generated per plane as an integer dot product over the same literal
+    components — exact equality with the Spark column by construction.
+    """
+    planes = hyperplane_components_q(n_planes, dim, quant)
+    bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"({c}*CAST(floor({vec_expr}[{d + 1}]*{float(quant)}+0.5) AS BIGINT))"
+            for d, c in enumerate(planes[p])
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
 
 
 def lsh_bucket_topk(
@@ -132,6 +197,7 @@ def lsh_bucket_topk(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank within the query's LSH bucket.
 
@@ -141,10 +207,14 @@ def lsh_bucket_topk(
     map. Recall is tunable via n_planes (fewer planes = bigger buckets =
     higher recall).
     """
+    if dim is None:
+        # one-row probe for the vector width (plane literals are built at
+        # plan time); callers that know the dim should pass it
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
     base = df.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes, dim))
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -240,55 +310,80 @@ def embedding_neardup_pairs(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
-    Exact all-pairs via BLOCK MATMUL: the normalized corpus matrix is
-    broadcast once; each partition multiplies its row block against it with
-    a single numpy gemm inside mapInPandas (Arrow-batched). Per-pair cost is
-    one fused multiply — ~100× the higher-order-function expression path.
+    Exact all-pairs via TILED BLOCK MATMUL — fully distributed, nothing on
+    the driver:
 
-    Scale: broadcast works while N×dim×8B fits in executor memory (~1.5 GB
-    at 1M×192d). Beyond that, tile BOTH sides: cross-join block ids, gemm
-    per block pair — same kernel, bounded memory. For sparse near-dup needs,
-    filter candidates with lsh_bucket first.
+    1. each row is hash-assigned a block id ``g`` in [0, n_blocks);
+    2. each row is replicated into every unordered block pair (bi, bj) that
+       contains its block (n_blocks copies/row — the inherent cost of exact
+       all-pairs: every block must meet every other block);
+    3. ``groupBy(bi, bj).applyInPandas`` gemms the two blocks of each pair
+       with one numpy matmul and emits pairs above threshold.
+
+    Executor memory per task is bounded by 2·(N/n_blocks)·dim·8B regardless
+    of corpus size — raise ``n_blocks`` as N grows (shuffle volume scales
+    linearly with it; work stays O(N²·dim) as exact all-pairs must). For
+    sparse near-dup needs, filter candidates with ``lsh_bucket`` first
+    instead — this function is the exact-answer path.
     """
     import numpy as np
     import pandas as pd
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    rows = base.collect()  # broadcast side — see scale note above
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-
     spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(matn)
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("g", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
+    others = spark.range(n_blocks).select(F.col("id").cast("int").alias("h"))
+    rep = base.crossJoin(F.broadcast(others)).select(
+        F.least("g", "h").alias("bi"),
+        F.greatest("g", "h").alias("bj"),
+        "g",
+        "id",
+        "v",
+    )
 
-    def _block(batches):
-        all_ids = b_ids.value
-        corpus = b_mat.value
-        for pdf in batches:
-            block = np.array(list(pdf["v"]), dtype=np.float64)
-            bn = np.sqrt((block * block).sum(axis=1))
-            bn[bn == 0] = 1.0
-            block = block / bn[:, None]
-            sims = block @ corpus.T  # one gemm for the whole batch
-            bids = pdf["id"].to_numpy()
-            out_a, out_b = [], []
-            for r in range(sims.shape[0]):
-                hits = np.where(sims[r] >= threshold)[0]
-                for c in hits:
-                    if all_ids[c] > bids[r]:
-                        out_a.append(bids[r])
-                        out_b.append(all_ids[c])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def _prep(pdf):
+        ids = pdf["id"].to_numpy()
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        n = np.sqrt((m * m).sum(axis=1))
+        n[n == 0] = 1.0
+        return ids, m / n[:, None]
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def _gemm_pair(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        if bi == bj:
+            if len(pdf) == 0:
+                return empty
+            ids, m = _prep(pdf)
+            sims = m @ m.T
+            r, c = np.where(sims >= threshold)
+            keep = ids[r] < ids[c]
+            return pd.DataFrame({"id_a": ids[r][keep], "id_b": ids[c][keep]})
+        left = pdf[pdf["g"] == bi]
+        right = pdf[pdf["g"] == bj]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        lids, lm = _prep(left)
+        rids, rm = _prep(right)
+        sims = lm @ rm.T
+        r, c = np.where(sims >= threshold)
+        ia, ib = lids[r], rids[c]
+        # ids are unique, so min<max strictly (blocks are disjoint by hash)
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+        )
 
     return (
-        base.mapInPandas(_block, "id_a long, id_b long")
+        rep.groupBy("bi", "bj")
+        .applyInPandas(_gemm_pair, "id_a long, id_b long")
         .orderBy("id_a", "id_b")
     )
 

@@ -49,13 +49,24 @@ def profile_columns(
     cols: Sequence[str] | None = None,
     approx: bool = False,
     sample_k: int = 3,
+    exact_row_cap: int | None = 2_000_000,
 ) -> DataFrame:
     """One-pass per-column profile → long DataFrame, one row per column.
 
     Output columns: column, n_rows, nonnull_count, unique_count,
     numeric_ratio, null_ratio, mean_length, sample_values, data_type.
+
+    Guard: the exact path holds each column's full distinct value set in a
+    single aggregation buffer, which is unbounded for high-cardinality
+    columns. When ``exact_row_cap`` is set (default 2M) and the input
+    exceeds it, the profile auto-switches to the approx path (one cheap
+    probe job) instead of risking an executor OOM; pass
+    ``exact_row_cap=None`` to force the exact path at any size.
     """
     cols = list(cols or df.columns)
+    if not approx and exact_row_cap is not None:
+        if df.limit(exact_row_cap + 1).count() > exact_row_cap:
+            approx = True
 
     aggs = []
     for c in cols:

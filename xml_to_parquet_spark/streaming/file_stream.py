@@ -70,8 +70,13 @@ def run_available_now(
         )
         q.awaitTermination()
     finally:
-        if state_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_partitions is not None:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            else:
+                # no previous value: unset rather than leak the override of 8
+                # into subsequent batch jobs on the shared session
+                spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(query_name)
 
 
@@ -100,10 +105,9 @@ def stream_events_windowed(
         .parquet(sf_dir)
     )
     if isinstance(ev.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet read as long (see catalog.load_table)
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # TIMESTAMP(NANOS) parquet read as long (see catalog.load_table);
+        # integer `div` — float division rounds above 2^53
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     from xml_to_parquet_spark.operators.aggregation import dsum
 
     agg = (

@@ -739,6 +739,57 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
 """
 
 
+def q_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk blocking
+    (dedup.simhash_blocked_pairs) — exact Hamming ≤ k without a cross
+    product; verified against the integer-exact DuckDB twin."""
+    from xml_to_parquet_spark.functions.dedup import (
+        simhash,
+        simhash_blocked_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_blocked_pairs(simhash(docs), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _simhash_blocked_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    n_chunks = max_hamming + 1
+    width = (bits + n_chunks - 1) // n_chunks
+    chunk_vals = ", ".join(f"({c})" for c in range(n_chunks))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+keyed AS (
+  SELECT doc_id, simhash, chunk,
+         (simhash // (1 << (chunk * {width}))) % {1 << width} AS ckey
+  FROM sigs CROSS JOIN (VALUES {chunk_vals}) c(chunk)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM keyed a JOIN keyed b USING (chunk, ckey)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.similarity import embedding_neardup_pairs
 
@@ -783,12 +834,39 @@ ORDER BY query_id, rank
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate KNN via sign-LSH buckets — Spark-side only (the bucket
-    hyperplanes use conv/md5-derived floats; no SQL twin → rows-only)."""
+    """Approximate KNN via sign-LSH buckets. The hyperplanes are literal
+    quantized integers (similarity.hyperplane_components_q), so the bucket
+    assignment is exact integer arithmetic with an exact SQL twin."""
     from xml_to_parquet_spark.functions.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(emb, query_ids=list(range(10)), k=5, n_planes=4)
+    return lsh_bucket_topk(
+        emb, query_ids=list(range(10)), k=5, n_planes=4, dim=64
+    )
+
+
+def _q_knn_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    from xml_to_parquet_spark.functions.similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("embedding", n_planes, dim)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,7 +1320,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user's most recent purchase at-or-before its timestamp.
 
     One shuffle (window partition by user); no range-explosion join. The
-    oracle uses DuckDB's native ASOF LEFT JOIN.
+    oracle encodes the same (ts desc, event_id desc) tie-break explicitly —
+    a native ASOF JOIN picks an unspecified row among equal-ts purchases.
     """
     from pyspark.sql import Window
 
@@ -1278,10 +1357,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_ASOF_JOIN_SQL = """
 SELECT c.user_id, c.event_id AS click_event_id,
-       p.event_id AS purchase_event_id
-FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON c.user_id = p.user_id AND c.ts >= p.ts
+       (SELECT p.event_id FROM events p
+         WHERE p.event_type = 'purchase'
+           AND p.user_id = c.user_id AND p.ts <= c.ts
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_event_id
+FROM events c WHERE c.event_type = 'click'
 ORDER BY c.user_id, click_event_id
 """
 
@@ -1930,7 +2010,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q26_knn_brute": QuerySpec(
         q_knn_brute, _Q_KNN_BRUTE_SQL, "brute-force cosine top-k"
     ),
-    "q27_knn_lsh": QuerySpec(q_knn_lsh, None, "sign-LSH bucketed top-k"),
+    "q27_knn_lsh": QuerySpec(
+        q_knn_lsh, _q_knn_lsh_sql(), "sign-LSH bucketed top-k"
+    ),
     "q28_multimodal_meta": QuerySpec(
         q_multimodal_meta, _Q_MULTIMODAL_META_SQL, "binary payload metadata"
     ),
@@ -2044,5 +2126,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_label_centroids,
         _Q_LABEL_CENTROIDS_SQL,
         "per-label embedding centroids (exact quantized vector sums)",
+    ),
+    "q60_simhash_blocked": QuerySpec(
+        q_simhash_blocked,
+        _simhash_blocked_sql(),
+        "SimHash Hamming pairs via pigeonhole chunk blocking",
     ),
 }
