@@ -88,6 +88,26 @@ def processing_report(
     return report
 
 
+def validation_summary(validation: DataFrame) -> DataFrame:
+    """A5/F15 rate math as a DataFrame — the reference's success-rate
+    computation (logger.R:94-130) from Spark-side exact counts: one row
+    (files_total, files_valid, files_invalid, validation_rate).
+
+    The rate is a double division of exact longs, so it is
+    engine-independent (same IEEE result in any SQL oracle).
+    """
+    from pyspark.sql import functions as F
+
+    ok = F.sum(F.when(F.col("status") == "success", 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return validation.agg(
+        total.alias("files_total"),
+        ok.alias("files_valid"),
+        (total - ok).alias("files_invalid"),
+        F.try_divide(ok.cast("double"), total).alias("validation_rate"),
+    )
+
+
 def spark_task_metrics(spark: SparkSession) -> dict:
     """Executor-aggregate metrics snapshot from the Spark status API —
     the engine's replacement for the reference's manual memory logging."""
