@@ -27,6 +27,28 @@ def test_count_by_group(spark):
     assert got == {"a": 2, "b": 1}
 
 
+def test_grouped_percentiles_exact_vs_approx(spark):
+    from xml_to_parquet_spark.operators.aggregation import grouped_percentiles
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spec = {"l_extendedprice": [0.5, 0.9]}
+    exact = {
+        r.l_returnflag: (r.l_extendedprice_p50, r.l_extendedprice_p90)
+        for r in grouped_percentiles(li, ["l_returnflag"], spec).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.l_extendedprice_p50, r.l_extendedprice_p90)
+        for r in grouped_percentiles(
+            li, ["l_returnflag"], spec, approx=True
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for g in exact:
+        for e, a in zip(exact[g], approx[g]):
+            # near-unique measure: sketch must land within 5% of exact
+            assert abs(a - e) / abs(e) < 0.05
+
+
 def test_surrogate_keys_global_dense_sorted(spark):
     df = spark.createDataFrame(
         [("electronics",), ("accessories",), ("electronics",), (None,)],

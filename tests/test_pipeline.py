@@ -53,6 +53,15 @@ def test_e2e_products_star(spark, io_dirs):
     assert os.path.exists(os.path.join(str(out), "processing_manifest.csv"))
     assert os.path.exists(os.path.join(str(out), "parquet_metadata.csv"))
 
+    # reference document_schema: per-column classification doc is written
+    doc_path = os.path.join(str(out), "schema_documentation.csv")
+    assert os.path.exists(doc_path)
+    doc = spark.read.option("header", "true").csv(doc_path)
+    by_col = {r.column_name: r.classification for r in doc.collect()}
+    assert by_col["category"] == "dimension"
+    assert by_col["price"] == "measure"
+    assert by_col["record_id"] == "identifier"
+
 
 def test_e2e_multi_file_union_and_manifest(spark, io_dirs):
     inp, out = io_dirs

@@ -199,6 +199,16 @@ def test_no_id_generates_record_id(spark, tmp_path):
     assert len(ids) == 2 and len(set(ids)) == 2 and all(ids)
 
 
+def test_resolve_row_tag_caches_single_probe(spark, tmp_path):
+    from xml_to_parquet_spark.sources import xml_source
+
+    path = _write(tmp_path, "lib.xml", FALLBACK_TAG_XML)
+    assert xml_source.resolve_row_tag(spark, path) == "book"
+    # cached: a second resolve must not touch Spark at all (spark=None
+    # would raise on any read attempt)
+    assert xml_source.resolve_row_tag(None, path) == "book"
+
+
 def test_row_tag_fallback_to_root_children(spark, tmp_path):
     path = _write(tmp_path, "books.xml", FALLBACK_TAG_XML)
     df = read_xml_records(spark, path, lineage=False)

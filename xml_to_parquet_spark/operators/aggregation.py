@@ -130,3 +130,40 @@ def grouped_multi_agg_sql(
 def count_by_group(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     """Count-by-group (A3): ``groupBy(k).count()`` with a stable alias."""
     return df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    percentiles: dict[str, list[float]],
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group percentiles with an explicit exact/approx switch.
+
+    - ``approx=False``: exact linear-interpolation percentile. Spark's exact
+      percentile buffers a value→count map PER GROUP — fine for
+      low-cardinality measures (e.g. integer quantities), but for
+      near-unique measures the buffer approaches the group's distinct-value
+      count in executor memory. This is the ORACLE path (bit-comparable to
+      ``quantile_cont``), not the 100 TB path.
+    - ``approx=True``: ``approx_percentile`` (KLL-type sketch, bounded
+      memory ~O(accuracy), mergeable map-side). Error ≤ 1/accuracy of the
+      rank. THE scale path for near-unique measures; results are
+      engine-specific, so no exact oracle — verify with tolerance.
+
+    Output columns: ``{col}_p{int(100p)}`` each, e.g. ``price_p50``.
+    """
+    aggs = []
+    for col, ps in percentiles.items():
+        for p in ps:
+            name = f"{col}_p{int(round(p * 100))}"
+            if approx:
+                aggs.append(
+                    F.approx_percentile(
+                        col, F.lit(p), F.lit(accuracy)
+                    ).alias(name)
+                )
+            else:
+                aggs.append(F.percentile(col, F.lit(p)).alias(name))
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -28,6 +28,7 @@ from xml_to_parquet_spark.plans.star_transformer import (
 from xml_to_parquet_spark.sinks.writers import (
     parquet_metadata,
     processing_manifest,
+    schema_documentation,
     write_csv_report,
     write_star_schema,
 )
@@ -116,6 +117,13 @@ def process_xml_to_parquet(
             write_csv_report(
                 meta,
                 os.path.join(output_dir, "parquet_metadata.csv"),
+                mode="overwrite",
+            )
+            # reference document_schema intent (parquet_writer.R:24-26):
+            # per-column classification doc alongside the star outputs
+            write_csv_report(
+                schema_documentation(spark, catalog),
+                os.path.join(output_dir, "schema_documentation.csv"),
                 mode="overwrite",
             )
             if validation is not None:

@@ -93,6 +93,32 @@ def parquet_metadata(spark: SparkSession, paths: dict[str, str]) -> DataFrame:
     )
 
 
+def schema_documentation(spark: SparkSession, catalog: dict[str, dict]) -> DataFrame:
+    """Per-column schema documentation table (reference ``document_schema``,
+    parquet_writer.R:24-26 + schema_analyzer.R:113-121): the classification
+    catalog rendered as a writable one-row-per-column DataFrame."""
+    rows = [
+        (
+            col,
+            info.get("classification"),
+            info.get("data_type"),
+            info.get("n_rows"),
+            info.get("unique_count"),
+            info.get("numeric_ratio"),
+            info.get("null_ratio"),
+            info.get("mean_length"),
+            info.get("sample_values"),
+        )
+        for col, info in sorted(catalog.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, classification string, data_type string, "
+        "n_rows long, unique_count long, numeric_ratio double, "
+        "null_ratio double, mean_length double, sample_values string",
+    )
+
+
 def processing_manifest(
     spark: SparkSession,
     records: DataFrame,

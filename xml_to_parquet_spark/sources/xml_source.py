@@ -52,20 +52,36 @@ COMMENT_PATTERNS = {
 }
 
 
-def _sniff_first_child_tag(spark: SparkSession, path: str) -> str | None:
-    """Driver-side peek: the tag name of the root's first child element.
+_ROWTAG_CACHE: dict[str, str] = {}
 
-    Used only for the row-tag fallback (reference xml_parser.R:100-104).
-    Reads one file's head via Spark's text reader so it works on any
-    Hadoop-compatible filesystem, not just local paths.
+
+def resolve_row_tag(spark: SparkSession, path: str) -> str | None:
+    """Resolve the rowTag with ONE driver-side probe read, cached per path.
+
+    Reads one file's text (Spark text reader + limit(1) — works on any
+    Hadoop-compatible filesystem) and picks the first ``CANDIDATE_ROW_TAGS``
+    member that appears as an element open tag; falls back to the root's
+    first child tag (reference xml_parser.R:98-104). Round 1 probed by
+    reading the directory up to 4× with ``isEmpty()`` per candidate — this
+    is one read job total, and repeat ingests of the same path are free.
     """
+    if path in _ROWTAG_CACHE:
+        return _ROWTAG_CACHE[path]
     head = spark.read.text(path, wholetext=True).limit(1).collect()
     if not head:
         return None
     text = head[0][0]
-    # strip prolog/comments, find root open tag then the next open tag
-    tags = re.findall(r"<([A-Za-z_][\w.\-]*)[\s>/]", text)
-    return tags[1] if len(tags) > 1 else None
+    tag = next(
+        (c for c in CANDIDATE_ROW_TAGS if re.search(rf"<{c}[\s>/]", text)),
+        None,
+    )
+    if tag is None:
+        # root's first child: first open tag after the root's open tag
+        tags = re.findall(r"<([A-Za-z_][\w.\-]*)[\s>/]", text)
+        tag = tags[1] if len(tags) > 1 else None
+    if tag:
+        _ROWTAG_CACHE[path] = tag
+    return tag
 
 
 def read_xml_auto(
@@ -100,14 +116,10 @@ def read_xml_auto(
 
     if row_tag:
         return _read(row_tag)
-    for tag in CANDIDATE_ROW_TAGS:
+    tag = resolve_row_tag(spark, path)
+    if tag:
         df = _read(tag)
-        if df.columns and not df.isEmpty():
-            return df
-    fallback = _sniff_first_child_tag(spark, path)
-    if fallback and fallback not in CANDIDATE_ROW_TAGS:
-        df = _read(fallback)
-        if df.columns and not df.isEmpty():
+        if df.columns:
             return df
     raise ValueError(f"no XML records found under any row tag in {path}")
 

@@ -1,12 +1,13 @@
 """XSD/DTD/well-formedness validation (SURVEY §2.10, reference
 schema_validator.R).
 
-Reference behavior:
-- validate_xml_file: XSD (xml_validate) or DTD, chosen by probing for an
-  internal DTD then discovering a sibling schema file (schema_validator.R:
-  88-148)
-- schema discovery: ``<stem>.xsd`` next to the file, else any ``.xsd`` in a
-  schemas/ dir (schema_validator.R:116-139)
+Reference behavior mirrored here:
+- validate_xml_auto (schema_validator.R:88-112): internal DTD first (a
+  DOCTYPE in the file head → parse with DTD validation), then an external
+  XSD, then an external DTD, else no schema (here: well-formedness).
+- schema discovery (find_schema_file, schema_validator.R:116-139), in
+  order: schema_dir/<stem>.<ext>, sibling <stem>.<ext>,
+  schema_dir/schema.<ext>, sibling schema.<ext>, schema_dir/default.<ext>.
 - batch validation returns a per-file status table (schema_validator.R:
   151-163) used as a gate: invalid files are excluded from the parse
   (main.R:153-166) — validation is a FILTER, not a typing source.
@@ -14,14 +15,14 @@ Reference behavior:
 Spark-first shape: validation runs as a distributed pandas UDF over the
 file list (each task validates its slice of files), returning a status
 DataFrame that joins back against records on source_file_path. lxml is not
-in this container, so the XSD/DTD branch is import-gated; well-formedness
-uses stdlib expat and always works. The UDF signature/batching is real
-either way — with lxml present the same code does full XSD validation.
+in this container, so the XSD/DTD branches are import-gated (cluster
+images that install lxml get full XSD + DTD validation from the same
+code — see the skip-marked tests); well-formedness uses stdlib expat and
+always works. The UDF signature/batching is real either way.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 from collections.abc import Iterator
 
@@ -38,40 +39,94 @@ except ImportError:
     HAS_LXML = False
 
 
-def discover_schema_file(xml_path: str, schema_dir: str | None = None) -> str | None:
-    """Reference schema-discovery order: sibling ``<stem>.xsd``, then any
-    ``.xsd`` in ``schema_dir`` (schema_validator.R:116-139)."""
-    stem = os.path.splitext(xml_path)[0]
-    sibling = stem + ".xsd"
-    if os.path.exists(sibling):
-        return sibling
+def find_schema_file(
+    xml_path: str, extension: str, schema_dir: str | None = None
+) -> str | None:
+    """Reference search order (schema_validator.R:116-139):
+    schema_dir/<stem>.<ext> → sibling <stem>.<ext> → schema_dir/schema.<ext>
+    → sibling schema.<ext> → schema_dir/default.<ext>."""
+    stem = os.path.splitext(os.path.basename(xml_path))[0]
+    xml_dir = os.path.dirname(xml_path) or "."
+    candidates = []
     if schema_dir:
-        found = sorted(glob.glob(os.path.join(schema_dir, "*.xsd")))
-        if found:
-            return found[0]
+        candidates.append(os.path.join(schema_dir, f"{stem}.{extension}"))
+    candidates.append(os.path.join(xml_dir, f"{stem}.{extension}"))
+    if schema_dir:
+        candidates.append(os.path.join(schema_dir, f"schema.{extension}"))
+    candidates.append(os.path.join(xml_dir, f"schema.{extension}"))
+    if schema_dir:
+        candidates.append(os.path.join(schema_dir, f"default.{extension}"))
+    for c in candidates:
+        if os.path.exists(c):
+            return c
     return None
 
 
+def discover_schema_file(
+    xml_path: str, schema_dir: str | None = None
+) -> str | None:
+    """Auto-discovery for one file (validate_xml_auto order minus the
+    internal-DTD probe, which is content-based and runs executor-side):
+    external XSD first, then external DTD (schema_validator.R:95-104)."""
+    return find_schema_file(xml_path, "xsd", schema_dir) or find_schema_file(
+        xml_path, "dtd", schema_dir
+    )
+
+
+def has_internal_dtd(path: str) -> bool:
+    """DOCTYPE probe over the file head (schema_validator.R:142-148)."""
+    try:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            head = "".join(fh.readline() for _ in range(10))
+        return "<!DOCTYPE" in head
+    except OSError:
+        return False
+
+
 def _check_one(path: str, schema_file: str | None) -> tuple[str, str]:
-    """(status, error) for one file: validation_error | error | success."""
+    """(status, error) for one file: validation_error | error | success.
+
+    Validation-method order mirrors validate_xml_auto
+    (schema_validator.R:88-112): internal DTD → external XSD → external
+    DTD → (no lxml or no schema) expat well-formedness.
+    """
     try:
         with open(path, "rb") as fh:
             data = fh.read()
     except OSError as e:
         return "error", str(e)
 
-    if schema_file and HAS_LXML:
+    if HAS_LXML:
         try:
-            schema = _lxml_etree.XMLSchema(_lxml_etree.parse(schema_file))
-            doc = _lxml_etree.fromstring(data)
-            if not schema.validate(doc):
-                return (
-                    "validation_error",
-                    "; ".join(str(e) for e in schema.error_log),
-                )
-            return "success", ""
+            if has_internal_dtd(path):
+                # reference validate_xml_dtd internal branch (DTDVALID)
+                parser = _lxml_etree.XMLParser(dtd_validation=True)
+                _lxml_etree.fromstring(data, parser)
+                return "success", ""
+            if schema_file and schema_file.endswith(".dtd"):
+                dtd = _lxml_etree.DTD(schema_file)
+                doc = _lxml_etree.fromstring(data)
+                if not dtd.validate(doc):
+                    return (
+                        "validation_error",
+                        "; ".join(str(e) for e in dtd.error_log),
+                    )
+                return "success", ""
+            if schema_file:
+                schema = _lxml_etree.XMLSchema(_lxml_etree.parse(schema_file))
+                doc = _lxml_etree.fromstring(data)
+                if not schema.validate(doc):
+                    return (
+                        "validation_error",
+                        "; ".join(str(e) for e in schema.error_log),
+                    )
+                return "success", ""
         except _lxml_etree.XMLSyntaxError as e:
-            return "error", str(e)
+            # parse failure — includes DTD-invalid under dtd_validation=True
+            return (
+                "validation_error" if has_internal_dtd(path) else "error",
+                str(e),
+            )
 
     # well-formedness via stdlib expat (always available)
     import xml.parsers.expat

@@ -1524,24 +1524,26 @@ FROM part ORDER BY p_partkey
 
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — identical formula in both
-    engines over identical doubles)."""
+    engines over identical doubles). Exact percentile buffers per-group
+    value maps, so the documented 100 TB path for near-unique measures is
+    ``grouped_percentiles(..., approx=True)`` (bounded-memory sketch) —
+    tolerance-tested in tests/test_aggregation.py, excluded from the oracle
+    because sketches are engine-specific by design."""
+    from xml_to_parquet_spark.operators.aggregation import grouped_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
-            F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("price_p50"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return grouped_percentiles(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": [0.5, 0.9], "l_extendedprice": [0.5]},
+    ).orderBy("l_returnflag")
 
 
 _Q_PERCENTILE_SQL = """
 SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.5) AS qty_p50,
-       quantile_cont(l_quantity, 0.9) AS qty_p90,
-       quantile_cont(l_extendedprice, 0.5) AS price_p50
+       quantile_cont(l_quantity, 0.5) AS l_quantity_p50,
+       quantile_cont(l_quantity, 0.9) AS l_quantity_p90,
+       quantile_cont(l_extendedprice, 0.5) AS l_extendedprice_p50
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
