@@ -97,6 +97,22 @@ def test_embedding_neardup_pairs(spark):
     assert (0, 2) not in pairs
 
 
+def test_embedding_neardup_tiling_invariant(spark):
+    # the tiled all-pairs gemm must find the same pairs for any block count
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    results = [
+        sorted(
+            (r.id_a, r.id_b)
+            for r in similarity.embedding_neardup_pairs(
+                emb, threshold=0.45, n_blocks=b
+            ).collect()
+        )
+        for b in (1, 3, 8)
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
 def test_attach_binary_metadata_and_fake_decode(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "another doc")], "id long, text string"
