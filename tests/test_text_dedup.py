@@ -124,3 +124,76 @@ def test_simhash_and_neardup(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in got
     assert (1, 4) not in got  # different language/content far apart
+
+
+def test_repetition_features_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 6 tokens, 2 distinct; "a b" ×3 of 5
+            (2, "x y z w"),              # all distinct; each bigram once
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_features(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_distinct_tokens) == (6, 2)
+    assert abs(r1.dup_token_frac - 4 / 6) < 1e-12
+    assert (r1.top_bigram_n, r1.n_bigrams) == (3, 5)
+    r2 = rows[2]
+    assert r2.dup_token_frac == 0.0 and r2.top_bigram_n == 1
+
+
+def test_quality_gate_reasons(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "short doc"),                       # < 20 tokens
+            (2, " ".join(["spam"] * 30)),           # 1 distinct token
+            (3, " ".join(f"w{i}" for i in range(30))),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in text.quality_gate(df).collect()}
+    assert got[1] == (False, "too_short")
+    assert got[2] == (False, "too_repetitive")
+    assert got[3] == (True, "ok")
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    from xml_to_parquet_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 100)], "doc_id long, n_tokens long"
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, budget=512).collect()}
+    assert rows[1].start_offset == 0 and rows[1].start_chunk == 0
+    # doc2 starts at 300, ends at 599 → straddles chunks 0 and 1
+    assert (rows[2].start_chunk, rows[2].end_chunk, rows[2].n_chunks) == (0, 1, 2)
+    assert rows[3].start_offset == 600 and rows[3].start_chunk == 1
+
+
+def test_pack_sequences_sharded_parallel_windows(spark):
+    from xml_to_parquet_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 300), (3, "b", 400)],
+        "doc_id long, src string, n_tokens long",
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(df, budget=512, shard_col="src").collect()
+    }
+    # each shard is its own token stream: doc3 restarts at offset 0
+    assert rows[3].start_offset == 0
+    assert rows[2].start_offset == 300
+
+
+def test_dedup_clusters_chain_and_island(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, iterations=3).collect()
+    }
+    # 4-chain: min label 1 reaches node 4 within 3 hops; island keeps 8
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}

@@ -334,6 +334,49 @@ def simhash_blocked_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    iterations: int = 5,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate clustering: connected components over a near-dup pair list
+    via bounded min-label propagation → (doc_id, cluster_id = min id
+    reachable within ``iterations`` hops).
+
+    This is the step AFTER candidate generation in a production dedup
+    pipeline (LSH pairs → clusters → keep one doc per cluster). Each
+    iteration is one equi-join + one min-groupBy — both map-side
+    combinable; total work = iterations × |edges|. Plain propagation
+    converges in graph-diameter hops; near-dup graphs are overwhelmingly
+    tiny cliques/chains, so a small fixed ``iterations`` reaches the exact
+    fixpoint in practice (and a fixed count keeps the result
+    SQL-reproducible — the oracle runs the same k steps). For adversarial
+    long-path graphs, switch to large-star/small-star contraction
+    (O(log diameter) rounds of the same join shape).
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        neigh = sym.join(
+            labels, on=sym["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def ngram_jaccard_via_lsh(
     df: DataFrame,
     text_col: str = "text",

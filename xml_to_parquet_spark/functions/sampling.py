@@ -128,3 +128,52 @@ def weighted_mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing planner: where does each document
+    land when the (deterministically ordered) token stream is concatenated
+    and cut into fixed-``budget`` training chunks?
+
+    Per doc: start_offset (exclusive prefix sum of tokens in id order),
+    start_chunk / end_chunk (chunk index of first/last token), n_chunks
+    spanned. This is the packing LLM pretraining uses (concatenate, then
+    slice at sequence-length boundaries) — the planner is pure integer
+    window math, so any engine reproduces it exactly.
+
+    Scale: with ``shard_col`` the window partitions by shard and the plan is
+    fully parallel (each shard is an independent token stream — matching how
+    distributed loaders shard anyway). Without it the window is global: one
+    ordered exchange — fine for planning metadata, not for 100 TB row
+    streams; always pass a shard at scale.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = F.col(token_col).cast("long")
+    cum = F.sum(t).over(w)
+    start = (cum - t).alias("start_offset")
+    out_cols = [F.col(id_col), t.alias("n_tokens"), start]
+    if shard_col:
+        out_cols.insert(0, F.col(shard_col))
+    # integer `div`, never float division: a 100 TB stream's prefix sums
+    # exceed 2^53, where double division starts rounding chunk boundaries
+    return (
+        df.select(*out_cols)
+        .withColumn("start_chunk", F.expr(f"start_offset div {budget}"))
+        .withColumn(
+            "end_chunk",
+            F.expr(f"(start_offset + n_tokens - 1) div {budget}"),
+        )
+        .withColumn(
+            "n_chunks", (F.col("end_chunk") - F.col("start_chunk") + 1)
+        )
+    )

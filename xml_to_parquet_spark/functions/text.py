@@ -6,13 +6,21 @@ because the underlying counts are integers and ratios are single double
 divisions (engine-independent).
 
 Operators:
-- token_count:       whitespace tokens + BPE-ish sub-token count (regex)
-- quality_features:  length / punctuation / stopword / uppercase ratios
-- language_id:       stopword-hit n-gram heuristic with deterministic argmax
-- fingerprint:       normalized-text MD5 (exact-dedup key) + rolling
-                     polynomial hash (Spark-side; order-sensitive)
+- token_count:        whitespace tokens + BPE-ish sub-token count (regex)
+- quality_features:   length / punctuation / stopword / uppercase ratios
+- language_id:        stopword-hit n-gram heuristic with deterministic argmax
+- fingerprint:        normalized-text MD5 (exact-dedup key) + rolling
+                      polynomial hash (Spark-side; order-sensitive)
+- repetition_features: within-document repetition signals (duplicate-token
+                      fraction, top-bigram fraction) — the Gopher-style
+                      repetition filters, word-level
+- quality_gate:       composite keep/drop ladder over the above, with the
+                      first failing rule named per row
 
-Scale: all per-row expressions — embarrassingly parallel, no shuffle.
+Scale: token/quality/language/fingerprint are per-row expressions —
+embarrassingly parallel, no shuffle. repetition_features adds one
+explode + map-side-combined groupBy keyed by (doc, bigram): shuffle bytes
+∝ distinct bigrams per doc, independent of corpus width.
 """
 
 from __future__ import annotations
@@ -98,6 +106,108 @@ def language_id(col: Column) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
     return expr
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the word-level rendering of the
+    Gopher/RefinedWeb repetition filters — this corpus is single-line, so
+    line/paragraph variants degenerate to token variants):
+
+    (id, n_tokens, n_distinct_tokens, dup_token_frac, top_bigram_n,
+     n_bigrams, top_bigram_frac)
+
+    dup_token_frac = 1 - distinct/total tokens; top_bigram_frac = count of
+    the most frequent word bigram / total bigrams. All ratios are single
+    double divisions of exact integers — engine-independent.
+    """
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams")
+    )
+    return (
+        base.join(bg_stats, on=id_col, how="left")
+        .withColumn(
+            "dup_token_frac",
+            F.try_divide(
+                (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double"),
+                F.col("n_tokens"),
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.try_divide(
+                F.col("top_bigram_n").cast("double"), F.col("n_bigrams")
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            "dup_token_frac",
+            "top_bigram_n",
+            "n_bigrams",
+            "top_bigram_frac",
+        )
+    )
+
+
+# quality-gate default thresholds (order = evaluation order of the ladder)
+GATE_MIN_TOKENS = 20
+GATE_MAX_DUP_TOKEN_FRAC = 0.65
+GATE_MAX_TOP_BIGRAM_FRAC = 0.10
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = GATE_MIN_TOKENS,
+    max_dup_token_frac: float = GATE_MAX_DUP_TOKEN_FRAC,
+    max_top_bigram_frac: float = GATE_MAX_TOP_BIGRAM_FRAC,
+) -> DataFrame:
+    """Composite Gopher-style quality gate: (id, keep, drop_reason).
+
+    The ladder names the FIRST failing rule (too_short → too_repetitive →
+    bigram_spam), mirroring how production curation pipelines report drop
+    reasons; ``keep`` rows carry reason 'ok'. Thresholds compare exact
+    integer ratios, so the gate is engine- and partitioning-invariant.
+    """
+    rep = repetition_features(df, text_col, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("dup_token_frac") > max_dup_token_frac,
+            F.lit("too_repetitive"),
+        )
+        .when(
+            F.col("top_bigram_frac") > max_top_bigram_frac,
+            F.lit("bigram_spam"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return rep.select(
+        id_col,
+        reason.alias("drop_reason"),
+    ).withColumn("keep", F.col("drop_reason") == "ok")
 
 
 def fingerprint_md5(col: Column) -> Column:

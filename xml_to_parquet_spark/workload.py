@@ -2182,6 +2182,156 @@ GROUP BY label, pos ORDER BY label, pos
 
 
 # ---------------------------------------------------------------------------
+# Curation round 2: repetition filters, quality gate, sequence packing,
+# duplicate clustering
+# ---------------------------------------------------------------------------
+
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals
+    (functions/text.repetition_features)."""
+    from xml_to_parquet_spark.functions.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs).orderBy("doc_id")
+
+
+_Q_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens
+  FROM toks
+),
+bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks) - 1),
+                               i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+  FROM toks WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+bstat AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams
+  FROM bgc GROUP BY doc_id
+)
+SELECT b.doc_id, n_tokens, n_distinct_tokens,
+       CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens
+         AS dup_token_frac,
+       top_bigram_n, n_bigrams,
+       CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
+FROM base b LEFT JOIN bstat USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate with named drop reasons
+    (functions/text.quality_gate)."""
+    from xml_to_parquet_spark.functions.text import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_gate(docs).orderBy("doc_id")
+
+
+def _q_quality_gate_sql() -> str:
+    from xml_to_parquet_spark.functions.text import (
+        GATE_MAX_DUP_TOKEN_FRAC,
+        GATE_MAX_TOP_BIGRAM_FRAC,
+        GATE_MIN_TOKENS,
+    )
+
+    return f"""
+WITH rep AS ({_Q_REPETITION_SQL.replace('ORDER BY doc_id', '')}),
+gated AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < {GATE_MIN_TOKENS} THEN 'too_short'
+              WHEN dup_token_frac > {GATE_MAX_DUP_TOKEN_FRAC} THEN 'too_repetitive'
+              WHEN top_bigram_frac > {GATE_MAX_TOP_BIGRAM_FRAC} THEN 'bigram_spam'
+              ELSE 'ok' END AS drop_reason
+  FROM rep
+)
+SELECT doc_id, drop_reason, drop_reason = 'ok' AS keep
+FROM gated ORDER BY doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing planner over per-source token streams
+    (functions/sampling.pack_sequences, sharded by source so the window is
+    fully parallel)."""
+    from xml_to_parquet_spark.functions.sampling import pack_sequences
+    from xml_to_parquet_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, budget=512, shard_col="source"
+    ).orderBy("source", "doc_id")
+
+
+_Q_PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract_all(text, '\S+').len() AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens, start_offset,
+       start_offset // 512 AS start_chunk,
+       (start_offset + n_tokens - 1) // 512 AS end_chunk,
+       (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+         AS n_chunks
+FROM c ORDER BY source, doc_id
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs → connected
+    components via bounded min-label propagation (dedup.dedup_clusters);
+    the oracle runs the identical k propagation steps as chained CTEs."""
+    from xml_to_parquet_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(
+        minhash_lsh_candidates(docs), iterations=3
+    ).orderBy("doc_id")
+
+
+def _q_dedup_clusters_sql(iterations: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"l{i} AS (SELECT node, MIN(label) AS label FROM ("
+            f"SELECT node, label FROM {prev} UNION ALL "
+            f"SELECT e.src AS node, l.label FROM edges e "
+            f"JOIN {prev} l ON e.dst = l.node) GROUP BY node)"
+        )
+        prev = f"l{i}"
+    return f"""
+WITH cand AS ({_minhash_lsh_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM cand
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{", ".join(steps)}
+SELECT node AS doc_id, label AS cluster_id FROM {prev} ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2415,5 +2565,25 @@ QUERIES: dict[str, QuerySpec] = {
         q_report_rates,
         _Q_REPORT_RATES_SQL,
         "F15 processing-report rate math from Spark-side counts",
+    ),
+    "q67_repetition_features": QuerySpec(
+        q_repetition_features,
+        _Q_REPETITION_SQL,
+        "Gopher-style within-doc repetition signals",
+    ),
+    "q68_quality_gate": QuerySpec(
+        q_quality_gate,
+        _q_quality_gate_sql(),
+        "composite quality gate with named drop reasons",
+    ),
+    "q69_pack_sequences": QuerySpec(
+        q_pack_sequences,
+        _Q_PACK_SEQUENCES_SQL,
+        "concat-and-chunk sequence packing planner (sharded windows)",
+    ),
+    "q70_dedup_clusters": QuerySpec(
+        q_dedup_clusters,
+        _q_dedup_clusters_sql(),
+        "near-dup clustering: LSH pairs -> connected components",
     ),
 }
