@@ -146,3 +146,14 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 10)], "id long, n_frames int")
     idx = [r.frame_idx for r in multimodal.frame_sample_plan(df, 3).collect()]
     assert idx == [0, 3, 6, 9]
+
+
+def test_kmeans_assign_quantized_partition_invariant(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.kmeans_assign_quantized(emb, k=4, iterations=2).collect()
+    b = similarity.kmeans_assign_quantized(
+        emb.repartition(7), k=4, iterations=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    cells = {r.cell for r in a}
+    assert cells <= set(range(4)) and len(cells) > 1

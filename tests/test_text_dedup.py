@@ -197,3 +197,25 @@ def test_dedup_clusters_chain_and_island(spark):
     }
     # 4-chain: min label 1 reaches node 4 within 3 hops; island keeps 8
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_scrub_pii_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.com and c@d.org, see http://x.y/z or 99887766551")],
+        "doc_id long, text string",
+    )
+    r = text.scrub_pii(df).collect()[0]
+    assert (r.n_email, r.n_url, r.n_number) == (2, 1, 1)
+    assert r.scrubbed_text == "<EMAIL> and <EMAIL>, see <URL> or <NUM>"
+
+
+def test_dedup_against_corpus_normalized_match(spark):
+    new = spark.createDataFrame(
+        [(10, "Hello   World"), (11, "fresh doc")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    # normalization (case/whitespace) makes doc 10 a duplicate of the corpus
+    kept = [r.doc_id for r in dedup.dedup_against_corpus(new, corpus).collect()]
+    assert kept == [11]

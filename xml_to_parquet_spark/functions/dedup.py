@@ -334,6 +334,32 @@ def simhash_blocked_pairs(
     )
 
 
+def dedup_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental batch dedup: keep only new docs whose normalized-text
+    fingerprint does NOT already exist in the reference corpus — the
+    "don't retrain on seen data" step of a continuously-ingesting pipeline.
+
+    Anti-join on md5 fingerprints. At scale the corpus side is a
+    fingerprint column (16 bytes/doc); the join is a shuffle anti-join on
+    the hash (or broadcast when the corpus index fits — pass a pre-distinct
+    fingerprint table to reuse across batches). New side carries only
+    (id, fp) through the join; payload columns re-attach by id afterwards
+    if needed.
+    """
+    nf = new.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    cf = corpus.select(
+        fingerprint_md5(F.col(text_col)).alias("fp")
+    ).distinct()
+    return nf.join(cf, on="fp", how="left_anti").select(id_col)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     iterations: int = 5,

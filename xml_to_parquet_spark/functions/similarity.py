@@ -388,6 +388,83 @@ def embedding_neardup_pairs(
     )
 
 
+def _tdiv(a: int, n: int) -> int:
+    """Truncation-toward-zero integer division — SQL `//`/`div` semantics
+    (Python's ``//`` floors, which differs on negative sums)."""
+    q = abs(a) // n
+    return q if a >= 0 else -q
+
+
+def kmeans_assign_quantized(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = HYPERPLANE_QUANT,
+) -> DataFrame:
+    """Lloyd k-means over quantized integer vectors → (id, cell) after
+    ``iterations`` assignment passes (centroids update between passes).
+
+    This is the centroid-refinement step the IVF index (``ivf_topk``)
+    deliberately deferred: hash-seeded init (the k smallest ids), then
+    assign/update rounds. EVERYTHING is integer arithmetic — vectors
+    quantized via ``quantize_vec``, distances are integer squared-L2, the
+    update is a truncating integer mean — so the trained assignment is
+    bit-reproducible in any engine (the DuckDB oracle replays the identical
+    rounds; ties break to the smaller centroid id).
+
+    Scale shape (per iteration):
+    - assignment: centroids are a driver-held model (k×dim ints, broadcast
+      into the plan as literals) — pure map, no shuffle;
+    - update: posexplode + map-side-combined groupBy(cell, pos) → k×dim
+      rows collected to the driver (model-sized, independent of corpus);
+    empty cells keep their previous centroid. iterations × 2 jobs total.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(as_double_array(F.col(vec_col)), quant).alias("vq"),
+    )
+    cents: dict[int, list[int]] = {
+        int(r["id"]): [int(x) for x in r["vq"]]
+        for r in base.filter(F.col("id") < k).collect()
+    }
+
+    def assign_col() -> Column:
+        choices = []
+        for cid in sorted(cents):
+            cq = F.array(*[F.lit(c) for c in cents[cid]])
+            d = F.aggregate(
+                F.zip_with(F.col("vq"), cq, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            choices.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+        # array_min over (d, cid) structs = min distance, ties → smaller cid
+        return F.array_min(F.array(*choices)).getField("cid")
+
+    for t in range(iterations):
+        assigned = base.withColumn("cell", assign_col())
+        if t == iterations - 1:
+            return assigned.select(F.col("id").alias(id_col), "cell")
+        sums = (
+            assigned.select("cell", F.posexplode("vq").alias("pos", "q"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents: dict[int, list[int]] = {}
+        for r in sums:
+            new_cents.setdefault(int(r["cell"]), [0] * len(cents[min(cents)]))[
+                int(r["pos"])
+            ] = _tdiv(int(r["s"]), int(r["n"]))
+        for cid in cents:  # empty cells keep their previous centroid
+            if cid not in new_cents:
+                new_cents[cid] = cents[cid]
+        cents = new_cents
+    raise AssertionError("unreachable")
+
+
 def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

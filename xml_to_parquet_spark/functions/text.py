@@ -210,6 +210,39 @@ def quality_gate(
     ).withColumn("keep", F.col("drop_reason") == "ok")
 
 
+# PII scrub patterns, applied in order (name, pattern, replacement).
+# Kept to constructs with identical semantics in Java regex and RE2 so the
+# same pattern text documents the behavior everywhere.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("number", r"\b\d{6,}\b", "<NUM>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: emails, URLs, and long digit
+    runs replaced by typed placeholder tokens, with per-document match
+    counts (counted BEFORE scrubbing).
+
+    Returns (id, scrubbed_text, n_email, n_url, n_number). Pure per-row
+    regexp expressions — zero shuffle, pushes past column pruning.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col), scrubbed.alias("scrubbed_text"), *counts
+    )
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Exact-dedup key: MD5 of the normalized text."""
     return F.md5(norm_text(col))

@@ -2331,6 +2331,124 @@ SELECT node AS doc_id, label AS cluster_id FROM {prev} ORDER BY doc_id
 """
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined clustering (similarity.kmeans_assign_quantized): the
+    centroid-training step IVF deferred, in exact integer arithmetic so the
+    DuckDB oracle replays identical assign/update rounds."""
+    from xml_to_parquet_spark.functions.similarity import (
+        kmeans_assign_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign_quantized(emb, k=8, iterations=2).orderBy("vec_id")
+
+
+def _q_kmeans_sql(k: int = 8, iterations: int = 2, quant: int = 1_000_000) -> str:
+    parts = [
+        f"""vpos AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {float(quant)} + 0.5)
+              AS BIGINT) AS vq
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cid, pos, vq AS cq FROM vpos "
+        f"WHERE vec_id < {k})",
+    ]
+    prev_c = "c0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT v.vec_id, c.cid, SUM((v.vq - c.cq) * (v.vq - c.cq)) AS d
+  FROM vpos v JOIN {prev_c} c USING (pos)
+  GROUP BY v.vec_id, c.cid
+)"""
+        )
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{i}) WHERE rn = 1
+)"""
+        )
+        if i < iterations:
+            parts.append(
+                f"""cs{i} AS (
+  SELECT a.cid, v.pos, SUM(v.vq) // COUNT(*) AS cq
+  FROM a{i} a JOIN vpos v USING (vec_id)
+  GROUP BY a.cid, v.pos
+)"""
+            )
+            parts.append(
+                f"""c{i} AS (
+  SELECT * FROM cs{i}
+  UNION ALL
+  SELECT cid, pos, cq FROM {prev_c}
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM cs{i})
+)"""
+            )
+            prev_c = f"c{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cid AS INT) AS cell FROM a{iterations} "
+        "ORDER BY vec_id"
+    )
+
+
+_PII_ROWS = [
+    (1, "contact me at john.doe@example.com or visit "
+        "https://example.com/page?id=9"),
+    (2, "card 1234567890 and phone 555-1234"),
+    (3, "clean text with no pii"),
+]
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text.scrub_pii) over a fully-determined fixture —
+    the oracle is the expected literal output, so the regex semantics are
+    pinned rather than re-derived in another dialect."""
+    from xml_to_parquet_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(_PII_ROWS, "doc_id long, text string")
+    return scrub_pii(df).orderBy("doc_id")
+
+
+_Q_SCRUB_PII_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'contact me at <EMAIL> or visit <URL>',
+   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  (CAST(2 AS BIGINT), 'card <NUM> and phone 555-1234',
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(3 AS BIGINT), 'clean text with no pii',
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(doc_id, scrubbed_text, n_email, n_url, n_number)
+ORDER BY doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup (dedup.dedup_against_corpus): docs whose
+    fingerprint exists in the reference corpus (here: ids < 250) are
+    dropped — the 'never retrain on seen data' step."""
+    from xml_to_parquet_spark.functions.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    return dedup_against_corpus(docs, corpus).orderBy("doc_id")
+
+
+_Q_DEDUP_INCREMENTAL_SQL = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+corpus AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id < 250
+)
+SELECT doc_id FROM fp
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = fp.fp)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2585,5 +2703,20 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_clusters,
         _q_dedup_clusters_sql(),
         "near-dup clustering: LSH pairs -> connected components",
+    ),
+    "q71_kmeans_cells": QuerySpec(
+        q_kmeans_cells,
+        _q_kmeans_sql(),
+        "Lloyd k-means cell assignment in exact integer arithmetic",
+    ),
+    "q72_scrub_pii": QuerySpec(
+        q_scrub_pii,
+        _Q_SCRUB_PII_SQL,
+        "PII scrubbing with typed placeholders (golden fixture)",
+    ),
+    "q73_dedup_incremental": QuerySpec(
+        q_dedup_incremental,
+        _Q_DEDUP_INCREMENTAL_SQL,
+        "incremental dedup against an existing corpus (anti-join)",
     ),
 }
