@@ -149,3 +149,29 @@ def test_training_shards_global_order(spark, sf_dir, tmp_path):
         for r in mix.select("shuffle_key").orderBy("shuffle_key").collect()
     ]
     assert streamed == expect  # global order across shard files
+
+
+def test_assign_split_exhaustive_disjoint_invariant(spark):
+    from xml_to_parquet_spark.functions.sampling import assign_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r.doc_id: r.split for r in assign_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # partitioning-invariant
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train_frac = sum(1 for s in a.values() if s == "train") / n
+    assert 0.85 < train_frac < 0.95  # 0.9 nominal
+
+
+def test_assign_split_fractions_must_sum_to_one(spark):
+    import pytest
+
+    from xml_to_parquet_spark.functions.sampling import assign_split
+
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        assign_split(df, "id", fractions={"a": 0.5, "b": 0.6})

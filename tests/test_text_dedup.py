@@ -219,3 +219,17 @@ def test_dedup_against_corpus_normalized_match(spark):
     # normalization (case/whitespace) makes doc 10 a duplicate of the corpus
     kept = [r.doc_id for r in dedup.dedup_against_corpus(new, corpus).collect()]
     assert kept == [11]
+
+
+def test_dedup_apply_keeps_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "doc_id long, cluster_id long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_apply(docs, clusters).collect()
+    )
+    # 2 and 5 are non-representative members; 0 and 3 were never clustered
+    assert kept == [0, 1, 3, 4]

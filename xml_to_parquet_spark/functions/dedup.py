@@ -403,6 +403,22 @@ def dedup_clusters(
     )
 
 
+def dedup_apply(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply near-dup clustering to a corpus: keep ONE representative per
+    cluster (the min-id member — ``cluster_id`` by construction of
+    :func:`dedup_clusters`) plus every unclustered doc.
+
+    The drop list (cluster members ≠ representative) is tiny relative to
+    the corpus — an anti-join the optimizer can broadcast; the corpus side
+    never shuffles. This completes the dedup pipeline: candidates →
+    clusters → filtered corpus.
+    """
+    drop = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
+    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+
+
 def ngram_jaccard_via_lsh(
     df: DataFrame,
     text_col: str = "text",

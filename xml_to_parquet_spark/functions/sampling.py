@@ -97,6 +97,57 @@ def hash_sample_sql(
     )
 
 
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column.
+
+    ``fractions`` maps split name → fraction (must sum to 1); cut points
+    are cumulative hex thresholds over the same md5 gate as
+    :func:`hash_sample`, so the assignment is exhaustive, disjoint,
+    partitioning-invariant, and identical in every engine — a document
+    never migrates between splits when the cluster or file layout changes
+    (the property that prevents test-set leakage across pipeline re-runs).
+    Split order for the cut points is dict insertion order.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = sample_key(F.col(key_col), salt)
+    names = list(fractions)
+    cum = 0.0
+    expr: Column = F.lit(names[-1])  # last split takes the remainder
+    conds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        conds.append((name, hex_threshold(cum)))
+    for name, thr in reversed(conds):
+        expr = F.when(key < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def assign_split_sql(
+    key_expr: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split0",
+    digits: int = HEX_DIGITS,
+) -> str:
+    """ANSI CASE expression equivalent to :func:`assign_split`."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    key = f"substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, {digits})"
+    names = list(fractions)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        whens.append(f"WHEN {key} < '{hex_threshold(cum, digits)}' THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
 def weighted_mixture(
     sources: dict[str, tuple[DataFrame, float]],
     key_col: str,

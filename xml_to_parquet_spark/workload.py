@@ -2449,6 +2449,51 @@ ORDER BY doc_id
 """
 
 
+def q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (sampling.assign_split): hash-gate
+    cut points, so a document never migrates between splits across re-runs,
+    partitionings, or engines."""
+    from xml_to_parquet_spark.functions.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").select("doc_id", "split").orderBy(
+        "doc_id"
+    )
+
+
+def _q_assign_split_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import assign_split_sql
+
+    return f"""
+SELECT doc_id, {assign_split_sql('doc_id')} AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline end-to-end: MinHash-LSH candidates →
+    connected-component clusters → corpus filtered to one representative
+    per cluster (dedup.dedup_apply)."""
+    from xml_to_parquet_spark.functions.dedup import (
+        dedup_apply,
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_candidates(docs), iterations=3)
+    return dedup_apply(docs, clusters).select("doc_id").orderBy("doc_id")
+
+
+def _q_dedup_apply_sql() -> str:
+    return f"""
+WITH cl AS ({_q_dedup_clusters_sql(3)})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2718,5 +2763,15 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_incremental,
         _Q_DEDUP_INCREMENTAL_SQL,
         "incremental dedup against an existing corpus (anti-join)",
+    ),
+    "q74_assign_split": QuerySpec(
+        q_assign_split,
+        _q_assign_split_sql(),
+        "deterministic train/val/test split assignment",
+    ),
+    "q75_dedup_apply": QuerySpec(
+        q_dedup_apply,
+        _q_dedup_apply_sql(),
+        "end-to-end dedup: LSH -> clusters -> keep one per cluster",
     ),
 }
