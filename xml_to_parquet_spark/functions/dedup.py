@@ -380,10 +380,21 @@ def dedup_clusters(
     SQL-reproducible — the oracle runs the same k steps). For adversarial
     long-path graphs, switch to large-star/small-star contraction
     (O(log diameter) rounds of the same join shape).
+
+    Iterative-plan hygiene: each iteration references the previous labels
+    TWICE (self union + join), so an unmaterialized chain recomputes the
+    upstream candidate generation 2^k times. The edge list and each
+    iteration's labels are persisted and eagerly materialized (one tiny
+    job per round — the GraphX-style pattern), and the stale cache is
+    dropped as soon as the next round lands.
     """
-    sym = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    sym = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .persist()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -393,11 +404,21 @@ def dedup_clusters(
         neigh = sym.join(
             labels, on=sym["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), "label")
-        labels = (
+        new_labels = (
             labels.union(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # label tables are bounded by the near-dup node count — tiny
+            # relative to the corpus; coalesce keeps per-round task counts
+            # (and scheduler overhead) proportional to the data
+            .coalesce(8)
+            .persist()
         )
+        new_labels.count()  # materialize: truncate the doubling lineage
+        if labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
+    sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

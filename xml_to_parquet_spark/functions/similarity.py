@@ -421,10 +421,12 @@ def kmeans_assign_quantized(
       rows collected to the driver (model-sized, independent of corpus);
     empty cells keep their previous centroid. iterations × 2 jobs total.
     """
+    # persisted: the quantized corpus feeds iterations×2 jobs (assignment
+    # + update) — without the cache each job re-reads and re-quantizes
     base = df.select(
         F.col(id_col).alias("id"),
         quantize_vec(as_double_array(F.col(vec_col)), quant).alias("vq"),
-    )
+    ).persist()
     cents: dict[int, list[int]] = {
         int(r["id"]): [int(x) for x in r["vq"]]
         for r in base.filter(F.col("id") < k).collect()

@@ -121,6 +121,13 @@ def repetition_features(
     dup_token_frac = 1 - distinct/total tokens; top_bigram_frac = count of
     the most frequent word bigram / total bigrams. All ratios are single
     double divisions of exact integers — engine-independent.
+
+    Plan note: a zero-shuffle variant (top-bigram count as the longest run
+    in the per-row sorted bigram array via a struct-accumulator fold) was
+    measured 8× SLOWER than this explode+groupBy at sf0.1 — complex
+    higher-order folds run interpreted, outside whole-stage codegen. The
+    shuffle here is map-side combined and keyed (doc, bigram), so its
+    volume is bounded by distinct bigrams per doc.
     """
     toks = F.split(norm_text(F.col(text_col)), " ")
     base = df.select(
