@@ -135,13 +135,11 @@ def repetition_features(
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
     )
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from xml_to_parquet_spark.functions.dedup import ngram_array
+
+    bigrams = F.when(F.size(toks) >= 2, ngram_array(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
     bg_counts = (
         df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
