@@ -59,3 +59,29 @@ def test_streaming_xml_exactly_once(spark, tmp_path):
     for r in rows:
         by_file.setdefault(os.path.basename(r.source_file_path), []).append(r)
     assert len(by_file["a.xml"]) == 3 and len(by_file["b.xml"]) == 3
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    import pandas as pd
+
+    from xml_to_parquet_spark.streaming.file_stream import stream_events_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2, 3, 3, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",
+                    "2024-01-01 10:05:00",
+                    "2024-01-01 10:10:00",
+                    "2024-01-01 10:15:00",
+                    "2024-01-01 10:20:00",
+                    "2024-01-01 10:25:00",
+                ]
+            ),
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    out = stream_events_dedup(spark, str(tmp_path)).collect()[0]
+    # 3 distinct keys survive; duplicate arrivals are suppressed by state
+    assert (out.n_rows, out.n_keys) == (3, 3)

@@ -42,6 +42,9 @@ PRUNING = {
     "q06_sort_limit": ("orders", 2),
     "q52_hash_sample": ("documents", 4),
     "q54_grouped_topk": ("documents", 3),
+    "q67_repetition_features": ("documents", 2),
+    "q73_dedup_incremental": ("documents", 2),
+    "q74_assign_split": ("documents", 1),
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {

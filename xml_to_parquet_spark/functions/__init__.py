@@ -1,3 +1,9 @@
-from xml_to_parquet_spark.functions import text, dedup, similarity, multimodal
+from xml_to_parquet_spark.functions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "sampling"]

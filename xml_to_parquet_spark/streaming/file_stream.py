@@ -128,6 +128,47 @@ def stream_events_windowed(
     ).orderBy("bucket_start", "event_type")
 
 
+def stream_events_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    key_col: str = "event_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup over the events stream:
+    ``dropDuplicatesWithinWatermark`` keyed on ``key_col``.
+
+    The watermark BOUNDS the dedup state: key state older than (max event
+    time − watermark) is dropped, so state is proportional to the horizon,
+    not the stream's lifetime — the property that makes streaming dedup
+    viable at 100 TB/day (plain ``dropDuplicates`` on a stream retains
+    every key forever). With AvailableNow over a static directory the
+    surviving row set equals batch DISTINCT on the key, which is what the
+    oracle checks.
+    """
+    schema = _events_schema(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark([key_col])
+        .select(key_col, "ts")
+    )
+    out = run_available_now(
+        deduped,
+        query_name=f"events_dedup_{abs(hash(sf_dir)) % 99991}",
+        output_mode="append",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(key_col)).alias("n_keys"),
+    )
+
+
 def stream_xml_dir(
     spark: SparkSession,
     input_dir: str,

@@ -2494,6 +2494,24 @@ ORDER BY doc_id
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup (§2.9 parity-plus):
+    dropDuplicatesWithinWatermark bounds state by the watermark horizon;
+    with AvailableNow on a static dir the result equals batch DISTINCT."""
+    from xml_to_parquet_spark.streaming.file_stream import stream_events_dedup
+
+    return stream_events_dedup(spark, sf_dir)
+
+
+# the stream emits exactly one row per distinct key, so both measures
+# equal the batch distinct-key count
+_Q_STREAM_DEDUP_SQL = """
+SELECT COUNT(DISTINCT event_id) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_keys
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2773,5 +2791,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_apply,
         _q_dedup_apply_sql(),
         "end-to-end dedup: LSH -> clusters -> keep one per cluster",
+    ),
+    "q76_stream_dedup": QuerySpec(
+        q_stream_dedup,
+        _Q_STREAM_DEDUP_SQL,
+        "streaming dedup with watermark-bounded state",
     ),
 }
