@@ -119,3 +119,55 @@ def test_fingerprint_whitespace_case_invariant(spark, texts):
         for j in range(len(texts)):
             if norm[i] == norm[j]:
                 assert got[i] == got[j]
+
+
+# ---------------------------------------------------------------------------
+# n-gram zip_with chain ≡ naive python n-grams
+# ---------------------------------------------------------------------------
+
+token_lists = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(toks=token_lists, n=st.integers(min_value=2, max_value=4))
+def test_ngram_array_matches_naive(spark, toks, n):
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.dedup import ngram_array
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(ngram_array(F.col("toks"), n).alias("g")).collect()[0].g
+    want = [
+        " ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sequence packing invariants: offsets partition the token stream
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=20),
+    budget=st.integers(min_value=16, max_value=512),
+)
+def test_pack_sequences_prefix_sum_invariants(spark, tokens, budget):
+    from xml_to_parquet_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        pack_sequences(df, budget=budget).collect(), key=lambda r: r.doc_id
+    )
+    # offsets are the exclusive prefix sums — contiguous, no gaps/overlap
+    cum = 0
+    for r in rows:
+        assert r.start_offset == cum
+        cum += r.n_tokens
+        assert r.start_chunk == r.start_offset // budget
+        assert r.end_chunk == (r.start_offset + r.n_tokens - 1) // budget
+        assert r.n_chunks == r.end_chunk - r.start_chunk + 1

@@ -75,3 +75,21 @@ def test_merge_dimension_preserves_and_extends(spark):
         "garden": 3,
         "home": 4,
     }
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from xml_to_parquet_spark.sinks.writers import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    # simulate streaming accretion: 16 tiny files
+    spark.range(0, 1600).repartition(16).write.parquet(src)
+    import os
+
+    n_before = sum(
+        1 for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    assert n_before == 16
+    n_after = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+    assert n_after == 1
+    assert spark.read.parquet(out).count() == 1600

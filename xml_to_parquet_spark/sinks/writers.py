@@ -147,6 +147,41 @@ def processing_manifest(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_bytes`` each; returns the output file count.
+
+    Streaming ingest (and any per-trigger sink) accretes many small files;
+    small files kill scan throughput at 100 TB (per-file open/footer cost,
+    tiny row groups, starved vectorized reads). Compaction sizes the
+    partition count from the dataset's actual on-disk bytes and uses
+    ``coalesce`` — a shuffle-free narrowing — so the rewrite cost is one
+    read + one write. Run it per ingest-partition (e.g. per date) so each
+    compaction job stays bounded.
+    """
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ) if os.path.isdir(path) else os.path.getsize(path)
+    n_files = max(1, -(-size // target_file_bytes))  # ceil division
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    written = sum(
+        1
+        for dp, _, fs in os.walk(out_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return written
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
