@@ -171,3 +171,39 @@ def test_pack_sequences_prefix_sum_invariants(spark, tokens, budget):
         assert r.start_chunk == r.start_offset // budget
         assert r.end_chunk == (r.start_offset + r.n_tokens - 1) // budget
         assert r.n_chunks == r.end_chunk - r.start_chunk + 1
+
+
+# ---------------------------------------------------------------------------
+# star-contraction connected components ≡ union-find ground truth
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25
+).map(lambda es: [(a, b) for a, b in es if a != b]).filter(len)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_star_contraction_matches_union_find(spark, edges):
+    from xml_to_parquet_spark.functions.dedup import dedup_clusters_star
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id for r in dedup_clusters_star(df).collect()
+    }
+    assert got == expected

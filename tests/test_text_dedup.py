@@ -233,3 +233,16 @@ def test_dedup_apply_keeps_representatives(spark):
     )
     # 2 and 5 are non-representative members; 0 and 3 were never clustered
     assert kept == [0, 1, 3, 4]
+
+
+def test_star_contraction_long_chain(spark):
+    # a 13-node path: the adversarial case for fixed-k plain propagation —
+    # star contraction must still collapse it to the component minimum
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters_star(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(13)}

@@ -396,17 +396,17 @@ def dedup_clusters(
 
     Iterative-plan hygiene: each iteration references the previous labels
     TWICE (self union + join), so an unmaterialized chain recomputes the
-    upstream candidate generation 2^k times. The edge list and each
-    iteration's labels are persisted and eagerly materialized (one tiny
-    job per round — the GraphX-style pattern), and the stale cache is
-    dropped as soon as the next round lands.
+    upstream candidate generation 2^k times — and the uncut LOGICAL plan
+    grows exponentially too. ``localCheckpoint(eager=True)`` per round
+    materializes the tiny label table AND truncates the lineage (the
+    GraphX-style iterative pattern).
     """
     sym = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -417,7 +417,7 @@ def dedup_clusters(
         neigh = sym.join(
             labels, on=sym["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.union(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
@@ -425,13 +425,8 @@ def dedup_clusters(
             # relative to the corpus; coalesce keeps per-round task counts
             # (and scheduler overhead) proportional to the data
             .coalesce(8)
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_labels.count()  # materialize: truncate the doubling lineage
-        if labels.is_cached:
-            labels.unpersist()
-        labels = new_labels
-    sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -451,6 +446,108 @@ def dedup_apply(
     """
     drop = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
     return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node's >-neighbors reconnect to its min
+    neighbor (Kiveris et al., "Connected Components in MapReduce")."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: each node's <-neighbors (and itself) reconnect to
+    the minimum of that neighborhood."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        canon.join(mins, on="u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbr_edges.union(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    max_rounds: int = 10,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Connected components via ALTERNATING STAR CONTRACTION — the
+    adversarial-diameter scale path for duplicate clustering.
+
+    :func:`dedup_clusters`' plain min-label propagation needs
+    graph-diameter rounds (fine for near-dup cliques/chains, unbounded in
+    the worst case). Large-star/small-star contraction (Kiveris et al.,
+    MapReduce CC) converges in O(log² n) rounds for ANY graph: each round
+    is two groupBy-min + join passes over the shrinking edge list, with an
+    early exit when the edge set stops changing (checksum compare — the
+    materialization job each round doubles as the convergence probe).
+
+    Output contract matches :func:`dedup_clusters`: (doc_id, cluster_id =
+    component minimum), one row per node appearing in ``pairs``.
+    """
+    # localCheckpoint (not just persist): each round's plan embeds the
+    # previous one several times over, so an uncut lineage grows
+    # exponentially in rounds — checkpointing truncates the plan itself
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prev_chk = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # bit_xor: order-independent, overflow-free (edge rows are distinct,
+        # so XOR cancellation of duplicates cannot occur)
+        chk = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        cur = (chk["n"], chk["h"])
+        if cur == prev_chk:
+            break
+        prev_chk = cur
+
+    # converged edges are stars (node > root): label = min root per node
+    labeled = edges.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("node"), "label"
+    )
+    out = (
+        all_nodes.join(labeled, on="node", how="left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+    return out
 
 
 def ngram_jaccard_via_lsh(

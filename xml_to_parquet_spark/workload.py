@@ -2512,6 +2512,38 @@ FROM events
 """
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating star contraction
+    (dedup.dedup_clusters_star) — O(log² n) rounds for ANY graph shape,
+    with convergence-checksum early exit. The oracle computes the TRUE
+    component fixpoint with a recursive CTE, so this also proves the
+    contraction converges (a stronger check than replaying fixed rounds)."""
+    from xml_to_parquet_spark.functions.dedup import (
+        dedup_clusters_star,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters_star(minhash_lsh_candidates(docs)).orderBy("doc_id")
+
+
+def _q_dedup_clusters_star_sql() -> str:
+    return f"""
+WITH RECURSIVE cand AS ({_minhash_lsh_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM cand
+),
+cc AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.src AS node, cc.label FROM edges e JOIN cc ON e.dst = cc.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2796,5 +2828,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_dedup,
         _Q_STREAM_DEDUP_SQL,
         "streaming dedup with watermark-bounded state",
+    ),
+    "q77_dedup_clusters_star": QuerySpec(
+        q_dedup_clusters_star,
+        _q_dedup_clusters_star_sql(),
+        "connected components via alternating star contraction",
     ),
 }
