@@ -508,7 +508,11 @@ def dedup_clusters_star(
     """
     # localCheckpoint (not just persist): each round's plan embeds the
     # previous one several times over, so an uncut lineage grows
-    # exponentially in rounds — checkpointing truncates the plan itself
+    # exponentially in rounds — checkpointing truncates the plan itself.
+    # Cluster note: localCheckpoint stores blocks on executors (lost on
+    # executor failure); long-running production jobs should
+    # sc.setCheckpointDir(...) and use reliable .checkpoint() instead —
+    # same plan effect, durable storage.
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))

@@ -40,6 +40,10 @@ def run_available_now(
     """Run a streaming frame to completion (AvailableNow) into a memory
     sink; returns the final result as a batch DataFrame.
 
+    The memory sink is a TEST/ORACLE harness — it holds the result on the
+    driver. Production streams point ``writeStream`` at parquet/Kafka with
+    the same transformations; nothing upstream of the sink changes.
+
     ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to this
     query: a stateful stream materializes one state store PER shuffle
     partition PER micro-batch, so a tiny windowed agg pays 32 store
