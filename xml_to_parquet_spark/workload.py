@@ -2544,6 +2544,95 @@ FROM cc GROUP BY node ORDER BY doc_id
 """
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 2-hour windows every hour —
+    each event lands in exactly 2 buckets. Built-in F.window(size, slide);
+    the oracle replicates via a 2-offset bucket expansion."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+_Q_SLIDING_WINDOW_SQL = f"""
+WITH expanded AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+           - o.h * INTERVAL 1 HOUR AS bucket_start,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1)) o(h)
+)
+SELECT strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type, COUNT(*) AS n, {dsum_sql('value', 'value_sum')}
+FROM expanded
+GROUP BY bucket_start, event_type
+ORDER BY bucket_start, event_type
+"""
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (gap-merged event-time sessions) — the
+    built-in counterpart of q45's lag/cumsum construction. Boundary
+    semantics differ subtly: session windows are half-open [start,
+    last+gap), so an event at exactly prev+gap starts a NEW session — the
+    oracle's break condition is therefore >= gap (q45's hand-rolled
+    variant uses > gap)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_Q_SESSION_WINDOW_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE user_id < 10
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts)) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2833,5 +2922,15 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_clusters_star,
         _q_dedup_clusters_star_sql(),
         "connected components via alternating star contraction",
+    ),
+    "q78_sliding_window": QuerySpec(
+        q_sliding_window,
+        _Q_SLIDING_WINDOW_SQL,
+        "sliding/hopping event-time windows (2h size, 1h hop)",
+    ),
+    "q79_session_window": QuerySpec(
+        q_session_window_native,
+        _Q_SESSION_WINDOW_SQL,
+        "native session_window gap-merged sessions",
     ),
 }
