@@ -2633,6 +2633,38 @@ ORDER BY user_id, session_start
 """
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType JSON path: ``parse_json`` once into a binary
+    variant, then typed ``variant_get`` extraction — the scale path for
+    repeated multi-field access (q13's ``get_json_object`` re-parses the
+    JSON string per call; variant parses once into a binary encoding with
+    O(1)-ish field access)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_type", F.variant_get(v, "$.k", "int").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum(F.col("k").cast("long")).alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_VARIANT_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2932,5 +2964,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_session_window_native,
         _Q_SESSION_WINDOW_SQL,
         "native session_window gap-merged sessions",
+    ),
+    "q80_variant_json": QuerySpec(
+        q_variant_json,
+        _Q_VARIANT_JSON_SQL,
+        "VariantType JSON: parse once, typed binary field access",
     ),
 }
