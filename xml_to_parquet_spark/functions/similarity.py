@@ -431,6 +431,11 @@ def kmeans_assign_quantized(
         int(r["id"]): [int(x) for x in r["vq"]]
         for r in base.filter(F.col("id") < k).collect()
     }
+    if not cents:
+        raise ValueError(
+            f"kmeans_assign_quantized: no seed vectors with {id_col} < {k} "
+            "(empty input or non-dense ids) — pass a k matching the data"
+        )
 
     def assign_col() -> Column:
         choices = []

@@ -12,9 +12,10 @@ from xml_to_parquet_spark.operators.aggregation import (
     dsum,
     davg,
     grouped_multi_agg,
+    grouped_percentiles,
     count_by_group,
 )
-from xml_to_parquet_spark.operators.window import surrogate_keys
+from xml_to_parquet_spark.operators.window import grouped_topk, surrogate_keys
 
 __all__ = [
     "project",
@@ -28,6 +29,8 @@ __all__ = [
     "dsum",
     "davg",
     "grouped_multi_agg",
+    "grouped_percentiles",
     "count_by_group",
+    "grouped_topk",
     "surrogate_keys",
 ]
