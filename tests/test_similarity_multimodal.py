@@ -157,3 +157,14 @@ def test_kmeans_assign_quantized_partition_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     cells = {r.cell for r in a}
     assert cells <= set(range(4)) and len(cells) > 1
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.pq_codes(emb, m=4, k=8, dim=64).collect()
+    n_vec = emb.count()
+    assert len(a) == 4 * n_vec  # one code per (vector, subspace)
+    assert {r.sub for r in a} == {0, 1, 2, 3}
+    assert all(0 <= r.cell < 8 for r in a)
+    b = similarity.pq_codes(emb.repartition(5), m=4, k=8, dim=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

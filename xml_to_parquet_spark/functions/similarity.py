@@ -472,6 +472,52 @@ def kmeans_assign_quantized(
     raise AssertionError("unreachable")
 
 
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes — the compression step of a
+    billion-scale IVF-PQ index: split each vector into ``m`` subvectors,
+    fit integer-exact k-means per subspace, emit one (id, sub, cell) row
+    per subspace (melted, per the engine's no-array-outputs oracle
+    convention). A 64-dim float32 vector (256 B) compresses to m small
+    codes; ANN distance then works off per-subspace lookup tables.
+
+    Every subspace fit is :func:`kmeans_assign_quantized` on a sliced
+    vector — fully integer arithmetic, so codes are bit-reproducible in
+    any engine. Scale: m independent model fits (each a map-side
+    assignment + k×(dim/m) update collect); the corpus is scanned per
+    subspace — at 100 TB fit on a sample, then assign full-corpus in one
+    pass with all m codebooks as literals.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("v"),
+        )
+        asg = kmeans_assign_quantized(
+            sliced, k=k, iterations=iterations, id_col=id_col, vec_col="v"
+        )
+        parts.append(
+            asg.select(
+                id_col, F.lit(s).alias("sub"), F.col("cell")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2343,11 +2343,16 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_quantized(emb, k=8, iterations=2).orderBy("vec_id")
 
 
-def _q_kmeans_sql(k: int = 8, iterations: int = 2, quant: int = 1_000_000) -> str:
+def _q_kmeans_sql(
+    k: int = 8,
+    iterations: int = 2,
+    quant: int = 1_000_000,
+    vec_sql: str = "embedding",
+) -> str:
     parts = [
         f"""vpos AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {float(quant)} + 0.5)
+  SELECT vec_id, generate_subscripts({vec_sql}, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest({vec_sql}) AS DOUBLE) * {float(quant)} + 0.5)
               AS BIGINT) AS vq
   FROM embeddings
 )""",
@@ -2665,6 +2670,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (similarity.pq_codes): m per-subspace
+    integer-exact kmeans fits — the IVF-PQ compression step. Oracle:
+    each subspace's kmeans replayed on the sliced embedding."""
+    from xml_to_parquet_spark.functions.similarity import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m=4, k=16, iterations=1, dim=64).orderBy(
+        "vec_id", "sub"
+    )
+
+
+def _q_pq_codes_sql(m: int = 4, k: int = 16, iterations: int = 1,
+                    dim: int = 64) -> str:
+    sub = dim // m
+    subqs = []
+    for s in range(m):
+        vec = f"embedding[{s * sub + 1}:{(s + 1) * sub}]"
+        inner = _q_kmeans_sql(k=k, iterations=iterations, vec_sql=vec)
+        # strip the inner ORDER BY; wrap as a subquery emitting (id, sub, cell)
+        inner = inner.replace("ORDER BY vec_id", "")
+        subqs.append(
+            f"SELECT vec_id, {s} AS sub, cell FROM ({inner})"
+        )
+    return (
+        " UNION ALL ".join(subqs) + " ORDER BY vec_id, sub"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2969,5 +3003,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_variant_json,
         _Q_VARIANT_JSON_SQL,
         "VariantType JSON: parse once, typed binary field access",
+    ),
+    "q81_pq_codes": QuerySpec(
+        q_pq_codes,
+        _q_pq_codes_sql(),
+        "product-quantization codes (per-subspace integer kmeans)",
     ),
 }
