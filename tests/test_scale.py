@@ -93,3 +93,40 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_after = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
     assert n_after == 1
     assert spark.read.parquet(out).count() == 1600
+
+
+def test_zorder_layout_tightens_file_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.scale import write_zordered, zorder_key
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id"
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    ev.repartition(8).write.parquet(plain)
+    write_zordered(ev, zed, "user_id", "event_id", n_files=8)
+
+    def avg_range(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("r"))
+        )
+        rows = per_file.collect()
+        return sum(r.r for r in rows) / len(rows)
+
+    # z-ordered files cluster BOTH dimensions at once — a single-column
+    # sort could only tighten one; hash layout tightens neither. 8 files
+    # split 2-D z-space ~√8 per dimension (unevenly along the curve).
+    assert avg_range(zed, "user_id") < 0.75 * avg_range(plain, "user_id")
+    assert avg_range(zed, "event_id") < 0.6 * avg_range(plain, "event_id")
+
+    # the key itself is exact integer math: monotone bit interleave
+    r = (
+        spark.range(1)
+        .select(zorder_key(F.lit(3), F.lit(5), bits=4).alias("z"))
+        .collect()[0]
+    )
+    # a=0b0011, b=0b0101 -> interleave (b_i a_i): 0b100111 = 39
+    assert r.z == 39

@@ -110,3 +110,74 @@ def merge_dimension(
         F.col(value_col),
     )
     return existing_dim.select(key_col, value_col).unionByName(keyed_new)
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — pure integer expression, exact in any
+    engine.
+
+    Why at 100 TB: parquet readers skip files/row-groups via min/max
+    statistics, but sorting by ONE column leaves the other's per-file
+    ranges as wide as the table. Range-partitioning + sorting by the
+    Z-key clusters BOTH dimensions simultaneously, so predicates on
+    either column (or both) prune files. This is the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, expressed as a plain column.
+    """
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z + abit * F.lit(1 << (2 * i)) + bbit * F.lit(1 << (2 * i + 1))
+    return z
+
+
+def zorder_key_sql(a_sql: str, b_sql: str, bits: int = 16) -> str:
+    """ANSI twin of :func:`zorder_key` (// and % instead of shifts)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_sql}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b_sql}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Write parquet clustered by the Z-order of (col_a, col_b):
+    repartitionByRange on the Z-key places similar keys in the same file,
+    sortWithinPartitions tightens row-group stats — downstream scans with
+    predicates on either column prune most files via min/max statistics.
+    One range exchange + per-task sort; no global bottleneck.
+
+    Both columns are min/max-normalized to ``bits`` bits BEFORE
+    interleaving — raw interleave lets the wider-ranged column dominate
+    the key order and the narrow column gets no clustering at all (this is
+    why production ZORDER implementations rank/quantile-map columns
+    first). The min/max probe is one tiny agg job.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def norm(col: str, lo, hi) -> Column:
+        span = max(int(hi) - int(lo), 1)
+        return F.expr(
+            f"(CAST({col} AS BIGINT) - {int(lo)}) * {top} div {span}"
+        )
+
+    z = zorder_key(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("__zkey", z)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2699,6 +2699,32 @@ def _q_pq_codes_sql(m: int = 4, k: int = 16, iterations: int = 1,
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-order keys (operators.scale.zorder_key) — the data-layout
+    primitive behind OPTIMIZE ZORDER-style multi-column file skipping;
+    pure integer bit interleave, exact in any engine. The layout benefit
+    itself (per-file min/max range tightening on BOTH columns) is
+    asserted in tests/test_scale.py::test_zorder_layout_tightens_file_ranges."""
+    from xml_to_parquet_spark.operators.scale import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(F.col("user_id"), F.col("event_id"), bits=16).alias(
+            "zkey"
+        ),
+    ).orderBy("event_id")
+
+
+def _q_zorder_key_sql() -> str:
+    from xml_to_parquet_spark.operators.scale import zorder_key_sql
+
+    return f"""
+SELECT event_id, {zorder_key_sql('user_id', 'event_id', 16)} AS zkey
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3008,5 +3034,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_pq_codes,
         _q_pq_codes_sql(),
         "product-quantization codes (per-subspace integer kmeans)",
+    ),
+    "q82_zorder_key": QuerySpec(
+        q_zorder_key,
+        _q_zorder_key_sql(),
+        "Morton Z-order keys for multi-column file skipping",
     ),
 }
