@@ -130,3 +130,36 @@ def test_zorder_layout_tightens_file_ranges(spark, tmp_path):
     )
     # a=0b0011, b=0b0101 -> interleave (b_i a_i): 0b100111 = 39
     assert r.z == 39
+
+
+def test_upsert_by_key_update_wins_ties(spark):
+    from xml_to_parquet_spark.operators.scale import upsert_by_key
+
+    base = spark.createDataFrame(
+        [(1, 10, "old"), (2, 10, "keep")], "k long, ver long, v string"
+    )
+    upd = spark.createDataFrame([(1, 10, "new"), (3, 5, "ins")],
+                                "k long, ver long, v string")
+    got = {r.k: r.v for r in upsert_by_key(base, upd, ["k"], "ver").collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}  # equal ver: update wins
+
+
+def test_scd2_apply_history(spark):
+    from xml_to_parquet_spark.operators.scale import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None), (2, "B", "2020-01-01", None)],
+        "key int, value string, valid_from string, valid_to string",
+    ).selectExpr("key", "value", "CAST(valid_from AS DATE) valid_from",
+                 "CAST(valid_to AS DATE) valid_to")
+    ch = spark.createDataFrame([(1, "A2"), (3, "C")], "key int, value string")
+    rows = sorted(
+        ((r.key, r.value, str(r.valid_from), str(r.valid_to))
+         for r in scd2_apply(dim, ch, "key", "value", "2024-01-01").collect())
+    )
+    assert rows == [
+        (1, "A", "2020-01-01", "2024-01-01"),   # closed old version
+        (1, "A2", "2024-01-01", "None"),        # new open version
+        (2, "B", "2020-01-01", "None"),         # untouched
+        (3, "C", "2024-01-01", "None"),         # brand-new key
+    ]

@@ -181,3 +181,94 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def upsert_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Keyed upsert (MERGE-style): union existing + updates, keep the row
+    with the greatest ``order_col`` per key (ties → the update side wins
+    via a source rank). The incremental fact-maintenance primitive for
+    engines without ACID MERGE: one shuffle on the key, no driver state.
+
+    At 100 TB: partition both sides by key (or bucket the base table) so
+    the window is co-located; with date-partitioned facts, run per
+    partition touched by the update batch — the usual compact-then-swap.
+    """
+    tagged_e = existing.withColumn("__src", F.lit(0))
+    tagged_u = updates.withColumn("__src", F.lit(1))
+    merged = tagged_e.unionByName(tagged_u)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    value_col: str,
+    effective_date: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: rows whose value changed get
+    their current version CLOSED (valid_to = effective_date) and a new
+    OPEN version appended (valid_from = effective_date, valid_to = null).
+
+    ``dim`` carries (key, value, valid_from, valid_to); only open rows
+    (valid_to IS NULL) are candidates for closing. ``changes`` carries
+    (key, value). Unchanged values and unknown keys in ``dim`` pass
+    through untouched; brand-new keys insert as open rows. The reference
+    builds Kimball stars — SCD2 is the standard history-preserving
+    maintenance for their dimensions; the date is a parameter so the
+    operation is deterministic and oracle-checkable.
+
+    Plan: one broadcast-sized join of the (small, cardinality-capped)
+    dimension against the change set — no fact involvement at all.
+    """
+    open_rows = dim.filter(F.col("valid_to").isNull())
+    closed_rows = dim.filter(F.col("valid_to").isNotNull())
+    ch = changes.select(
+        F.col(key_col), F.col(value_col).alias("__new_value")
+    )
+    joined = open_rows.join(F.broadcast(ch), on=key_col, how="left")
+    changed = F.col("__new_value").isNotNull() & (
+        F.col("__new_value") != F.col(value_col)
+    )
+    kept_open = joined.filter(~changed).drop("__new_value")
+    now_closed = (
+        joined.filter(changed)
+        .withColumn("valid_to", F.lit(effective_date).cast("date"))
+        .drop("__new_value")
+    )
+    new_versions = (
+        joined.filter(changed)
+        .select(
+            F.col(key_col),
+            F.col("__new_value").alias(value_col),
+            F.lit(effective_date).cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    brand_new = (
+        ch.join(dim.select(key_col).distinct(), on=key_col, how="left_anti")
+        .select(
+            F.col(key_col),
+            F.col("__new_value").alias(value_col),
+            F.lit(effective_date).cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    return (
+        closed_rows.unionByName(kept_open)
+        .unionByName(now_closed)
+        .unionByName(new_versions)
+        .unionByName(brand_new)
+    )

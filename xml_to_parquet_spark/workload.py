@@ -2725,6 +2725,80 @@ FROM events ORDER BY event_id
 """
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE-style upsert (operators.scale.upsert_by_key): updates
+    overwrite base rows per key (equal order ties resolve to the update
+    side); one shuffle on the key, no driver state."""
+    from xml_to_parquet_spark.operators.scale import upsert_by_key
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    merged = upsert_by_key(orders, updates, ["o_orderkey"], "o_orderdate")
+    return (
+        merged.filter(F.col("o_orderkey") < 200)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+_Q_UPSERT_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN CAST(-1.0 AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance (operators.scale.scd2_apply):
+    changed values close their open version and append a new one; brand
+    new keys insert as open rows — Kimball history-preserving dims, the
+    maintenance mode the reference's star schemas need across loads."""
+    from xml_to_parquet_spark.operators.scale import scd2_apply
+
+    region = _t(spark, sf_dir, "region")
+    dim = region.select(
+        F.col("r_regionkey").cast("int").alias("key"),
+        F.col("r_name").alias("value"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changes = (
+        region.filter(F.col("r_regionkey").isin(0, 2))
+        .select(
+            F.col("r_regionkey").cast("int").alias("key"),
+            F.concat(F.col("r_name"), F.lit("_NEW")).alias("value"),
+        )
+        .unionByName(
+            spark.createDataFrame([(99, "NEWREGION")], "key int, value string")
+        )
+    )
+    out = scd2_apply(dim, changes, "key", "value", "2024-06-01")
+    return out.orderBy("key", "valid_from")
+
+
+_Q_SCD2_SQL = """
+WITH dim AS (
+  SELECT CAST(r_regionkey AS INTEGER) AS key, r_name AS value,
+         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM region
+)
+SELECT key, value, valid_from, DATE '2024-06-01' AS valid_to
+FROM dim WHERE key IN (0, 2)
+UNION ALL
+SELECT key, value, valid_from, valid_to FROM dim WHERE key NOT IN (0, 2)
+UNION ALL
+SELECT CAST(r_regionkey AS INTEGER), r_name || '_NEW',
+       DATE '2024-06-01', CAST(NULL AS DATE)
+FROM region WHERE r_regionkey IN (0, 2)
+UNION ALL
+SELECT 99, 'NEWREGION', DATE '2024-06-01', CAST(NULL AS DATE)
+ORDER BY key, valid_from
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3039,5 +3113,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_zorder_key,
         _q_zorder_key_sql(),
         "Morton Z-order keys for multi-column file skipping",
+    ),
+    "q83_upsert": QuerySpec(
+        q_upsert, _Q_UPSERT_SQL, "keyed MERGE-style upsert"
+    ),
+    "q84_scd2": QuerySpec(
+        q_scd2, _Q_SCD2_SQL, "SCD Type 2 dimension history maintenance"
     ),
 }
