@@ -55,6 +55,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    vals = sorted(timings.values())
     print(
         json.dumps(
             {
@@ -63,6 +64,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                # normalization context: total wall grows with catalog SIZE
+                # (59 queries in r1 → 84+ now); per-query stats are the
+                # round-over-round comparable numbers
+                "n_queries": len(timings),
+                "per_query_mean": round(statistics.mean(vals), 3),
+                "per_query_median": round(statistics.median(vals), 3),
             }
         )
     )
