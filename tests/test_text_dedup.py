@@ -246,3 +246,23 @@ def test_star_contraction_long_chain(spark):
         for r in dedup.dedup_clusters_star(pairs).collect()
     }
     assert got == {i: 0 for i in range(13)}
+
+
+def test_fuzzy_pairs_length_blocking_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitten"),       # distance 1 from kitten
+            (3, "sittin"),       # distance 1 from sitten, 2 from kitten
+            (4, "completely different phrase"),
+            (5, "kitte"),        # distance 1 from kitten (len differs)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in dedup.fuzzy_pairs(docs, "text", max_distance=2).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(2, 3)] == 1 and got[(1, 3)] == 2
+    assert got[(1, 5)] == 1  # cross-length-bucket pair still found
+    assert all(k[0] != 4 and k[1] != 4 for k in got)

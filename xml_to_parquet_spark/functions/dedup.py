@@ -347,6 +347,54 @@ def simhash_blocked_pairs(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_distance: int = 2,
+) -> DataFrame:
+    """Edit-distance near-match pairs (id_a < id_b, levenshtein ≤ k) via
+    LENGTH BLOCKING — the entity-resolution / fuzzy-dedup primitive.
+
+    Pigeonhole: levenshtein(a,b) ≤ k ⇒ |len(a)−len(b)| ≤ k, so each string
+    only needs to meet strings whose length bucket (width k+1) is its own
+    or an adjacent one. One side replicates into its 3 candidate buckets
+    (3× map-side blowup), the join is a plain equi-join on the bucket id,
+    and exact levenshtein verifies — no cross product anywhere; work ∝
+    strings sharing a length neighborhood. Both engines compute identical
+    integer distances, so the result is exactly oracle-checkable.
+    """
+    width = max_distance + 1
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).withColumn("blk", F.floor(F.length("s") / width).cast("int"))
+    probes = base.select(
+        F.col("id"), F.col("s"),
+        F.explode(
+            F.array(
+                F.col("blk") - 1, F.col("blk"), F.col("blk") + 1
+            )
+        ).alias("blk"),
+    )
+    a = probes.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"), "blk"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "blk"
+    )
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("s_a"), F.col("s_b")).cast("int"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+        .distinct()
+    )
+
+
 def dedup_against_corpus(
     new: DataFrame,
     corpus: DataFrame,

@@ -2799,6 +2799,65 @@ ORDER BY key, valid_from
 """
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (dedup.fuzzy_pairs): length-blocked
+    levenshtein pairs — the entity-resolution primitive; integer distances
+    are exactly oracle-checkable. The oracle deliberately uses the naive
+    O(n²) formulation: same result, independently derived."""
+    from xml_to_parquet_spark.functions.dedup import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_pairs(
+        cust, "c_name", id_col="c_custkey", max_distance=1
+    ).orderBy("id_a", "id_b")
+
+
+_Q_FUZZY_PAIRS_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window battery: lag/lead/rank/dense_rank/ntile/cume_dist
+    over per-customer order sequences — the full OLAP window surface in
+    one oracle-checked plan (single shuffle on the partition key)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+_Q_WINDOW_BATTERY_SQL = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       CAST(RANK() OVER w AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       CUME_DIST() OVER w AS cd
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3119,5 +3178,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q84_scd2": QuerySpec(
         q_scd2, _Q_SCD2_SQL, "SCD Type 2 dimension history maintenance"
+    ),
+    "q85_fuzzy_pairs": QuerySpec(
+        q_fuzzy_pairs,
+        _Q_FUZZY_PAIRS_SQL,
+        "length-blocked levenshtein fuzzy matching",
+    ),
+    "q86_window_battery": QuerySpec(
+        q_window_battery,
+        _Q_WINDOW_BATTERY_SQL,
+        "analytic window battery (lag/lead/rank/ntile/cume_dist)",
     ),
 }
