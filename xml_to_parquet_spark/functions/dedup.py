@@ -363,6 +363,12 @@ def fuzzy_pairs(
     and exact levenshtein verifies — no cross product anywhere; work ∝
     strings sharing a length neighborhood. Both engines compute identical
     integer distances, so the result is exactly oracle-checkable.
+
+    LIMITATION (measured): length blocking only prunes when lengths VARY.
+    A corpus of uniform-length strings (e.g. fixed-format ids) collapses
+    into one bucket and the join degenerates to all-pairs — at scale,
+    pre-block such data on a second cheap key (q-gram sample, prefix
+    class) before calling this, or bound the candidate set first.
     """
     width = max_distance + 1
     base = df.select(
