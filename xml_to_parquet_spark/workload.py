@@ -2865,6 +2865,84 @@ ORDER BY o_custkey, rnk
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — finer than rollup/cube
+    (q34/q43): exactly the named aggregation levels, each row tagged with
+    which columns are aggregated away."""
+    from xml_to_parquet_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                 AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+_Q_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+         AS gid,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling battery: coalesce / nullif / greatest / least /
+    null-safe equality over lineitem — counted so the whole battery is one
+    exact aggregation row per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.coalesce(F.col("l_linestatus"), F.lit("")) == "O")
+                .cast("long")
+            ).alias("n_open"),
+            F.sum(
+                F.nullif(F.col("l_linenumber"), F.lit(1)).isNull()
+                .cast("long")
+            ).alias("n_line1"),
+            F.sum(
+                (
+                    F.greatest("l_quantity", "l_discount")
+                    == F.col("l_quantity")
+                ).cast("long")
+            ).alias("n_qty_ge"),
+            F.sum(
+                F.col("l_linestatus").eqNullSafe(F.lit("F")).cast("long")
+            ).alias("n_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q_NULL_BATTERY_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       SUM(CASE WHEN COALESCE(l_linestatus, '') = 'O' THEN 1 ELSE 0 END)
+         AS n_open,
+       SUM(CASE WHEN NULLIF(l_linenumber, 1) IS NULL THEN 1 ELSE 0 END)
+         AS n_line1,
+       SUM(CASE WHEN GREATEST(l_quantity, l_discount) = l_quantity
+                THEN 1 ELSE 0 END) AS n_qty_ge,
+       SUM(CASE WHEN l_linestatus IS NOT DISTINCT FROM 'F'
+                THEN 1 ELSE 0 END) AS n_f
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3195,5 +3273,15 @@ QUERIES: dict[str, QuerySpec] = {
         q_window_battery,
         _Q_WINDOW_BATTERY_SQL,
         "analytic window battery (lag/lead/rank/ntile/cume_dist)",
+    ),
+    "q87_grouping_sets": QuerySpec(
+        q_grouping_sets,
+        _Q_GROUPING_SETS_SQL,
+        "explicit GROUPING SETS with grouping_id",
+    ),
+    "q88_null_battery": QuerySpec(
+        q_null_battery,
+        _Q_NULL_BATTERY_SQL,
+        "null-handling battery (coalesce/nullif/greatest/null-safe eq)",
     ),
 }
