@@ -40,17 +40,17 @@ PRUNING = {
     "q04_project_filter": ("orders", 5),
     "q01_star_revenue": ("lineitem", 4),
     "q06_sort_limit": ("orders", 2),
-    "q52_hash_sample": ("documents", 4),
-    "q54_grouped_topk": ("documents", 3),
-    "q67_repetition_features": ("documents", 2),
-    "q73_dedup_incremental": ("documents", 2),
-    "q74_assign_split": ("documents", 1),
+    "a52_hash_sample": ("documents", 4),
+    "a54_grouped_topk": ("documents", 3),
+    "a67_repetition_features": ("documents", 2),
+    "a73_dedup_incremental": ("documents", 2),
+    "a74_assign_split": ("documents", 1),
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {
-    "q54_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
-    "q58_tfidf_terms": "WindowGroupLimit",
-    "q55_contamination": "BroadcastHashJoin",  # eval shingles broadcast
+    "a54_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
+    "a58_tfidf_terms": "WindowGroupLimit",
+    "a55_contamination": "BroadcastHashJoin",  # eval shingles broadcast
     # tiled all-pairs gemm runs as grouped pandas — NOT a driver collect
     "q25_dedup_embedding": "FlatMapGroupsInPandas",
 }
