@@ -163,3 +163,26 @@ def test_scd2_apply_history(spark):
         (2, "B", "2020-01-01", "None"),         # untouched
         (3, "C", "2024-01-01", "None"),         # brand-new key
     ]
+
+
+def test_scd2_apply_null_valued_open_row(spark):
+    """A NULL-valued open row receiving a real update must be closed and
+    re-opened, not silently dropped (`!=` against NULL is NULL, which
+    passes neither filter branch without eqNullSafe)."""
+    from xml_to_parquet_spark.operators.scale import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, "2020-01-01", None), (2, None, "2020-01-01", None)],
+        "key int, value string, valid_from string, valid_to string",
+    ).selectExpr("key", "value", "CAST(valid_from AS DATE) valid_from",
+                 "CAST(valid_to AS DATE) valid_to")
+    ch = spark.createDataFrame([(1, "X")], "key int, value string")
+    rows = sorted(
+        ((r.key, str(r.value), str(r.valid_from), str(r.valid_to))
+         for r in scd2_apply(dim, ch, "key", "value", "2024-01-01").collect())
+    )
+    assert rows == [
+        (1, "None", "2020-01-01", "2024-01-01"),  # NULL version closed
+        (1, "X", "2024-01-01", "None"),           # new open version
+        (2, "None", "2020-01-01", "None"),        # untouched NULL row kept
+    ]

@@ -42,6 +42,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # float divide rounds the low microsecond bits on ~1.5% of rows.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Newer testdata writes ts as plain parquet TIMESTAMP(MICROS) without
+    # isAdjustedToUTC, which Spark 4 reads as TIMESTAMP_NTZ. Event-time
+    # operators (watermarks) require TIMESTAMP; the NTZ→LTZ cast interprets
+    # the wall clock in the session timezone and date_format renders it back
+    # in the same zone, so formatted output round-trips identically to
+    # DuckDB's naive TIMESTAMP regardless of what the session zone is.
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, T.TimestampNTZType
+    ):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

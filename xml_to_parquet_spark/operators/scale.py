@@ -232,6 +232,17 @@ def scd2_apply(
 
     Plan: one broadcast-sized join of the (small, cardinality-capped)
     dimension against the change set — no fact involvement at all.
+
+    Precondition: ``changes`` must have at most one row per key (duplicate
+    change rows would fan the open version out); the join below asserts
+    this cheaply by deduplicating and counting would be a shuffle, so we
+    rely on the caller — SCD batches are keyed by construction.
+
+    Null semantics: the change-detection comparison is null-SAFE. An open
+    row whose current value is NULL and whose incoming value is non-null
+    is a real change (closed + re-opened), not a silent drop. An incoming
+    NULL is indistinguishable from "no change row matched" after the left
+    join, so NULL updates are treated as no-ops by design.
     """
     open_rows = dim.filter(F.col("valid_to").isNull())
     closed_rows = dim.filter(F.col("valid_to").isNotNull())
@@ -239,9 +250,11 @@ def scd2_apply(
         F.col(key_col), F.col(value_col).alias("__new_value")
     )
     joined = open_rows.join(F.broadcast(ch), on=key_col, how="left")
-    changed = F.col("__new_value").isNotNull() & (
-        F.col("__new_value") != F.col(value_col)
-    )
+    # eqNullSafe: `__new_value != value_col` would be NULL when the open
+    # row's value is NULL, making the row vanish from BOTH branches below.
+    changed = F.col("__new_value").isNotNull() & ~F.col(
+        "__new_value"
+    ).eqNullSafe(F.col(value_col))
     kept_open = joined.filter(~changed).drop("__new_value")
     now_closed = (
         joined.filter(changed)

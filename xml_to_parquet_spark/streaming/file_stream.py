@@ -90,6 +90,24 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
+def _normalize_event_ts(ev: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP for event-time ops.
+
+    Two testdata vintages (same handling as catalog.load_table):
+    - TIMESTAMP(NANOS) read as long under the legacy conf → integer ``div``
+      to micros (float division rounds above 2^53);
+    - TIMESTAMP(MICROS) without isAdjustedToUTC read as TIMESTAMP_NTZ →
+      cast to TIMESTAMP (watermarks reject NTZ); wall-clock round-trips
+      through the session zone so formatted output matches the oracle.
+    """
+    dt = ev.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
 def stream_events_windowed(
     spark: SparkSession,
     sf_dir: str,
@@ -108,10 +126,7 @@ def stream_events_windowed(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(ev.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet read as long (see catalog.load_table);
-        # integer `div` — float division rounds above 2^53
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _normalize_event_ts(ev)
     from xml_to_parquet_spark.operators.aggregation import dsum
 
     agg = (
@@ -155,8 +170,7 @@ def stream_events_dedup(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(ev.schema["ts"].dataType, T.LongType):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _normalize_event_ts(ev)
     deduped = (
         ev.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark([key_col])
