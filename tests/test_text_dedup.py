@@ -266,3 +266,74 @@ def test_fuzzy_pairs_length_blocking_exact(spark):
     assert got[(1, 2)] == 1 and got[(2, 3)] == 1 and got[(1, 3)] == 2
     assert got[(1, 5)] == 1  # cross-length-bucket pair still found
     assert all(k[0] != 4 and k[1] != 4 for k in got)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def _brute_pairs(rows: list[tuple[int, str]], k: int) -> set:
+    out = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            d = _lev(sa, sb)
+            if d <= k:
+                lo, hi = min(ia, ib), max(ia, ib)
+                out.add((lo, hi, d))
+    return out
+
+
+def _qgram_result(spark, rows, k, q=2) -> set:
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.id_a, r.id_b, r.distance)
+        for r in dedup.fuzzy_pairs_qgram(
+            df, "text", max_distance=k, q=q, num_partitions=4
+        ).collect()
+    }
+
+
+def test_fuzzy_qgram_equals_bruteforce_mixed_corpus(spark):
+    """Lossless blocking on an adversarial mix: variable lengths, exact
+    duplicates, empty strings, short strings below the gram bound, and
+    mutated near-neighbors."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdef"
+    rows, next_id = [], 0
+    for _ in range(60):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        rows.append((next_id, base)); next_id += 1
+        if rng.random() < 0.6 and base:
+            mut = list(base)
+            op = rng.choice(["sub", "del", "ins"])
+            p = rng.randrange(len(mut))
+            if op == "sub":
+                mut[p] = rng.choice(alpha)
+            elif op == "del":
+                del mut[p]
+            else:
+                mut.insert(p, rng.choice(alpha))
+            rows.append((next_id, "".join(mut))); next_id += 1
+        if rng.random() < 0.2:
+            rows.append((next_id, base)); next_id += 1  # exact duplicate
+    for k in (1, 2):
+        for q in (2, 3):
+            assert _qgram_result(spark, rows, k, q) == _brute_pairs(rows, k)
+
+
+def test_fuzzy_qgram_uniform_length_worst_case(spark):
+    """The corpus that defeats length blocking: every string the same
+    length and format. Result must still equal brute force exactly."""
+    rows = [(i, f"Item#{i:06d}") for i in range(250)]
+    for k in (1, 2):
+        assert _qgram_result(spark, rows, k) == _brute_pairs(rows, k)
