@@ -892,7 +892,13 @@ FROM documents ORDER BY doc_id
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas fake-decode plumbing (deterministic stub) — rows-only."""
+    """mapInPandas decode plumbing with the deterministic stand-in kernel.
+
+    The stand-in derives (width, height, format) from md5 digest bytes of
+    the payload, which IS SQL-expressible — DuckDB parses the same hex
+    digits — so this mapInPandas pipeline gets a full exact oracle, not a
+    rows-only check: the oracle proves batching/partitioning never leaks
+    into results."""
     from xml_to_parquet_spark.functions.multimodal import (
         decode_batch,
         text_as_binary,
@@ -908,6 +914,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_as_binary(F.col("text")).alias("payload"),
     )
     return decode_batch(docs).orderBy("id")
+
+
+_Q_MULTIMODAL_DECODE_SQL = """
+SELECT doc_id AS id,
+       64 + (('0x' || substr(md5(text), 1, 2))::INT % 192) AS width,
+       64 + (('0x' || substr(md5(text), 3, 2))::INT % 192) AS height,
+       CASE (('0x' || substr(md5(text), 5, 2))::INT % 3)
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
+       END AS format,
+       octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY id
+"""
 
 
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3035,7 +3053,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_meta, _Q_MULTIMODAL_META_SQL, "binary payload metadata"
     ),
     "q29_multimodal_decode": QuerySpec(
-        q_multimodal_decode, None, "mapInPandas decode plumbing (stub kernel)"
+        q_multimodal_decode,
+        _Q_MULTIMODAL_DECODE_SQL,
+        "mapInPandas decode plumbing (deterministic stand-in kernel)",
     ),
     "q30_window_running_sum": QuerySpec(
         q_window_running_sum, _Q_WINDOW_RUNNING_SQL, "analytic running sum"
