@@ -147,13 +147,60 @@ def test_orders_nested_flatten(spark, tmp_path):
     path = _write(tmp_path, "orders.xml", ORDERS_XML)
     df = read_xml_records(spark, path, lineage=False)
     r = {row.id: row for row in df.collect()}["1001"]
-    # grandchildren text space-concatenated into the child's column.
-    # Order is the inferred schema's (alphabetical: discount, item_count,
-    # total_amount) — a documented departure from the reference's document
-    # order; lexical values ("127.50") are preserved via inferSchema=false.
-    assert r.items == "127.50 3 2549.97"
+    # grandchildren text space-concatenated into the child's column, in
+    # DOCUMENT order (total_amount, item_count, discount) — reference
+    # parity via the probe-derived order; the inferred schema alone would
+    # give alphabetical. Lexical values ("127.50") preserved via
+    # inferSchema=false.
+    assert r.items == "2549.97 3 127.50"
     assert r.status == "completed"
     assert r.order_date == "2024-01-15"
+
+
+def test_nested_flatten_schema_order_fallback(spark, tmp_path):
+    path = _write(tmp_path, "orders.xml", ORDERS_XML)
+    df = read_xml_records(spark, path, lineage=False, document_order=False)
+    r = {row.id: row for row in df.collect()}["1001"]
+    # document_order=False keeps the inferred schema's alphabetical order
+    assert r.items == "127.50 3 2549.97"
+
+
+NONALPHA_NESTED_XML = """<?xml version="1.0"?>
+<root>
+  <record id="1">
+    <shipping>
+      <zip>90210</zip>
+      <city>Oslo</city>
+      <street>Main St</street>
+      <extra><note>b</note><aaa>a</aaa></extra>
+    </shipping>
+  </record>
+  <record id="2">
+    <shipping>
+      <zip>10001</zip>
+      <city>Bergen</city>
+      <street>Side St</street>
+    </shipping>
+  </record>
+</root>
+"""
+
+
+def test_document_order_concat_matches_reference(spark, tmp_path):
+    """Non-alphabetical nested elements: the concat string must follow the
+    XML document order (zip, city, street — and depth-first into nested
+    grandchildren) exactly as the reference's xml2::xml_text would."""
+    from xml_to_parquet_spark.sources import derive_document_order
+
+    path = _write(tmp_path, "nonalpha.xml", NONALPHA_NESTED_XML)
+    order = derive_document_order(spark, path, "record")
+    assert order[("shipping",)] == ["zip", "city", "street", "extra"]
+    assert order[("shipping", "extra")] == ["note", "aaa"]
+
+    df = read_xml_records(spark, path, lineage=False)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["1"].shipping == "90210 Oslo Main St b a"
+    assert rows["2"].shipping == "10001 Bergen Side St"
 
 
 def test_comment_business_key(spark, tmp_path):

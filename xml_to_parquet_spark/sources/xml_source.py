@@ -10,8 +10,10 @@ Reference behavior being re-expressed (/root/reference/R/xml_parser.R):
   them with an ``attributePrefix``; we strip the prefix.
 - S5 flatten (xml_parser.R:172-199): leaf child → trimmed text column;
   child-with-children → space-concatenated descendant leaf text in the
-  child's own column; repeated sibling tags → ``name, name.1, ...``
-  (make.unique parity). The Spark source parses these as
+  child's own column, in DOCUMENT order (derived from the probe file —
+  the inferred schema alone is alphabetical; see
+  ``derive_document_order``); repeated sibling tags → ``name, name.1,
+  ...`` (make.unique parity). The Spark source parses these as
   StructType/ArrayType with full fidelity; ``flatten_records`` reproduces
   the reference's lossy-but-simple tabular shape from that faithful parse.
 - record_id from the ``id`` attribute, else a generated id
@@ -52,25 +54,47 @@ COMMENT_PATTERNS = {
 }
 
 
-_ROWTAG_CACHE: dict[str, str] = {}
+# One probe read per path string serves BOTH rowTag resolution and
+# document-order derivation. STALENESS: entries are keyed by path string
+# only — if a directory's contents change between ingests within one
+# process, call ``invalidate_xml_probe_cache`` (or pass explicit
+# row_tag/doc_order) so the probe re-runs; a long-lived service should
+# invalidate per ingest batch.
+_PROBE_CACHE: dict[str, str | None] = {}
+
+
+def invalidate_xml_probe_cache(path: str | None = None) -> None:
+    """Drop the cached probe text (and everything derived from it) for
+    ``path``, or for all paths when None — the refresh hook for callers
+    whose input directories mutate between ingests."""
+    if path is None:
+        _PROBE_CACHE.clear()
+    else:
+        _PROBE_CACHE.pop(path, None)
+
+
+def probe_first_file(spark: SparkSession, path: str) -> str | None:
+    """One file's raw text under ``path`` (Spark text reader + limit(1) —
+    works on any Hadoop-compatible filesystem), cached per path string."""
+    if path not in _PROBE_CACHE:
+        head = spark.read.text(path, wholetext=True).limit(1).collect()
+        _PROBE_CACHE[path] = head[0][0] if head else None
+    return _PROBE_CACHE[path]
 
 
 def resolve_row_tag(spark: SparkSession, path: str) -> str | None:
-    """Resolve the rowTag with ONE driver-side probe read, cached per path.
+    """Resolve the rowTag from the cached probe read.
 
-    Reads one file's text (Spark text reader + limit(1) — works on any
-    Hadoop-compatible filesystem) and picks the first ``CANDIDATE_ROW_TAGS``
-    member that appears as an element open tag; falls back to the root's
-    first child tag (reference xml_parser.R:98-104). Round 1 probed by
-    reading the directory up to 4× with ``isEmpty()`` per candidate — this
-    is one read job total, and repeat ingests of the same path are free.
+    Picks the first ``CANDIDATE_ROW_TAGS`` member that appears as an
+    element open tag; falls back to the root's first child tag (reference
+    xml_parser.R:98-104). Round 1 probed by reading the directory up to 4×
+    with ``isEmpty()`` per candidate — this is one read job total, and
+    repeat ingests of the same path are free (see _PROBE_CACHE staleness
+    note).
     """
-    if path in _ROWTAG_CACHE:
-        return _ROWTAG_CACHE[path]
-    head = spark.read.text(path, wholetext=True).limit(1).collect()
-    if not head:
+    text = probe_first_file(spark, path)
+    if text is None:
         return None
-    text = head[0][0]
     tag = next(
         (c for c in CANDIDATE_ROW_TAGS if re.search(rf"<{c}[\s>/]", text)),
         None,
@@ -79,9 +103,59 @@ def resolve_row_tag(spark: SparkSession, path: str) -> str | None:
         # root's first child: first open tag after the root's open tag
         tags = re.findall(r"<([A-Za-z_][\w.\-]*)[\s>/]", text)
         tag = tags[1] if len(tags) > 1 else None
-    if tag:
-        _ROWTAG_CACHE[path] = tag
     return tag
+
+
+def _local_name(tag: str) -> str:
+    """ElementTree namespace form ``{uri}local`` → ``local``."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def derive_document_order(
+    spark: SparkSession, path: str, row_tag: str
+) -> dict[tuple[str, ...], list[str]]:
+    """Element document order per nested path, from the cached probe file.
+
+    The reference concatenates a nested child's descendant text in DOCUMENT
+    order (xml_parser.R:186-190); Spark's XML source loses that order in
+    its inferred (alphabetical) schema. One driver-side parse of the probe
+    file recovers it: for every element path under the row tag, the child
+    tag names in first-seen order, merged across the probe file's records
+    (later records append tags the earlier ones lacked).
+
+    Returns {(): [top-level child tags...], ("items",): [...], ...} —
+    consumed by ``flatten_records(doc_order=...)``. Empty dict when the
+    probe can't be parsed (flatten then falls back to schema order).
+    ASSUMPTION (documented): files sharing a path glob lay out elements
+    consistently; per-record order divergence beyond the probe file is
+    invisible to a schema-driven columnar parse.
+    """
+    text = probe_first_file(spark, path)
+    if not text:
+        return {}
+    try:
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(text)
+    except Exception:
+        return {}
+
+    records = [
+        el for el in root.iter() if _local_name(el.tag) == row_tag
+    ] or [root]
+    order: dict[tuple[str, ...], list[str]] = {}
+
+    def _walk(elem, prefix: tuple[str, ...]) -> None:
+        names = order.setdefault(prefix, [])
+        for child in elem:
+            name = _local_name(child.tag)
+            if name not in names:
+                names.append(name)
+            _walk(child, prefix + (name,))
+
+    for rec in records:
+        _walk(rec, ())
+    return {k: v for k, v in order.items() if v}
 
 
 def read_xml_auto(
@@ -124,18 +198,47 @@ def read_xml_auto(
     raise ValueError(f"no XML records found under any row tag in {path}")
 
 
-def _leaf_text_exprs(col: F.Column, dtype: T.DataType) -> list[F.Column]:
-    """All descendant leaf-text values of a parsed XML value, in field order.
+def _ordered_fields(
+    dtype: T.StructType,
+    doc_order: dict[tuple[str, ...], list[str]] | None,
+    path: tuple[str, ...],
+) -> list[T.StructField]:
+    """Struct fields reordered to the probed document order; fields the
+    probe never saw (optional elements, attributes, ``_VALUE``) keep their
+    schema position, appended after the ordered ones."""
+    if not doc_order:
+        return list(dtype.fields)
+    ordered = doc_order.get(path, [])
+    by_name = {f.name: f for f in dtype.fields}
+    head = [by_name[n] for n in ordered if n in by_name]
+    seen = {f.name for f in head}
+    return head + [f for f in dtype.fields if f.name not in seen]
+
+
+def _leaf_text_exprs(
+    col: F.Column,
+    dtype: T.DataType,
+    doc_order: dict[tuple[str, ...], list[str]] | None = None,
+    path: tuple[str, ...] = (),
+) -> list[F.Column]:
+    """All descendant leaf-text values of a parsed XML value — in DOCUMENT
+    order when ``doc_order`` (from ``derive_document_order``) is given,
+    else in the inferred schema's field order.
 
     Mirrors xml2::xml_text over grandchildren: element text yes (including
     ``_VALUE`` of mixed-content elements), attributes no.
     """
     if isinstance(dtype, T.StructType):
         out: list[F.Column] = []
-        for f in dtype.fields:
+        for f in _ordered_fields(dtype, doc_order, path):
             if f.name.startswith(ATTR_PREFIX) and f.name != VALUE_TAG:
                 continue  # attribute of a nested element — not text content
-            out.extend(_leaf_text_exprs(col.getField(f.name), f.dataType))
+            out.extend(
+                _leaf_text_exprs(
+                    col.getField(f.name), f.dataType,
+                    doc_order, path + (f.name,),
+                )
+            )
         return out
     if isinstance(dtype, T.ArrayType):
         # repeated nested tags: join each element's text; array_join skips
@@ -145,7 +248,7 @@ def _leaf_text_exprs(col: F.Column, dtype: T.DataType) -> list[F.Column]:
             mapped = F.transform(
                 col,
                 lambda x: F.concat_ws(
-                    " ", *_leaf_text_exprs(x, elem)
+                    " ", *_leaf_text_exprs(x, elem, doc_order, path)
                 ),
             )
         else:
@@ -168,17 +271,22 @@ def _make_unique(names: list[str]) -> list[str]:
     return out
 
 
-def flatten_records(df: DataFrame, max_repeat: int | None = None) -> DataFrame:
+def flatten_records(
+    df: DataFrame,
+    max_repeat: int | None = None,
+    doc_order: dict[tuple[str, ...], list[str]] | None = None,
+) -> DataFrame:
     """Reference flatten semantics over the XML source's faithful parse.
 
     - attribute columns: ``_id`` → ``id``
     - primitive child: trimmed string column
-    - struct child: one column = space-joined descendant leaf text.
-      DEPARTURE from the reference: leaf order is the inferred schema's
-      field order (alphabetical), not document order — the Spark XML source
-      does not preserve element order in its inferred schema. Pass an
-      explicit ``schema`` to ``read_xml_auto`` with fields in document
-      order when that matters.
+    - struct child: one column = space-joined descendant leaf text, in
+      DOCUMENT order when ``doc_order`` (from ``derive_document_order``;
+      ``read_xml_records`` wires it automatically) is given — reference
+      parity with xml_parser.R:186-190. Without it, leaf order falls back
+      to the inferred schema's field order (alphabetical), since the Spark
+      XML source does not preserve element order in its inferred schema;
+      an explicit ``schema`` on ``read_xml_auto`` also controls the order.
     - array child (repeated tag): ``name, name.1, ...`` columns, one per
       occurrence up to the observed max (computed in one tiny agg job unless
       ``max_repeat`` is given); each occurrence flattened like a child
@@ -216,12 +324,23 @@ def flatten_records(df: DataFrame, max_repeat: int | None = None) -> DataFrame:
                 # try_element_at: records with fewer occurrences → null
                 item = F.try_element_at(col, F.lit(i + 1))
                 if isinstance(elem, T.StructType):
-                    cols.append(F.concat_ws(" ", *_leaf_text_exprs(item, elem)))
+                    cols.append(
+                        F.concat_ws(
+                            " ",
+                            *_leaf_text_exprs(
+                                item, elem, doc_order, (f.name,)
+                            ),
+                        )
+                    )
                 else:
                     cols.append(F.trim(item.cast("string")))
                 names.append(f.name)
         elif isinstance(dt, T.StructType):
-            cols.append(F.concat_ws(" ", *_leaf_text_exprs(col, dt)))
+            cols.append(
+                F.concat_ws(
+                    " ", *_leaf_text_exprs(col, dt, doc_order, (f.name,))
+                )
+            )
             names.append(f.name)
         else:
             cols.append(F.trim(col.cast("string")))
@@ -260,10 +379,24 @@ def read_xml_records(
     row_tag: str | None = None,
     lineage: bool = True,
     id_attribute: str = "id",
+    document_order: bool = True,
     **options: str,
 ) -> DataFrame:
-    """Full ingest: parse → flatten → record_id → lineage. One logical plan."""
-    df = flatten_records(read_xml_auto(spark, path, row_tag, **options))
+    """Full ingest: parse → flatten → record_id → lineage. One logical plan.
+
+    ``document_order`` (default on, reference parity) derives nested-leaf
+    concat order from the same cached probe read that resolves the rowTag
+    — zero extra jobs; set False to keep inferred-schema order.
+    """
+    tag = row_tag or resolve_row_tag(spark, path)
+    doc_order = (
+        derive_document_order(spark, path, tag)
+        if document_order and tag
+        else None
+    )
+    df = flatten_records(
+        read_xml_auto(spark, path, tag, **options), doc_order=doc_order
+    )
     df = with_record_id(df, id_attribute)
     if lineage:
         df = add_lineage(df)

@@ -205,12 +205,15 @@ def stream_xml_dir(
     """
     from xml_to_parquet_spark.sources.xml_source import (
         add_lineage,
+        derive_document_order,
         flatten_records,
         read_xml_auto,
         with_record_id,
     )
 
-    batch = read_xml_auto(spark, os.path.join(input_dir, "*.xml"), row_tag)
+    glob = os.path.join(input_dir, "*.xml")
+    batch = read_xml_auto(spark, glob, row_tag)
+    doc_order = derive_document_order(spark, glob, row_tag)
     stream = (
         spark.readStream.format("xml")
         .schema(batch.schema)
@@ -221,7 +224,11 @@ def stream_xml_dir(
         .option("pathGlobFilter", "*.xml")
         .load(input_dir)
     )
-    out = add_lineage(with_record_id(flatten_records(stream, max_repeat=1)))
+    out = add_lineage(
+        with_record_id(
+            flatten_records(stream, max_repeat=1, doc_order=doc_order)
+        )
+    )
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_xml_")
     q = (
         out.writeStream.format("parquet")
