@@ -512,11 +512,11 @@ def fuzzy_pairs_qgram(
         .withColumn("rk", rk)
         .filter(F.col("rk") <= prefix_len)
         .select("id", "s", "len", "g", F.col("pos"))
-        # both join sides consume the prefix table; localCheckpoint
-        # materializes the (freq-join + window) pipeline ONCE instead of
-        # per-side, and its blocks are ContextCleaner-freed on GC — no
-        # persist() leak on the shared session (prefix ≈ (k·q+1) rows/doc)
-        .localCheckpoint(eager=False)
+        # deliberately NOT cached: both join sides recompute this pipeline,
+        # but its exchanges (freq agg, window) are identical subplans that
+        # Spark's ReuseExchange dedupes, and leaving it uncached means the
+        # operator leaves zero cache residue on a shared session (measured:
+        # caching saved nothing at sf0.1)
     )
     blk = F.floor(F.col("pos") / width).cast("int")
     side_b = prefix.select(
@@ -780,6 +780,7 @@ def ngram_jaccard_via_lsh(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The 100 TB dedup pipeline: MinHash-LSH candidate generation followed
     by exact n-gram Jaccard verification on candidates only.
@@ -787,11 +788,21 @@ def ngram_jaccard_via_lsh(
     Replaces the quadratic inverted-index self-join of
     :func:`ngram_jaccard_pairs` with work proportional to
     (docs × K) + (candidate pairs × shingles). Same output contract.
+
+    The shingle explode feeds four consumers (candidate generation, sizes,
+    both verify-join sides). By default it is embedded UNPERSISTED in the
+    returned plan — recomputed per consumer (map-only, no extra shuffle)
+    but leaving zero cache residue on a shared session. A caller running
+    this hot can pass ``shingles=shingle_table(df, ...).persist()`` and
+    unpersist after its action completes; at 100 TB, materialize the
+    shingle table to parquet instead (executor storage can't hold it, and
+    LRU churn beats recompute only for small corpora).
     """
-    # one shingle explode feeds candidate generation, sizes, and the
-    # verify join — persist it so the three consumers share the work
-    # (freed by Spark's LRU once the plan's actions finish)
-    sh = shingle_table(df, text_col, id_col, n).persist()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, text_col, id_col, n)
+    )
     cand = minhash_lsh_candidates(df, text_col, id_col, n, shingles=sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")

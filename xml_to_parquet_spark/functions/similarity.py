@@ -153,9 +153,24 @@ def lsh_bucket(
     Pure integer arithmetic over literal plane components — cheap (one
     zip_with fold per plane) and exactly reproducible in SQL, so bucketed
     queries can carry a DuckDB oracle.
+
+    Guards against a silent dim mismatch: if ``dim`` exceeded the actual
+    vector length, zip_with would null-pad, the integer dot product would
+    fold to NULL, and every affected plane bit would quietly become 0
+    (collapsing those vectors into low buckets, skewing recall).
+    ``assert_true`` makes a wrong dim fail the job loudly instead.
     """
     planes = hyperplane_components_q(n_planes, dim, quant)
-    vq = quantize_vec(vec, quant)
+    size_ok = F.assert_true(
+        F.size(vec) == dim,
+        F.concat(
+            F.lit("lsh_bucket: vector length "),
+            F.size(vec).cast("string"),
+            F.lit(f" != dim {dim}"),
+        ),
+    )
+    # assert_true returns NULL on success; fold it in so it's evaluated
+    vq = F.when(size_ok.isNull(), quantize_vec(vec, quant))
     bucket: Column = F.lit(0)
     for p in range(n_planes):
         cq = F.array(*[F.lit(c) for c in planes[p]])
@@ -402,6 +417,8 @@ def kmeans_assign_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = HYPERPLANE_QUANT,
+    until_converged: bool = False,
+    max_iterations: int = 20,
 ) -> DataFrame:
     """Lloyd k-means over quantized integer vectors → (id, cell) after
     ``iterations`` assignment passes (centroids update between passes).
@@ -420,22 +437,27 @@ def kmeans_assign_quantized(
     - update: posexplode + map-side-combined groupBy(cell, pos) → k×dim
       rows collected to the driver (model-sized, independent of corpus);
     empty cells keep their previous centroid. iterations × 2 jobs total.
+
+    ``until_converged`` (production variant): iterate up to
+    ``max_iterations``, stopping as soon as a round's update rows equal
+    the previous round's — same sums ⇒ identical new centroids ⇒ the
+    assignment reached a fixed point. The probe is FREE: it hashes the
+    k×dim update rows the round already collects (the q77 star-contraction
+    checksum pattern), no extra job. Fixed ``iterations`` stays the
+    default so the DuckDB oracle can replay exact rounds.
     """
     # persisted: the quantized corpus feeds iterations×2 jobs (assignment
-    # + update) — without the cache each job re-reads and re-quantizes
-    base = df.select(
-        F.col(id_col).alias("id"),
-        quantize_vec(as_double_array(F.col(vec_col)), quant).alias("vq"),
-    ).persist()
-    cents: dict[int, list[int]] = {
-        int(r["id"]): [int(x) for x in r["vq"]]
-        for r in base.filter(F.col("id") < k).collect()
-    }
-    if not cents:
-        raise ValueError(
-            f"kmeans_assign_quantized: no seed vectors with {id_col} < {k} "
-            "(empty input or non-dense ids) — pass a k matching the data"
+    # + update) — without the cache each job re-reads and re-quantizes.
+    # UNPERSISTED before return: the returned assignment is rebuilt from
+    # the source (one extra map-only quantize pass on consumption), so no
+    # cache outlives the call on a shared session.
+    def quantized(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias("id"),
+            quantize_vec(as_double_array(F.col(vec_col)), quant).alias("vq"),
         )
+
+    base = quantized(df).persist()
 
     def assign_col() -> Column:
         choices = []
@@ -450,26 +472,58 @@ def kmeans_assign_quantized(
         # array_min over (d, cid) structs = min distance, ties → smaller cid
         return F.array_min(F.array(*choices)).getField("cid")
 
-    for t in range(iterations):
-        assigned = base.withColumn("cell", assign_col())
-        if t == iterations - 1:
-            return assigned.select(F.col("id").alias(id_col), "cell")
-        sums = (
-            assigned.select("cell", F.posexplode("vq").alias("pos", "q"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new_cents: dict[int, list[int]] = {}
-        for r in sums:
-            new_cents.setdefault(int(r["cell"]), [0] * len(cents[min(cents)]))[
-                int(r["pos"])
-            ] = _tdiv(int(r["s"]), int(r["n"]))
-        for cid in cents:  # empty cells keep their previous centroid
-            if cid not in new_cents:
-                new_cents[cid] = cents[cid]
-        cents = new_cents
-    raise AssertionError("unreachable")
+    try:
+        cents = {
+            int(r["id"]): [int(x) for x in r["vq"]]
+            for r in base.filter(F.col("id") < k).collect()
+        }
+        if not cents:
+            raise ValueError(
+                f"kmeans_assign_quantized: no seed vectors with {id_col} < "
+                f"{k} (empty input or non-dense ids) — pass a k matching "
+                "the data"
+            )
+        n_updates = (max_iterations if until_converged else iterations) - 1
+        prev_key = None
+        for _ in range(n_updates):
+            sums = (
+                base.withColumn("cell", assign_col())
+                .select("cell", F.posexplode("vq").alias("pos", "q"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            if until_converged:
+                key = hash(
+                    tuple(
+                        sorted(
+                            (int(r["cell"]), int(r["pos"]),
+                             int(r["s"]), int(r["n"]))
+                            for r in sums
+                        )
+                    )
+                )
+                if key == prev_key:
+                    break  # fixed point: same sums ⇒ same centroids
+                prev_key = key
+            new_cents: dict[int, list[int]] = {}
+            for r in sums:
+                new_cents.setdefault(
+                    int(r["cell"]), [0] * len(cents[min(cents)])
+                )[int(r["pos"])] = _tdiv(int(r["s"]), int(r["n"]))
+            for cid in cents:  # empty cells keep their previous centroid
+                if cid not in new_cents:
+                    new_cents[cid] = cents[cid]
+            cents = new_cents
+    finally:
+        base.unpersist()
+    # final assignment rebuilt from the SOURCE, not the (now-unpersisted)
+    # cache: final centroids are baked in as literals
+    return (
+        quantized(df)
+        .withColumn("cell", assign_col())
+        .select(F.col("id").alias(id_col), "cell")
+    )
 
 
 def pq_codes(
