@@ -455,12 +455,18 @@ def attach_business_keys(
                 r[0]
                 for r in keys.select("business_key_name").distinct().collect()
             ]
-        for kn in key_names:
-            out = out.withColumn(
-                kn,
+        # ONE select with every key column, not a withColumn loop: each
+        # withColumn adds an analyzer/optimizer pass over a growing plan,
+        # which goes quadratic when a feed carries thousands of distinct
+        # key names
+        out = out.select(
+            "*",
+            *[
                 F.when(
                     F.col("business_key_name") == kn,
                     F.col("business_key_value"),
-                ),
-            )
+                ).alias(kn)
+                for kn in key_names
+            ],
+        )
     return out
