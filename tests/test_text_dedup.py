@@ -337,3 +337,47 @@ def test_fuzzy_qgram_uniform_length_worst_case(spark):
     rows = [(i, f"Item#{i:06d}") for i in range(250)]
     for k in (1, 2):
         assert _qgram_result(spark, rows, k) == _brute_pairs(rows, k)
+
+
+def _symdel_result(spark, rows, k) -> set:
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.id_a, r.id_b, r.distance)
+        for r in dedup.fuzzy_pairs_symdel(
+            df, "text", max_distance=k, num_partitions=4
+        ).collect()
+    }
+
+
+def test_fuzzy_symdel_equals_bruteforce_mixed_corpus(spark):
+    """Symmetric-delete blocking is lossless for k ≤ 2 on an adversarial
+    mix: variable lengths, duplicates, empties, one-char strings, and
+    transposition-shaped false candidates ("ab"/"ba") that the verify
+    stage must reject."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcd"
+    rows = [(0, ""), (1, "a"), (2, "b"), (3, "ab"), (4, "ba")]
+    next_id = 5
+    for _ in range(50):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+        rows.append((next_id, base)); next_id += 1
+        if rng.random() < 0.5:
+            rows.append((next_id, base)); next_id += 1  # exact duplicate
+    for k in (1, 2):
+        assert _symdel_result(spark, rows, k) == _brute_pairs(rows, k)
+
+
+def test_fuzzy_symdel_uniform_format_corpus(spark):
+    rows = [(i, f"Item#{i:06d}") for i in range(250)]
+    for k in (1, 2):
+        assert _symdel_result(spark, rows, k) == _brute_pairs(rows, k)
+
+
+def test_fuzzy_symdel_rejects_large_k(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distance"):
+        dedup.fuzzy_pairs_symdel(df, "text", max_distance=3)

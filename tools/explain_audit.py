@@ -59,6 +59,10 @@ FORBIDDEN_NODES = {
     # a CollectLimit/driver materialization in the neardup path would mean
     # the corpus flows through the driver again (VERDICT r1 finding #2)
     "q25_dedup_embedding": "CollectLimit",
+    # blocked pair searches must never plan an all-pairs cross product
+    "a85_fuzzy_pairs": "CartesianProduct",
+    "a89_fuzzy_qgram": "CartesianProduct",
+    "a60_simhash_blocked": "CartesianProduct",
 }
 
 

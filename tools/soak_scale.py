@@ -1,0 +1,161 @@
+"""Scale soak (VERDICT r2 #7): one rung above bench.
+
+Generates ~sf1-equivalent tables by 10× replication of sf0.1 into
+/tmp/soak_sf1 (6M-row lineitem, 50k-doc documents, 150k customers, 20k
+embeddings), then times the slowest catalog queries at sf0.1 vs the soak
+dir and prints per-query scaling exponents
+(log10(t_big/t_small) — 1.0 = linear in rows, assuming 10× rows).
+
+Replication is designed so DATA distribution scales honestly instead of
+creating artifact duplicate clusters:
+- documents: every token gets a per-replica suffix, so shingle/simhash/
+  minhash near-dup structure is independent across replicas (10× docs ⇒
+  ~10× intra-replica pairs, not 100× cross-replica dup pairs);
+- embeddings: components perturbed per replica (quantization-visible but
+  cluster-preserving); seed ids (vec_id < k) stay unique to replica 0;
+- customer: names regenerated from the new key (uniform-format corpus
+  grows 10× — the fuzzy-matching worst case scales genuinely);
+- lineitem: orderkeys offset per replica, value columns untouched.
+Small/auxiliary tables are copied as-is.
+
+Usage: python tools/soak_scale.py [--gen-only|--run-only] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SOAK_DST", "/tmp/soak_sf1")
+REPLICAS = 10
+
+# the slowest BENCH_r02 queries + the r3-reworked fuzzy matcher
+DEFAULT_QUERIES = [
+    "a81_pq_codes",
+    "a77_dedup_clusters_star",
+    "a85_fuzzy_pairs",
+    "a60_simhash_blocked",
+    "q21_dedup_ngram_jaccard",
+    "a75_dedup_apply",
+    "a70_dedup_clusters",
+    "a71_kmeans_cells",
+    "q42_percentile",
+    "q23_dedup_minhash_lsh",
+]
+
+COPY_AS_IS = [
+    "region", "nation", "part", "supplier", "orders", "events",
+]
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"(SELECT unnest(range({REPLICAS})) AS i)"
+
+    def copy(sql: str, name: str) -> None:
+        out = os.path.join(DST, f"{name}.parquet")
+        t = time.time()
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{out}'"
+        ).fetchone()[0]
+        print(f"  {name}: {n} rows [{time.time() - t:.1f}s]", flush=True)
+
+    copy(
+        f"""
+        SELECT d.doc_id + r.i * 10000000 AS doc_id,
+               array_to_string(
+                 list_transform(string_split(d.text, ' '),
+                                w -> w || '_r' || r.i), ' ') AS text,
+               d.lang, d.source, d.n_chars
+        FROM '{SRC}/documents.parquet' d CROSS JOIN {rep} r
+        """,
+        "documents",
+    )
+    copy(
+        f"""
+        SELECT e.vec_id + r.i * 10000000 AS vec_id,
+               list_transform(e.embedding,
+                              x -> CAST(x + 0.0001 * r.i AS FLOAT))
+                 AS embedding,
+               e.label
+        FROM '{SRC}/embeddings.parquet' e CROSS JOIN {rep} r
+        """,
+        "embeddings",
+    )
+    copy(
+        f"""
+        SELECT c.c_custkey + r.i * 10000000 AS c_custkey,
+               'Customer#' || lpad(CAST(c.c_custkey + r.i * 1000000
+                                        AS VARCHAR), 9, '0') AS c_name,
+               c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        FROM '{SRC}/customer.parquet' c CROSS JOIN {rep} r
+        """,
+        "customer",
+    )
+    copy(
+        f"""
+        SELECT l.* REPLACE (l.l_orderkey + r.i * 100000000 AS l_orderkey)
+        FROM '{SRC}/lineitem.parquet' l CROSS JOIN {rep} r
+        """,
+        "lineitem",
+    )
+    for name in COPY_AS_IS:
+        dst = os.path.join(DST, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(SRC, f"{name}.parquet"), dst)
+    print(f"soak tables ready in {DST}", flush=True)
+
+
+def run(queries: list[str]) -> dict:
+    from xml_to_parquet_spark.session import get_spark
+    from xml_to_parquet_spark.workload import QUERIES
+
+    spark = get_spark()
+    # warmup
+    QUERIES[queries[0]].fn(spark, "/root/testdata/sf0.001").count()
+    results = {}
+    for name in queries:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        n_small = fn(spark, SRC).count()
+        t_small = time.time() - t0
+        t0 = time.time()
+        n_big = fn(spark, DST).count()
+        t_big = time.time() - t0
+        import math
+
+        exp = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3))
+        results[name] = {
+            "t_sf01": round(t_small, 2),
+            "t_soak": round(t_big, 2),
+            "rows_sf01": n_small,
+            "rows_soak": n_big,
+            "exponent": round(exp, 2),
+        }
+        print(
+            f"  {name:28s} {t_small:6.2f}s -> {t_big:7.2f}s"
+            f"  exp={exp:+.2f}  rows {n_small} -> {n_big}",
+            flush=True,
+        )
+    return results
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    if "--run-only" not in flags:
+        generate()
+    if "--gen-only" not in flags:
+        res = run(args or DEFAULT_QUERIES)
+        print(json.dumps(res))

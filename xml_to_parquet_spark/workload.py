@@ -2818,21 +2818,22 @@ ORDER BY key, valid_from
 
 
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching (dedup.fuzzy_pairs_qgram): positional
-    q-gram prefix filtering + exact levenshtein verify — the
-    entity-resolution primitive; integer distances are exactly
-    oracle-checkable. The oracle deliberately uses the naive O(n²)
-    formulation: same result, independently derived — which doubles as a
-    lossless-blocking proof on real data.
+    """Edit-distance fuzzy matching (dedup.fuzzy_pairs_symdel):
+    symmetric-delete neighborhood blocking + exact levenshtein verify —
+    the entity-resolution primitive on short keys; integer distances are
+    exactly oracle-checkable. The oracle deliberately uses the naive
+    O(n²) formulation: same result, independently derived — which doubles
+    as a lossless-blocking proof on real data.
 
-    UNCAPPED: customer names are UNIFORM-length, the documented worst
-    case where the earlier length-blocking variant collapsed to
-    all-pairs (242 s at sf0.1); the frequency-ranked gram prefixes prune
-    it to seconds at every sf."""
-    from xml_to_parquet_spark.functions.dedup import fuzzy_pairs_qgram
+    UNCAPPED: customer names are UNIFORM-length AND uniform-format, the
+    measured worst case for both length blocking (one bucket → all-pairs,
+    242 s at sf0.1 in r2) and gram blocking (saturated gram key-space →
+    8×10⁸ candidates at 150k names); deletion variants keep candidates
+    output-sized at every scale (soak: 150k names ≈ 4 s)."""
+    from xml_to_parquet_spark.functions.dedup import fuzzy_pairs_symdel
 
     cust = _t(spark, sf_dir, "customer")
-    return fuzzy_pairs_qgram(
+    return fuzzy_pairs_symdel(
         cust, "c_name", id_col="c_custkey", max_distance=1
     ).orderBy("id_a", "id_b")
 
@@ -2843,6 +2844,33 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
 FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey
 WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+def q_fuzzy_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL fuzzy matcher (dedup.fuzzy_pairs_qgram): positional
+    q-gram prefix filtering (ED-Join) + exact levenshtein verify — the
+    path for long/variable strings and k ≥ 3 where deletion neighborhoods
+    blow up. Input capped to a 5k-key slice to keep the bench wall
+    honest; the operator itself is uncapped and brute-force-equivalence
+    tested (see SCALING.md for the variant-selection trade-offs)."""
+    from xml_to_parquet_spark.functions.dedup import fuzzy_pairs_qgram
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 5000)
+    return fuzzy_pairs_qgram(
+        cust, "c_name", id_col="c_custkey", max_distance=1
+    ).orderBy("id_a", "id_b")
+
+
+_Q_FUZZY_QGRAM_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey < 5000 AND b.c_custkey < 5000
+  AND abs(length(a.c_name) - length(b.c_name)) <= 1
   AND levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY id_a, id_b
 """
@@ -3305,6 +3333,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_null_battery,
         _Q_NULL_BATTERY_SQL,
         "null-handling battery (coalesce/nullif/greatest/null-safe eq)",
+    ),
+    "a89_fuzzy_qgram": QuerySpec(
+        q_fuzzy_qgram,
+        _Q_FUZZY_QGRAM_SQL,
+        "q-gram prefix-filtered levenshtein fuzzy matching (general path)",
     ),
 }
 
