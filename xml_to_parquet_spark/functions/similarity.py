@@ -403,6 +403,26 @@ def embedding_neardup_pairs(
     )
 
 
+def _assign_sql(cents: dict[int, list[int]], vq_col: str) -> str:
+    """Nearest-centroid-id expression as ONE parseable SQL string.
+
+    Building this with Column objects costs a py4j round trip per literal
+    (k centroids × dim components each) — measured seconds of driver time
+    per call at even modest k×dim; a single ``expr`` parse is constant.
+    Semantics identical: integer squared-L2 per centroid, ``array_min``
+    over (distance, cid) structs = min distance with ties to smaller cid.
+    """
+    choices = []
+    for cid in sorted(cents):
+        arr = "array(" + ",".join(f"{c}L" for c in cents[cid]) + ")"
+        d = (
+            f"aggregate(zip_with({vq_col}, {arr},"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+        )
+        choices.append(f"struct({d} AS d, {cid} AS cid)")
+    return f"array_min(array({', '.join(choices)})).cid"
+
+
 def _tdiv(a: int, n: int) -> int:
     """Truncation-toward-zero integer division — SQL `//`/`div` semantics
     (Python's ``//`` floors, which differs on negative sums)."""
@@ -460,17 +480,8 @@ def kmeans_assign_quantized(
     base = quantized(df).persist()
 
     def assign_col() -> Column:
-        choices = []
-        for cid in sorted(cents):
-            cq = F.array(*[F.lit(c) for c in cents[cid]])
-            d = F.aggregate(
-                F.zip_with(F.col("vq"), cq, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            choices.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-        # array_min over (d, cid) structs = min distance, ties → smaller cid
-        return F.array_min(F.array(*choices)).getField("cid")
+        # one expr parse instead of k×dim py4j literal calls (_assign_sql)
+        return F.expr(_assign_sql(cents, "vq"))
 
     try:
         cents = {
@@ -542,34 +553,106 @@ def pq_codes(
     convention). A 64-dim float32 vector (256 B) compresses to m small
     codes; ANN distance then works off per-subspace lookup tables.
 
-    Every subspace fit is :func:`kmeans_assign_quantized` on a sliced
-    vector — fully integer arithmetic, so codes are bit-reproducible in
-    any engine. Scale: m independent model fits (each a map-side
-    assignment + k×(dim/m) update collect); the corpus is scanned per
-    subspace — at 100 TB fit on a sample, then assign full-corpus in one
-    pass with all m codebooks as literals.
+    Each subspace fit replays :func:`kmeans_assign_quantized`'s exact
+    integer arithmetic (same seeding, truncating-mean updates, smaller-id
+    tie-breaks), so codes are bit-reproducible in any engine — but the m
+    fits are BATCHED: one seed collect covers every subspace, each
+    refinement iteration is ONE combined stack→posexplode→groupBy job
+    (m×k×(dim/m) rows — still model-sized), and the final assignment is
+    ONE corpus scan emitting all m codes melted via ``stack``. Round-2
+    plan audit noted the cost here was job count, not data volume: this
+    takes 4 subspaces from 8 jobs to 2. At 100 TB: fit on a sample, then
+    the single final scan assigns full-corpus with all m codebooks as
+    plan literals — exactly the shape below.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    parts = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("v"),
+    quant = HYPERPLANE_QUANT
+
+    def quantized(src: DataFrame) -> DataFrame:
+        arr = as_double_array(F.col(vec_col))
+        return src.select(
+            F.col(id_col).alias("id"),
+            *[
+                quantize_vec(F.slice(arr, s * sub + 1, sub), quant).alias(
+                    f"vq_{s}"
+                )
+                for s in range(m)
+            ],
         )
-        asg = kmeans_assign_quantized(
-            sliced, k=k, iterations=iterations, id_col=id_col, vec_col="v"
+
+    base = quantized(df)
+    seeds = base.filter(F.col("id") < k).collect()  # ONE job, all subspaces
+    if not seeds:
+        raise ValueError(
+            f"pq_codes: no seed vectors with {id_col} < {k} "
+            "(empty input or non-dense ids) — pass a k matching the data"
         )
-        parts.append(
-            asg.select(
-                id_col, F.lit(s).alias("sub"), F.col("cell")
+    cents: dict[int, dict[int, list[int]]] = {
+        s: {int(r["id"]): [int(x) for x in r[f"vq_{s}"]] for r in seeds}
+        for s in range(m)
+    }
+
+    # assignment expression built as ONE SQL string per subspace: the
+    # Column-object equivalent is m×k arrays of dim/m literals — thousands
+    # of py4j round trips that measured ~4.5 s of pure driver time at
+    # sf0.1 (the corpus itself is milliseconds); one parse call is free
+    def assign_col(s: int) -> Column:
+        return F.expr(_assign_sql(cents[s], f"vq_{s}"))
+
+    if iterations > 1:
+        base = base.persist()
+    try:
+        for _ in range(iterations - 1):
+            # one combined update job: stack the m (cell, subvector)
+            # pairs, melt positions, aggregate — m×k×(dim/m) output rows
+            stack_args = ", ".join(
+                f"{s}, cell_{s}, vq_{s}" for s in range(m)
             )
+            sums = (
+                base.select(
+                    "*",
+                    *[assign_col(s).alias(f"cell_{s}") for s in range(m)],
+                )
+                .select(
+                    F.expr(
+                        f"stack({m}, {stack_args}) AS (sub, cell, vq)"
+                    )
+                )
+                .select("sub", "cell", F.posexplode("vq").alias("pos", "q"))
+                .groupBy("sub", "cell", "pos")
+                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_cents: dict[int, dict[int, list[int]]] = {
+                s: {} for s in range(m)
+            }
+            for r in sums:
+                new_cents[int(r["sub"])].setdefault(
+                    int(r["cell"]), [0] * sub
+                )[int(r["pos"])] = _tdiv(int(r["s"]), int(r["n"]))
+            for s in range(m):
+                for cid in cents[s]:  # empty cells keep previous centroid
+                    if cid not in new_cents[s]:
+                        new_cents[s][cid] = cents[s][cid]
+            cents = new_cents
+    finally:
+        if iterations > 1:
+            base.unpersist()
+    # final: ONE scan over the source, all m codebooks as literals
+    cell_stack = ", ".join(f"{s}, cell_{s}" for s in range(m))
+    return (
+        quantized(df)
+        .select(
+            F.col("id"),
+            *[assign_col(s).alias(f"cell_{s}") for s in range(m)],
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select(
+            F.col("id").alias(id_col),
+            F.expr(f"stack({m}, {cell_stack}) AS (sub, cell)"),
+        )
+    )
 
 
 def label_centroids(
