@@ -171,9 +171,13 @@ def lsh_bucket(
     )
     # assert_true returns NULL on success; fold it in so it's evaluated
     vq = F.when(size_ok.isNull(), quantize_vec(vec, quant))
+    # per-plane arrays built as one parsed expr each (cuts py4j literal
+    # calls by dim×) but the plane loop stays UNROLLED: folding the
+    # planes into a nested transform-over-2D-array measured ~2× slower
+    # per row (one more interpreted higher-order layer per element)
     bucket: Column = F.lit(0)
     for p in range(n_planes):
-        cq = F.array(*[F.lit(c) for c in planes[p]])
+        cq = F.expr("array(" + ",".join(f"{c}L" for c in planes[p]) + ")")
         proj = F.aggregate(
             F.zip_with(vq, cq, lambda x, y: x * y),
             F.lit(0).cast("long"),
