@@ -217,6 +217,17 @@ def test_comment_business_key(spark, tmp_path):
     assert all(r.business_key_name == "OrderType" for r in rows)
 
 
+def test_business_key_colliding_with_record_column_replaces(spark, tmp_path):
+    """A business key named like an existing record column must REPLACE it
+    (withColumn semantics), not create an ambiguous duplicate column."""
+    xml = COMMENT_XML.replace("OrderType:B2B", "region:Override")
+    path = _write(tmp_path, "bk_collide.xml", xml)
+    records = read_xml_records(spark, path)
+    out = attach_business_keys(records, extract_business_keys(spark, path))
+    assert out.columns.count("region") == 1
+    assert all(r.region == "Override" for r in out.collect())
+
+
 def test_comment_nonmatching_ignored(spark, tmp_path):
     xml = COMMENT_XML.replace("OrderType:B2B", "just a note, no key")
     path = _write(tmp_path, "nokey.xml", xml)

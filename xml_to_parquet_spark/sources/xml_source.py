@@ -458,15 +458,19 @@ def attach_business_keys(
         # ONE select with every key column, not a withColumn loop: each
         # withColumn adds an analyzer/optimizer pass over a growing plan,
         # which goes quadratic when a feed carries thousands of distinct
-        # key names
-        out = out.select(
-            "*",
-            *[
-                F.when(
-                    F.col("business_key_name") == kn,
-                    F.col("business_key_value"),
-                ).alias(kn)
-                for kn in key_names
-            ],
-        )
+        # key names. withColumn's REPLACE semantics are preserved: a key
+        # named like an existing column overwrites it in place instead of
+        # creating an ambiguous duplicate.
+        key_exprs = {
+            kn: F.when(
+                F.col("business_key_name") == kn,
+                F.col("business_key_value"),
+            ).alias(kn)
+            for kn in key_names
+        }
+        cols = [
+            key_exprs.pop(c) if c in key_exprs else F.col(c)
+            for c in out.columns
+        ]
+        out = out.select(*cols, *key_exprs.values())
     return out
