@@ -85,3 +85,36 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     out = stream_events_dedup(spark, str(tmp_path)).collect()[0]
     # 3 distinct keys survive; duplicate arrivals are suppressed by state
     assert (out.n_rows, out.n_keys) == (3, 3)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    import pandas as pd
+
+    from xml_to_parquet_spark.streaming.file_stream import (
+        stream_events_interval_join,
+    )
+
+    rows = [
+        # user 1: view at 10:00 → purchases at 10:10 (in) and 10:45 (out)
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "purchase", 9.0, "{}"),
+        (3, "2024-01-01 10:45:00", 1, "purchase", 9.0, "{}"),
+        # user 2: purchase BEFORE the view — must not match
+        (4, "2024-01-01 09:00:00", 2, "purchase", 5.0, "{}"),
+        (5, "2024-01-01 09:30:00", 2, "view", 0.0, "{}"),
+        # user 3: two views funnel into one purchase
+        (6, "2024-01-01 11:00:00", 3, "view", 0.0, "{}"),
+        (7, "2024-01-01 11:05:00", 3, "view", 0.0, "{}"),
+        (8, "2024-01-01 11:20:00", 3, "purchase", 7.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = [
+        (r.user_id, r.left_id, r.right_id)
+        for r in stream_events_interval_join(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 1, 2), (3, 6, 8), (3, 7, 8)]

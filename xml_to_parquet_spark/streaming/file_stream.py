@@ -187,6 +187,67 @@ def stream_events_dedup(
     )
 
 
+def stream_events_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each ``right_type`` event to
+    the ``left_type`` events of the same user within ``horizon`` before it
+    — the funnel-attribution primitive (view→purchase), and the one major
+    Structured Streaming surface beyond windows/dedup/sessionization.
+
+    Both sides carry watermarks and the join carries an event-time range
+    condition; that pair is what lets Spark BOUND the join state — each
+    side's buffer holds only rows younger than (max event time − watermark
+    − horizon), so state is proportional to the time horizon, not the
+    stream's lifetime. Inner-join matches emit as soon as both sides
+    arrive (no watermark-expiry latency); with AvailableNow over a static
+    directory the emitted set equals the batch interval join, which the
+    DuckDB oracle checks exactly.
+    """
+    schema = _events_schema(spark, sf_dir)
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        ev = _normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("event_id").alias(f"{alias}_id"),
+            )
+            .withWatermark(f"{alias}_ts", watermark)
+        )
+
+    joined = side(left_type, "l").join(
+        side(right_type, "r"),
+        F.expr(
+            "l_user = r_user AND r_ts >= l_ts AND "
+            f"r_ts <= l_ts + INTERVAL {horizon}"
+        ),
+    )
+    out = run_available_now(
+        joined.select(
+            F.col("l_user").alias("user_id"),
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("left_time"),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("right_time"),
+            F.col("l_id").alias("left_id"),
+            F.col("r_id").alias("right_id"),
+        ),
+        query_name=f"events_ssjoin_{abs(hash(sf_dir)) % 99991}",
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "left_id", "right_id")
+
+
 def stream_xml_dir(
     spark: SparkSession,
     input_dir: str,

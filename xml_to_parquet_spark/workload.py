@@ -2517,6 +2517,32 @@ ORDER BY doc_id
 """
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (§2.9 parity-plus): view→purchase
+    funnel attribution with watermark-bounded join state; AvailableNow
+    over the static dir makes the emitted set equal the batch interval
+    join the oracle computes."""
+    from xml_to_parquet_spark.streaming.file_stream import (
+        stream_events_interval_join,
+    )
+
+    return stream_events_interval_join(spark, sf_dir)
+
+
+_Q_STREAM_JOIN_SQL = """
+SELECT a.user_id AS user_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS left_time,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS right_time,
+       a.event_id AS left_id,
+       b.event_id AS right_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ORDER BY a.user_id, left_id, right_id
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once-per-key dedup (§2.9 parity-plus):
     dropDuplicatesWithinWatermark bounds state by the watermark horizon;
@@ -3338,6 +3364,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_fuzzy_qgram,
         _Q_FUZZY_QGRAM_SQL,
         "q-gram prefix-filtered levenshtein fuzzy matching (general path)",
+    ),
+    "a90_stream_join": QuerySpec(
+        q_stream_interval_join,
+        _Q_STREAM_JOIN_SQL,
+        "stream-stream interval join (funnel attribution, bounded state)",
     ),
 }
 
