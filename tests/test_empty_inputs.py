@@ -40,6 +40,13 @@ def test_empty_packing(spark):
     assert sampling.pack_sequences(e, budget=128).count() == 0
 
 
+def test_empty_fuzzy_matching(spark):
+    e = _empty_docs(spark)
+    assert dedup.fuzzy_pairs(e, "text").count() == 0
+    assert dedup.fuzzy_pairs_qgram(e, "text", num_partitions=4).count() == 0
+    assert dedup.fuzzy_pairs_symdel(e, "text", num_partitions=4).count() == 0
+
+
 def test_kmeans_empty_raises_clear_error(spark):
     import pytest
 
