@@ -375,6 +375,29 @@ def test_fuzzy_symdel_uniform_format_corpus(spark):
         assert _symdel_result(spark, rows, k) == _brute_pairs(rows, k)
 
 
+def test_fuzzy_auto_dispatch_matches_bruteforce(spark):
+    """The dispatcher must produce the exact pair set on both its paths:
+    short keys (symdel branch) and long texts (q-gram branch)."""
+    short_rows = [(i, f"Key#{i:04d}") for i in range(120)]
+    assert _result_set(
+        spark, short_rows, dedup.fuzzy_pairs_auto, k=1
+    ) == _brute_pairs(short_rows, 1)
+    long_rows = [
+        (i, ("lorem ipsum dolor " * 8) + f"tail{i % 7}") for i in range(40)
+    ]
+    assert _result_set(
+        spark, long_rows, dedup.fuzzy_pairs_auto, k=1
+    ) == _brute_pairs(long_rows, 1)
+
+
+def _result_set(spark, rows, fn, k) -> set:
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.id_a, r.id_b, r.distance)
+        for r in fn(df, "text", max_distance=k, num_partitions=4).collect()
+    }
+
+
 def test_fuzzy_symdel_rejects_large_k(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     import pytest as _pytest

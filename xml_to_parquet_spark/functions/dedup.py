@@ -672,6 +672,46 @@ def fuzzy_pairs_symdel(
     )
 
 
+def fuzzy_pairs_auto(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_distance: int = 2,
+    num_partitions: int | None = None,
+    symdel_max_len: int = 64,
+) -> DataFrame:
+    """Pick the right lossless fuzzy-matching blocker from the data shape.
+
+    One tiny agg probes the 95th-percentile string length:
+    - short keys (p95 ≤ ``symdel_max_len``) and k ≤ 2 →
+      :func:`fuzzy_pairs_symdel` (deletion-neighborhood blowup is
+      Σ C(len, ≤k) per string — cheap for keys, quadratic-in-len for
+      documents);
+    - otherwise → :func:`fuzzy_pairs_qgram` (prefix volume is a flat
+      k·q+1 rows per string regardless of length).
+
+    All variants return the identical exact pair set, so the dispatch is
+    purely a physical-plan decision — the same contract Catalyst applies
+    when it picks a join strategy.
+    """
+    if max_distance <= 2:
+        p95 = (
+            df.select(
+                F.percentile_approx(
+                    F.length(F.col(text_col)), 0.95
+                ).alias("p")
+            ).collect()[0]["p"]
+            or 0
+        )
+        if p95 <= symdel_max_len:
+            return fuzzy_pairs_symdel(
+                df, text_col, id_col, max_distance, num_partitions
+            )
+    return fuzzy_pairs_qgram(
+        df, text_col, id_col, max_distance, num_partitions=num_partitions
+    )
+
+
 def dedup_against_corpus(
     new: DataFrame,
     corpus: DataFrame,
