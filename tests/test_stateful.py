@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from xml_to_parquet_spark.streaming.stateful import (
     sessionize_batch,
     sessionize_stateful,
+    sessionize_tws,
 )
 
 
@@ -80,6 +81,54 @@ def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
     out = spark.table("sess_test").collect()
     # sessions closed by a later event emit immediately; the final open
     # session per user stays in state until its processing-time timeout
+    got = {(r.user_id, r.n_events, r.value_sum) for r in out}
+    assert (1, 3, 6.0) in got
+    assert all(r.user_id == 1 for r in out)
+
+
+import pytest
+
+from xml_to_parquet_spark.streaming.stateful import HAS_TWS_PROTO
+
+
+@pytest.mark.skipif(
+    not HAS_TWS_PROTO,
+    reason="transformWithState needs protobuf in the worker env "
+    "(absent in this container; runs on a protobuf-bearing image)",
+)
+def test_sessionize_tws_matches_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas twin: same fold, same emit rules — the
+    session closed by a later arrival must emit with identical contents
+    to the applyInPandasWithState implementation."""
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    df = spark.createDataFrame(
+        _event_rows(), "user_id long, ts timestamp, value double"
+    )
+    src = tmp_path / "events_src_tws"
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    sessions = sessionize_tws(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_tws")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(q.exception())
+        if spark.table("sess_tws").count() >= 1:
+            break
+        time.sleep(2)
+    q.stop()
+    out = spark.table("sess_tws").collect()
     got = {(r.user_id, r.n_events, r.value_sum) for r in out}
     assert (1, 3, 6.0) in got
     assert all(r.user_id == 1 for r in out)

