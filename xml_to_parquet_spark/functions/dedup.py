@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale document pipelines.
 
-Five strategies, scale-ranked:
+Near-dup detection strategies, scale-ranked:
 
 - exact_dedup:        hash-groupBy on a normalized fingerprint. One shuffle
                       whose volume is #distinct keys (map-side combine).
@@ -13,6 +13,21 @@ Five strategies, scale-ranked:
 - simhash:            32-bit per-doc signature via per-token hash bit votes;
                       near-dups = small Hamming distance on signatures.
 - embedding_neardup_pairs: cosine over an embedding column (semantic dups).
+
+Edit-distance fuzzy matching — three LOSSLESS blockers, all verified by
+thresholded levenshtein and all returning the identical exact pair set
+(fuzzy_pairs_auto dispatches on measured key shape):
+
+- fuzzy_pairs_symdel: symmetric-delete neighborhoods (SymSpell), k ≤ 2 on
+                      short keys — candidates track OUTPUT size.
+- fuzzy_pairs_qgram:  ED-Join positional q-gram prefix filtering — flat
+                      k·q+1 rows/string; the long/variable-text path.
+- fuzzy_pairs:        length-bucket pigeonhole — cheapest when lengths
+                      vary; degenerates on uniform-length corpora.
+
+Graph aftermath: dedup_clusters (min-label propagation) /
+dedup_clusters_star (star contraction, any diameter) → dedup_apply /
+dedup_against_corpus / contamination scan.
 
 Everything is built-in column expressions (explode/groupBy/join — JVM side,
 no Python UDFs). Hash functions are MD5-derived 32-bit ints so the DuckDB
