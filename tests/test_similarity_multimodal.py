@@ -217,6 +217,35 @@ def test_no_cache_residue_after_curation_operators(spark):
     assert n_persistent() == base
 
 
+def test_score_documents_partition_and_batch_invariant(spark):
+    """Model-scoring plumbing: identical scores regardless of
+    partitioning or Arrow batch splits (the property the exact oracle
+    also checks on real data)."""
+    from xml_to_parquet_spark.functions import inference
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    a = sorted(map(tuple, inference.score_documents(docs).collect()))
+    b = sorted(
+        map(tuple, inference.score_documents(docs.repartition(7)).collect())
+    )
+    assert a == b
+    assert all(-8.0 <= r[1] < 8.0 for r in a)
+    assert all(r[2] == (r[1] >= 0.0) for r in a)
+    accepted = sum(1 for r in a if r[2])
+    assert 0 < accepted < len(a)  # threshold splits the corpus
+
+
+def test_real_model_stub_raises():
+    from xml_to_parquet_spark.functions import inference
+
+    with pytest.raises(NotImplementedError):
+        inference.real_model_stub(["x"])
+
+
 def test_lsh_bucket_wrong_dim_fails_loudly(spark):
     df = _vecs(spark)  # 3-dim vectors
     ok = df.select(

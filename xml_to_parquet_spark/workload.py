@@ -928,6 +928,32 @@ FROM documents ORDER BY id
 """
 
 
+def q_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched model scoring (functions/inference.py): the
+    "run a model over every document" pattern with the deterministic
+    md5-derived stand-in scorer — SQL-expressible, so the mapInPandas
+    inference path gets an EXACT oracle (same trick as q29: proves
+    batching/partitioning never leaks into scores)."""
+    from xml_to_parquet_spark.functions.inference import score_documents
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return score_documents(docs).orderBy("doc_id")
+
+
+_Q_BATCH_SCORE_SQL = """
+SELECT doc_id, logit, (logit >= 0.0) AS accept
+FROM (
+  SELECT doc_id,
+         (('0x' || substr(md5(text), 1, 16))::UBIGINT::DOUBLE
+          / 18446744073709551616.0) * 16.0 - 8.0 AS logit
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming (readStream → watermark → window →
     AvailableNow): final state must equal the batch tumbling-window answer,
@@ -3369,6 +3395,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_interval_join,
         _Q_STREAM_JOIN_SQL,
         "stream-stream interval join (funnel attribution, bounded state)",
+    ),
+    "a91_batch_score": QuerySpec(
+        q_batch_score,
+        _Q_BATCH_SCORE_SQL,
+        "Arrow-batched model scoring plumbing (deterministic stand-in)",
     ),
 }
 
