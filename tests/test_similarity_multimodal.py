@@ -199,22 +199,27 @@ def test_no_cache_residue_after_curation_operators(spark):
     def n_persistent() -> int:
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    # `<=`, not `==`: the ContextCleaner may asynchronously free
+    # localCheckpoint blocks left by EARLIER tests between the baseline
+    # capture and a later probe, legitimately dropping the count below
+    # baseline. The property under test is only that these operators add
+    # NO NEW persistent entries.
     base = n_persistent()
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     similarity.kmeans_assign_quantized(emb, k=4, iterations=2).count()
-    assert n_persistent() == base
+    assert n_persistent() <= base
     similarity.pq_codes(emb, m=4, k=8, dim=64).count()
-    assert n_persistent() == base
+    assert n_persistent() <= base
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).limit(60)
     dedup.ngram_jaccard_via_lsh(docs).count()
-    assert n_persistent() == base
+    assert n_persistent() <= base
     dedup.fuzzy_pairs_qgram(
         docs.select("doc_id", F.substring("text", 1, 12).alias("t")),
         "t", id_col="doc_id", max_distance=1, num_partitions=4,
     ).count()
-    assert n_persistent() == base
+    assert n_persistent() <= base
 
 
 def test_score_documents_partition_and_batch_invariant(spark):
