@@ -18,7 +18,17 @@ creating artifact duplicate clusters:
 - lineitem: orderkeys offset per replica, value columns untouched.
 Small/auxiliary tables are copied as-is.
 
-Usage: python tools/soak_scale.py [--gen-only|--run-only] [query ...]
+Three rungs, selected with ``--rung`` (each reproducing a SCALING.md
+section):
+
+- ``sf1`` (default): every big table ×10 — the broad 10-slowest sweep.
+- ``lineitem100``: lineitem ×100 (60M rows), rest as-is — the
+  relational-core rung (star/percentile/rollup aggs).
+- ``docs100``: documents ×100 (500k docs), rest as-is — the document
+  pipeline rung (dedup/minhash/simhash/scoring).
+
+Usage: python tools/soak_scale.py [--rung=sf1|lineitem100|docs100]
+       [--gen-only|--run-only] [query ...]
 """
 
 from __future__ import annotations
@@ -33,91 +43,119 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
-DST = os.environ.get("SOAK_DST", "/tmp/soak_sf1")
-REPLICAS = 10
 
-# the slowest BENCH_r02 queries + the r3-reworked fuzzy matcher
-DEFAULT_QUERIES = [
-    "a81_pq_codes",
-    "a77_dedup_clusters_star",
-    "a85_fuzzy_pairs",
-    "a60_simhash_blocked",
-    "q21_dedup_ngram_jaccard",
-    "a75_dedup_apply",
-    "a70_dedup_clusters",
-    "a71_kmeans_cells",
-    "q42_percentile",
-    "q23_dedup_minhash_lsh",
-]
+RUNGS = {
+    # name -> (dst, replicas, tables-to-replicate, default queries)
+    "sf1": (
+        "/tmp/soak_sf1",
+        10,
+        ["documents", "embeddings", "customer", "lineitem"],
+        [
+            "a81_pq_codes",
+            "a77_dedup_clusters_star",
+            "a85_fuzzy_pairs",
+            "a60_simhash_blocked",
+            "q21_dedup_ngram_jaccard",
+            "a75_dedup_apply",
+            "a70_dedup_clusters",
+            "a71_kmeans_cells",
+            "q42_percentile",
+            "q23_dedup_minhash_lsh",
+        ],
+    ),
+    "lineitem100": (
+        "/tmp/soak_lineitem100",
+        100,
+        ["lineitem"],
+        [
+            "q01_star_revenue",
+            "q42_percentile",
+            "q02_grouped_multi_agg",
+            "q34_rollup",
+        ],
+    ),
+    "docs100": (
+        "/tmp/soak_docs100",
+        100,
+        ["documents"],
+        [
+            "q20_dedup_exact",
+            "q22_dedup_minhash_sig",
+            "q23_dedup_minhash_lsh",
+            "a60_simhash_blocked",
+            "q17_text_quality",
+            "a91_batch_score",
+        ],
+    ),
+}
 
-COPY_AS_IS = [
+ALL_TABLES = [
     "region", "nation", "part", "supplier", "orders", "events",
+    "documents", "embeddings", "customer", "lineitem",
 ]
 
 
-def generate() -> None:
-    import duckdb
-
-    os.makedirs(DST, exist_ok=True)
-    con = duckdb.connect()
-    rep = f"(SELECT unnest(range({REPLICAS})) AS i)"
-
-    def copy(sql: str, name: str) -> None:
-        out = os.path.join(DST, f"{name}.parquet")
-        t = time.time()
-        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
-        n = con.execute(
-            f"SELECT count(*) FROM '{out}'"
-        ).fetchone()[0]
-        print(f"  {name}: {n} rows [{time.time() - t:.1f}s]", flush=True)
-
-    copy(
-        f"""
+def _replicate_sql(table: str, rep: str) -> str:
+    """Per-table replication SQL — designed so data STRUCTURE scales
+    honestly (see module docstring)."""
+    if table == "documents":
+        return f"""
         SELECT d.doc_id + r.i * 10000000 AS doc_id,
                array_to_string(
                  list_transform(string_split(d.text, ' '),
                                 w -> w || '_r' || r.i), ' ') AS text,
                d.lang, d.source, d.n_chars
         FROM '{SRC}/documents.parquet' d CROSS JOIN {rep} r
-        """,
-        "documents",
-    )
-    copy(
-        f"""
+        """
+    if table == "embeddings":
+        return f"""
         SELECT e.vec_id + r.i * 10000000 AS vec_id,
                list_transform(e.embedding,
                               x -> CAST(x + 0.0001 * r.i AS FLOAT))
                  AS embedding,
                e.label
         FROM '{SRC}/embeddings.parquet' e CROSS JOIN {rep} r
-        """,
-        "embeddings",
-    )
-    copy(
-        f"""
+        """
+    if table == "customer":
+        return f"""
         SELECT c.c_custkey + r.i * 10000000 AS c_custkey,
                'Customer#' || lpad(CAST(c.c_custkey + r.i * 1000000
                                         AS VARCHAR), 9, '0') AS c_name,
                c.c_nationkey, c.c_acctbal, c.c_mktsegment
         FROM '{SRC}/customer.parquet' c CROSS JOIN {rep} r
-        """,
-        "customer",
-    )
-    copy(
-        f"""
+        """
+    if table == "lineitem":
+        return f"""
         SELECT l.* REPLACE (l.l_orderkey + r.i * 100000000 AS l_orderkey)
         FROM '{SRC}/lineitem.parquet' l CROSS JOIN {rep} r
-        """,
-        "lineitem",
-    )
-    for name in COPY_AS_IS:
-        dst = os.path.join(DST, f"{name}.parquet")
-        if not os.path.exists(dst):
-            shutil.copy(os.path.join(SRC, f"{name}.parquet"), dst)
-    print(f"soak tables ready in {DST}", flush=True)
+        """
+    raise ValueError(f"no replication recipe for {table}")
 
 
-def run(queries: list[str]) -> dict:
+def generate(dst: str, replicas: int, replicate: list[str]) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"(SELECT unnest(range({replicas})) AS i)"
+
+    for table in replicate:
+        out = os.path.join(dst, f"{table}.parquet")
+        t = time.time()
+        con.execute(
+            f"COPY ({_replicate_sql(table, rep)}) TO '{out}'"
+            " (FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"  {table}: {n} rows [{time.time() - t:.1f}s]", flush=True)
+    for name in ALL_TABLES:
+        p = os.path.join(dst, f"{name}.parquet")
+        if not os.path.exists(p):
+            shutil.copy(os.path.join(SRC, f"{name}.parquet"), p)
+    print(f"soak tables ready in {dst}", flush=True)
+
+
+def run(queries: list[str], dst: str, decades: float) -> dict:
     from xml_to_parquet_spark.session import get_spark
     from xml_to_parquet_spark.workload import QUERIES
 
@@ -131,21 +169,23 @@ def run(queries: list[str]) -> dict:
         n_small = fn(spark, SRC).count()
         t_small = time.time() - t0
         t0 = time.time()
-        n_big = fn(spark, DST).count()
+        n_big = fn(spark, dst).count()
         t_big = time.time() - t0
         import math
 
-        exp = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3))
+        exp = (
+            math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)) / decades
+        )
         results[name] = {
             "t_sf01": round(t_small, 2),
             "t_soak": round(t_big, 2),
             "rows_sf01": n_small,
             "rows_soak": n_big,
-            "exponent": round(exp, 2),
+            "exponent_per_decade": round(exp, 2),
         }
         print(
             f"  {name:28s} {t_small:6.2f}s -> {t_big:7.2f}s"
-            f"  exp={exp:+.2f}  rows {n_small} -> {n_big}",
+            f"  exp/decade={exp:+.2f}  rows {n_small} -> {n_big}",
             flush=True,
         )
     return results
@@ -154,8 +194,16 @@ def run(queries: list[str]) -> dict:
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    rung = next(
+        (f.split("=", 1)[1] for f in flags if f.startswith("--rung=")),
+        "sf1",
+    )
+    dst, replicas, replicate, default_queries = RUNGS[rung]
+    dst = os.environ.get("SOAK_DST", dst)
     if "--run-only" not in flags:
-        generate()
+        generate(dst, replicas, replicate)
     if "--gen-only" not in flags:
-        res = run(args or DEFAULT_QUERIES)
+        import math
+
+        res = run(args or default_queries, dst, math.log10(replicas))
         print(json.dumps(res))
