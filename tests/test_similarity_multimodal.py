@@ -170,6 +170,20 @@ def test_pq_codes_shape_and_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_pq_codes_iterative_refinement_invariant(spark):
+    """iterations > 1 exercises the batched stack→posexplode update job
+    (the iterations=1 default skips it): result must stay partition-
+    invariant and the refinement must actually move assignments."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.pq_codes(emb, m=4, k=8, dim=64, iterations=2).collect()
+    b = similarity.pq_codes(
+        emb.repartition(5), m=4, k=8, dim=64, iterations=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    one = similarity.pq_codes(emb, m=4, k=8, dim=64, iterations=1).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, one))
+
+
 def test_kmeans_until_converged_on_separable_clusters(spark):
     # two tight, well-separated clusters: convergence must hit a fixed
     # point well before max_iterations and classify the clusters cleanly
