@@ -207,3 +207,51 @@ def test_star_contraction_matches_union_find(spark, edges):
         r.doc_id: r.cluster_id for r in dedup_clusters_star(df).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7),
+        min_size=2,
+        max_size=25,
+    ),
+    st.integers(1, 2),
+)
+def test_fuzzy_symdel_lossless_property(spark, texts, k):
+    """Hypothesis fuzz of the deletion-neighborhood cover: for ANY small
+    corpus (tiny alphabet maximizes collisions, duplicates, empties) the
+    blocked result equals brute-force levenshtein pairs."""
+    from xml_to_parquet_spark.functions.dedup import fuzzy_pairs_symdel
+
+    rows = list(enumerate(texts))
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    expected = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            d = lev(sa, sb)
+            if d <= k:
+                expected.add((ia, ib, d))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_pairs_symdel(
+            df, "text", max_distance=k, num_partitions=4
+        ).collect()
+    }
+    assert got == expected

@@ -465,6 +465,12 @@ def fuzzy_pairs_qgram(
     the reference has no fuzzy-matching surface at all — parity-plus.
     """
     k = max_distance
+    if q < 2:
+        raise ValueError(
+            "fuzzy_pairs_qgram requires q >= 2 (the prefix-filter bound "
+            "is proven and tested for q-grams; q=1 degenerates to "
+            "per-character buckets)"
+        )
     prefix_len = q * k + 1
     short_max = q * (k + 1) - 1  # |grams| ≤ k·q ⇔ len ≤ this
     width = k + 1
