@@ -95,6 +95,18 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
+        # r3 postmortem: the driver's comparator does not use fetchall(),
+        # and DuckDB renders HUGEINT (the SUM(integer) result type) as
+        # float64/decimal on the pandas/arrow paths — "123.0" vs "123".
+        # Any oracle emitting these types WILL go hash-RED on the driver
+        # even though it matches here, so fail it locally.
+        fragile = [
+            (r[0], r[1])
+            for r in con.execute("DESCRIBE " + spec.oracle).fetchall()
+            if r[1] in ("HUGEINT", "UHUGEINT") or r[1].startswith("DECIMAL")
+        ]
+        if fragile:
+            problems.append(f"fragile oracle types {fragile}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):

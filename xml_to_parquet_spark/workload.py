@@ -2210,14 +2210,22 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.similarity import label_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    return label_centroids(emb).orderBy("label", "pos")
+    # Driver-gate hygiene (r3 RED root cause): emit only BIGINT columns.
+    # ``centroid`` (a raw DOUBLE, fully determined by sum_q/n) is dropped
+    # from the catalog row; DuckDB's SUM(BIGINT) returns HUGEINT, which
+    # non-fetchall client paths (pandas/arrow) render as float64/decimal —
+    # so the oracle CASTs the sum back to BIGINT.
+    return (
+        label_centroids(emb)
+        .select("label", "pos", "n", "sum_q")
+        .orderBy("label", "pos")
+    )
 
 
 _Q_LABEL_CENTROIDS_SQL = """
-SELECT label, pos, COUNT(*) AS n,
-       SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sum_q,
+SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
-            AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid
+            AS BIGINT) AS sum_q
 FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) - 1 AS pos
       FROM embeddings)
@@ -2236,7 +2244,20 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.text import repetition_features
 
     docs = _t(spark, sf_dir, "documents")
-    return repetition_features(docs).orderBy("doc_id")
+    # Driver-gate hygiene: the two DOUBLE ratio columns are dropped from the
+    # catalog row (they are exact functions of the four integers kept); the
+    # full-frac frame remains the library API and feeds a68's gate.
+    return (
+        repetition_features(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "top_bigram_n",
+            "n_bigrams",
+        )
+        .orderBy("doc_id")
+    )
 
 
 _Q_REPETITION_SQL = f"""
@@ -2256,7 +2277,8 @@ bgs AS (
 ),
 bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
 bstat AS (
-  SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams
+  SELECT doc_id, MAX(c) AS top_bigram_n,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams
   FROM bgc GROUP BY doc_id
 )
 SELECT b.doc_id, n_tokens, n_distinct_tokens,
@@ -2266,6 +2288,13 @@ SELECT b.doc_id, n_tokens, n_distinct_tokens,
        CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
 FROM base b LEFT JOIN bstat USING (doc_id)
 ORDER BY doc_id
+"""
+
+# a67's driver oracle: integer columns only (see q_repetition_features).
+_Q_REPETITION_INT_SQL = f"""
+WITH rep AS ({_Q_REPETITION_SQL.replace("ORDER BY doc_id", "")})
+SELECT doc_id, n_tokens, n_distinct_tokens, top_bigram_n, n_bigrams
+FROM rep ORDER BY doc_id
 """
 
 
@@ -2323,16 +2352,16 @@ WITH t AS (
 ),
 c AS (
   SELECT source, doc_id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS start_offset
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
   FROM t
 )
 SELECT source, doc_id, n_tokens, start_offset,
-       start_offset // 512 AS start_chunk,
-       (start_offset + n_tokens - 1) // 512 AS end_chunk,
-       (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
-         AS n_chunks
+       CAST(start_offset // 512 AS BIGINT) AS start_chunk,
+       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_chunk,
+       CAST((start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+            AS BIGINT) AS n_chunks
 FROM c ORDER BY source, doc_id
 """
 
@@ -2732,10 +2761,11 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_VARIANT_JSON_SQL = """
-SELECT event_type, COUNT(*) AS n,
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -3030,15 +3060,15 @@ def q_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_NULL_BATTERY_SQL = """
-SELECT l_returnflag, COUNT(*) AS n,
-       SUM(CASE WHEN COALESCE(l_linestatus, '') = 'O' THEN 1 ELSE 0 END)
-         AS n_open,
-       SUM(CASE WHEN NULLIF(l_linenumber, 1) IS NULL THEN 1 ELSE 0 END)
-         AS n_line1,
-       SUM(CASE WHEN GREATEST(l_quantity, l_discount) = l_quantity
-                THEN 1 ELSE 0 END) AS n_qty_ge,
-       SUM(CASE WHEN l_linestatus IS NOT DISTINCT FROM 'F'
-                THEN 1 ELSE 0 END) AS n_f
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN COALESCE(l_linestatus, '') = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN NULLIF(l_linenumber, 1) IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_line1,
+       CAST(SUM(CASE WHEN GREATEST(l_quantity, l_discount) = l_quantity
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_ge,
+       CAST(SUM(CASE WHEN l_linestatus IS NOT DISTINCT FROM 'F'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_f
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -3282,7 +3312,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "a67_repetition_features": QuerySpec(
         q_repetition_features,
-        _Q_REPETITION_SQL,
+        _Q_REPETITION_INT_SQL,
         "Gopher-style within-doc repetition signals",
     ),
     "a68_quality_gate": QuerySpec(
