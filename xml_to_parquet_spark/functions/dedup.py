@@ -840,13 +840,15 @@ def dedup_apply(
     cluster (the min-id member — ``cluster_id`` by construction of
     :func:`dedup_clusters`) plus every unclustered doc.
 
-    The drop list (cluster members ≠ representative) is tiny relative to
-    the corpus — an anti-join the optimizer can broadcast; the corpus side
-    never shuffles. This completes the dedup pipeline: candidates →
-    clusters → filtered corpus.
+    The drop list (cluster members ≠ representative) is small relative to
+    the corpus but GROWS with it (≈ dup_rate × N ids at 100 TB), so it
+    carries no broadcast hint: AQE broadcasts the anti-join side while it
+    fits and degrades to a keyed shuffle join beyond that — a forced hint
+    would OOM exactly when dedup matters most. This completes the dedup
+    pipeline: candidates → clusters → filtered corpus.
     """
     drop = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
-    return df.join(F.broadcast(drop), on=id_col, how="left_anti")
+    return df.join(drop, on=id_col, how="left_anti")
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -230,8 +230,11 @@ def scd2_apply(
     maintenance for their dimensions; the date is a parameter so the
     operation is deterministic and oracle-checkable.
 
-    Plan: one broadcast-sized join of the (small, cardinality-capped)
-    dimension against the change set — no fact involvement at all.
+    Plan: one keyed join of the dimension against the change set — no
+    fact involvement at all. The change side carries no broadcast hint:
+    change batches grow with load size, so AQE broadcasts them while
+    small and shuffle-joins beyond the threshold (a forced hint would
+    OOM on a bulk backfill).
 
     Precondition: ``changes`` must have at most one row per key (duplicate
     change rows would fan the open version out); the join below asserts
@@ -249,7 +252,7 @@ def scd2_apply(
     ch = changes.select(
         F.col(key_col), F.col(value_col).alias("__new_value")
     )
-    joined = open_rows.join(F.broadcast(ch), on=key_col, how="left")
+    joined = open_rows.join(ch, on=key_col, how="left")
     # eqNullSafe: `__new_value != value_col` would be NULL when the open
     # row's value is NULL, making the row vanish from BOTH branches below.
     changed = F.col("__new_value").isNotNull() & ~F.col(
