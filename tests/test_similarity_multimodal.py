@@ -275,3 +275,60 @@ def test_lsh_bucket_wrong_dim_fails_loudly(spark):
         df.select(
             similarity.lsh_bucket(F.col("embedding"), n_planes=2, dim=4)
         ).collect()
+
+
+def test_lsh_bucket_null_vector_passes_through(spark):
+    """A NULL embedding must yield a NULL bucket, not abort the job — the
+    dim-mismatch assert_true only guards actual wrong-length vectors
+    (ADVICE r3: size(NULL) is never == dim, so the guard needs an isNull
+    arm)."""
+    df = _vecs(spark).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    rows = df.select(
+        "vec_id",
+        similarity.lsh_bucket(F.col("embedding"), n_planes=2, dim=3)
+        .alias("b"),
+    ).collect()
+    by_id = {r["vec_id"]: r["b"] for r in rows}
+    assert by_id[0] is None
+    assert all(v is not None for k, v in by_id.items() if k != 0)
+
+
+def test_score_documents_custom_id_col(spark):
+    """A non-default id_col keeps its name in the scored output (ADVICE
+    r3: the schema was hardcoded to doc_id)."""
+    from xml_to_parquet_spark.functions import inference
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(10)
+        .withColumnRenamed("doc_id", "item_id")
+    )
+    out = inference.score_documents(docs, id_col="item_id")
+    assert out.columns == ["item_id", "logit", "accept"]
+    assert out.count() == 10
+
+
+def test_soak_rungs_well_formed():
+    """Every soak rung must unpack as (dst, replicas, tables, queries)
+    (ADVICE r3 flagged a malformed entry class)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "soak_scale", os.path.join(repo, "tools", "soak_scale.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    for rung, entry in m.RUNGS.items():
+        assert len(entry) == 4, f"rung {rung} is a {len(entry)}-tuple"
+        dst, replicas, tables, queries = entry
+        assert isinstance(dst, str) and isinstance(replicas, int)
+        assert isinstance(tables, list) and isinstance(queries, list)

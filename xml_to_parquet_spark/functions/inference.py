@@ -33,7 +33,13 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-SCORED_SCHEMA = "doc_id long, logit double, accept boolean"
+def scored_schema(id_col: str = "doc_id") -> str:
+    """Output schema for :func:`score_documents`, parameterized on the id
+    column so a non-default ``id_col`` keeps its name in the result."""
+    return f"{id_col} long, logit double, accept boolean"
+
+
+SCORED_SCHEMA = scored_schema()
 
 
 def real_model_stub(texts: list[str]) -> list[float]:
@@ -80,10 +86,12 @@ def score_documents(
             logits = scorer([str(t) for t in pdf[text_col]])
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "logit": logits,
                     "accept": [lg >= threshold for lg in logits],
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(_score, SCORED_SCHEMA)
+    return df.select(id_col, text_col).mapInPandas(
+        _score, scored_schema(id_col)
+    )

@@ -159,10 +159,14 @@ def lsh_bucket(
     fold to NULL, and every affected plane bit would quietly become 0
     (collapsing those vectors into low buckets, skewing recall).
     ``assert_true`` makes a wrong dim fail the job loudly instead.
+    NULL vectors are passed through (bucket = NULL) rather than failing
+    the job: ``size(NULL)`` is never == dim, so without the isNull arm a
+    single null embedding would abort the whole query instead of being
+    filterable downstream.
     """
     planes = hyperplane_components_q(n_planes, dim, quant)
     size_ok = F.assert_true(
-        F.size(vec) == dim,
+        vec.isNull() | (F.size(vec) == dim),
         F.concat(
             F.lit("lsh_bucket: vector length "),
             F.size(vec).cast("string"),
@@ -184,7 +188,9 @@ def lsh_bucket(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    # NULL vec → NULL bucket (not bucket 0): without this arm every null
+    # embedding would silently collapse into bucket 0 and skew it.
+    return F.when(vec.isNotNull(), bucket.cast("int"))
 
 
 def lsh_bucket_sql(
@@ -206,7 +212,9 @@ def lsh_bucket_sql(
             for d, c in enumerate(planes[p])
         )
         bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return "CAST(" + " + ".join(bits) + " AS INT)"
+    summed = "CAST(" + " + ".join(bits) + " AS INT)"
+    # NULL-vec arm mirrors the Spark column exactly
+    return f"(CASE WHEN {vec_expr} IS NULL THEN NULL ELSE {summed} END)"
 
 
 def lsh_bucket_topk(
