@@ -332,3 +332,78 @@ def test_soak_rungs_well_formed():
         dst, replicas, tables, queries = entry
         assert isinstance(dst, str) and isinstance(replicas, int)
         assert isinstance(tables, list) and isinstance(queries, list)
+
+
+def test_decode_image_real_netpbm_through_spark(spark):
+    """The REAL decode kernel (Pillow when installed, stdlib netpbm parser
+    otherwise) through the actual mapInPandas plumbing — closes the
+    'stand-in-only kernels' gap: genuine image bytes, genuinely parsed."""
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+
+    def ppm(w, h):  # P6 with a comment line, raw RGB payload
+        return (f"P6\n# test image\n{w} {h}\n255\n").encode() + bytes(
+            (i * 7) % 256 for i in range(w * h * 3)
+        )
+
+    rows = [(1, ppm(4, 3)), (2, ppm(16, 9)), (3, b"P5\n2 2\n255\n" + b"\0" * 4)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: r
+        for r in multimodal.decode_batch(
+            df, kernel=multimodal.decode_image_real
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (4, 3)
+    assert (out[2]["width"], out[2]["height"]) == (16, 9)
+    assert (out[3]["width"], out[3]["height"]) == (2, 2)
+    try:
+        import PIL  # noqa: F401
+
+        assert out[1]["format"] in ("ppm", "pgm")  # Pillow names vary
+    except ImportError:
+        assert out[1]["format"] == "ppm"
+        assert out[3]["format"] == "pgm"
+
+
+def test_decode_image_real_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_image_real(b"\x89PNG-but-not-really")
+    with _pytest.raises(ValueError):
+        multimodal.decode_image_real(b"P6\n4 ")  # truncated header
+
+
+def test_numpy_logreg_scorer_through_spark(spark):
+    """Real vectorized model math (featurize → matmul → logit) through
+    score_documents; equality with a direct numpy evaluation proves the
+    Arrow batching doesn't perturb the kernel."""
+    import numpy as np
+
+    from xml_to_parquet_spark.functions import inference
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    texts = ["short", "A LONGER SHOUTY TEXT 123", "the quick brown fox " * 5]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in inference.score_documents(
+            df, scorer=inference.numpy_logreg_scorer
+        ).collect()
+    }
+    want = inference.numpy_logreg_scorer(texts)
+    for i, w in enumerate(want):
+        assert np.isclose(got[i], w), (i, got[i], w)
+    # partition-invariance of the real kernel too
+    got7 = {
+        r["doc_id"]: r["logit"]
+        for r in inference.score_documents(
+            df.repartition(7), scorer=inference.numpy_logreg_scorer
+        ).collect()
+    }
+    assert got == got7

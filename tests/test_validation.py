@@ -100,3 +100,116 @@ def test_external_dtd_validation_lxml(tmp_path):
     assert _check_one(ok, dtd) == ("success", "")
     status, err = _check_one(nok, dtd)
     assert status == "validation_error" and err
+
+
+# ---------------------------------------------------------------------------
+# XSD branch — runs in THIS container via the stdlib subset validator
+# (ladder: lxml → xmlschema → xsd_subset; see xml_validation._check_one).
+# Schema shape mirrors the reference's products schema constructs
+# (/root/reference/R/schemas/products.xsd:1-23: nested sequence,
+# minOccurs/maxOccurs, typed leaves, required attribute).
+# ---------------------------------------------------------------------------
+
+ITEMS_XSD = """<?xml version="1.0" encoding="UTF-8"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="items">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="item" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="label" type="xs:string"/>
+              <xs:element name="cost" type="xs:decimal"/>
+              <xs:element name="count" type="xs:integer"/>
+              <xs:element name="score" type="xs:decimal" minOccurs="0"/>
+            </xs:sequence>
+            <xs:attribute name="sku" type="xs:string" use="required"/>
+            <xs:attribute name="group" type="xs:string"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+ITEMS_OK = (
+    '<items><item sku="a1"><label>x</label><cost>1.50</cost>'
+    "<count>3</count></item>"
+    '<item sku="a2" group="g"><label>y</label><cost>2</cost>'
+    "<count>1</count><score>4.5</score></item></items>"
+)
+
+
+def test_xsd_validation_valid_runs_here(tmp_path):
+    d = str(tmp_path)
+    xsd = _write(d, "items.xsd", ITEMS_XSD)
+    ok = _write(d, "ok.xml", ITEMS_OK)
+    assert _check_one(ok, xsd) == ("success", "")
+
+
+@pytest.mark.parametrize(
+    "doc,expect_in_err",
+    [
+        # missing required attribute
+        (
+            "<items><item><label>x</label><cost>1</cost>"
+            "<count>2</count></item></items>",
+            "sku",
+        ),
+        # non-decimal cost
+        (
+            '<items><item sku="s"><label>x</label><cost>abc</cost>'
+            "<count>2</count></item></items>",
+            "decimal",
+        ),
+        # missing mandatory child (cost)
+        (
+            '<items><item sku="s"><label>x</label>'
+            "<count>2</count></item></items>",
+            "cost",
+        ),
+        # unexpected extra child
+        (
+            '<items><item sku="s"><label>x</label><cost>1</cost>'
+            "<count>2</count><bogus>z</bogus></item></items>",
+            "bogus",
+        ),
+        # wrong root element
+        ("<products/>", "root"),
+    ],
+)
+def test_xsd_validation_invalid_runs_here(tmp_path, doc, expect_in_err):
+    d = str(tmp_path)
+    xsd = _write(d, "items.xsd", ITEMS_XSD)
+    nok = _write(d, "nok.xml", doc)
+    status, err = _check_one(nok, xsd)
+    assert status == "validation_error", (status, err)
+    assert expect_in_err in err
+
+
+def test_xsd_malformed_doc_is_error_not_validation_error(tmp_path):
+    d = str(tmp_path)
+    xsd = _write(d, "items.xsd", ITEMS_XSD)
+    bad = _write(d, "bad.xml", "<items><item sku='s'>")
+    status, err = _check_one(bad, xsd)
+    assert status == "error" and err
+
+
+def test_xsd_occurrence_bounds(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    d = str(tmp_path)
+    xsd = _write(
+        d,
+        "s.xsd",
+        """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="r"><xs:complexType><xs:sequence>
+    <xs:element name="a" type="xs:string" minOccurs="2" maxOccurs="3"/>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    assert xsd_subset.validate(b"<r><a/><a/></r>", xsd) == []
+    assert xsd_subset.validate(b"<r><a/><a/><a/></r>", xsd) == []
+    assert xsd_subset.validate(b"<r><a/></r>", xsd)  # below min
+    assert xsd_subset.validate(b"<r><a/><a/><a/><a/></r>", xsd)  # above max

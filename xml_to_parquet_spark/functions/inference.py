@@ -51,6 +51,41 @@ def real_model_stub(texts: list[str]) -> list[float]:
     )
 
 
+def numpy_logreg_scorer(texts: list[str]) -> list[float]:
+    """A REAL (if tiny) model kernel: logistic-regression logits over five
+    deterministic text features, computed vectorized in numpy per Arrow
+    batch — the actual shape of quality-classifier inference (featurize →
+    matmul → logit), with fixed literal weights so results are exactly
+    reproducible. Use as ``scorer=`` to run genuine batched model math in
+    containers without torch/onnx; ``fake_logit`` stays the oracle default.
+    """
+    import numpy as np
+
+    n = np.array([max(len(t), 1) for t in texts], dtype=np.float64)
+    digits = np.array(
+        [sum(c.isdigit() for c in t) for t in texts], dtype=np.float64
+    )
+    uppers = np.array(
+        [sum(c.isupper() for c in t) for t in texts], dtype=np.float64
+    )
+    spaces = np.array(
+        [t.count(" ") for t in texts], dtype=np.float64
+    )
+    feats = np.stack(
+        [
+            np.log1p(n),
+            digits / n,
+            uppers / n,
+            spaces / n,
+            n / (spaces + 1.0),  # mean token length proxy
+        ],
+        axis=1,
+    )
+    w = np.array([0.35, -6.0, -2.0, 1.5, -0.08])
+    b = -1.25
+    return (feats @ w + b).tolist()
+
+
 def fake_logit(texts: list[str]) -> list[float]:
     """Deterministic stand-in scorer: logit derived from the text's md5,
     mapped into [-8, 8). Stable across runs/partitionings/batch splits,
