@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions import dedup, text
@@ -404,3 +405,49 @@ def test_fuzzy_symdel_rejects_large_k(spark):
 
     with _pytest.raises(ValueError, match="max_distance"):
         dedup.fuzzy_pairs_symdel(df, "text", max_distance=3)
+
+
+def test_dedup_clusters_unconverged_guardrail(spark):
+    """Path graph with diameter > iterations (r3 VERDICT #8): bounded
+    propagation must not silently return partial labels."""
+    n = 10  # path 0-1-...-9, diameter 9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="still changing"):
+        dedup.dedup_clusters(pairs, iterations=2)
+    # star fallback: exact components at any diameter
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            pairs, iterations=2, on_unconverged="star"
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+    # explicit opt-in returns the k-step bounded labels (oracle semantics)
+    part = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(
+            pairs, iterations=2, on_unconverged="return"
+        ).collect()
+    }
+    assert part[0] == 0 and part[n - 1] > 0  # far end not yet reached
+
+
+def test_dedup_clusters_fixpoint_at_last_round_is_not_an_error(spark):
+    """A 4-chain converges exactly AT round 3: the verification round
+    must prove completeness instead of raising."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_dedup_clusters_bad_mode_rejected(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="on_unconverged"):
+        dedup.dedup_clusters(pairs, on_unconverged="nope")

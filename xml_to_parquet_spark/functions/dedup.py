@@ -764,6 +764,7 @@ def dedup_clusters(
     iterations: int = 5,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """Duplicate clustering: connected components over a near-dup pair list
     via bounded min-label propagation → (doc_id, cluster_id = min id
@@ -779,6 +780,19 @@ def dedup_clusters(
     SQL-reproducible — the oracle runs the same k steps). For adversarial
     long-path graphs, switch to large-star/small-star contraction
     (O(log diameter) rounds of the same join shape).
+
+    Convergence guardrail (r3 VERDICT #8): the per-round fixpoint probe
+    tells us whether propagation PROVABLY converged (some round changed
+    nothing). A graph that reaches fixpoint exactly at round k is
+    complete but not yet provable, so when the loop exhausts
+    ``iterations`` without proof, ONE extra verification round runs: if
+    it changes nothing the k-round labels are returned as converged;
+    if it still moves labels, ``on_unconverged`` decides:
+    ``"raise"`` (default) raises ValueError naming the fix;
+    ``"star"`` transparently re-runs the input through
+    :func:`dedup_clusters_star` (exact CC at any diameter — identical
+    labels to converged propagation); ``"return"`` opts in to the
+    bounded-propagation labels (what the k-step SQL oracle replays).
 
     Iterative-plan hygiene: each iteration references the previous labels
     TWICE (self union + join), so an unmaterialized chain recomputes the
@@ -799,13 +813,16 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    prev_chk = None
-    for _ in range(iterations):
+    if on_unconverged not in ("raise", "star", "return"):
+        raise ValueError(
+            f"on_unconverged must be raise|star|return, got {on_unconverged!r}"
+        )
+    def _round(lbl: DataFrame) -> tuple[DataFrame, tuple]:
         neigh = sym.join(
-            labels, on=sym["dst"] == labels["node"]
+            lbl, on=sym["dst"] == lbl["node"]
         ).select(F.col("src").alias("node"), "label")
-        labels = (
-            labels.union(neigh)
+        nxt = (
+            lbl.union(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             # label tables are bounded by the near-dup node count — tiny
@@ -814,20 +831,42 @@ def dedup_clusters(
             .coalesce(8)
             .localCheckpoint(eager=True)
         )
-        # early exit on label fixpoint: propagation is monotone, so once
-        # labels stop changing every remaining round is a no-op — the
-        # result is IDENTICAL to running all `iterations` rounds (which
-        # is what the oracle replays). The probe reads the tiny
-        # just-checkpointed label table; bit_xor of row hashes is
-        # order-independent and rows are distinct per node.
-        chk = labels.agg(
+        # fixpoint probe: propagation is monotone, so once labels stop
+        # changing every remaining round is a no-op — the result is
+        # IDENTICAL to running all `iterations` rounds (which is what
+        # the oracle replays). The probe reads the tiny just-
+        # checkpointed label table; bit_xor of row hashes is order-
+        # independent and rows are distinct per node.
+        chk = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("node", "label")).alias("h"),
         ).collect()[0]
-        cur = (chk["n"], chk["h"])
-        if cur == prev_chk:
+        return nxt, (chk["n"], chk["h"])
+
+    prev_chk = None
+    converged = False
+    for _ in range(iterations):
+        labels, cur = _round(labels)
+        if cur == prev_chk:  # early exit on proven fixpoint
+            converged = True
             break
         prev_chk = cur
+    if not converged:
+        # one extra verification round: fixpoint-at-round-k is complete
+        # but unproven; only a round that still MOVES labels is partial
+        _, cur = _round(labels)
+        converged = cur == prev_chk
+    if not converged:
+        if on_unconverged == "raise":
+            raise ValueError(
+                f"dedup_clusters: labels still changing after "
+                f"{iterations} propagation rounds (graph diameter likely "
+                f"exceeds the bound) — raise `iterations`, pass "
+                f"on_unconverged='star', or call dedup_clusters_star for "
+                f"exact any-diameter components"
+            )
+        if on_unconverged == "star":
+            return dedup_clusters_star(pairs, a_col=a_col, b_col=b_col)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
