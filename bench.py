@@ -56,23 +56,62 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     vals = sorted(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                # normalization context: total wall grows with catalog SIZE
-                # (59 queries in r1 → 84+ now); per-query stats are the
-                # round-over-round comparable numbers
-                "n_queries": len(timings),
-                "per_query_mean": round(statistics.mean(vals), 3),
-                "per_query_median": round(statistics.median(vals), 3),
-            }
-        )
+
+    # The driver records only the LAST 2000 BYTES of stdout and parses the
+    # JSON line out of that window (BENCH_r01 parsed at 1680 bytes;
+    # r2/r3 grew past 2000 with the 88/91-query map and recorded
+    # parsed=None — two rounds of bench data silently lost).  So: the full
+    # per-query map goes to a sidecar file, and the printed line carries a
+    # FIXED headline subset, hard-capped under the window.
+    full = {
+        "metric": "workload_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
+        "per_query_mean": round(statistics.mean(vals), 3),
+        "per_query_median": round(statistics.median(vals), 3),
+    }
+    with open(os.path.join(REPO, "BENCH_LOCAL_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    headline = [
+        # relational core / star
+        "q01_star_revenue", "q02_grouped_multi_agg", "q35_sql_frontend",
+        "q42_percentile", "a87_grouping_sets",
+        # dedup family
+        "q20_dedup_exact", "q21_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
+        "a60_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
+        "a75_dedup_apply", "a85_fuzzy_pairs", "a89_fuzzy_qgram",
+        # similarity / ANN / clustering
+        "q25_embedding_neardup", "q26_knn_brute", "q47_knn_ivf",
+        "a71_kmeans_cells", "a81_pq_codes",
+        # text pipeline
+        "q16_token_counts", "q17_text_quality", "q18_lang_id",
+        "a67_repetition_features", "a68_quality_gate",
+        # streaming
+        "q36_streaming_window", "a76_stream_dedup", "a90_stream_join",
+        # scale ops
+        "a82_zorder_key", "a84_scd2", "q50_salted_agg",
+        # multimodal / scoring
+        "a92_multimodal_decode", "a93_multimodal_resize", "a91_batch_score",
+    ]
+    line = json.dumps(
+        {
+            "metric": "workload_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: timings[k] for k in headline if k in timings},
+            "sf": float(sf) if sf else None,
+            "n_queries": len(timings),
+            "per_query_mean": round(statistics.mean(vals), 3),
+            "per_query_median": round(statistics.median(vals), 3),
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench line {len(line)}B breaches driver window"
+    print(line)
 
 
 if __name__ == "__main__":

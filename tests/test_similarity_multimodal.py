@@ -407,3 +407,140 @@ def test_numpy_logreg_scorer_through_spark(spark):
         ).collect()
     }
     assert got == got7
+
+
+def test_aspect_fit_integer_math():
+    # no upscale
+    assert multimodal.aspect_fit(100, 50, 128, 96) == (100, 50)
+    # width-limited
+    assert multimodal.aspect_fit(256, 96, 128, 96) == (128, 48)
+    # height-limited
+    assert multimodal.aspect_fit(100, 200, 128, 96) == (48, 96)
+    # extreme aspect ratio clamps to 1, never 0
+    assert multimodal.aspect_fit(1000, 1, 10, 10) == (10, 1)
+    assert multimodal.aspect_fit(1, 1000, 10, 10) == (1, 10)
+
+
+def test_resize_netpbm_nearest_neighbor_values():
+    """Pixel-exact check of the raw-netpbm resampler: P5 4x2 ramp into a
+    2x2 box -> 2x1 output sampling columns 0 and 2 of row 0."""
+    payload = b"P5\n4 2\n255\n" + bytes([0, 1, 2, 3, 10, 11, 12, 13])
+    out = multimodal._resize_netpbm(payload, 2, 2)
+    header, raster = out.rsplit(b"\n", 1)
+    assert header == b"P5\n2 1\n255"
+    assert raster == bytes([0, 2])
+
+
+def test_resize_image_real_roundtrip_through_spark(spark):
+    """Real resize kernel through the mapInPandas plumbing, then the
+    resized payload re-decoded to prove output dims are genuinely written
+    into the raster, not just reported."""
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+
+    def ppm(w, h):
+        return (f"P6\n{w} {h}\n255\n").encode() + bytes(
+            (i * 7) % 256 for i in range(w * h * 3)
+        )
+
+    rows = [(1, ppm(16, 9)), (2, ppm(4, 3))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+
+    def kernel(payload, mw, mh):
+        w, h, ow, oh, fmt, resized = multimodal.resize_image_real(
+            payload, mw, mh
+        )
+        # re-decode the resized payload: dims must round-trip
+        rw, rh, _ = multimodal.decode_image_real(resized)
+        assert (rw, rh) == (ow, oh)
+        return w, h, ow, oh, fmt
+
+    out = {
+        r["id"]: r
+        for r in multimodal.resize_batch(df, 8, 8, kernel=kernel).collect()
+    }
+    assert (out[1]["in_width"], out[1]["in_height"]) == (16, 9)
+    assert (out[1]["out_width"], out[1]["out_height"]) == (8, 4)
+    # within-box image passes through unscaled
+    assert (out[2]["out_width"], out[2]["out_height"]) == (4, 3)
+
+
+def test_byte_features_partition_invariant_and_exact(spark):
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    rows = [
+        (1, b"Az 09"),
+        (2, b""),
+        (3, bytes(range(256))),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in multimodal.byte_features_batch(df).collect()}
+    r1 = got[1]
+    assert (r1["n_bytes"], r1["byte_sum"]) == (5, 65 + 122 + 32 + 48 + 57)
+    assert (r1["n_upper"], r1["n_digit"], r1["n_space"]) == (1, 2, 1)
+    assert (got[2]["n_bytes"], got[2]["max_byte"]) == (0, -1)
+    assert (got[3]["byte_sum"], got[3]["max_byte"]) == (255 * 128, 255)
+    got7 = {
+        r["id"]: r
+        for r in multimodal.byte_features_batch(df.repartition(7)).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in got7.items()
+    }
+
+
+def test_fake_resize_matches_oracle_arithmetic():
+    """fake_resize == the a93 oracle's SQL CASE, byte for byte, on digests
+    spanning every branch of aspect_fit over the md5 dim range."""
+    import hashlib
+
+    for seed in range(200):
+        payload = f"doc {seed}".encode()
+        d = hashlib.md5(payload).digest()
+        w, h = 64 + d[0] % 192, 64 + d[1] % 192
+        ew, eh = multimodal.aspect_fit(w, h, 128, 96)
+        gw, gh, gow, goh, _ = multimodal.fake_resize(payload, 128, 96)
+        assert (gw, gh, gow, goh) == (w, h, ew, eh)
+        # SQL CASE twin
+        if w <= 128 and h <= 96:
+            sw, sh = w, h
+        elif w * 96 >= h * 128:
+            sw, sh = 128, (h * 128) // w
+        else:
+            sw, sh = (w * 96) // h, 96
+        assert (sw, sh) == (ew, eh), (w, h)
+
+
+def test_bench_line_fits_driver_window():
+    """The driver records only the last 2000 bytes of bench stdout; r2/r3
+    lost their bench data to an oversized JSON line.  Worst-case-render the
+    headline line (every timing 9999.999) and assert headroom."""
+    import json as _json
+
+    import bench as benchmod  # noqa: F401  (import proves module loads)
+    from xml_to_parquet_spark.workload import QUERIES
+
+    src = open(benchmod.__file__).read()
+    assert "BENCH_LOCAL_FULL.json" in src
+    # replicate the headline construction against the live catalog
+    import re
+
+    keys = re.findall(r'"((?:q|a)\d\d_[a-z_0-9]+)"', src)
+    headline = [k for k in keys if k in QUERIES]
+    assert len(headline) >= 30, "headline subset shrank unexpectedly"
+    line = _json.dumps(
+        {
+            "metric": "workload_total_wall",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {k: 9999.999 for k in headline},
+            "sf": 0.1,
+            "n_queries": len(QUERIES),
+            "per_query_mean": 9999.999,
+            "per_query_median": 9999.999,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, len(line)

@@ -158,6 +158,186 @@ def decode_batch(
     ).mapInPandas(_decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "id long, in_width int, in_height int, "
+    "out_width int, out_height int, format string"
+)
+
+BYTE_FEATURES_SCHEMA = (
+    "id long, n_bytes long, byte_sum long, n_upper long, "
+    "n_digit long, n_space long, max_byte long"
+)
+
+
+def aspect_fit(
+    width: int, height: int, max_w: int, max_h: int
+) -> tuple[int, int]:
+    """Integer-exact aspect-preserving fit of (width, height) into a
+    (max_w, max_h) box; never upscales.  Pure integer arithmetic so the
+    result is reproducible in ANSI SQL (no float rounding ambiguity):
+
+        limiting side fixed to the box, other side = floor-scaled, min 1.
+    """
+    if width <= max_w and height <= max_h:
+        return width, height
+    if width * max_h >= height * max_w:  # width is the limiting side
+        return max_w, max(1, (height * max_w) // width)
+    return max(1, (width * max_h) // height), max_h
+
+
+def fake_resize(
+    payload: bytes, max_w: int, max_h: int
+) -> tuple[int, int, int, int, str]:
+    """Deterministic stand-in resize: input dims from ``fake_decode``'s
+    md5 arithmetic, output dims from ``aspect_fit``.  SQL-expressible end
+    to end, so the mapInPandas resize stage gets an exact oracle."""
+    w, h, fmt = fake_decode(payload)
+    ow, oh = aspect_fit(w, h, max_w, max_h)
+    return w, h, ow, oh, fmt
+
+
+def _resize_netpbm(payload: bytes, max_w: int, max_h: int) -> bytes:
+    """REAL nearest-neighbor resample for raw netpbm (P5 PGM / P6 PPM):
+    parse header, numpy index-sample the pixel grid, re-emit a valid
+    netpbm payload.  Raises ValueError for the ASCII variants (P1-P3) and
+    non-netpbm payloads."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"raw-netpbm resize supports P5/P6, got {magic!r}")
+    # header: magic, width, height, maxval, ONE whitespace byte, then raster
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while payload[i : i + 1] not in (b"\n", b"\r", b""):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c == b"":
+            raise ValueError("truncated netpbm header")
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    width, height, maxval = tokens
+    i += 1  # single whitespace separating header from raster
+    channels = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * channels, offset=i
+    ).reshape(height, width, channels)
+    ow, oh = aspect_fit(width, height, max_w, max_h)
+    # nearest-neighbor source index per output pixel (floor of the center)
+    ys = (np.arange(oh) * height) // oh
+    xs = (np.arange(ow) * width) // ow
+    out = raster[ys][:, xs]
+    header = f"{magic.decode()}\n{ow} {oh}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+def resize_image_real(
+    payload: bytes, max_w: int, max_h: int
+) -> tuple[int, int, int, int, str, bytes]:
+    """Real resize kernel with a library gate (the ``decode_image_real``
+    pattern): Pillow when installed, else the stdlib+numpy raw-netpbm
+    resampler — a real raster genuinely resampled even in this container.
+    Returns (in_w, in_h, out_w, out_h, format, resized_payload)."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        with Image.open(BytesIO(payload)) as im:
+            w, h = im.width, im.height
+            ow, oh = aspect_fit(w, h, max_w, max_h)
+            buf = BytesIO()
+            im.resize((ow, oh), Image.NEAREST).save(
+                buf, format=im.format or "PNG"
+            )
+            return w, h, ow, oh, (im.format or "unknown").lower(), buf.getvalue()
+    except ImportError:
+        w, h, fmt = _decode_netpbm(payload)
+        resized = _resize_netpbm(payload, max_w, max_h)
+        ow, oh = aspect_fit(w, h, max_w, max_h)
+        return w, h, ow, oh, fmt, resized
+
+
+def resize_batch(
+    df: DataFrame,
+    max_w: int,
+    max_h: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    kernel=fake_resize,
+) -> DataFrame:
+    """Arrow-batched resize stage over (id, payload) → RESIZED_SCHEMA.
+
+    Metadata-only output (the resized bytes stay inside the Python worker)
+    so the catalog row is comparator-safe; use ``resize_image_real``
+    directly when the downstream stage needs the resized payload."""
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ow, oh, fmt = kernel(bytes(payload), max_w, max_h)
+                out.append((int(i), w, h, ow, oh, fmt))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id", "in_width", "in_height",
+                    "out_width", "out_height", "format",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def byte_features_batch(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Binary feature-extract stage: numpy-vectorized byte statistics per
+    payload (sum, class counts, max) over Arrow batches — works on ANY
+    binary column (text, image, audio); no decode step.
+
+    All outputs are BIGINT.  For ASCII text payloads the byte statistics
+    coincide with character statistics, which is what makes an exact
+    ANSI-SQL oracle possible on the documents table (the testdata is
+    verified pure-ASCII at every SF)."""
+    import numpy as np
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                out.append((
+                    int(i),
+                    int(a.size),
+                    int(a.sum(dtype=np.int64)),
+                    int(((a >= 65) & (a <= 90)).sum()),
+                    int(((a >= 48) & (a <= 57)).sum()),
+                    int((a == 32).sum()),
+                    int(a.max()) if a.size else -1,
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id", "n_bytes", "byte_sum", "n_upper",
+                    "n_digit", "n_space", "max_byte",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_feats, BYTE_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n: int,

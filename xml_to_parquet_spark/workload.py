@@ -935,6 +935,105 @@ FROM documents ORDER BY id
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize plumbing (a93): deterministic stand-in kernel.
+
+    ``fake_resize`` derives input dims from md5 digest bytes (a92's trick)
+    and fits them into a 128x96 box with ``aspect_fit``'s pure-integer
+    arithmetic — both halves SQL-expressible, so the resize stage gets an
+    exact oracle.  The REAL kernel twin (``resize_image_real``: Pillow
+    gate, stdlib+numpy raw-netpbm fallback) is pytest-covered with genuine
+    rasters re-decoded after resampling."""
+    from xml_to_parquet_spark.functions.multimodal import (
+        resize_batch,
+        text_as_binary,
+    )
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        text_as_binary(F.col("text")).alias("payload"),
+    )
+    return resize_batch(docs, 128, 96).orderBy("id")
+
+
+# aspect_fit in SQL: md5-derived dims are always in [64, 255], so the
+# floor-scaled side is >= (64*96)//255 = 24 and the max(1, .) clamp in the
+# Python kernel is unreachable — no GREATEST needed (comparator hygiene).
+_Q_MULTIMODAL_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id AS id,
+         64 + (('0x' || substr(md5(text), 1, 2))::INT % 192) AS w,
+         64 + (('0x' || substr(md5(text), 3, 2))::INT % 192) AS h,
+         CASE (('0x' || substr(md5(text), 5, 2))::INT % 3)
+              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
+         END AS format
+  FROM documents
+)
+SELECT id, CAST(w AS INT) AS in_width, CAST(h AS INT) AS in_height,
+       CAST(CASE WHEN w <= 128 AND h <= 96 THEN w
+                 WHEN w * 96 >= h * 128 THEN 128
+                 ELSE (w * 96) // h END AS INT) AS out_width,
+       CAST(CASE WHEN w <= 128 AND h <= 96 THEN h
+                 WHEN w * 96 >= h * 128 THEN (h * 128) // w
+                 ELSE 96 END AS INT) AS out_height,
+       format
+FROM d ORDER BY id
+"""
+
+
+def q_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature-extract stage (a94): numpy byte statistics per
+    payload over Arrow batches — the generic any-modality feature pass
+    (works unchanged on image/audio blobs).  The oracle is exact because
+    the documents testdata is pure ASCII at every SF (verified), where
+    byte statistics equal character statistics."""
+    from xml_to_parquet_spark.functions.multimodal import (
+        byte_features_batch,
+        text_as_binary,
+    )
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        text_as_binary(F.col("text")).alias("payload"),
+    )
+    return byte_features_batch(docs).orderBy("id")
+
+
+_Q_BYTE_FEATURES_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+  FROM documents
+),
+chars AS (SELECT doc_id, ord(substr(text, i, 1)) AS o FROM pos),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bytes,
+         CAST(SUM(o) AS BIGINT) AS byte_sum,
+         CAST(SUM(CASE WHEN o BETWEEN 65 AND 90 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_upper,
+         CAST(SUM(CASE WHEN o BETWEEN 48 AND 57 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_digit,
+         CAST(SUM(CASE WHEN o = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_space,
+         CAST(MAX(o) AS BIGINT) AS max_byte
+  FROM chars GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(n_bytes, 0) AS BIGINT) AS n_bytes,
+       CAST(COALESCE(byte_sum, 0) AS BIGINT) AS byte_sum,
+       CAST(COALESCE(n_upper, 0) AS BIGINT) AS n_upper,
+       CAST(COALESCE(n_digit, 0) AS BIGINT) AS n_digit,
+       CAST(COALESCE(n_space, 0) AS BIGINT) AS n_space,
+       CAST(COALESCE(max_byte, -1) AS BIGINT) AS max_byte
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY id
+"""
+
+
 def q_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched model scoring (functions/inference.py): the
     "run a model over every document" pattern with the deterministic
@@ -3445,6 +3544,20 @@ QUERIES: dict[str, QuerySpec] = {
         q_batch_score,
         _Q_BATCH_SCORE_SQL,
         "Arrow-batched model scoring plumbing (deterministic stand-in)",
+    ),
+    # r4: the two mapInPandas stages the multimodal docstring promises but
+    # r3 lacked — resize (aspect-fit, stand-in kernel; real netpbm/Pillow
+    # twin pytest-covered) and binary feature-extract (numpy byte stats).
+    # They take driver slots from q07/q08 (driver-green r3, now retained).
+    "a93_multimodal_resize": QuerySpec(
+        q_multimodal_resize,
+        _Q_MULTIMODAL_RESIZE_SQL,
+        "mapInPandas resize plumbing (aspect-fit, stand-in kernel)",
+    ),
+    "a94_byte_features": QuerySpec(
+        q_byte_features,
+        _Q_BYTE_FEATURES_SQL,
+        "binary feature-extract (numpy byte statistics over Arrow batches)",
     ),
 }
 
