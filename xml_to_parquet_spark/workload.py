@@ -1821,14 +1821,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.operators.range_join import range_join_binned
 
     part = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [
-            ("budget", 900.0, 925.0),
-            ("mid", 925.0, 960.0),
-            ("premium", 960.0, 985.0),
-            ("luxury", 985.0, 1000.0),
-        ],
-        "band_name string, lo double, hi double",
+    # SQL VALUES → JVM LocalTableScan (createDataFrame's Python RDD is
+    # re-evaluated per downstream branch; see q_scd2)
+    bands = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('budget', 900.0D, 925.0D), ('mid', 925.0D, 960.0D),"
+        " ('premium', 960.0D, 985.0D), ('luxury', 985.0D, 1000.0D)"
+        " AS t(band_name, lo, hi)"
     )
     joined = range_join_binned(
         part, bands, value_col="p_retailprice", bin_width=20.0
@@ -2981,7 +2980,11 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("r_name"), F.lit("_NEW")).alias("value"),
         )
         .unionByName(
-            spark.createDataFrame([(99, "NEWREGION")], "key int, value string")
+            # literal via SQL VALUES → JVM LocalTableScan. createDataFrame
+            # builds a Python RDD (applySchemaToPythonRDD) that scd2's
+            # multi-branch plan re-evaluates 3x per action — measured 3.9s
+            # vs 0.75s steady-state for this 5-row query.
+            spark.sql("SELECT CAST(99 AS INT) AS key, 'NEWREGION' AS value")
         )
     )
     out = scd2_apply(dim, changes, "key", "value", "2024-06-01")
