@@ -118,3 +118,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in stream_events_interval_join(spark, str(tmp_path)).collect()
     ]
     assert got == [(1, 1, 2), (3, 6, 8), (3, 7, 8)]
+
+
+def test_stream_enrich_unknown_segment_and_batch_equal(spark, tmp_path):
+    import pandas as pd
+
+    from xml_to_parquet_spark.streaming.file_stream import (
+        stream_events_enriched,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "view", 2.0, "{}"),
+        (3, "2024-01-01 10:10:00", 2, "purchase", 5.0, "{}"),
+        # user 99 has no dimension row — must survive as UNKNOWN
+        (4, "2024-01-01 10:15:00", 99, "view", 7.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(tmp_path / "events.parquet")
+    dim = pd.DataFrame(
+        {"c_custkey": [1, 2], "c_mktsegment": ["BUILDING", "MACHINERY"]}
+    )
+    dim.to_parquet(tmp_path / "customer.parquet")
+
+    got = [
+        (r.event_type, r.segment, r.n, r.value_sum)
+        for r in stream_events_enriched(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("purchase", "MACHINERY", 1, 5.0),
+        ("view", "BUILDING", 2, 3.0),
+        ("view", "UNKNOWN", 1, 7.0),
+    ]

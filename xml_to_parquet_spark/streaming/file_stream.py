@@ -248,6 +248,51 @@ def stream_events_interval_join(
     return out.orderBy("user_id", "left_id", "right_id")
 
 
+def stream_events_enriched(
+    spark: SparkSession,
+    sf_dir: str,
+    dim_table: str = "customer",
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+) -> DataFrame:
+    """STREAM-STATIC enrichment join: each micro-batch of the event stream
+    is joined against a batch dimension table, then aggregated by
+    (event_type, segment) — the canonical streaming-enrichment topology
+    (clickstream × user dim) and the remaining join shape the streaming
+    surface lacked (windows a78/a79, dedup a76, stream-stream a90).
+
+    Stream-static joins are STATELESS: the static side is simply planned
+    into every micro-batch (re-read per trigger, so dimension updates are
+    picked up between triggers), no watermark or join state involved.
+    Scale note: keep the static side a bounded dimension — the planner
+    broadcasts it while small and shuffle-joins beyond the threshold,
+    paying that cost once per micro-batch either way. Unmatched stream
+    keys keep their rows (left join, segment → 'UNKNOWN'), because an
+    enrichment stage must never drop events.
+    """
+    schema = _events_schema(spark, sf_dir)
+    ev = _normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = spark.read.parquet(os.path.join(sf_dir, f"{dim_table}.parquet")).select(
+        F.col(dim_key).alias(stream_key), F.col(dim_attr).alias("segment")
+    )
+    enriched = ev.join(dim, on=stream_key, how="left").withColumn(
+        "segment", F.coalesce(F.col("segment"), F.lit("UNKNOWN"))
+    )
+    from xml_to_parquet_spark.operators.aggregation import dsum
+
+    agg = enriched.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "value_sum")
+    )
+    return run_available_now(
+        agg, query_name=f"events_enriched_{abs(hash(sf_dir)) % 99991}"
+    ).orderBy("event_type", "segment")
+
+
 def stream_xml_dir(
     spark: SparkSession,
     input_dir: str,

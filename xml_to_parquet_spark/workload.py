@@ -2706,6 +2706,27 @@ ORDER BY a.user_id, left_id, right_id
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (a95, §2.9 parity-plus): the event
+    stream joined per-micro-batch against the static customer dimension,
+    aggregated by (event_type, market segment).  Stateless join — the
+    remaining streaming join shape after windows/dedup/stream-stream; with
+    AvailableNow the result equals the batch join+agg the oracle runs."""
+    from xml_to_parquet_spark.streaming.file_stream import (
+        stream_events_enriched,
+    )
+
+    return stream_events_enriched(spark, sf_dir)
+
+
+_Q_STREAM_ENRICH_SQL = f"""
+SELECT e.event_type, COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('value', 'value_sum')}
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY event_type, segment
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once-per-key dedup (§2.9 parity-plus):
     dropDuplicatesWithinWatermark bounds state by the watermark horizon;
@@ -3561,6 +3582,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_byte_features,
         _Q_BYTE_FEATURES_SQL,
         "binary feature-extract (numpy byte statistics over Arrow batches)",
+    ),
+    "a95_stream_enrich": QuerySpec(
+        q_stream_enrich,
+        _Q_STREAM_ENRICH_SQL,
+        "stream-static enrichment join (stateless, per-micro-batch dim)",
     ),
 }
 
