@@ -294,3 +294,79 @@ def test_malformed_xml_permissive(spark, tmp_path):
         spark, path, row_tag="record", columnNameOfCorruptRecord="_corrupt_record"
     )
     assert df.count() >= 1
+
+
+def _canon(dt):
+    """Order/nullability-insensitive canonical form of a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return (
+            "struct",
+            tuple(sorted((f.name, _canon(f.dataType)) for f in dt.fields)),
+        )
+    if isinstance(dt, T.ArrayType):
+        return ("array", _canon(dt.elementType))
+    return dt.typeName()
+
+
+@pytest.mark.parametrize(
+    "name,xml,tag",
+    [
+        ("products", PRODUCTS_XML, "record"),
+        ("orders", ORDERS_XML, "record"),
+        ("comment", COMMENT_XML, "record"),
+        ("dup_tags", DUP_TAGS_XML, "record"),
+        ("ragged", RAGGED_XML, "record"),
+        ("no_id", NO_ID_XML, "record"),
+        ("nonalpha", NONALPHA_NESTED_XML, "record"),
+    ],
+)
+def test_derived_schema_matches_spark_inference(
+    spark, tmp_path, name, xml, tag
+):
+    """derive_schema_from_files must reproduce exactly the schema Spark's
+    XML reader infers under inferSchema=false — the imposed-schema fast
+    path must be invisible to everything downstream of the read."""
+    from xml_to_parquet_spark.sources.xml_source import (
+        derive_schema_from_files,
+        read_xml_auto,
+        resolve_row_tag,
+    )
+
+    path = _write(tmp_path, f"{name}.xml", xml)
+    rt = resolve_row_tag(spark, path) or tag
+    inferred = read_xml_auto(spark, path, rt).schema
+    derived = derive_schema_from_files([path], rt)
+    assert derived is not None, "derivation unexpectedly bailed"
+    assert _canon(derived) == _canon(inferred)
+
+
+def test_derived_schema_bails_on_namespaces(tmp_path):
+    from xml_to_parquet_spark.sources.xml_source import (
+        derive_schema_from_files,
+    )
+
+    p = tmp_path / "ns.xml"
+    p.write_text(
+        "<?xml version='1.0'?><root xmlns:x='http://e.x'>"
+        "<record><x:a>1</x:a></record></root>"
+    )
+    assert derive_schema_from_files([str(p)], "record") is None
+
+
+def test_imposed_schema_read_equals_inferred_read(spark, tmp_path):
+    """Full read parity: rows parsed under the derived schema match the
+    rows parsed under Spark's own discovery, fixture by fixture."""
+    from xml_to_parquet_spark.sources.xml_source import read_xml_records
+
+    path = _write(tmp_path, "orders.xml", ORDERS_XML)
+    plain = read_xml_records(spark, path, lineage=False)
+    fast = read_xml_records(
+        spark, path, lineage=False, schema_sample_paths=[path]
+    )
+    assert sorted(plain.columns) == sorted(fast.columns)
+    key = [c for c in plain.columns]
+    a = sorted(tuple(r) for r in plain.select(*key).collect())
+    b = sorted(tuple(r) for r in fast.select(*key).collect())
+    assert a == b

@@ -74,8 +74,17 @@ def process_xml_to_parquet(
     if not files:
         raise FileNotFoundError(f"no XML files under {input_dir}")
 
-    # 1. ingest: parse + flatten + lineage (lazy)
-    records = read_xml_records(spark, pattern, id_attribute=id_attribute)
+    # 1. ingest: parse + flatten + lineage (lazy).  XML structure comes
+    # from the first SCHEMA_SAMPLE_SIZE files (driver-side derivation,
+    # Spark-discovery fallback — the reference's first-100-files
+    # semantics, main.R:19,95) so the reader never runs its full-corpus
+    # discovery scan before job one.
+    records = read_xml_records(
+        spark,
+        pattern,
+        id_attribute=id_attribute,
+        schema_sample_paths=files[:SCHEMA_SAMPLE_SIZE],
+    )
 
     # 2. optional validation gate (reference ENABLE_VALIDATION path)
     validation = None
@@ -89,55 +98,76 @@ def process_xml_to_parquet(
         if not keys.isEmpty():
             records = attach_business_keys(records, keys)
 
-    # 4. schema inference on a sample (reference first-100-files ≈ limit)
-    sample = records.limit(SCHEMA_SAMPLE_SIZE * 1000)
-    catalog = analyze_schema(sample.drop("source_file_path", "load_timestamp"))
-    # audit columns keep their classification regardless of stats
-    for c in ("source_file_name", "source_file_path", "load_timestamp"):
-        if c in records.columns:
-            catalog[c] = {"classification": "audit"}
+    # The pipeline fans out into several actions over the same parsed rows
+    # (profile agg, fact write, one write per dimension, manifest counts).
+    # Uncached, EVERY action re-parses all the XML; persist once for the
+    # fan-out and release in the finally (cache-hygiene rule: no persist
+    # outlives its function).  Skipped when nothing is written — the lazy
+    # single-plan composition case.
+    cached = bool(output_dir)
+    if cached:
+        records = records.persist()
+    try:
+        # 4. schema inference on a sample (reference first-100-files ≈
+        # limit).  The sample is hard-bounded (limit) well under the
+        # analyzer's 2M exact-path cap, so its row-probe job is skipped.
+        sample = records.limit(SCHEMA_SAMPLE_SIZE * 1000)
+        catalog = analyze_schema(
+            sample.drop("source_file_path", "load_timestamp"),
+            exact_row_cap=None,
+        )
+        # audit columns keep their classification regardless of stats
+        for c in ("source_file_name", "source_file_path", "load_timestamp"):
+            if c in records.columns:
+                catalog[c] = {"classification": "audit"}
 
-    # 5. star transform (global surrogate keys)
-    star = build_star_schema(
-        records, catalog, id_column="record_id"
-    )
+        # 5. star transform (global surrogate keys)
+        star = build_star_schema(
+            records, catalog, id_column="record_id"
+        )
 
-    result = PipelineResult(star=star, catalog=catalog, validation=validation)
+        result = PipelineResult(
+            star=star, catalog=catalog, validation=validation
+        )
 
-    # 6. sinks + reports
-    if output_dir:
-        result.paths = write_star_schema(star, output_dir)
-        if write_reports:
-            manifest = processing_manifest(spark, records, validation)
-            result.manifest = manifest
-            write_csv_report(
-                manifest, os.path.join(output_dir, "processing_manifest.csv")
-            )
-            meta = parquet_metadata(spark, result.paths)
-            write_csv_report(
-                meta,
-                os.path.join(output_dir, "parquet_metadata.csv"),
-                mode="overwrite",
-            )
-            # reference document_schema intent (parquet_writer.R:24-26):
-            # per-column classification doc alongside the star outputs
-            write_csv_report(
-                schema_documentation(spark, catalog),
-                os.path.join(output_dir, "schema_documentation.csv"),
-                mode="overwrite",
-            )
-            if validation is not None:
-                # error channel (reference error_summary.csv,
-                # parquet_writer.R:13-26): one row per failed file
-                from pyspark.sql import functions as F
+        # 6. sinks + reports
+        if output_dir:
+            result.paths = write_star_schema(star, output_dir)
+            if write_reports:
+                manifest = processing_manifest(spark, records, validation)
+                result.manifest = manifest
+                write_csv_report(
+                    manifest,
+                    os.path.join(output_dir, "processing_manifest.csv"),
+                )
+                meta = parquet_metadata(spark, result.paths)
+                write_csv_report(
+                    meta,
+                    os.path.join(output_dir, "parquet_metadata.csv"),
+                    mode="overwrite",
+                )
+                # reference document_schema intent (parquet_writer.R:24-26):
+                # per-column classification doc alongside the star outputs
+                write_csv_report(
+                    schema_documentation(spark, catalog),
+                    os.path.join(output_dir, "schema_documentation.csv"),
+                    mode="overwrite",
+                )
+                if validation is not None:
+                    # error channel (reference error_summary.csv,
+                    # parquet_writer.R:13-26): one row per failed file
+                    from pyspark.sql import functions as F
 
-                errors = validation.filter(F.col("status") != "success")
-                if not errors.isEmpty():
-                    write_csv_report(
-                        errors,
-                        os.path.join(output_dir, "error_summary.csv"),
-                        mode="overwrite",
-                    )
+                    errors = validation.filter(F.col("status") != "success")
+                    if not errors.isEmpty():
+                        write_csv_report(
+                            errors,
+                            os.path.join(output_dir, "error_summary.csv"),
+                            mode="overwrite",
+                        )
+    finally:
+        if cached:
+            records.unpersist()
     return result
 
 

@@ -176,15 +176,21 @@ def classify_profile(profile: DataFrame) -> DataFrame:
 
 
 def analyze_schema(
-    df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = False,
+    exact_row_cap: int | None = 2_000_000,
 ) -> dict[str, dict]:
     """Driver-side catalog: {column: {classification, data_type, stats...}}.
 
     This is the engine's equivalent of the reference's ``schema_info`` table —
     intentionally driver-side (it's one tiny row per column) and the input to
-    ``build_star_schema``.
+    ``build_star_schema``.  ``exact_row_cap=None`` skips the row-count probe
+    job — pass it when the caller already bounds the input (e.g. a limit).
     """
-    rows = classify_profile(profile_columns(df, cols, approx=approx)).collect()
+    rows = classify_profile(
+        profile_columns(df, cols, approx=approx, exact_row_cap=exact_row_cap)
+    ).collect()
     return {
         r["column"]: {
             "classification": r["classification"],

@@ -160,7 +160,7 @@ def derive_document_order(
 
 def read_xml_auto(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     row_tag: str | None = None,
     schema: T.StructType | None = None,
     **options: str,
@@ -373,6 +373,125 @@ def with_record_id(df: DataFrame, id_attribute: str = "id") -> DataFrame:
     )
 
 
+class _ElemSpec:
+    """Merged shape of one element path across sampled records/files."""
+
+    __slots__ = ("attrs", "children", "text", "repeated")
+
+    def __init__(self) -> None:
+        self.attrs: set[str] = set()
+        self.children: dict[str, _ElemSpec] = {}
+        self.text = False
+        self.repeated = False
+
+
+def derive_schema_from_files(
+    paths: Sequence[str], row_tag: str, converge_after: int = 3
+) -> T.StructType | None:
+    """Driver-side schema derivation from sample files — the reference's
+    sampled-structure semantics (first-N-files union, xml_parser.R builds
+    columns from what the sample shows) WITHOUT a cluster inference scan.
+
+    Spark's XML reader otherwise runs a structure-discovery pass over
+    every input file before the first real job (measured 5s of a 15s
+    100-file pipeline, and it does not parallelize with the scan).  One
+    ElementTree pass over the sample files reproduces the schema the
+    reader would infer under ``inferSchema=false`` (all leaves string):
+
+    - attribute → ``ATTR_PREFIX + name`` string field
+    - leaf element (text only) → string field
+    - element with attributes/children → struct (text adds ``VALUE_TAG``)
+    - sibling repetition within one parent instance → array
+
+    Returns None — caller falls back to Spark discovery — for namespaced
+    documents (ElementTree and Spark name them differently) or unparseable
+    samples.  Same documented trade-off as the reference: structure that
+    only appears outside the sample is not parsed.
+
+    ``converge_after``: stop parsing further sample files once this many
+    consecutive files add nothing to the merged structure — uniform
+    corpora (the common production shape) converge after file one, so the
+    sample walk costs one file's parse instead of a hundred.
+    """
+    import xml.etree.ElementTree as ET
+
+    root_spec = _ElemSpec()
+    saw_record = False
+    changed = False
+
+    def _merge(el, spec: _ElemSpec) -> bool:
+        nonlocal changed
+        if "}" in el.tag:
+            return False
+        if not spec.attrs >= el.attrib.keys():
+            spec.attrs.update(el.attrib)
+            changed = True
+        if any("}" in a for a in el.attrib):
+            return False
+        if (el.text and el.text.strip()) and not spec.text:
+            spec.text = True
+            changed = True
+        counts: dict[str, int] = {}
+        for child in el:
+            if not isinstance(child.tag, str):  # comments/PIs
+                continue
+            if "}" in child.tag:
+                return False
+            counts[child.tag] = counts.get(child.tag, 0) + 1
+            sub = spec.children.get(child.tag)
+            if sub is None:
+                sub = spec.children[child.tag] = _ElemSpec()
+                changed = True
+            if not _merge(child, sub):
+                return False
+        for name, n in counts.items():
+            if n > 1 and not spec.children[name].repeated:
+                spec.children[name].repeated = True
+                changed = True
+        return True
+
+    stable_files = 0
+    for p in paths:
+        try:
+            tree_root = ET.parse(p).getroot()
+        except Exception:
+            return None
+        records = [
+            el for el in tree_root.iter() if _local_name(el.tag) == row_tag
+        ]
+        changed = False
+        for rec in records:
+            saw_record = True
+            if not _merge(rec, root_spec):
+                return None
+        stable_files = 0 if (changed or not records) else stable_files + 1
+        if saw_record and stable_files >= converge_after:
+            break
+
+    if not saw_record or not (root_spec.children or root_spec.attrs):
+        return None
+
+    def _build(spec: _ElemSpec) -> T.DataType:
+        if not spec.attrs and not spec.children:
+            return T.StringType()
+        fields = [
+            T.StructField(ATTR_PREFIX + a, T.StringType()) for a in spec.attrs
+        ]
+        if spec.text:
+            fields.append(T.StructField(VALUE_TAG, T.StringType()))
+        for name, sub in spec.children.items():
+            inner = _build(sub)
+            if sub.repeated:
+                inner = T.ArrayType(inner)
+            fields.append(T.StructField(name, inner))
+        return T.StructType(sorted(fields, key=lambda f: f.name))
+
+    built = _build(root_spec)
+    if not isinstance(built, T.StructType):
+        return None
+    return built
+
+
 def read_xml_records(
     spark: SparkSession,
     path: str,
@@ -380,6 +499,7 @@ def read_xml_records(
     lineage: bool = True,
     id_attribute: str = "id",
     document_order: bool = True,
+    schema_sample_paths: list[str] | None = None,
     **options: str,
 ) -> DataFrame:
     """Full ingest: parse → flatten → record_id → lineage. One logical plan.
@@ -387,6 +507,17 @@ def read_xml_records(
     ``document_order`` (default on, reference parity) derives nested-leaf
     concat order from the same cached probe read that resolves the rowTag
     — zero extra jobs; set False to keep inferred-schema order.
+
+    ``schema_sample_paths``: when set, the XML structure-discovery pass
+    (which otherwise reads EVERY file before the first real job) is
+    replaced: first by a driver-side ElementTree derivation over those
+    files (``derive_schema_from_files`` — zero Spark jobs), falling back
+    to a Spark discovery read restricted to the same files (namespaced or
+    unparseable samples).  Either way this is the reference's
+    first-``SCHEMA_SAMPLE_SIZE``-files schema semantics (main.R:19,95)
+    with the same documented trade-off: structure appearing only outside
+    the sample is not parsed.  At the 10,000-file design point it turns a
+    full-corpus discovery scan into a bounded sample read.
     """
     tag = row_tag or resolve_row_tag(spark, path)
     doc_order = (
@@ -394,8 +525,16 @@ def read_xml_records(
         if document_order and tag
         else None
     )
+    schema = None
+    if schema_sample_paths and tag:
+        schema = derive_schema_from_files(schema_sample_paths, tag)
+        if schema is None:
+            schema = read_xml_auto(
+                spark, list(schema_sample_paths), tag, **options
+            ).schema
     df = flatten_records(
-        read_xml_auto(spark, path, tag, **options), doc_order=doc_order
+        read_xml_auto(spark, path, tag, schema=schema, **options),
+        doc_order=doc_order,
     )
     df = with_record_id(df, id_attribute)
     if lineage:
