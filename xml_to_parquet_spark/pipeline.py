@@ -107,6 +107,11 @@ def process_xml_to_parquet(
     cached = bool(output_dir)
     if cached:
         records = records.persist()
+        if validation is not None:
+            # one row per file, but each downstream action that references
+            # it (gate join, manifest counts, error summary) would re-run
+            # the whole per-file validation pass uncached
+            validation = validation.persist()
     try:
         # 4. schema inference on a sample (reference first-100-files ≈
         # limit).  The sample is hard-bounded (limit) well under the
@@ -168,6 +173,8 @@ def process_xml_to_parquet(
     finally:
         if cached:
             records.unpersist()
+            if validation is not None:
+                validation.unpersist()
     return result
 
 
