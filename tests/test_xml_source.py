@@ -370,3 +370,53 @@ def test_imposed_schema_read_equals_inferred_read(spark, tmp_path):
     a = sorted(tuple(r) for r in plain.select(*key).collect())
     b = sorted(tuple(r) for r in fast.select(*key).collect())
     assert a == b
+
+
+def test_derived_schema_matches_inference_on_random_structures(
+    spark, tmp_path
+):
+    """Fixed-seed randomized XML corpus: nested structs, repeated
+    siblings, optional fields, attributes, text+attr mixes — derived
+    schema must equal Spark's inference on every document."""
+    import random
+
+    from xml_to_parquet_spark.sources.xml_source import (
+        derive_schema_from_files,
+        read_xml_auto,
+    )
+
+    rng = random.Random(20260814)
+    tags = ["alpha", "beta", "gamma", "delta", "epsi"]
+
+    def elem(depth: int) -> str:
+        tag = rng.choice(tags) + str(depth)
+        attrs = ""
+        if rng.random() < 0.4:
+            attrs = f' k{rng.randint(0, 2)}="v{rng.randint(0, 9)}"'
+        if depth >= 2 or rng.random() < 0.5:
+            return f"<{tag}{attrs}>t{rng.randint(0, 99)}</{tag}>"
+        n = rng.randint(1, 3)
+        body = "".join(elem(depth + 1) for _ in range(n))
+        if rng.random() < 0.3:  # repeated sibling
+            body += elem(depth + 1)
+        return f"<{tag}{attrs}>{body}</{tag}>"
+
+    for case in range(12):
+        recs = "".join(
+            "<record>" + "".join(elem(0) for _ in range(rng.randint(1, 4)))
+            + "</record>"
+            for _ in range(rng.randint(2, 5))
+        )
+        p = tmp_path / f"rand_{case}.xml"
+        p.write_text(f"<?xml version='1.0'?><root>{recs}</root>")
+        inferred = read_xml_auto(spark, str(p), "record").schema
+        derived = derive_schema_from_files([str(p)], "record")
+        if derived is None:
+            # legitimate bail-out (order-dependent three-way shape merge)
+            # — the caller falls back to Spark's own inference
+            continue
+        assert _canon(derived) == _canon(inferred), (
+            case,
+            derived.simpleString(),
+            inferred.simpleString(),
+        )

@@ -374,15 +374,34 @@ def with_record_id(df: DataFrame, id_attribute: str = "id") -> DataFrame:
 
 
 class _ElemSpec:
-    """Merged shape of one element path across sampled records/files."""
+    """Merged shape of one element path across sampled records/files.
 
-    __slots__ = ("attrs", "children", "text", "repeated")
+    Occurrence kinds mirror Spark's XML type-merge semantics (verified
+    empirically against the Spark 4 reader, see
+    test_derived_schema_matches_inference_on_random_structures):
+    - *null* occurrence (no text/attrs/children) infers NullType and
+      merges into anything — tracked implicitly by setting no flag;
+    - *plain* occurrence (text only) infers StringType;
+    - *complex* occurrence (attrs or children) infers StructType, with a
+      ``VALUE_TAG`` field iff character data appears in a complex
+      occurrence (``text_complex``).
+    A plain occurrence merges INTO a struct that has ``VALUE_TAG``;
+    against a struct without it, Spark collapses the type to string.
+    """
+
+    __slots__ = (
+        "attrs", "children", "repeated",
+        "text_complex", "textless_complex", "ever_plain", "ever_complex",
+    )
 
     def __init__(self) -> None:
         self.attrs: set[str] = set()
         self.children: dict[str, _ElemSpec] = {}
-        self.text = False
         self.repeated = False
+        self.text_complex = False
+        self.textless_complex = False
+        self.ever_plain = False
+        self.ever_complex = False
 
 
 def derive_schema_from_files(
@@ -423,18 +442,32 @@ def derive_schema_from_files(
         nonlocal changed
         if "}" in el.tag:
             return False
+        if any("}" in a for a in el.attrib):
+            return False
+        elem_children = [c for c in el if isinstance(c.tag, str)]
+        # character data anywhere inside the element (head text + child
+        # tails), the presence test behind Spark's VALUE_TAG field
+        has_text = bool(el.text and el.text.strip()) or any(
+            c.tail and c.tail.strip() for c in el
+        )
+        is_complex = bool(el.attrib) or bool(elem_children)
+        if is_complex and not spec.ever_complex:
+            spec.ever_complex = True
+            changed = True
+        if is_complex and has_text and not spec.text_complex:
+            spec.text_complex = True
+            changed = True
+        if is_complex and not has_text and not spec.textless_complex:
+            spec.textless_complex = True
+            changed = True
+        if not is_complex and has_text and not spec.ever_plain:
+            spec.ever_plain = True
+            changed = True
         if not spec.attrs >= el.attrib.keys():
             spec.attrs.update(el.attrib)
             changed = True
-        if any("}" in a for a in el.attrib):
-            return False
-        if (el.text and el.text.strip()) and not spec.text:
-            spec.text = True
-            changed = True
         counts: dict[str, int] = {}
-        for child in el:
-            if not isinstance(child.tag, str):  # comments/PIs
-                continue
+        for child in elem_children:
             if "}" in child.tag:
                 return False
             counts[child.tag] = counts.get(child.tag, 0) + 1
@@ -471,13 +504,26 @@ def derive_schema_from_files(
     if not saw_record or not (root_spec.children or root_spec.attrs):
         return None
 
+    class _Ambiguous(Exception):
+        pass
+
     def _build(spec: _ElemSpec) -> T.DataType:
-        if not spec.attrs and not spec.children:
+        # merge semantics verified against the Spark 4 reader:
+        # null occurrences merge into anything; plain text vs a struct
+        # WITHOUT character data collapses to string; plain text vs a
+        # struct WITH character data folds into its VALUE_TAG field.
+        if not spec.ever_complex:
             return T.StringType()
+        if spec.ever_plain and not spec.text_complex:
+            return T.StringType()
+        if spec.ever_plain and spec.text_complex and spec.textless_complex:
+            # three-way shape conflict: Spark's pairwise fold is
+            # order-dependent here — let its own inference decide
+            raise _Ambiguous
         fields = [
             T.StructField(ATTR_PREFIX + a, T.StringType()) for a in spec.attrs
         ]
-        if spec.text:
+        if spec.text_complex:
             fields.append(T.StructField(VALUE_TAG, T.StringType()))
         for name, sub in spec.children.items():
             inner = _build(sub)
@@ -486,7 +532,10 @@ def derive_schema_from_files(
             fields.append(T.StructField(name, inner))
         return T.StructType(sorted(fields, key=lambda f: f.name))
 
-    built = _build(root_spec)
+    try:
+        built = _build(root_spec)
+    except _Ambiguous:
+        return None
     if not isinstance(built, T.StructType):
         return None
     return built
