@@ -104,6 +104,12 @@ def process_xml_to_parquet(
     # fan-out and release in the finally (cache-hygiene rule: no persist
     # outlives its function).  Skipped when nothing is written — the lazy
     # single-plan composition case.
+    # 100 TB note: persist() is MEMORY_AND_DISK — right while the parsed
+    # batch fits the cluster's storage tier.  Beyond that, the same
+    # fan-out pattern holds with the fact written FIRST and the dim/
+    # manifest passes re-reading the (columnar, pruned) parquet instead
+    # of the cache; swap the persist for that once batches outgrow
+    # executor storage.
     cached = bool(output_dir)
     if cached:
         records = records.persist()
