@@ -57,6 +57,37 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     vals = sorted(timings.values())
 
+    # XML ETL throughput — the one workload the reference publishes
+    # numbers for (BASELINE.md: ~4.2 MB/s on 8 cores), measured live on
+    # this session so the driver records it alongside the query sweep.
+    # Failure here must never sink the main bench line.
+    etl = None
+    if os.environ.get("SPARK_GRAFT_BENCH_ETL", "1") != "0":
+        try:
+            import subprocess
+
+            # clean subprocess, not this session: the tool pins local[8]
+            # (the reference's core count) and a fresh JVM — the 94-query
+            # sweep's session measures ~1.7x slower on the same corpus
+            env = dict(os.environ, XML_ETL_TRIALS="2")
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "bench_xml_etl.py"),
+                 "--files=100"],
+                capture_output=True, text=True, timeout=300, env=env,
+            ).stdout.strip().splitlines()[-1]
+            r = json.loads(out)
+            etl = {
+                "files": r["files"],
+                "mb": r["mb"],
+                "sec": r["sec"],
+                "mb_per_s": r["mb_per_s"],
+                "cores": 8,
+                "ref_8core_mb_per_s": r["reference_mb_per_s"],
+                "speedup": r["speedup_vs_reference"],
+            }
+        except Exception:  # noqa: BLE001
+            etl = None
+
     # The driver records only the LAST 2000 BYTES of stdout and parses the
     # JSON line out of that window (BENCH_r01 parsed at 1680 bytes;
     # r2/r3 grew past 2000 with the 88/91-query map and recorded
@@ -72,6 +103,7 @@ def main() -> None:
         "n_queries": len(timings),
         "per_query_mean": round(statistics.mean(vals), 3),
         "per_query_median": round(statistics.median(vals), 3),
+        "xml_etl": etl,
     }
     with open(os.path.join(REPO, "BENCH_LOCAL_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
@@ -107,6 +139,7 @@ def main() -> None:
             "n_queries": len(timings),
             "per_query_mean": round(statistics.mean(vals), 3),
             "per_query_median": round(statistics.median(vals), 3),
+            "xml_etl": etl,
         },
         separators=(",", ":"),
     )

@@ -540,6 +540,15 @@ def test_bench_line_fits_driver_window():
             "n_queries": len(QUERIES),
             "per_query_mean": 9999.999,
             "per_query_median": 9999.999,
+            "xml_etl": {
+                "files": 10000,
+                "mb": 99999.9,
+                "sec": 99999.99,
+                "mb_per_s": 9999.99,
+                "cores": 128,
+                "ref_8core_mb_per_s": 4.2,
+                "speedup": 999.99,
+            },
         },
         separators=(",", ":"),
     )
