@@ -105,7 +105,14 @@ def main() -> None:
         "per_query_median": round(statistics.median(vals), 3),
         "xml_etl": etl,
     }
-    with open(os.path.join(REPO, "BENCH_LOCAL_FULL.json"), "w") as f:
+    # only the graded config (sf0.1) owns the canonical sidecar — smoke
+    # runs at other SFs must not clobber the committed floor
+    sidecar = (
+        "BENCH_LOCAL_FULL.json"
+        if sf == "0.1"
+        else f"BENCH_LOCAL_FULL_sf{sf}.json"
+    )
+    with open(os.path.join(REPO, sidecar), "w") as f:
         json.dump(full, f, indent=1)
 
     headline = [

@@ -104,3 +104,23 @@ def test_e2e_comment_business_key_becomes_dimension(spark, io_dirs):
     assert [(r.OrderType_key, r.OrderType) for r in dim.collect()] == [(1, "B2B")]
     fact = spark.read.parquet(res.paths["fact_main"])
     assert fact.filter(F.col("OrderType_key") == 1).count() == fact.count()
+
+
+def test_xml_etl_bench_harness_smoke(spark, tmp_path, monkeypatch):
+    """The ETL bench harness feeds BENCH_r{N} via bench.py's xml_etl
+    block — its corpus must parse and its pipeline pass must run."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_xml_etl as etl
+
+    monkeypatch.setattr(etl, "WORK", str(tmp_path / "work"))
+    inp, mb = etl.generate(3, records_per_file=50)
+    assert mb > 0
+    sec = etl.run_once(spark, inp, "out_smoke", validate=False)
+    assert sec > 0
+    out = os.path.join(etl.WORK, "out_smoke")
+    fact = spark.read.parquet(os.path.join(out, "fact_main.parquet"))
+    assert fact.count() == 150
+    # the dimension-grade columns made it through the star build
+    assert "region_key" in fact.columns or "region" in fact.columns
