@@ -124,3 +124,29 @@ def test_xml_etl_bench_harness_smoke(spark, tmp_path, monkeypatch):
     assert fact.count() == 150
     # the dimension-grade columns made it through the star build
     assert "region_key" in fact.columns or "region" in fact.columns
+
+
+def test_schema_sample_semantics_beyond_sample(spark, tmp_path):
+    """Reference-parity trade-off pinned: structure appearing only beyond
+    the first SCHEMA_SAMPLE_SIZE files is not parsed (main.R:19,95).
+    Also proves the imposed-schema path still parses every file's rows."""
+    from xml_to_parquet_spark import pipeline as P
+
+    inp = tmp_path / "input"
+    inp.mkdir()
+    for i in range(P.SCHEMA_SAMPLE_SIZE + 5):
+        extra = "<surprise>x</surprise>" if i >= P.SCHEMA_SAMPLE_SIZE else ""
+        (inp / f"f{i:04d}.xml").write_text(
+            "<?xml version='1.0'?><root>"
+            f"<record id='r{i}'><name>n{i // 2}</name>{extra}</record></root>"
+        )
+    res = P.process_xml_to_parquet(spark, str(inp), str(tmp_path / "out"))
+    fact = spark.read.parquet(
+        os.path.join(str(tmp_path / "out"), "fact_main.parquet")
+    )
+    assert fact.count() == P.SCHEMA_SAMPLE_SIZE + 5  # no rows dropped
+    # sampled-schema semantics: in-sample structure is parsed and
+    # profiled; beyond-sample structure is invisible end to end
+    assert "name" in res.catalog
+    assert "surprise" not in res.catalog
+    assert "surprise" not in fact.columns
