@@ -451,3 +451,69 @@ def test_dedup_clusters_bad_mode_rejected(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="on_unconverged"):
         dedup.dedup_clusters(pairs, on_unconverged="nope")
+
+
+def test_dedup_apply_best_semantics(spark):
+    from xml_to_parquet_spark.functions.dedup import dedup_apply_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),  # cluster A: 2 beats 1 on score
+            (2, 30),
+            (3, 30),  # cluster B: tie on score -> min id (3)
+            (4, 30),
+            (5, 5),   # unclustered: always kept
+        ],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "doc_id long, cluster_id string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_apply_best(docs, clusters, score_col="score").collect()
+    )
+    assert kept == [2, 3, 5]
+
+
+def test_dedup_apply_best_composes_with_clusterer(spark):
+    """End-to-end with a real clusterer: LSH pairs -> star contraction ->
+    best-member retention; exactly one survivor per component, and it is
+    the component's max-score member."""
+    from xml_to_parquet_spark.functions.dedup import (
+        dedup_apply_best,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = dedup_clusters_star(pairs)
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (10, 1), (11, 1), (99, 0)],
+        "doc_id long, score long",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_apply_best(docs, clusters, score_col="score").collect()
+    }
+    # component {1,2,3} -> 2 (score 9); {10,11} -> 10 (tie, min id);
+    # 99 unclustered -> kept
+    assert kept == {2, 10, 99}
+
+
+def test_dedup_apply_best_plans_window_group_limit(spark):
+    from xml_to_parquet_spark.functions.dedup import dedup_apply_best
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("score")
+    )
+    clusters = docs.select(
+        "doc_id", (F.col("doc_id") % 10).cast("string").alias("cluster_id")
+    )
+    plan = (
+        dedup_apply_best(docs, clusters, score_col="score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan

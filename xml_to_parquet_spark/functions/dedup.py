@@ -890,6 +890,47 @@ def dedup_apply(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def dedup_apply_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware dedup apply: keep the HIGHEST-``score_col`` member of
+    each cluster (ties → min id), plus every unclustered doc.
+
+    :func:`dedup_apply` keeps the min-id representative — fine when
+    members are interchangeable, wrong for training-data curation where
+    near-dup groups should retain their best exemplar (longest, highest
+    quality score, newest).  ``clusters`` is any (id, cluster_id) frame —
+    :func:`dedup_clusters` / :func:`dedup_clusters_star` outputs compose
+    directly; ``df`` must carry ``score_col``.
+
+    Scale: one left join on id + one window shuffle on the effective
+    cluster key; ``row_number() = 1`` plans as WindowGroupLimit (top-1
+    per group pushed below the sort), so per-group state is O(1), not
+    O(group size).  Unclustered docs get singleton keys (their own id) —
+    no skewed null partition.
+    """
+    from pyspark.sql import Window
+
+    labeled = df.join(
+        clusters.select(id_col, cluster_col), on=id_col, how="left"
+    )
+    eff = F.coalesce(
+        F.col(cluster_col).cast("string"), F.col(id_col).cast("string")
+    )
+    w = Window.partitionBy(eff).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", cluster_col)
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round: every node's >-neighbors reconnect to its min
     neighbor (Kiveris et al., "Connected Components in MapReduce")."""

@@ -2727,6 +2727,50 @@ GROUP BY 1, 2 ORDER BY event_type, segment
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention (a96, dedup.dedup_apply_best): keep
+    each cluster's best-scoring member instead of the min id — the
+    curation rule real training pipelines want.  The catalog row clusters
+    by a deterministic first-two-token prefix (SQL-exact stand-in for any
+    clusterer; half the docs land in multi-doc groups) and scores by text
+    length; the operator itself composes with dedup_clusters(_star)."""
+    from xml_to_parquet_spark.functions.dedup import dedup_apply_best
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("score"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 2)
+        ).alias("prefix"),
+    )
+    clusters = docs.select(
+        "doc_id", F.col("prefix").alias("cluster_id")
+    )
+    kept = dedup_apply_best(
+        docs, clusters, id_col="doc_id", score_col="score"
+    )
+    return kept.select("doc_id", "prefix", "score").orderBy("doc_id")
+
+
+_Q_DEDUP_KEEP_BEST_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS score,
+         array_to_string(
+           list_slice(string_split(lower(trim(text)), ' '), 1, 2), ' '
+         ) AS prefix
+  FROM documents
+),
+r AS (
+  SELECT doc_id, prefix, score,
+         ROW_NUMBER() OVER (PARTITION BY prefix
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT doc_id, prefix, score FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once-per-key dedup (§2.9 parity-plus):
     dropDuplicatesWithinWatermark bounds state by the watermark horizon;
@@ -3587,6 +3631,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_enrich,
         _Q_STREAM_ENRICH_SQL,
         "stream-static enrichment join (stateless, per-micro-batch dim)",
+    ),
+    "a96_dedup_keep_best": QuerySpec(
+        q_dedup_keep_best,
+        _Q_DEDUP_KEEP_BEST_SQL,
+        "quality-aware dedup retention (best member per cluster)",
     ),
 }
 
