@@ -127,6 +127,9 @@ def score_documents(
                 }
             )
 
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
     return df.select(id_col, text_col).mapInPandas(
         _score, scored_schema(id_col)
     )

@@ -153,6 +153,9 @@ def decode_batch(
                 out, columns=["id", "width", "height", "format", "n_bytes"]
             )
 
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(_decode, DECODED_SCHEMA)
@@ -293,6 +296,9 @@ def resize_batch(
                 ],
             )
 
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(_resize, RESIZED_SCHEMA)
@@ -333,6 +339,9 @@ def byte_features_batch(
                 ],
             )
 
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(_feats, BYTE_FEATURES_SCHEMA)

@@ -408,6 +408,9 @@ def embedding_neardup_pairs(
             {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
         )
 
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
     return (
         rep.groupBy("bi", "bj")
         .applyInPandas(_gemm_pair, "id_a long, id_b long")

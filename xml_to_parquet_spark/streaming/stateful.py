@@ -102,6 +102,9 @@ def sessionize_stateful(
                 }
             )
 
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(events.sparkSession)
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")

@@ -198,6 +198,13 @@ def validate_files(
     task opens only its slice). Join the result against parsed records on
     ``source_file_path`` to gate invalid files out (reference P4 semantics).
     """
+    # the mapInPandas closure below is pickled by reference to this
+    # module — ship the package so workers can import it regardless of
+    # the driver's working directory (driver-provided sessions haven't)
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+
     plan = [
         (f, schema_file or discover_schema_file(f, schema_dir)) for f in files
     ]
