@@ -255,3 +255,31 @@ def test_fuzzy_symdel_lossless_property(spark, texts, k):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    st.integers(min_value=1, max_value=10_000),
+    st.integers(min_value=1, max_value=10_000),
+    st.integers(min_value=1, max_value=2_000),
+    st.integers(min_value=1, max_value=2_000),
+)
+def test_aspect_fit_properties(w, h, mw, mh):
+    """aspect_fit invariants over the full integer domain: result fits the
+    box, never upscales, stays >= 1, and preserves aspect ratio within
+    integer-floor tolerance on the scaled side."""
+    from xml_to_parquet_spark.functions.multimodal import aspect_fit
+
+    ow, oh = aspect_fit(w, h, mw, mh)
+    assert 1 <= ow and 1 <= oh
+    assert ow <= max(w, mw) and oh <= max(h, mh)
+    if w <= mw and h <= mh:
+        assert (ow, oh) == (w, h)  # never upscale / never touch
+    else:
+        assert ow <= mw and oh <= mh  # fits the box
+        # aspect preservation: floor-scaling one side by the other's
+        # exact ratio reproduces the output (+-1 from integer floor)
+        if ow == mw:  # width-limited
+            assert abs(oh - (h * mw) // w) <= 1
+        else:
+            assert oh == mh
+            assert abs(ow - (w * mh) // h) <= 1
