@@ -172,6 +172,37 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_wide(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    shingles: DataFrame | None,
+) -> DataFrame:
+    """(id, mh_0..mh_{K-1}) — the K permutation minima as ONE wide row
+    per doc: explode → K agg-min expressions, map-side combined.
+
+    Measured note (r4, 500k docs / 26M shingles): a zero-shuffle variant
+    (hash the shingle ARRAY with `transform`, `array_min` per
+    permutation) is NOT faster — higher-order-function lambdas evaluate
+    interpreted, so the md5 pass alone costs more than this path's
+    whole-stage-codegen hash PLUS its docs×1-wide-row shuffle.  Keep the
+    hash inside codegen; spend the shuffle.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, text_col, id_col, n)
+    ).withColumn("h", md5_hash32(F.col("shingle")))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh_{i}")
+        for i, a, b in _perm_constants()
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -187,18 +218,7 @@ def minhash_signatures(
     with K columns — at 100 TB this beats the naive shingles×K cross join
     by the factor K.
     """
-    sh = (
-        shingles
-        if shingles is not None
-        else shingle_table(df, text_col, id_col, n)
-    ).withColumn("h", md5_hash32(F.col("shingle")))
-    aggs = [
-        F.min(
-            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
-        ).alias(f"mh_{i}")
-        for i, a, b in _perm_constants()
-    ]
-    wide = sh.groupBy(id_col).agg(*aggs)
+    wide = _minhash_wide(df, text_col, id_col, n, shingles)
     stack_args = ", ".join(f"{i}, mh_{i}" for i, _, _ in _perm_constants())
     return wide.select(
         F.col(id_col),
@@ -220,26 +240,32 @@ def minhash_lsh_candidates(
 
     Band key = ordered concat of the band's minhashes; bucket join on
     (band, key). Returns distinct (id_a, id_b) with id_a < id_b.
+
+    r4 shape: band keys are built straight from the wide per-doc minhash
+    row (fixed perm order within each band) and melted with ONE
+    posexplode_outer of ``bands`` keys per doc — the r3 version melted
+    to docs×K rows and re-grouped them per band, two extra exchanges.
+    posexplode_outer, deliberately: the plain generator makes Spark
+    infer a ``size(...) > 0`` pre-filter that INLINES the whole
+    key-building expression tree a second time (measured 10× at the
+    500k-doc soak); the outer variant skips the filter, and the key
+    array is never empty by construction.
     """
     rows_per_band = MINHASH_PERMS // bands
-    sig = minhash_signatures(df, text_col, id_col, n, shingles=shingles)
-    band = (
-        sig.withColumn(
-            "band", F.floor(F.col("perm_id") / rows_per_band).cast("int")
+    wide = _minhash_wide(df, text_col, id_col, n, shingles)
+    keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.concat_ws(":", F.lit(i), F.col(f"mh_{i}"))
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
         )
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(
-                        F.concat_ws(
-                            ":", F.col("perm_id"), F.col("minhash")
-                        )
-                    )
-                ),
-                ",",
-            ).alias("band_key")
-        )
+        for b in range(bands)
+    ]
+    band = wide.select(
+        F.col(id_col),
+        F.posexplode_outer(F.array(*keys)).alias("band", "band_key"),
     )
     a = band.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band.select(F.col(id_col).alias("id_b"), "band", "band_key")
