@@ -35,7 +35,7 @@ def run_available_now(
     query_name: str,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Run a streaming frame to completion (AvailableNow) into a memory
     sink; returns the final result as a batch DataFrame.
@@ -50,6 +50,9 @@ def run_available_now(
     commits/batch under the batch-tuned default. The stream's partition
     count is pinned at its first checkpoint anyway (this is the knob a real
     deployment sizes to its key cardinality, independent of batch jobs).
+    Default 4 (was 8): measured best-of-2 on the sf0.1 event stream —
+    windowed 1.54→1.36 s, dedup 1.49→1.38 s, stream-stream join
+    2.83→2.40 s; the testdata's key cardinality doesn't feed 8 stores.
     """
     # checkpoint on tmpfs when available: the state store fsyncs delta files
     # per micro-batch, and for an ephemeral AvailableNow run the durability
