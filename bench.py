@@ -124,10 +124,10 @@ def main() -> None:
         "a60_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
         "a75_dedup_apply", "a85_fuzzy_pairs", "a89_fuzzy_qgram",
         # similarity / ANN / clustering
-        "q25_embedding_neardup", "q26_knn_brute", "q47_knn_ivf",
+        "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
         "a71_kmeans_cells", "a81_pq_codes",
         # text pipeline
-        "q16_token_counts", "q17_text_quality", "q18_lang_id",
+        "q16_token_count", "q17_text_quality", "q18_lang_id",
         "a67_repetition_features", "a68_quality_gate",
         # streaming
         "q36_streaming_window", "a76_stream_dedup", "a90_stream_join",

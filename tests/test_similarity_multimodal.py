@@ -528,7 +528,9 @@ def test_bench_line_fits_driver_window():
     import re
 
     keys = re.findall(r'"((?:q|a)\d\d_[a-z_0-9]+)"', src)
-    headline = [k for k in keys if k in QUERIES]
+    missing = [k for k in keys if k not in QUERIES]
+    assert not missing, f"bench headline keys not in QUERIES: {missing}"
+    headline = keys
     assert len(headline) >= 30, "headline subset shrank unexpectedly"
     line = _json.dumps(
         {

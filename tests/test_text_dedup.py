@@ -503,6 +503,26 @@ def test_dedup_apply_best_composes_with_clusterer(spark):
     assert kept == {2, 10, 99}
 
 
+def test_dedup_apply_best_label_id_domain_collision(spark):
+    """Numeric-string cluster labels must not capture an unclustered doc
+    whose id renders to the same string (round-4 ADVICE): doc 0 is
+    unclustered while cluster label "0" groups docs 1 and 2 -- doc 0
+    must survive as its own singleton, not merge into cluster 0."""
+    from xml_to_parquet_spark.functions.dedup import dedup_apply_best
+
+    docs = spark.createDataFrame(
+        [(0, 1), (1, 9), (2, 5)], "doc_id long, score long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, "0"), (2, "0")], "doc_id long, cluster_id string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_apply_best(docs, clusters, score_col="score").collect()
+    )
+    assert kept == [0, 1]
+
+
 def test_dedup_apply_best_plans_window_group_limit(spark):
     from xml_to_parquet_spark.functions.dedup import dedup_apply_best
 

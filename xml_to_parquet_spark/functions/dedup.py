@@ -944,10 +944,13 @@ def dedup_apply_best(
     labeled = df.join(
         clusters.select(id_col, cluster_col), on=id_col, how="left"
     )
+    # Two-part key disambiguates the label and id domains: with numeric
+    # cluster labels (e.g. 0..N-1 indices) an unclustered doc whose id
+    # equals a label must NOT merge into that cluster (round-4 ADVICE).
     eff = F.coalesce(
         F.col(cluster_col).cast("string"), F.col(id_col).cast("string")
     )
-    w = Window.partitionBy(eff).orderBy(
+    w = Window.partitionBy(F.col(cluster_col).isNull(), eff).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     return (

@@ -3616,7 +3616,9 @@ QUERIES: dict[str, QuerySpec] = {
     # r4: the two mapInPandas stages the multimodal docstring promises but
     # r3 lacked — resize (aspect-fit, stand-in kernel; real netpbm/Pillow
     # twin pytest-covered) and binary feature-extract (numpy byte stats).
-    # They take driver slots from q07/q08 (driver-green r3, now retained).
+    # Under the sorted 50-slot correctness window the four r4 additions
+    # (a93-a96) evicted q05-q08 (all driver-green r3; still covered by
+    # pytest + tools/verify_local.py full-catalog runs each round).
     "a93_multimodal_resize": QuerySpec(
         q_multimodal_resize,
         _Q_MULTIMODAL_RESIZE_SQL,
