@@ -1,0 +1,116 @@
+"""One-command round gate (round-4 VERDICT item 7).
+
+Runs, in order, and FAILS LOUDLY on any red:
+
+1. ``pytest tests/``                        — unit/property suite
+2. ``tools/verify_local.py`` (full catalog) — every queries() entry vs
+   its DuckDB oracle at sf0.01 (the driver's correctness gate, but over
+   the WHOLE catalog, not the 50-slot window)
+3. ``tools/explain_audit.py``               — scale-critical plan
+   properties (broadcast joins, pushed filters, column pruning)
+4. bench-line size check                    — worst-case-rendered bench
+   JSON line stays under the driver's 2000-byte stdout window
+
+Usage::
+
+    python tools/gate.py            # full gate
+    python tools/gate.py --fast     # skip pytest (slowest stage)
+
+CHANGES_r{N}.md quotes this output verbatim; a claim that does not
+reproduce under ``python tools/gate.py`` must not be made.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _run(name: str, argv: list[str]) -> tuple[str, float, str]:
+    t0 = time.time()
+    proc = subprocess.run(
+        argv, cwd=REPO, capture_output=True, text=True, timeout=3600
+    )
+    dt = time.time() - t0
+    tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-12:])
+    status = "PASS" if proc.returncode == 0 else "FAIL"
+    print(f"[gate] {name}: {status} in {dt:.1f}s")
+    if status == "FAIL":
+        print(tail)
+    return status, dt, tail
+
+
+def check_bench_line() -> tuple[str, float, str]:
+    """Worst-case-render the bench headline JSON line (every timing
+    9999.999) and assert it fits the driver's 2000-byte stdout window
+    with headroom (memory: <1900 bytes)."""
+    t0 = time.time()
+    from xml_to_parquet_spark.workload import QUERIES
+
+    src = open(os.path.join(REPO, "bench.py")).read()
+    keys = re.findall(r'"((?:q|a)\d\d_[a-z_0-9]+)"', src)
+    missing = [k for k in keys if k not in QUERIES]
+    line = json.dumps(
+        {
+            "metric": "workload_total_wall",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {k: 9999.999 for k in keys},
+            "sf": 0.1,
+            "n_queries": len(QUERIES),
+            "per_query_mean": 9999.999,
+            "per_query_median": 9999.999,
+            "xml_etl": {
+                "files": 10000,
+                "mb": 99999.9,
+                "sec": 99999.99,
+                "mb_per_s": 9999.99,
+                "cores": 128,
+                "ref_8core_mb_per_s": 4.2,
+                "speedup": 999.99,
+            },
+        },
+        separators=(",", ":"),
+    )
+    ok = not missing and len(line) < 1900
+    detail = f"headline={len(keys)} keys, worst-case line={len(line)}B"
+    if missing:
+        detail += f", MISSING from QUERIES: {missing}"
+    status = "PASS" if ok else "FAIL"
+    print(f"[gate] bench-line: {status} in {time.time()-t0:.1f}s ({detail})")
+    return status, time.time() - t0, detail
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    results: dict[str, str] = {}
+    py = sys.executable
+
+    if not fast:
+        results["pytest"], _, _ = _run(
+            "pytest", [py, "-m", "pytest", "tests/", "-q"]
+        )
+    results["verify_local"], _, _ = _run(
+        "verify_local (full catalog)",
+        [py, os.path.join(REPO, "tools", "verify_local.py")],
+    )
+    results["explain_audit"], _, _ = _run(
+        "explain_audit", [py, os.path.join(REPO, "tools", "explain_audit.py")]
+    )
+    results["bench_line"], _, _ = check_bench_line()
+
+    reds = [k for k, v in results.items() if v != "PASS"]
+    verdict = "GREEN" if not reds else f"RED ({', '.join(reds)})"
+    print(f"[gate] VERDICT: {verdict}")
+    return 1 if reds else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
