@@ -1,0 +1,112 @@
+"""Module-CLI E2E tests (reference setup.R + test_conversion.R parity,
+round-4 VERDICT next-round item #3): ``setup`` bootstraps a project,
+``convert`` turns its examples into the star-schema output directory.
+
+Invoked in-process through ``__main__.main`` — ``get_spark`` uses
+``getOrCreate``, so the suite's session is reused instead of paying a
+fresh JVM per test; the subprocess surface itself (argv parsing, exit
+codes, bare two-arg form) is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from xml_to_parquet_spark.__main__ import SETUP_DIRS, main
+
+
+def test_setup_bootstraps_project(tmp_path):
+    proj = str(tmp_path / "proj")
+    assert main(["setup", proj, "--skip-spark-check"]) == 0
+    for d in SETUP_DIRS:
+        assert os.path.isdir(os.path.join(proj, d)), d
+    for rel in (
+        "examples/products.xml",
+        "examples/orders.xml",
+        "schemas/products.xsd",
+    ):
+        assert os.path.exists(os.path.join(proj, rel)), rel
+    # idempotent: re-run keeps existing fixtures
+    marker = os.path.join(proj, "examples", "products.xml")
+    before = open(marker).read()
+    assert main(["setup", proj, "--skip-spark-check"]) == 0
+    assert open(marker).read() == before
+
+
+def test_cli_convert_produces_star_output(spark, tmp_path):
+    """setup → copy examples to input → convert --validate: the
+    reference's test_conversion.R flow, against the module CLI."""
+    proj = str(tmp_path / "proj")
+    assert main(["setup", proj, "--skip-spark-check"]) == 0
+    import shutil
+
+    for f in ("products.xml", "orders.xml"):
+        shutil.copy(
+            os.path.join(proj, "examples", f), os.path.join(proj, "input", f)
+        )
+    rc = main(
+        [
+            "convert",
+            os.path.join(proj, "input"),
+            os.path.join(proj, "output"),
+            "--validate",
+            "--schema-dir",
+            os.path.join(proj, "schemas"),
+            "--log-dir",
+            os.path.join(proj, "logs"),
+        ]
+    )
+    assert rc == 0
+    fact_path = os.path.join(proj, "output", "fact_main.parquet")
+    assert os.path.exists(fact_path)
+    fact = spark.read.parquet(fact_path)
+    assert fact.count() == 5  # 3 products + 2 orders
+    assert "record_id" in fact.columns
+    for report in (
+        "processing_manifest.csv",
+        "parquet_metadata.csv",
+        "schema_documentation.csv",
+    ):
+        assert os.path.exists(os.path.join(proj, "output", report)), report
+    # date-rotated run log written
+    assert os.listdir(os.path.join(proj, "logs"))
+
+
+def test_cli_bare_two_arg_form_is_convert(spark, tmp_path):
+    proj = str(tmp_path / "p2")
+    assert main(["setup", proj, "--skip-spark-check"]) == 0
+    import shutil
+
+    shutil.copy(
+        os.path.join(proj, "examples", "products.xml"),
+        os.path.join(proj, "input", "products.xml"),
+    )
+    rc = main(
+        [
+            os.path.join(proj, "input"),
+            os.path.join(proj, "output"),
+            "--no-reports",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(proj, "output", "fact_main.parquet"))
+
+
+def test_cli_convert_missing_input_is_exit_2(tmp_path):
+    rc = main(
+        [
+            "convert",
+            str(tmp_path / "nope"),
+            str(tmp_path / "out"),
+            "--no-reports",
+        ]
+    )
+    assert rc == 2
+
+
+def test_cli_help_exits_zero():
+    with pytest.raises(SystemExit) as ei:
+        main(["--help"])
+    assert ei.value.code == 0
