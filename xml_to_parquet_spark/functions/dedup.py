@@ -22,8 +22,10 @@ thresholded levenshtein and all returning the identical exact pair set
                       short keys — candidates track OUTPUT size.
 - fuzzy_pairs_qgram:  ED-Join positional q-gram prefix filtering — flat
                       k·q+1 rows/string; the long/variable-text path.
-- fuzzy_pairs:        length-bucket pigeonhole — cheapest when lengths
-                      vary; degenerates on uniform-length corpora.
+- fuzzy_pairs_auto:   the entry point — dispatches between the two
+                      blockers above by key length/variance stats.
+- fuzzy_pairs:        DEPRECATED length-bucket legacy (degenerates on
+                      uniform-length corpora); kept for benchmarks only.
 
 Graph aftermath: dedup_clusters (min-label propagation) /
 dedup_clusters_star (star contraction, any diameter) → dedup_apply /
@@ -394,8 +396,13 @@ def fuzzy_pairs(
     id_col: str = "doc_id",
     max_distance: int = 2,
 ) -> DataFrame:
-    """Edit-distance near-match pairs (id_a < id_b, levenshtein ≤ k) via
-    LENGTH BLOCKING — the entity-resolution / fuzzy-dedup primitive.
+    """DEPRECATED legacy blocker — use :func:`fuzzy_pairs_auto` (which
+    dispatches to the lossless symdel / q-gram blockers) instead; this
+    length-bucket variant survives only for comparison benchmarks and
+    emits a ``DeprecationWarning``.
+
+    Edit-distance near-match pairs (id_a < id_b, levenshtein ≤ k) via
+    LENGTH BLOCKING.
 
     Pigeonhole: levenshtein(a,b) ≤ k ⇒ |len(a)−len(b)| ≤ k, so each string
     only needs to meet strings whose length bucket (width k+1) is its own
@@ -411,6 +418,14 @@ def fuzzy_pairs(
     pre-block such data on a second cheap key (q-gram sample, prefix
     class) before calling this, or bound the candidate set first.
     """
+    import warnings
+
+    warnings.warn(
+        "fuzzy_pairs (length blocking) is deprecated; use "
+        "fuzzy_pairs_auto / fuzzy_pairs_symdel / fuzzy_pairs_qgram",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     width = max_distance + 1
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s")
