@@ -26,6 +26,13 @@ section):
   relational-core rung (star/percentile/rollup aggs).
 - ``docs100``: documents ×100 (500k docs), rest as-is — the document
   pipeline rung (dedup/minhash/simhash/scoring).
+- ``events25``: events ×25 (2.5M rows) + customer ×25 (so the enrich
+  join's match density is preserved: user_id and c_custkey get the same
+  per-replica offset), rest as-is — the STREAMING rung (windowed agg,
+  dedup, stream-stream interval join, stream-static enrich). Replicas
+  share the event-time range, so watermark horizons hold constant while
+  key cardinality and row volume grow 25× — state size per store and
+  micro-batch time must scale with input, not blow past it.
 
 Usage: python tools/soak_scale.py [--rung=sf1|lineitem100|docs100]
        [--gen-only|--run-only] [query ...]
@@ -87,6 +94,17 @@ RUNGS = {
             "a91_batch_score",
         ],
     ),
+    "events25": (
+        "/tmp/soak_events25",
+        25,
+        ["events", "customer"],
+        [
+            "q36_streaming_window",
+            "a76_stream_dedup",
+            "a90_stream_join",
+            "a95_stream_enrich",
+        ],
+    ),
 }
 
 ALL_TABLES = [
@@ -123,6 +141,14 @@ def _replicate_sql(table: str, rep: str) -> str:
                                         AS VARCHAR), 9, '0') AS c_name,
                c.c_nationkey, c.c_acctbal, c.c_mktsegment
         FROM '{SRC}/customer.parquet' c CROSS JOIN {rep} r
+        """
+    if table == "events":
+        return f"""
+        SELECT e.event_id + r.i * 100000000 AS event_id,
+               e.ts,
+               e.user_id + r.i * 10000000 AS user_id,
+               e.event_type, e.value, e.props
+        FROM '{SRC}/events.parquet' e CROSS JOIN {rep} r
         """
     if table == "lineitem":
         return f"""
