@@ -147,15 +147,20 @@ def process_xml_to_parquet(
             if write_reports:
                 manifest = processing_manifest(spark, records, validation)
                 result.manifest = manifest
+                # bounded-row reports (1 / #tables / #columns rows) take
+                # the driver-side CSV path — a Spark job per tiny CSV is
+                # pure scheduler overhead (see write_csv_report)
                 write_csv_report(
                     manifest,
                     os.path.join(output_dir, "processing_manifest.csv"),
+                    local=True,
                 )
                 meta = parquet_metadata(spark, result.paths)
                 write_csv_report(
                     meta,
                     os.path.join(output_dir, "parquet_metadata.csv"),
                     mode="overwrite",
+                    local=True,
                 )
                 # reference document_schema intent (parquet_writer.R:24-26):
                 # per-column classification doc alongside the star outputs
@@ -163,6 +168,7 @@ def process_xml_to_parquet(
                     schema_documentation(spark, catalog),
                     os.path.join(output_dir, "schema_documentation.csv"),
                     mode="overwrite",
+                    local=True,
                 )
                 if validation is not None:
                     # error channel (reference error_summary.csv,
