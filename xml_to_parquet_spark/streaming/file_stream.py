@@ -174,10 +174,13 @@ def stream_events_dedup(
         .parquet(sf_dir)
     )
     ev = _normalize_event_ts(ev)
+    # project BEFORE the dedup so the state store and its shuffle carry
+    # (key, ts) instead of the full event row — dedup state is per key,
+    # and the props payload column is dead weight in it
     deduped = (
-        ev.withWatermark("ts", watermark)
+        ev.select(key_col, "ts")
+        .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark([key_col])
-        .select(key_col, "ts")
     )
     out = run_available_now(
         deduped,
