@@ -290,3 +290,119 @@ def test_aspect_fit_properties(w, h, mw, mh):
         else:  # height-limited
             assert oh == mh
             assert ow == max(1, (w * mh) // h)
+
+
+# ---------------------------------------------------------------------------
+# dtd_subset: model-driven round trip. Generate a random DAG of element
+# declarations (sequences, choices, ?/*/+ occurrences, PCDATA/EMPTY
+# leaves), emit a document that conforms BY CONSTRUCTION, assert the
+# validator accepts it; then break it in a guaranteed-invalid way and
+# assert the validator objects. Pure Python — full example budget.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _dtd_universe(draw):
+    """(decls, dtd_text): element i's children reference only j > i, so
+    the declaration graph is a DAG and documents are finite."""
+    n = draw(st.integers(min_value=2, max_value=5))
+    names = [f"e{i}" for i in range(n)]
+    decls = {}
+    for i, name in enumerate(names):
+        later = names[i + 1 :]
+        if not later:
+            decls[name] = {"kind": draw(st.sampled_from(["PCDATA", "EMPTY"]))}
+            continue
+        # first particle is always a plain occurrence-1 child: dropping
+        # all its instances is then a guaranteed violation
+        particles = [(draw(st.sampled_from(later)), "", False)]
+        for _ in range(draw(st.integers(min_value=0, max_value=2))):
+            occ = draw(st.sampled_from(["", "?", "*", "+"]))
+            if len(later) >= 2 and draw(st.booleans()):
+                pair = draw(
+                    st.lists(
+                        st.sampled_from(later),
+                        min_size=2,
+                        max_size=2,
+                        unique=True,
+                    )
+                )
+                particles.append((tuple(pair), occ, True))
+            else:
+                particles.append((draw(st.sampled_from(later)), occ, False))
+        decls[name] = {"kind": "CHILDREN", "particles": particles}
+    parts = []
+    for name, d in decls.items():
+        if d["kind"] == "PCDATA":
+            parts.append(f"<!ELEMENT {name} (#PCDATA)>")
+        elif d["kind"] == "EMPTY":
+            parts.append(f"<!ELEMENT {name} EMPTY>")
+        else:
+            body = ", ".join(
+                (f"({p[0]} | {p[1]})" if is_choice else p) + occ
+                for p, occ, is_choice in d["particles"]
+            )
+            parts.append(f"<!ELEMENT {name} ({body})>")
+    return decls, "".join(parts)
+
+
+def _emit(name, decls, draw, depth=0):
+    d = decls[name]
+    if d["kind"] == "PCDATA":
+        return f"<{name}>txt</{name}>"
+    if d["kind"] == "EMPTY":
+        return f"<{name}/>"
+    kids = []
+    for p, occ, is_choice in d["particles"]:
+        lo, hi = {"": (1, 1), "?": (0, 1), "*": (0, 2), "+": (1, 2)}[occ]
+        reps = draw(st.integers(min_value=lo, max_value=hi))
+        for _ in range(reps):
+            child = draw(st.sampled_from(list(p))) if is_choice else p
+            kids.append(_emit(child, decls, draw, depth + 1))
+    return f"<{name}>{''.join(kids)}</{name}>"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_dtd_subset_accepts_conforming_rejects_broken(data):
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    decls, dtd = data.draw(_dtd_universe())
+    root = next(iter(decls))
+    body = _emit(root, decls, data.draw)
+    doc = f"<!DOCTYPE {root} [{dtd}]>{body}".encode()
+    assert dtd_subset.validate(doc) == [], doc
+
+    # violation 1: an undeclared element injected as the first child of
+    # the root — fails both the root's model and the declaration check
+    broken = body.replace(f"<{root}>", f"<{root}><zzz/>", 1)
+    if broken != body:  # root not EMPTY-form
+        errs = dtd_subset.validate(
+            f"<!DOCTYPE {root} [{dtd}]>{broken}".encode()
+        )
+        assert errs, broken
+
+    # violation 2: drop ALL instances of the root's first (occurrence-1)
+    # child — its accepted count is exactly the one particle's range
+    # (names may repeat across particles, so removing one instance could
+    # still match; removing all of them cannot when min occurrences >= 1)
+    rd = decls[root]
+    if rd["kind"] == "CHILDREN":
+        first = rd["particles"][0][0]
+        import re as _re
+
+        stripped = _re.sub(
+            rf"<{first}>.*?</{first}>|<{first}/>",
+            "",
+            body,
+            flags=_re.S,
+        )
+        mandatory_elsewhere = any(
+            (p == first if not c else first in p) and occ in ("", "+")
+            for p, occ, c in rd["particles"][1:]
+        )
+        if not mandatory_elsewhere:
+            errs = dtd_subset.validate(
+                f"<!DOCTYPE {root} [{dtd}]>{stripped}".encode()
+            )
+            assert errs, stripped
