@@ -537,3 +537,77 @@ def test_dedup_apply_best_plans_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (r5): normalization, domain extraction, per-domain
+# caps — web-corpus anti-domination staples.
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_url_and_extract_domain(spark):
+    from xml_to_parquet_spark.functions.text import (
+        extract_domain,
+        normalize_url,
+    )
+
+    cases = [
+        # tracking params + fragment stripped, case-folded scheme/host,
+        # default port dropped, www. stripped — all collapse onto one key
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=1#frag",
+         "https://example.com/Path/?q=1", "example.com"),
+        ("https://example.com/Path/?q=1",
+         "https://example.com/Path/?q=1", "example.com"),
+        ("http://example.com/a/", "http://example.com/a", "example.com"),
+        ("http://www.example.com:80/a", "http://example.com/a",
+         "example.com"),
+        ("https://sub.other.org/p?fbclid=abc", "https://sub.other.org/p",
+         "sub.other.org"),
+        # path case preserved; non-default port preserved
+        ("https://Example.com:8080/CaseSensitive",
+         "https://example.com:8080/CaseSensitive", "example.com"),
+        ("not a url", "not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: (r.nu, r.dom)
+        for r in df.select(
+            "i",
+            normalize_url(F.col("url")).alias("nu"),
+            extract_domain(F.col("url")).alias("dom"),
+        ).collect()
+    }
+    for i, (_, want_nu, want_dom) in enumerate(cases):
+        assert got[i] == (want_nu, want_dom), (i, got[i])
+
+
+def test_cap_per_domain_semantics_and_plan(spark):
+    from xml_to_parquet_spark.functions.text import (
+        cap_per_domain,
+        extract_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"https://dom{i % 3}.com/p{i}") for i in range(30)]
+        + [(100, "plain text"), (101, "more text")],
+        "doc_id long, url string",
+    )
+    capped = cap_per_domain(df, 5)
+    counts = {
+        r.d: r["count"]
+        for r in capped.groupBy(
+            extract_domain(F.col("url")).alias("d")
+        ).count().collect()
+    }
+    # every domain capped at 5; NULL-domain rows pass through uncapped
+    assert counts == {"dom0.com": 5, "dom1.com": 5, "dom2.com": 5, None: 2}
+    # survivors are deterministic (md5-gate rank): same set on re-run
+    first = {r.doc_id for r in capped.select("doc_id").collect()}
+    again = {r.doc_id for r in cap_per_domain(df, 5).select("doc_id").collect()}
+    assert first == again
+    # the rank<=k filter rides row_number — WindowGroupLimit below the
+    # exchange, so shuffle volume is <= k rows/domain/map task
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

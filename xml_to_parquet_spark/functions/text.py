@@ -16,6 +16,10 @@ Operators:
                       repetition filters, word-level
 - quality_gate:       composite keep/drop ladder over the above, with the
                       first failing rule named per row
+- normalize_url / extract_domain / cap_per_domain: web-corpus curation —
+                      canonical URL dedup keys, registrable-domain
+                      extraction, per-domain anti-domination caps
+                      (WindowGroupLimit plan, deterministic survivors)
 
 Scale: token/quality/language/fingerprint are per-row expressions —
 embarrassingly parallel, no shuffle. repetition_features adds one
@@ -267,3 +271,78 @@ def fingerprint_rolling(col: Column, base: int = 31, mod: int = (1 << 61) - 1) -
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % F.lit(mod),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (web-corpus staple: per-domain caps, domain
+# blocklists, URL-keyed dedup). Pure per-row expressions — no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL for dedup keys: lowercase scheme+host, strip
+    ``www.`` and a default port, drop fragment and tracking query params
+    (``utm_*``/``fbclid``/``gclid``), trim a trailing slash.
+
+    Exact-oracle friendly: every step is a regexp_replace with identical
+    semantics in Java regex and RE2-style engines (no lookbehind)."""
+    u = F.trim(col)
+    # lowercase ONLY scheme://host[:port] — paths are case-sensitive
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    u = F.concat(F.lower(head), F.substring(u, F.length(head) + 1, 1 << 30))
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(80|443)(/|$)", r"$1$3")
+    u = F.regexp_replace(u, r"#.*$", "")
+    # tracking params anywhere in the query, then tidy separators
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "?")
+    u = F.regexp_replace(u, r"\?+&?", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def extract_domain(col: Column) -> Column:
+    """Registrable host of a URL, lowercased, ``www.``-stripped, port
+    dropped. Rows without a scheme://host shape yield NULL (filterable)."""
+    host = F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host == "", None).otherwise(host)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per registrable domain —
+    the standard web-corpus anti-domination filter (one SEO farm must not
+    become 5% of the training set).
+
+    Deterministic survivors: rank by the md5 sample gate over the doc id
+    (partitioning/engine-invariant), ties impossible (ids unique). The
+    ``rank <= k`` filter rides ``row_number`` so Spark plans
+    ``WindowGroupLimit`` below the exchange — shuffle volume is ≤ k rows
+    per domain per map task, independent of corpus size (same plan shape
+    as grouped top-k, asserted in tests). NULL domains (non-URL rows)
+    pass through uncapped — they form one giant group otherwise."""
+    from pyspark.sql import Window
+
+    from xml_to_parquet_spark.functions.sampling import sample_key
+
+    dom = extract_domain(F.col(url_col))
+    # NULL domains get singleton per-row keys: they always survive, never
+    # pool into one skewed group — and keeping the filter directly on
+    # row_number lets Spark plan WindowGroupLimit (a `when` wrapper
+    # defeats the rewrite; plan-asserted in tests). '__null__' cannot
+    # collide with a hostname (underscores are invalid in hostnames).
+    key = F.coalesce(
+        dom, F.concat(F.lit("__null__"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key).orderBy(
+        sample_key(F.col(id_col), "domcap0"), F.col(id_col)
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    return ranked.filter(F.col("__rn") <= max_per_domain).drop("__rn")
