@@ -321,3 +321,125 @@ def test_dtd_subset_undeclared_element_and_root_mismatch():
     assert any("No declaration for element a" in e for e in errs)
     doc2 = b"<!DOCTYPE other [<!ELEMENT other EMPTY>]><r/>"
     assert any("DOCTYPE" in e for e in dtd_subset.validate(doc2))
+
+
+# ---------------------------------------------------------------------------
+# XSD subset extensions (r5): xs:choice, xs:all, named global complexTypes,
+# element refs — with the same never-false-invalid degrade contract.
+# ---------------------------------------------------------------------------
+
+_XS_HEAD = '<?xml version="1.0"?>\n<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">'
+
+
+def test_xsd_subset_choice(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType><xs:sequence>
+    <xs:element name="head" type="xs:string"/>
+    <xs:choice minOccurs="1" maxOccurs="unbounded">
+      <xs:element name="a" type="xs:string"/>
+      <xs:element name="b" type="xs:integer"/>
+    </xs:choice>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    ok = b"<r><head>h</head><a>x</a><b>3</b><a>y</a></r>"
+    assert xsd_subset.validate(ok, xsd) == []
+    assert xsd_subset.validate(b"<r><head>h</head></r>", xsd)  # choice min 1
+    assert xsd_subset.validate(b"<r><head>h</head><c/></r>", xsd)  # not an alt
+    # typed alternative still value-checked
+    assert xsd_subset.validate(b"<r><head>h</head><b>notint</b></r>", xsd)
+
+
+def test_xsd_subset_all_group(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType><xs:all>
+    <xs:element name="a" type="xs:string"/>
+    <xs:element name="b" type="xs:string" minOccurs="0"/>
+  </xs:all></xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    assert xsd_subset.validate(b"<r><a>1</a><b>2</b></r>", xsd) == []
+    assert xsd_subset.validate(b"<r><b>2</b><a>1</a></r>", xsd) == []  # order-free
+    assert xsd_subset.validate(b"<r><a>1</a></r>", xsd) == []  # b optional
+    assert xsd_subset.validate(b"<r><b>2</b></r>", xsd)  # a required
+    assert xsd_subset.validate(b"<r><a>1</a><a>1</a></r>", xsd)  # a twice
+
+
+def test_xsd_subset_named_type_and_ref(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:complexType name="ItemType">
+    <xs:sequence><xs:element name="qty" type="xs:integer"/></xs:sequence>
+    <xs:attribute name="sku" type="xs:string" use="required"/>
+  </xs:complexType>
+  <xs:element name="item" type="ItemType"/>
+  <xs:element name="order"><xs:complexType><xs:sequence>
+    <xs:element ref="item" maxOccurs="unbounded"/>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    ok = b'<order><item sku="s1"><qty>2</qty></item></order>'
+    assert xsd_subset.validate(ok, xsd) == []
+    assert xsd_subset.validate(  # missing required attr from named type
+        b"<order><item><qty>2</qty></item></order>", xsd
+    )
+    assert xsd_subset.validate(  # typed leaf inside named type checked
+        b'<order><item sku="s"><qty>x</qty></item></order>', xsd
+    )
+    # the globally-declared element also validates standalone
+    assert xsd_subset.validate(b'<item sku="s"><qty>1</qty></item>', xsd) == []
+
+
+def test_xsd_subset_recursive_type_degrades_lenient(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:complexType name="Node">
+    <xs:sequence>
+      <xs:element name="child" type="Node" minOccurs="0"/>
+    </xs:sequence>
+  </xs:complexType>
+  <xs:element name="tree" type="Node"/>
+</xs:schema>""",
+    )
+    # recursion is outside the subset: any nesting depth accepted
+    assert xsd_subset.validate(
+        b"<tree><child><child/></child></tree>", xsd
+    ) == []
+
+
+def test_xsd_subset_unknown_group_degrades_lenient(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType><xs:sequence>
+    <xs:any processContents="lax"/>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    assert xsd_subset.validate(b"<r><whatever/></r>", xsd) == []

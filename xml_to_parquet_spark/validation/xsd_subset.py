@@ -5,8 +5,11 @@ Covers the constructs the reference's schemas actually use
 (`schema_validator.R:19-39` parity; e.g. the shipped products.xsd):
 
 - top-level ``xs:element`` declarations (the document root must match one)
-- inline ``xs:complexType`` with an ``xs:sequence`` of child elements
-- ``minOccurs`` / ``maxOccurs`` (including ``unbounded``) on sequence items
+- inline AND named global ``xs:complexType``s (``type="T"`` references),
+  with ``xs:sequence``, ``xs:choice`` (as a sequence particle or the whole
+  model, with its own occurrence bounds), and ``xs:all`` content models
+- ``xs:element ref="..."`` references to global element declarations
+- ``minOccurs`` / ``maxOccurs`` (including ``unbounded``) on particles
 - named simple types on leaf elements: ``xs:string``, ``xs:decimal``,
   ``xs:integer``, ``xs:int``, ``xs:long``, ``xs:boolean``, ``xs:date``,
   ``xs:dateTime`` (value-parsed; string accepts anything)
@@ -50,9 +53,10 @@ _SIMPLE_CHECKS = {
 class _ElementDecl:
     name: str
     simple_type: str | None = None  # local part of xs:* type, if any
-    children: list[tuple["_ElementDecl", int, int | None]] = field(
-        default_factory=list
-    )  # (decl, minOccurs, maxOccurs or None=unbounded)
+    # sequence particles, in declared order: ("elem", decl, lo, hi) or
+    # ("choice", [decl, ...], lo, hi); hi None = unbounded
+    particles: list[tuple] = field(default_factory=list)
+    model: str = "sequence"  # "sequence" | "all"
     required_attrs: list[str] = field(default_factory=list)
     attr_types: dict[str, str] = field(default_factory=dict)
     has_complex: bool = False
@@ -64,35 +68,136 @@ def _local_type(t: str | None) -> str | None:
     return t.split(":", 1)[-1]
 
 
-def _parse_element(el: ET.Element) -> _ElementDecl:
+class _Schema:
+    """Resolution context: global elements + named complexTypes, with a
+    resolving stack so recursive type references degrade to lenient
+    instead of recursing forever (never a false "invalid")."""
+
+    def __init__(self, root: ET.Element):
+        self.global_elements = {
+            el.get("name", ""): el for el in root.findall(f"{_XS}element")
+        }
+        self.named_types = {
+            ct.get("name", ""): ct
+            for ct in root.findall(f"{_XS}complexType")
+        }
+        self._stack: set[str] = set()
+
+
+def _occurs(el: ET.Element) -> tuple[int, int | None]:
+    lo = int(el.get("minOccurs", "1"))
+    hi_raw = el.get("maxOccurs", "1")
+    return lo, (None if hi_raw == "unbounded" else int(hi_raw))
+
+
+def _parse_particles(
+    group: ET.Element, schema: _Schema, decl: _ElementDecl
+) -> None:
+    """Fill decl.particles from a sequence/choice/all group. Constructs
+    outside the subset leave the element lenient (particles cleared)."""
+    for item in group:
+        tag = item.tag
+        if tag == f"{_XS}element":
+            lo, hi = _occurs(item)
+            decl.particles.append(
+                ("elem", _parse_element(item, schema), lo, hi)
+            )
+        elif tag == f"{_XS}choice":
+            lo, hi = _occurs(item)
+            alts = [
+                _parse_element(c, schema)
+                for c in item.findall(f"{_XS}element")
+            ]
+            other = [c for c in item if c.tag != f"{_XS}element"]
+            if other or not alts:  # nested groups in a choice: lenient
+                decl.particles.clear()
+                decl.has_complex = False
+                return
+            decl.particles.append(("choice", alts, lo, hi))
+        elif tag == f"{_XS}sequence":
+            lo, hi = _occurs(item)
+            if (lo, hi) != (1, 1):  # repeated nested group: lenient
+                decl.particles.clear()
+                decl.has_complex = False
+                return
+            _parse_particles(item, schema, decl)
+            if not decl.has_complex:
+                return
+        elif tag in (f"{_XS}annotation",):
+            continue
+        else:  # group ref / any / etc.: outside the subset
+            decl.particles.clear()
+            decl.has_complex = False
+            return
+
+
+def _parse_complex_type(
+    ct: ET.Element, schema: _Schema, decl: _ElementDecl
+) -> None:
+    decl.has_complex = True
+    seq = ct.find(f"{_XS}sequence")
+    choice = ct.find(f"{_XS}choice")
+    all_ = ct.find(f"{_XS}all")
+    if seq is not None:
+        _parse_particles(seq, schema, decl)
+    elif choice is not None:
+        _parse_particles(ct, schema, decl)  # one choice particle
+    elif all_ is not None:
+        decl.model = "all"
+        for child in all_.findall(f"{_XS}element"):
+            lo, hi = _occurs(child)
+            decl.particles.append(
+                ("elem", _parse_element(child, schema), min(lo, 1), 1)
+            )
+    for attr in ct.findall(f"{_XS}attribute"):
+        name = attr.get("name", "")
+        if attr.get("use") == "required":
+            decl.required_attrs.append(name)
+        at = _local_type(attr.get("type"))
+        if at:
+            decl.attr_types[name] = at
+
+
+def _parse_element(el: ET.Element, schema: _Schema) -> _ElementDecl:
+    ref = el.get("ref")
+    if ref is not None:
+        target = schema.global_elements.get(_local_type(ref) or "")
+        if target is not None and _local_type(ref) not in schema._stack:
+            schema._stack.add(_local_type(ref))
+            try:
+                return _parse_element(target, schema)
+            finally:
+                schema._stack.discard(_local_type(ref))
+        return _ElementDecl(name=_local_type(ref) or "")  # lenient
     decl = _ElementDecl(name=el.get("name", ""))
-    decl.simple_type = _local_type(el.get("type"))
+    t = el.get("type")
     ct = el.find(f"{_XS}complexType")
+    if ct is None and t is not None:
+        local = _local_type(t)
+        named = schema.named_types.get(local or "")
+        if named is not None:
+            if local in schema._stack:  # recursive type: lenient
+                return decl
+            schema._stack.add(local)
+            try:
+                _parse_complex_type(named, schema, decl)
+            finally:
+                schema._stack.discard(local)
+            return decl
+        decl.simple_type = local
+        return decl
     if ct is not None:
-        decl.has_complex = True
-        seq = ct.find(f"{_XS}sequence")
-        if seq is not None:
-            for child in seq.findall(f"{_XS}element"):
-                lo = int(child.get("minOccurs", "1"))
-                hi_raw = child.get("maxOccurs", "1")
-                hi = None if hi_raw == "unbounded" else int(hi_raw)
-                decl.children.append((_parse_element(child), lo, hi))
-        for attr in ct.findall(f"{_XS}attribute"):
-            name = attr.get("name", "")
-            if attr.get("use") == "required":
-                decl.required_attrs.append(name)
-            at = _local_type(attr.get("type"))
-            if at:
-                decl.attr_types[name] = at
+        _parse_complex_type(ct, schema, decl)
     return decl
 
 
 def parse_xsd(schema_path: str) -> dict[str, _ElementDecl]:
     """Top-level element declarations by name."""
     root = ET.parse(schema_path).getroot()
+    schema = _Schema(root)
     decls = {}
     for el in root.findall(f"{_XS}element"):
-        d = _parse_element(el)
+        d = _parse_element(el, schema)
         decls[d.name] = d
     return decls
 
@@ -131,23 +236,60 @@ def _validate_element(node: ET.Element, decl: _ElementDecl) -> list[str]:
         return errors
     if not decl.has_complex:
         return errors  # no type info: lenient
-    # sequence matching with occurrence bounds, in declared order
     kids = list(node)
+    if decl.model == "all":
+        # xs:all: each declared child 0/1 or exactly 1 time, any order
+        by_name = {
+            d.name: (d, lo) for kind, d, lo, _ in decl.particles
+        }
+        seen: dict[str, int] = {}
+        for kid in kids:
+            kt = _strip_ns(kid.tag)
+            if kt not in by_name:
+                errors.append(f"element '{tag}': unexpected child '{kt}'")
+                continue
+            seen[kt] = seen.get(kt, 0) + 1
+            if seen[kt] > 1:
+                errors.append(
+                    f"element '{tag}': child '{kt}' appears more than "
+                    f"once in an xs:all group"
+                )
+            errors.extend(_validate_element(kid, by_name[kt][0]))
+        for name, (_, lo) in by_name.items():
+            if lo >= 1 and name not in seen:
+                errors.append(
+                    f"element '{tag}': missing required child '{name}'"
+                )
+        return errors
+    # sequence matching with occurrence bounds, in declared order; a
+    # choice particle greedily matches whichever alternative the next
+    # child names (deterministic under XSD's Unique Particle Attribution)
     i = 0
-    for child_decl, lo, hi in decl.children:
+    for particle in decl.particles:
+        kind, payload, lo, hi = particle
         count = 0
-        while (
-            i < len(kids)
-            and _strip_ns(kids[i].tag) == child_decl.name
-            and (hi is None or count < hi)
-        ):
-            errors.extend(_validate_element(kids[i], child_decl))
+        while i < len(kids) and (hi is None or count < hi):
+            kt = _strip_ns(kids[i].tag)
+            if kind == "elem":
+                if kt != payload.name:
+                    break
+                match = payload
+            else:  # choice
+                match = next((d for d in payload if d.name == kt), None)
+                if match is None:
+                    break
+            errors.extend(_validate_element(kids[i], match))
             i += 1
             count += 1
         if count < lo:
+            want = (
+                payload.name
+                if kind == "elem"
+                else " | ".join(d.name for d in payload)
+            )
             errors.append(
                 f"element '{tag}': expected at least {lo} "
-                f"'{child_decl.name}' (got {count})"
+                f"'{want}' (got {count})"
             )
     if i < len(kids):
         errors.append(
