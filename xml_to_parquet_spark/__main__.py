@@ -211,8 +211,30 @@ def cmd_convert(args: argparse.Namespace) -> int:
         log.error(str(e))
         print(f"error: {e}", file=sys.stderr)
         return 2
-    fact = result.star.fact
-    report = processing_report(fact, started, result.validation)
+    if result.manifest is not None:
+        # the pipeline materialized the manifest while its parsed rows
+        # were persisted — reuse it instead of re-running the whole
+        # parse to count rows (processing_report on the lazy fact frame
+        # would re-read every XML file after the pipeline's unpersist)
+        m = result.manifest.collect()[0].asDict()
+        report = {
+            "started_at": started.isoformat(),
+            "finished_at": datetime.now(timezone.utc).isoformat(),
+            "duration_sec": (
+                datetime.now(timezone.utc) - started
+            ).total_seconds(),
+            "files_processed": m["files_processed"],
+            "records_processed": m["records_total"],
+        }
+        if "files_valid" in m:
+            report["files_valid"] = m["files_valid"]
+            report["files_invalid"] = (
+                m["files_validated"] - m["files_valid"]
+            )
+    else:
+        report = processing_report(
+            result.star.fact, started, result.validation
+        )
     log.info("run complete: %s", report)
     print(f"Fact table: {report['records_processed']} rows from "
           f"{report['files_processed']} files")

@@ -146,10 +146,17 @@ def process_xml_to_parquet(
             result.paths = write_star_schema(star, output_dir)
             if write_reports:
                 manifest = processing_manifest(spark, records, validation)
-                result.manifest = manifest
                 # bounded-row reports (1 / #tables / #columns rows) take
                 # the driver-side CSV path — a Spark job per tiny CSV is
                 # pure scheduler overhead (see write_csv_report)
+                # materialize the 1-row manifest while records are
+                # still persisted: callers (CLI summary, tests) collect
+                # it AFTER the unpersist below, and a lazy manifest
+                # would re-run the whole XML parse to count rows
+                manifest = spark.createDataFrame(
+                    manifest.collect(), manifest.schema
+                )
+                result.manifest = manifest
                 write_csv_report(
                     manifest,
                     os.path.join(output_dir, "processing_manifest.csv"),
