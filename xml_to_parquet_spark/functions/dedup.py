@@ -1046,11 +1046,13 @@ def dedup_clusters_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # no checkpoint: consumed exactly once (final labeling join) and its
+    # lineage is one level above the already-checkpointed edge table —
+    # an eager checkpoint here was one extra job per call for nothing
     all_nodes = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     prev_chk = None
