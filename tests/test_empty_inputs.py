@@ -53,3 +53,24 @@ def test_kmeans_empty_raises_clear_error(spark):
     e = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no seed vectors"):
         similarity.kmeans_assign_quantized(e, k=4)
+
+
+def test_empty_url_ops(spark):
+    e = spark.createDataFrame([], "doc_id long, url string")
+    assert text.cap_per_domain(e, 5).count() == 0
+    assert (
+        e.select(
+            text.normalize_url(F.col("url")),
+            text.extract_domain(F.col("url")),
+        ).count()
+        == 0
+    )
+    # NULL url rows: normalize passes null through, domain is null,
+    # cap keeps them (singleton keys)
+    one = spark.createDataFrame([(1, None)], "doc_id long, url string")
+    row = one.select(
+        text.normalize_url(F.col("url")).alias("nu"),
+        text.extract_domain(F.col("url")).alias("d"),
+    ).collect()[0]
+    assert row.nu is None and row.d is None
+    assert text.cap_per_domain(one, 1).count() == 1
