@@ -3292,6 +3292,156 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # Registry
 # ---------------------------------------------------------------------------
 
+
+
+_URL_CASE_SPARK = None  # built inline in q_url_normalize/q_domain_cap
+
+
+def _messy_url_col() -> "F.Column":
+    """Deterministic messy-URL construction shared by a97/a98 — built
+    identically in the oracle SQL so both engines normalize the SAME
+    strings: three shapes cycling on doc_id (tracking params + fragment +
+    default port + WWW/case noise; trailing slash; non-default port with
+    a mixed tracking/real query)."""
+    d = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.col("source"),
+                F.lit(".Example.COM:443/Doc/"),
+                d,
+                F.lit("?utm_source=x&q="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://"), host, F.lit("/doc/"), d, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit(":8080/Doc/"),
+                d,
+                F.lit("?fbclid=abc&keep=1"),
+            )
+        )
+    )
+
+
+_URL_CASE_SQL = """CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Doc/'
+                  || doc_id || '?utm_source=x&q=' || (doc_id % 7) || '#frag'
+      WHEN 1 THEN 'http://' || source || '.example.com/doc/' || doc_id || '/'
+      ELSE 'https://' || source || '.example.com:8080/Doc/' || doc_id
+           || '?fbclid=abc&keep=1'
+    END"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup keys (a97,
+    text.normalize_url/extract_domain): scheme+host case-folded, www.
+    and default ports dropped, fragment and tracking params stripped,
+    trailing slash trimmed, path case preserved; registrable domain
+    extracted.  Every step is a regexp with identical semantics in both
+    engines, so the oracle replays the chain string-for-string."""
+    from xml_to_parquet_spark.functions.text import (
+        extract_domain,
+        normalize_url,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url_col().alias("url")
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("url_norm"),
+        extract_domain(F.col("url")).alias("domain"),
+    ).orderBy("doc_id")
+
+
+_Q_URL_NORMALIZE_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_CASE_SQL} AS url FROM documents
+),
+h AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+           AS head
+  FROM u
+),
+n AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             lower(head) || substring(url, length(head) + 1),
+             '^(https?://)www\.', '\\1'),
+             '^(https?://[^/:?#]+):(80|443)(/|$)', '\\1\\3'),
+             '#.*$', ''),
+             '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?', 'g'),
+             '\?+&?', '?', 'g'),
+             '[?&]+$', ''),
+             '/$', '') AS url_norm
+  FROM h
+)
+SELECT doc_id, url_norm,
+       nullif(regexp_replace(
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)',
+                              1)),
+         '^www\.', ''), '') AS domain
+FROM n ORDER BY doc_id
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain anti-domination cap (a98, text.cap_per_domain): at most
+    k docs per registrable domain, survivors picked by the deterministic
+    md5 sample gate (partitioning/engine-invariant) — the rank filter
+    rides row_number so Spark plans WindowGroupLimit (shuffle ≤ k
+    rows/domain/map task)."""
+    from xml_to_parquet_spark.functions.text import (
+        cap_per_domain,
+        extract_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url_col().alias("url")
+    )
+    kept = cap_per_domain(docs, 5)
+    return kept.select(
+        extract_domain(F.col("url")).alias("domain"), "doc_id"
+    ).orderBy("domain", "doc_id")
+
+
+_Q_DOMAIN_CAP_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_CASE_SQL} AS url FROM documents
+),
+d AS (
+  SELECT doc_id,
+         nullif(regexp_replace(
+           lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+           '^www\.', ''), '') AS domain
+  FROM u
+),
+r AS (
+  SELECT domain, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY substring(md5(doc_id || ':domcap0'), 1, 6), doc_id
+         ) AS rn
+  FROM d
+)
+SELECT domain, doc_id FROM r WHERE rn <= 5 ORDER BY domain, doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_star_revenue": QuerySpec(
         q_star_revenue, _Q_STAR_REVENUE_SQL, "flagship 5-way star join + agg"
@@ -3677,6 +3827,19 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_DEDUP_KEEP_BEST_SQL,
         "quality-aware dedup retention (best member per cluster)",
     ),
+    # r5: URL/domain curation pair. Under the sorted 50-slot correctness
+    # window a97/a98 evict q03/q04 (driver-green since r1; still covered
+    # by pytest + tools/verify_local.py full-catalog runs each round).
+    "a97_url_normalize": QuerySpec(
+        q_url_normalize,
+        _Q_URL_NORMALIZE_SQL,
+        "canonical URL dedup keys + registrable domains",
+    ),
+    "a98_domain_cap": QuerySpec(
+        q_domain_cap,
+        _Q_DOMAIN_CAP_SQL,
+        "per-domain anti-domination cap (deterministic survivors)",
+    ),
 }
 
 # Driver slot priority (VERDICT r2 #1): the driver's correctness pass emits
@@ -3686,4 +3849,5 @@ QUERIES: dict[str, QuerySpec] = {
 # EITHER driver behavior (insertion-order prefix or sorted-name prefix) the
 # first 50 slots are now a51..a88 plus the twelve r1-green sentinels
 # q01..q12.  The canonical qNN identities are documented in CHANGES_r03.md.
+
 QUERIES = {name: QUERIES[name] for name in sorted(QUERIES)}
