@@ -148,11 +148,11 @@ def process_xml_to_parquet(
                 manifest = processing_manifest(spark, records, validation)
                 # bounded-row reports (1 / #tables / #columns rows) take
                 # the driver-side CSV path — a Spark job per tiny CSV is
-                # pure scheduler overhead (see write_csv_report)
-                # materialize the 1-row manifest while records are
-                # still persisted: callers (CLI summary, tests) collect
-                # it AFTER the unpersist below, and a lazy manifest
-                # would re-run the whole XML parse to count rows
+                # pure scheduler overhead (see write_csv_report). The
+                # manifest is also materialized NOW, while records are
+                # persisted: callers (CLI summary, tests) collect it
+                # after the unpersist below, and a lazy manifest would
+                # re-run the whole XML parse just to count rows.
                 manifest = spark.createDataFrame(
                     manifest.collect(), manifest.schema
                 )

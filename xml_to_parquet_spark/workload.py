@@ -3294,9 +3294,6 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 
-_URL_CASE_SPARK = None  # built inline in q_url_normalize/q_domain_cap
-
-
 def _messy_url_col() -> "F.Column":
     """Deterministic messy-URL construction shared by a97/a98 — built
     identically in the oracle SQL so both engines normalize the SAME
