@@ -178,8 +178,10 @@ def parse_dtd(dtd_text: str) -> dict[str, _ElemDecl]:
             for ad in _parse_attlist(body):
                 decl.atts.setdefault(ad.name, ad)
         except _Subset:
-            decl.atts.clear()  # can't trust partial parse → no att checks
-            break
+            # can't trust a partial parse → drop THIS element's attribute
+            # checks only; later ATTLIST declarations still apply
+            decl.atts.clear()
+            continue
     return decls
 
 
