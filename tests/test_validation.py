@@ -443,3 +443,37 @@ def test_xsd_subset_unknown_group_degrades_lenient(tmp_path):
 </xs:schema>""",
     )
     assert xsd_subset.validate(b"<r><whatever/></r>", xsd) == []
+
+
+def test_xsd_subset_complexcontent_extension_degrades_lenient(tmp_path):
+    """complexContent extensions are outside the subset — they must
+    degrade to LENIENT, not to empty-content (which would reject valid
+    children: a false 'invalid'). Attribute checks still apply."""
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:complexType name="Base">
+    <xs:sequence><xs:element name="a" type="xs:string"/></xs:sequence>
+  </xs:complexType>
+  <xs:element name="r"><xs:complexType>
+    <xs:complexContent><xs:extension base="Base">
+      <xs:sequence><xs:element name="b" type="xs:string"/></xs:sequence>
+    </xs:extension></xs:complexContent>
+  </xs:complexType></xs:element>
+  <xs:element name="empty_with_attrs"><xs:complexType>
+    <xs:attribute name="id" type="xs:string" use="required"/>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    # extension content accepted (lenient), never rejected
+    assert xsd_subset.validate(b"<r><a>1</a><b>2</b></r>", xsd) == []
+    # attrs-only type: attribute checks still enforced, children rejected
+    assert xsd_subset.validate(b'<empty_with_attrs id="x"/>', xsd) == []
+    assert xsd_subset.validate(b"<empty_with_attrs/>", xsd)  # missing id
+    assert xsd_subset.validate(  # content where none is declared
+        b'<empty_with_attrs id="x"><kid/></empty_with_attrs>', xsd
+    )

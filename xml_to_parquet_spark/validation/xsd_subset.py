@@ -138,6 +138,20 @@ def _parse_complex_type(
     seq = ct.find(f"{_XS}sequence")
     choice = ct.find(f"{_XS}choice")
     all_ = ct.find(f"{_XS}all")
+    if seq is None and choice is None and all_ is None:
+        # complexContent/simpleContent extensions, group refs, mixed
+        # models: outside the subset → lenient, NOT empty-content
+        # (empty-content semantics would reject valid children — a
+        # false "invalid", which the contract forbids). A complexType
+        # holding only attributes/annotations keeps its attribute
+        # checks but accepts any children.
+        other = [
+            c
+            for c in ct
+            if c.tag not in (f"{_XS}attribute", f"{_XS}annotation")
+        ]
+        if other:
+            decl.has_complex = False
     if seq is not None:
         _parse_particles(seq, schema, decl)
     elif choice is not None:
