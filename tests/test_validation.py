@@ -477,3 +477,23 @@ def test_xsd_subset_complexcontent_extension_degrades_lenient(tmp_path):
     assert xsd_subset.validate(  # content where none is declared
         b'<empty_with_attrs id="x"><kid/></empty_with_attrs>', xsd
     )
+
+
+def test_dtd_subset_ignores_doctype_in_comment():
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    doc = b"<!-- example: <!DOCTYPE other [<!ELEMENT other EMPTY>]> -->\n<r><a/></r>"
+    assert dtd_subset.validate(doc) == []
+    # a real DOCTYPE after a comment still validates
+    doc2 = (
+        b"<!-- note -->\n"
+        b"<!DOCTYPE r [<!ELEMENT r (a)><!ELEMENT a EMPTY>]>\n"
+        b"<r><a/></r>"
+    )
+    assert dtd_subset.validate(doc2) == []
+    doc3 = (
+        b"<!-- note -->\n"
+        b"<!DOCTYPE r [<!ELEMENT r (a)><!ELEMENT a EMPTY>]>\n"
+        b"<r><b/></r>"
+    )
+    assert dtd_subset.validate(doc3)

@@ -193,6 +193,10 @@ def extract_doctype(data: bytes) -> tuple[str, str | None, str] | None:
         text = data.decode("utf-8", errors="replace")
     except Exception:  # noqa: BLE001
         return None
+    # strip comments first: a "<!DOCTYPE" inside a comment would
+    # otherwise be taken for the real doctype and its root-name check
+    # could reject a valid document (false invalid — contract forbids)
+    text = _strip_comments(text)
     m = re.search(rf"<!DOCTYPE\s+({_NAME})", text)
     if not m:
         return None
