@@ -45,10 +45,15 @@ PRUNING = {
     "a67_repetition_features": ("documents", 2),
     "a73_dedup_incremental": ("documents", 2),
     "a74_assign_split": ("documents", 1),
+    # URL ops build from (doc_id, source) only — the wide text column
+    # must never reach the scan
+    "a97_url_normalize": ("documents", 2),
+    "a98_domain_cap": ("documents", 2),
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {
     "a54_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
+    "a98_domain_cap": "WindowGroupLimit",  # cap ≤ k rows/domain/map task
     "a58_tfidf_terms": "WindowGroupLimit",
     "a55_contamination": "BroadcastHashJoin",  # eval shingles broadcast
     # tiled all-pairs gemm runs as grouped pandas — NOT a driver collect
