@@ -566,6 +566,19 @@ def test_normalize_url_and_extract_domain(spark):
         # path case preserved; non-default port preserved
         ("https://Example.com:8080/CaseSensitive",
          "https://example.com:8080/CaseSensitive", "example.com"),
+        # ADVICE r5: a MID-query tracking param must rejoin its neighbors
+        # with '&' — both spellings land on the same dedup key
+        ("http://ex.com/p?a=1&utm_source=x&b=2", "http://ex.com/p?a=1&b=2",
+         "ex.com"),
+        ("http://ex.com/p?a=1&b=2", "http://ex.com/p?a=1&b=2", "ex.com"),
+        # leading tracking param hands '?' to the next; tracking-only drops
+        ("http://ex.com/p?utm_a=1&utm_b=2&c=3", "http://ex.com/p?c=3",
+         "ex.com"),
+        ("http://ex.com/p?gclid=z", "http://ex.com/p", "ex.com"),
+        # ADVICE r5: default-port strip is scheme-paired — :443 on http
+        # and :80 on https are NOT default and must survive
+        ("http://ex.com:443/x", "http://ex.com:443/x", "ex.com"),
+        ("https://ex.com:80/x", "https://ex.com:80/x", "ex.com"),
         ("not a url", "not a url", None),
     ]
     df = spark.createDataFrame(

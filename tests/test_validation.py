@@ -356,6 +356,84 @@ def test_xsd_subset_choice(tmp_path):
     assert xsd_subset.validate(b"<r><head>h</head><b>notint</b></r>", xsd)
 
 
+def test_xsd_subset_choice_alternative_bounds(tmp_path):
+    """ADVICE r5: per-alternative minOccurs/maxOccurs inside a choice —
+    `<a/><a/><a/>` is valid under (a* | b) and must not be reported as
+    an unexpected child (false 'invalid' = contract violation)."""
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType>
+    <xs:choice>
+      <xs:element name="a" type="xs:string" minOccurs="0"
+                  maxOccurs="unbounded"/>
+      <xs:element name="b" type="xs:integer"/>
+    </xs:choice>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    assert xsd_subset.validate(b"<r><a/><a/><a/></r>", xsd) == []
+    assert xsd_subset.validate(b"<r><b>3</b></r>", xsd) == []
+    assert xsd_subset.validate(b"<r/>", xsd) == []  # a allows zero
+    # b's own (1,1) bound still enforced
+    assert xsd_subset.validate(b"<r><b>1</b><b>2</b></r>", xsd)
+    # REPEATED choice over a REPEATABLE alternative is ambiguous for a
+    # greedy matcher -> must degrade to lenient (never false-invalid)
+    xsd2 = _write(
+        str(tmp_path),
+        "s2.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType>
+    <xs:choice minOccurs="2" maxOccurs="2">
+      <xs:element name="a" type="xs:string" maxOccurs="3"/>
+      <xs:element name="b" type="xs:string"/>
+    </xs:choice>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    # valid as (a a)(a a) but greedy would split (a a a)(a) -> lenient
+    assert xsd_subset.validate(b"<r><a/><a/><a/><a/></r>", xsd2) == []
+
+
+def test_dtd_subset_wellformedness_floor(tmp_path):
+    """ADVICE r5: a NON-well-formed document must raise ParseError even
+    when its DOCTYPE resolves to no usable DTD (unresolvable SYSTEM id,
+    or declarations entirely outside the subset)."""
+    import xml.etree.ElementTree as ET
+
+    import pytest
+
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    bad = b'<!DOCTYPE root SYSTEM "missing.dtd"><root><unclosed></root>'
+    with pytest.raises(ET.ParseError):
+        dtd_subset.validate(bad, base_dir=str(tmp_path))
+    # no DOCTYPE at all: still the well-formedness floor
+    with pytest.raises(ET.ParseError):
+        dtd_subset.validate(b"<root><unclosed></root>")
+    # well-formed + unresolvable SYSTEM id stays valid (reference NA branch)
+    ok = b'<!DOCTYPE root SYSTEM "missing.dtd"><root/>'
+    assert dtd_subset.validate(ok, base_dir=str(tmp_path)) == []
+
+
+def test_dtd_subset_doctype_in_cdata_ignored():
+    """ADVICE r5: a literal '<!DOCTYPE' inside a CDATA section is content,
+    not the document's doctype — the document has no DTD and must be
+    reported valid."""
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    doc = (
+        b"<real><![CDATA[<!DOCTYPE fake [ <!ELEMENT fake EMPTY> ]>]]>"
+        b"</real>"
+    )
+    assert dtd_subset.validate(doc) == []
+
+
 def test_xsd_subset_all_group(tmp_path):
     from xml_to_parquet_spark.validation import xsd_subset
 

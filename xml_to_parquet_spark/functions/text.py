@@ -291,11 +291,18 @@ def normalize_url(col: Column) -> Column:
     head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     u = F.concat(F.lower(head), F.substring(u, F.length(head) + 1, 1 << 30))
     u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
-    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(80|443)(/|$)", r"$1$3")
+    # default-port strip is SCHEME-PAIRED: only http's :80 and https's
+    # :443 are redundant — 'http://host:443/x' is a distinct resource
+    # and must keep its port (ADVICE r5)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"#.*$", "")
-    # tracking params anywhere in the query, then tidy separators
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "?")
-    u = F.regexp_replace(u, r"\?+&?", "?")
+    # tracking params anywhere in the query, separator-correct (ADVICE
+    # r5: a mid-query removal must rejoin neighbors with '&', a leading
+    # removal hands '?' to the next param, a tracking-only query drops):
+    u = F.regexp_replace(u, r"&(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u

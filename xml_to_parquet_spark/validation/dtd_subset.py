@@ -197,7 +197,13 @@ def extract_doctype(data: bytes) -> tuple[str, str | None, str] | None:
     # otherwise be taken for the real doctype and its root-name check
     # could reject a valid document (false invalid — contract forbids)
     text = _strip_comments(text)
-    m = re.search(rf"<!DOCTYPE\s+({_NAME})", text)
+    # a real DOCTYPE lives in the prolog — scan only the text BEFORE the
+    # first element start tag, so a literal '<!DOCTYPE' inside a CDATA
+    # section (which can only occur inside an element) is never taken
+    # for the document's doctype (false invalid — contract forbids)
+    first_el = re.search(r"<[A-Za-z_:]", text)
+    prolog = text[: first_el.start()] if first_el else text
+    m = re.search(rf"<!DOCTYPE\s+({_NAME})", prolog)
     if not m:
         return None
     root = m.group(1)
@@ -293,6 +299,12 @@ def validate(
     """Validate a document against its internal DTD subset and/or an
     external DTD. Returns error strings ([] = valid). Raises
     ``ET.ParseError`` if the document is not well-formed."""
+    # well-formedness floor FIRST: a malformed document must raise
+    # ParseError even when there is no (usable) DTD to validate against —
+    # the early `return []` paths below must never mask it (lxml and the
+    # expat rung both flag such files; ADVICE r5 reproduced the bypass
+    # with a DOCTYPE carrying an unresolvable SYSTEM id + an unclosed tag)
+    root = ET.fromstring(data)
     doctype = extract_doctype(data)
     dtd_texts: list[str] = []
     root_name = None
@@ -316,7 +328,6 @@ def validate(
     decls = parse_dtd("\n".join(dtd_texts))
     if not decls:
         return []  # DTD entirely outside the subset → no false invalid
-    root = ET.fromstring(data)
     errors: list[str] = []
     if root_name is not None and root.tag != root_name:
         errors.append(

@@ -105,7 +105,7 @@ def _parse_particles(
         elif tag == f"{_XS}choice":
             lo, hi = _occurs(item)
             alts = [
-                _parse_element(c, schema)
+                (_parse_element(c, schema), *_occurs(c))
                 for c in item.findall(f"{_XS}element")
             ]
             other = [c for c in item if c.tag != f"{_XS}element"]
@@ -113,6 +113,23 @@ def _parse_particles(
                 decl.particles.clear()
                 decl.has_complex = False
                 return
+            # Greedy matching is exact when the counting is unambiguous:
+            # either the choice instantiates once, or every alternative
+            # contributes exactly one element per instantiation.  A
+            # repeated choice OVER repeatable alternatives (e.g. (a+|b){2})
+            # admits multiple decompositions — greedy could false-
+            # 'invalid' there, which the contract forbids → lenient.
+            if (lo, hi) != (1, 1) and any(
+                (alo, ahi) != (1, 1) for _, alo, ahi in alts
+            ):
+                decl.particles.clear()
+                decl.has_complex = False
+                return
+            # an alternative with minOccurs=0 matches the empty sequence,
+            # so every required instantiation is satisfiable emptily —
+            # the choice as a whole imposes no minimum (exact, not lenient)
+            if any(alo == 0 for _, alo, _ in alts):
+                lo = 0
             decl.particles.append(("choice", alts, lo, hi))
         elif tag == f"{_XS}sequence":
             lo, hi = _occurs(item)
@@ -287,19 +304,39 @@ def _validate_element(node: ET.Element, decl: _ElementDecl) -> list[str]:
             if kind == "elem":
                 if kt != payload.name:
                     break
-                match = payload
-            else:  # choice
-                match = next((d for d in payload if d.name == kt), None)
-                if match is None:
-                    break
-            errors.extend(_validate_element(kids[i], match))
-            i += 1
+                errors.extend(_validate_element(kids[i], payload))
+                i += 1
+                count += 1
+                continue
+            # choice: one instantiation picks the alternative the next
+            # child names and consumes per that alternative's OWN bounds
+            # (parse-time guard ensures this greedy consume is exact)
+            alt = next((a for a in payload if a[0].name == kt), None)
+            if alt is None:
+                break
+            alt_decl, alo, ahi = alt
+            sub = 0
+            while (
+                i < len(kids)
+                and (ahi is None or sub < ahi)
+                and _strip_ns(kids[i].tag) == alt_decl.name
+            ):
+                errors.extend(_validate_element(kids[i], alt_decl))
+                i += 1
+                sub += 1
+            if sub == 0:  # maxOccurs=0 alternative: no progress possible
+                break
+            if sub < alo:
+                errors.append(
+                    f"element '{tag}': expected at least {alo} "
+                    f"'{alt_decl.name}' (got {sub})"
+                )
             count += 1
         if count < lo:
             want = (
                 payload.name
                 if kind == "elem"
-                else " | ".join(d.name for d in payload)
+                else " | ".join(a[0].name for a in payload)
             )
             errors.append(
                 f"element '{tag}': expected at least {lo} "

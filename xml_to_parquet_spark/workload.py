@@ -3297,14 +3297,16 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def _messy_url_col() -> "F.Column":
     """Deterministic messy-URL construction shared by a97/a98 — built
     identically in the oracle SQL so both engines normalize the SAME
-    strings: three shapes cycling on doc_id (tracking params + fragment +
-    default port + WWW/case noise; trailing slash; non-default port with
-    a mixed tracking/real query)."""
+    strings: four shapes cycling on doc_id (leading tracking param +
+    fragment + https default port + WWW/case noise; http default port +
+    trailing slash; MID-query tracking param between two real params
+    [the ADVICE r5 separator case]; http with :443 — a NON-default port
+    for that scheme, which must survive [the ADVICE r5 pairing case])."""
     d = F.col("doc_id").cast("string")
     host = F.concat(F.col("source"), F.lit(".example.com"))
     return (
         F.when(
-            F.col("doc_id") % 3 == 0,
+            F.col("doc_id") % 4 == 0,
             F.concat(
                 F.lit("HTTPS://WWW."),
                 F.col("source"),
@@ -3316,27 +3318,41 @@ def _messy_url_col() -> "F.Column":
             ),
         )
         .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(F.lit("http://"), host, F.lit("/doc/"), d, F.lit("/")),
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://"), host, F.lit(":80/doc/"), d, F.lit("/")
+            ),
         )
-        .otherwise(
+        .when(
+            F.col("doc_id") % 4 == 2,
             F.concat(
                 F.lit("https://"),
                 host,
                 F.lit(":8080/Doc/"),
                 d,
-                F.lit("?fbclid=abc&keep=1"),
+                F.lit("?a="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("&fbclid=abc&keep=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), host, F.lit(":443/doc/"), d,
+                F.lit("?gclid=z"),
             )
         )
     )
 
 
-_URL_CASE_SQL = """CASE CAST(doc_id % 3 AS INT)
+_URL_CASE_SQL = """CASE CAST(doc_id % 4 AS INT)
       WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Doc/'
                   || doc_id || '?utm_source=x&q=' || (doc_id % 7) || '#frag'
-      WHEN 1 THEN 'http://' || source || '.example.com/doc/' || doc_id || '/'
-      ELSE 'https://' || source || '.example.com:8080/Doc/' || doc_id
-           || '?fbclid=abc&keep=1'
+      WHEN 1 THEN 'http://' || source || '.example.com:80/doc/' || doc_id
+                  || '/'
+      WHEN 2 THEN 'https://' || source || '.example.com:8080/Doc/' || doc_id
+                  || '?a=' || (doc_id % 5) || '&fbclid=abc&keep=1'
+      ELSE 'http://' || source || '.example.com:443/doc/' || doc_id
+           || '?gclid=z'
     END"""
 
 
@@ -3375,13 +3391,16 @@ h AS (
 n AS (
   SELECT doc_id, url,
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(
              lower(head) || substring(url, length(head) + 1),
              '^(https?://)www\.', '\\1'),
-             '^(https?://[^/:?#]+):(80|443)(/|$)', '\\1\\3'),
+             '^(http://[^/:?#]+):80([/?#]|$)', '\\1\\2'),
+             '^(https://[^/:?#]+):443([/?#]|$)', '\\1\\2'),
              '#.*$', ''),
-             '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '?', 'g'),
-             '\?+&?', '?', 'g'),
+             '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+             '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+             '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', ''),
              '[?&]+$', ''),
              '/$', '') AS url_norm
   FROM h
