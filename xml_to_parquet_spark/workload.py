@@ -3570,7 +3570,14 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_TIME_BUCKET_SQL,
         "Structured Streaming tumbling window (AvailableNow == batch)",
     ),
-    "q37_xml_star_golden": QuerySpec(
+    # r6 window rotation (VERDICT r5 item 8): q37 — the XML->star E2E
+    # golden, the single deepest path in the catalog — last saw driver
+    # validation in r2; renamed into the a-window (a37 sorts first) so the
+    # driver re-checks it every round.  To make room, four long-green
+    # TRIVIAL golden sentinels rotate OUT of the a-window (a63-a66 ->
+    # q51-q54: driver-green in r4 AND r5, 1-3 rows each; still covered by
+    # pytest + tools/verify_local.py full-catalog runs every round).
+    "a37_xml_star_golden": QuerySpec(
         q_xml_star_golden,
         _Q_XML_STAR_GOLDEN_SQL,
         "XML ingest -> star transform vs fully-determined golden values",
@@ -3676,22 +3683,22 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_VALIDATION_GATE_SQL,
         "P4 validation gate excludes malformed files (golden fixture)",
     ),
-    "a63_default_count_measure": QuerySpec(
+    "q51_default_count_measure": QuerySpec(
         q_default_count_measure,
         _Q_DEFAULT_COUNT_MEASURE_SQL,
         "A6 default record_count measure (golden fixture)",
     ),
-    "a64_generated_ids": QuerySpec(
+    "q52_generated_ids": QuerySpec(
         q_generated_ids,
         _Q_GENERATED_IDS_SQL,
         "F13 generated record ids: non-null + unique invariants",
     ),
-    "a65_make_unique": QuerySpec(
+    "q53_make_unique": QuerySpec(
         q_make_unique,
         _Q_MAKE_UNIQUE_SQL,
         "F14 make.unique repeated-tag columns (golden fixture)",
     ),
-    "a66_report_rates": QuerySpec(
+    "q54_report_rates": QuerySpec(
         q_report_rates,
         _Q_REPORT_RATES_SQL,
         "F15 processing-report rate math from Spark-side counts",
