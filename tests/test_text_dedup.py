@@ -624,3 +624,68 @@ def test_cap_per_domain_semantics_and_plan(spark):
     # exchange, so shuffle volume is <= k rows/domain/map task
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (r6): repeated-k-gram spans + cleaned text.
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_kgram_spans_planted_passages(spark):
+    from xml_to_parquet_spark.functions.dedup import (
+        repeated_kgram_spans,
+        strip_repeated_spans,
+    )
+
+    docs = [
+        # docs 1+2 share the 4-token passage "license text common block"
+        (1, "alpha beta gamma delta unique one license text common block "
+            "tail words here"),
+        (2, "different start license text common block other ending stuff"),
+        (3, "totally unrelated content with no repeats at all whatsoever"),
+        # docs 4+5 share a 6-token passage -> three overlapping repeated
+        # 4-grams must merge into ONE span of 6 tokens
+        (4, "one two three four five six ending alone yes"),
+        (5, "prefix bit one two three four five six"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): r.n_positions
+        for r in repeated_kgram_spans(df, k=4, min_count=2).collect()
+    }
+    assert spans == {
+        (1, 6, 9): 1,
+        (2, 2, 5): 1,
+        (4, 0, 5): 3,
+        (5, 2, 7): 3,
+    }
+
+    cleaned = {
+        r.doc_id: (r.cleaned_text, r.n_removed)
+        for r in strip_repeated_spans(df, k=4, min_count=2).collect()
+    }
+    assert cleaned[1] == (
+        "alpha beta gamma delta unique one tail words here", 4)
+    assert cleaned[2] == ("different start other ending stuff", 4)
+    assert cleaned[3] == (
+        "totally unrelated content with no repeats at all whatsoever", 0)
+    assert cleaned[4] == ("ending alone yes", 6)
+    assert cleaned[5] == ("prefix bit", 6)
+
+
+def test_repeated_kgram_spans_within_one_doc(spark):
+    """A passage repeated WITHIN a single document is also caught (the
+    corpus-wide count makes no distinction)."""
+    from xml_to_parquet_spark.functions.dedup import repeated_kgram_spans
+
+    df = spark.createDataFrame(
+        [(1, "spam eggs ham toast middle bits spam eggs ham toast")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.span_start, r.span_end, r.n_positions)
+        for r in repeated_kgram_spans(df, k=4, min_count=2)
+        .orderBy("span_start")
+        .collect()
+    ]
+    assert got == [(0, 3, 1), (6, 9, 1)]

@@ -1235,3 +1235,131 @@ def contamination_check(
         .filter(F.col("overlap") >= F.lit(min_overlap))
         .select("train_id", "eval_id", "shared", "overlap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (r6): repeated-k-gram span detection. Document-
+# granularity dedup (everything above) cannot touch repeated boilerplate
+# PASSAGES inside otherwise-distinct documents — the dominant contamination
+# mode in web corpora (headers, footers, license blocks, templated
+# paragraphs). This is the distributed rendering of the suffix-array
+# "exact substring" dedup idea: hash every k-token window, count window
+# occurrences corpus-wide, and merge the positions of repeated windows
+# into maximal per-document spans.
+# ---------------------------------------------------------------------------
+
+
+def repeated_kgram_spans(
+    df: DataFrame,
+    k: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated-token spans per document.
+
+    Pipeline (all built-in expressions, no Python):
+    1. postings: one (doc, pos, md5(k-gram)) row per token position
+       (posexplode of the O(len) shifted-zip_with n-gram build);
+    2. corpus-wide occurrence count per gram hash — groupBy + filter
+       ``count >= min_count``, then an equi-join back onto the postings.
+       Two shuffles instead of a count-window's one, ON PURPOSE: the
+       groupBy partial-aggregates map-side (a boilerplate gram repeated
+       millions of times collapses to one row per map task) and the join
+       is AQE-skew-splittable, while a count window would funnel every
+       posting of a hot gram through one partition un-split;
+    3. island merge: positions p cover token span [p, p+k-1]; overlapping
+       or adjacent spans merge via the classic running-max-end island
+       scan (one window over (doc, pos) — partition-local data).
+
+    Returns (id, span_start, span_end, n_positions): token-index spans,
+    inclusive, with the number of repeated windows merged into each.
+    Exactly reproducible in ANSI SQL (md5 gram hashes, integer
+    positions) — the md5 128-bit keyspace makes a cross-gram collision
+    merging two counts astronomically unlikely; at exabyte scale swap in
+    xxhash64 for cheaper shuffle keys at the cost of oracle parity.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    grams = F.when(F.size(toks) >= k, ngram_array(toks, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    postings = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    ).select("id", "pos", F.md5("gram").alias("h"))
+    repeated = (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    hits = postings.join(repeated, on="h").select("id", "pos")
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + k - 1).over(w_prev)
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    return (
+        hits.withColumn("island", F.sum(new_island).over(w_run))
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_positions",
+        )
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    k: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring dedup, applied: drop every token covered by a repeated
+    span and re-join the survivors — (id, cleaned_text, n_tokens,
+    n_removed). Documents with no repeated span pass through intact.
+
+    The span join is per-document (collect_list of a FEW merged intervals,
+    not postings), then token filtering is an array HOF over (token,
+    index) — interpreted, but span lists are short by construction; the
+    heavy lifting (counting, merging) happened in
+    ``repeated_kgram_spans``'s shuffles."""
+    spans = repeated_kgram_spans(df, k, min_count, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    covered = lambda t, i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.when(F.col("_spans").isNull(), toks).otherwise(
+        F.filter(toks, lambda t, i: ~covered(t, i))
+    )
+    return (
+        df.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("cleaned_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

@@ -2475,25 +2475,46 @@ FROM gated ORDER BY doc_id
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (a43, tokenizer.bpe_token_counts): the actual
+    lowest-rank-pair merge loop over Arrow batches with a broadcast merges
+    table — vs the regex approximation of q16. The toy vocabulary meets
+    the replay constraints, so the oracle is the exact sequential
+    replacement chain (see functions/tokenizer.py docstring)."""
+    from xml_to_parquet_spark.functions.tokenizer import bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs).orderBy("doc_id")
+
+
+from xml_to_parquet_spark.functions.tokenizer import (  # noqa: E402
+    bpe_replay_sql as _bpe_replay_sql,
+)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing planner over per-source token streams
     (functions/sampling.pack_sequences, sharded by source so the window is
-    fully parallel)."""
+    fully parallel). r6 (VERDICT r5 item 3): packs by REAL BPE token
+    counts (tokenizer.bpe_token_counts, source riding through the batch so
+    no join back), not the regex approximation — chunk boundaries now
+    reflect what a trainer would actually see."""
     from xml_to_parquet_spark.functions.sampling import pack_sequences
-    from xml_to_parquet_spark.functions.text import token_count
+    from xml_to_parquet_spark.functions.tokenizer import bpe_token_counts
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    counts = bpe_token_counts(docs, keep_cols=("source",)).select(
+        "doc_id", "source", F.col("bpe_tokens").alias("n_tokens")
     )
     return pack_sequences(
-        docs, budget=512, shard_col="source"
+        counts, budget=512, shard_col="source"
     ).orderBy("source", "doc_id")
 
 
 _Q_PACK_SEQUENCES_SQL = r"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(regexp_extract_all(text, '\S+').len() AS BIGINT) AS n_tokens
+         CAST(__BPE_COUNT__ AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -2509,6 +2530,16 @@ SELECT source, doc_id, n_tokens, start_offset,
        CAST((start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
             AS BIGINT) AS n_chunks
 FROM c ORDER BY source, doc_id
+"""
+_Q_PACK_SEQUENCES_SQL = _Q_PACK_SEQUENCES_SQL.replace(
+    "__BPE_COUNT__", _bpe_replay_sql(_NORM_SQL)
+)
+
+_Q_BPE_TOKENS_SQL = rf"""
+SELECT doc_id,
+       CAST(regexp_extract_all(text, '\S+').len() AS BIGINT) AS ws_tokens,
+       CAST({_bpe_replay_sql(_NORM_SQL)} AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id
 """
 
 
@@ -3356,6 +3387,58 @@ _URL_CASE_SQL = """CASE CAST(doc_id % 4 AS INT)
     END"""
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (a42, dedup.repeated_kgram_spans): corpus-wide
+    repeated 4-token windows merged into maximal per-document spans — the
+    passage-granularity contamination pass document-level dedup cannot
+    express (VERDICT r5 item 2)."""
+    from xml_to_parquet_spark.functions.dedup import repeated_kgram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = repeated_kgram_spans(docs, k=4, min_count=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_positions",
+    ).orderBy("doc_id", "span_start")
+
+
+_Q_SUBSTRING_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(t) - 3, 0)),
+           i -> struct_pack(pos := i,
+                            gram := array_to_string(t[i+1:i+4], ' ')))) AS u
+  FROM toks
+),
+p AS (SELECT doc_id, u.pos AS pos, md5(u.gram) AS h FROM g),
+c AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM p JOIN c USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+i2 AS (
+  SELECT doc_id, pos,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
+       count(*) AS n_positions
+FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup keys (a97,
     text.normalize_url/extract_domain): scheme+host case-folded, www.
@@ -3624,6 +3707,18 @@ QUERIES: dict[str, QuerySpec] = {
         q_salted_agg,
         _Q_SALTED_AGG_SQL,
         "skew-salted two-stage aggregation (bit-identical to direct)",
+    ),
+    # r6 additions (a42-a45 sort into the driver window; q02-q05 rotate
+    # out — driver-green since r1, still in pytest + full verify sweeps)
+    "a42_substring_dedup": QuerySpec(
+        q_substring_dedup,
+        _Q_SUBSTRING_DEDUP_SQL,
+        "repeated-k-gram span detection (substring-level dedup)",
+    ),
+    "a43_bpe_tokens": QuerySpec(
+        q_bpe_tokens,
+        _Q_BPE_TOKENS_SQL,
+        "real BPE merge-loop token counts (broadcast merges table)",
     ),
     "a51_gapfill": QuerySpec(
         q_gapfill, _Q_GAPFILL_SQL, "time-spine gap fill (dense hourly grid)"
