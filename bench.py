@@ -123,18 +123,20 @@ def main() -> None:
         "q20_dedup_exact", "q21_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
         "a60_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
         "a75_dedup_apply", "a85_fuzzy_pairs", "a89_fuzzy_qgram",
+        "a42_substring_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
-        "a71_kmeans_cells", "a81_pq_codes",
+        "a71_kmeans_cells", "a81_pq_codes", "a44_ivf_pq_adc",
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
-        "a67_repetition_features", "a68_quality_gate",
+        "a67_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
         # streaming
         "q36_streaming_window", "a76_stream_dedup", "a90_stream_join",
         # scale ops
         "a82_zorder_key", "a84_scd2", "q50_salted_agg",
         # multimodal / scoring
         "a92_multimodal_decode", "a93_multimodal_resize", "a91_batch_score",
+        "a45_netpbm_real",
     ]
     line = json.dumps(
         {

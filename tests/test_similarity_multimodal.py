@@ -555,3 +555,101 @@ def test_bench_line_fits_driver_window():
         separators=(",", ":"),
     )
     assert len(line) < 1900, len(line)
+
+
+def test_ivf_pq_adc_full_probe_equals_exact_bruteforce(spark):
+    """With every cell probed and an unbounded shortlist, IVF-PQ ADC's
+    exact re-rank must return exactly the brute-force integer-L2 top-k
+    (ties to the smaller id) — the degenerate-complete case that pins the
+    whole composition's arithmetic. The approximate configs then only
+    shrink the candidate set."""
+    import random
+
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.similarity import ivf_pq_adc_topk
+
+    rng = random.Random(11)
+    n, dim, k = 60, 8, 4
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = [0, 5, 9]
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_pq_adc_topk(
+            df, queries, k=k, n_centroids=4, n_probe=4, m=2, pq_k=8,
+            dim=dim, rerank=10_000,
+        ).collect()
+    }
+    # numpy mirror: float32 -> double -> quantize, exact integer L2
+    q = np.floor(
+        np.array(vecs, dtype=np.float32).astype(np.float64) * 1_000_000
+        + 0.5
+    ).astype(np.int64)
+    for qid in queries:
+        d = ((q - q[qid]) ** 2).sum(axis=1)
+        order = sorted(
+            (int(dd), i) for i, dd in enumerate(d) if i != qid
+        )
+        for rank, (_, nid) in enumerate(order[:k], start=1):
+            assert got[(qid, rank)] == nid, (qid, rank)
+
+
+def test_ivf_pq_adc_contract_and_partition_invariance(spark):
+    import random
+
+    from xml_to_parquet_spark.functions.similarity import ivf_pq_adc_topk
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(k=3, n_centroids=4, n_probe=2, m=2, pq_k=8, dim=8, rerank=5)
+    a = ivf_pq_adc_topk(df, [1, 2], **kw).collect()
+    b = ivf_pq_adc_topk(df.repartition(13), [1, 2], **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():  # contiguous ranks starting at 1
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_netpbm_decode_resize_batch_real_raster(spark):
+    """The a45 stage on a NON-constant raster: output md5 must equal the
+    hash of the genuinely index-resampled payload."""
+    import hashlib
+
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.multimodal import (
+        aspect_fit,
+        netpbm_decode_resize_batch,
+    )
+
+    w, h = 10, 4
+    raster = bytes(bytearray((x * 7 + y * 31) % 256
+                             for y in range(h) for x in range(w)))
+    payload = f"P5\n{w} {h}\n255\n".encode() + raster
+    df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+    r = netpbm_decode_resize_batch(df, 5, 3).collect()[0]
+    ow, oh = aspect_fit(w, h, 5, 3)
+    assert (r.in_width, r.in_height, r.out_width, r.out_height) == (
+        w, h, ow, oh)
+    grid = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    expect = (f"P5\n{ow} {oh}\n255\n".encode()
+              + grid[ys][:, xs].tobytes())
+    assert r.out_md5 == hashlib.md5(expect).hexdigest()
+    assert r.out_bytes == len(expect)
+    assert r.format == "pgm"

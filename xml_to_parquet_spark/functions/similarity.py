@@ -715,3 +715,152 @@ def label_centroids(
             "centroid"
         ),
     )
+
+
+def _int_l2_sql(vec_sql: str, comps: list[int]) -> str:
+    """Integer squared-L2 between a quantized vector SQL expression and a
+    literal component list, as one parseable expression (same py4j-
+    avoidance rationale as ``_assign_sql``)."""
+    arr = "array(" + ",".join(f"{c}L" for c in comps) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr},"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def ivf_pq_adc_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    dim: int = 64,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = HYPERPLANE_QUANT,
+) -> DataFrame:
+    """IVF-PQ with asymmetric-distance (ADC) search — the composition of
+    ``ivf_topk`` (coarse cells) and ``pq_codes`` (per-subspace codebooks)
+    into the billion-scale ANN query shape (VERDICT r5 item 4):
+
+    1. one corpus scan assigns each vector its coarse cell AND its m PQ
+       codes (coarse centroids + codebooks are hash-seeded model literals
+       baked into the plan — at 100 TB they'd be fit on a sample first,
+       same plan);
+    2. each query probes its ``n_probe`` nearest cells and precomputes the
+       m ADC lookup tables (distance from the query subvector to every
+       codebook centroid) — pq_k·m integer folds per query row, done
+       BEFORE the join so per-candidate work is m array lookups;
+    3. candidates = equi-join on cell id (never all-pairs), ranked by the
+       ADC distance Σ_s lut_s[code_s];
+    4. the ``rerank`` best ADC candidates per query get an EXACT integer
+       squared-L2 re-rank on full vectors → top-``k``.
+
+    Everything is quantized-integer arithmetic (ties → smaller id), so the
+    DuckDB oracle replays assignment, coding, ADC, and re-rank
+    bit-for-bit. Direct PQ on raw vectors (not residuals) keeps the
+    oracle simple; residual PQ changes the codebook fit, not this plan.
+
+    Returns (query_id, neighbor_id, rank).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(as_double_array(F.col(vec_col)), quant).alias("vq"),
+    )
+    n_seed = max(n_centroids, pq_k)
+    seeds = {
+        int(r["id"]): [int(x) for x in r["vq"]]
+        for r in base.filter(F.col("id") < n_seed).collect()  # model-sized
+    }
+    if len(seeds) < n_seed:
+        raise ValueError(
+            f"ivf_pq_adc_topk: need dense ids 0..{n_seed - 1} as seeds"
+        )
+    coarse = {i: seeds[i] for i in range(n_centroids)}
+    books = [
+        {i: seeds[i][s * sub : (s + 1) * sub] for i in range(pq_k)}
+        for s in range(m)
+    ]
+
+    def sub_sql(s: int, vq_col: str = "vq") -> str:
+        return f"slice({vq_col}, {s * sub + 1}, {sub})"
+
+    # one corpus scan: coarse cell + m codes, all plan literals
+    corpus = base.select(
+        "id",
+        "vq",
+        F.expr(_assign_sql(coarse, "vq")).alias("cell"),
+        *[
+            F.expr(_assign_sql(books[s], sub_sql(s))).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
+
+    # queries: n_probe nearest cells via sorted (distance, cid) structs —
+    # no window, pure expressions over n_centroids literal distances
+    probe_structs = ", ".join(
+        f"struct({_int_l2_sql('vq', coarse[cid])} AS d, {cid} AS cid)"
+        for cid in sorted(coarse)
+    )
+    lut_exprs = {
+        f"lut_{s}": F.expr(
+            "array("
+            + ",".join(
+                _int_l2_sql(sub_sql(s, "qvq"), books[s][cid])
+                for cid in sorted(books[s])
+            )
+            + ")"
+        )
+        for s in range(m)
+    }
+    qprobed = (
+        base.filter(F.col("id").isin([int(q) for q in query_ids]))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("vq").alias("qvq"),
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(array({probe_structs})), 1, {n_probe})"
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", "qvq", F.col("pc.cid").alias("cell"))
+        .withColumns(lut_exprs)
+    )
+
+    cand = corpus.join(F.broadcast(qprobed), on="cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("id").asc()
+    )
+    shortlist = (
+        cand.withColumn("adc", adc)
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+    )
+    exact_d = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("qvq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("id").asc()
+    )
+    return (
+        shortlist.withColumn("d", exact_d)
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank")
+    )
