@@ -105,6 +105,20 @@ RUNGS = {
             "a95_stream_enrich",
         ],
     ),
+    # r6 (VERDICT r5 item 6): the next decade-ish rung above events25,
+    # specifically to check whether a76's dedup-state exponent flattens
+    # once key churn saturates (r5 measured +0.49/decade at ×25).
+    "events250": (
+        "/tmp/soak_events250",
+        250,
+        ["events", "customer"],
+        [
+            "q36_streaming_window",
+            "a76_stream_dedup",
+            "a90_stream_join",
+            "a95_stream_enrich",
+        ],
+    ),
 }
 
 ALL_TABLES = [

@@ -32,6 +32,22 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
+    # protobuf-less containers: expose the bundled google.protobuf shim to
+    # every Python process the JVM will spawn (the transformWithState
+    # state protocol runs in the WORKER, whose PYTHONPATH is inherited
+    # from the JVM environment captured at launch — addPyFile is too late
+    # for the TWS driver worker). Must happen BEFORE getOrCreate; a real
+    # protobuf installation shadows the shim by sys.path order.
+    try:  # pragma: no cover - environment probe
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        shim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "_pbshim")
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if shim not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                [p for p in [os.environ.get("PYTHONPATH")] if p] + [shim]
+            )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 

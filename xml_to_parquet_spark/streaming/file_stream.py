@@ -37,12 +37,18 @@ def run_available_now(
     checkpoint_dir: str | None = None,
     state_partitions: int | None = 4,
 ) -> DataFrame:
-    """Run a streaming frame to completion (AvailableNow) into a memory
-    sink; returns the final result as a batch DataFrame.
+    """Run a streaming frame to completion (AvailableNow); returns the
+    final result as a batch DataFrame.
 
-    The memory sink is a TEST/ORACLE harness — it holds the result on the
-    driver. Production streams point ``writeStream`` at parquet/Kafka with
-    the same transformations; nothing upstream of the sink changes.
+    Sink choice scales with the output mode (r6 — the events250 soak rung
+    found the old always-memory sink collecting a 25M-row APPEND result
+    onto the driver, breaching spark.driver.maxResultSize; the operator's
+    state was fine, the harness sink wasn't):
+    - ``complete`` mode results are aggregates (bounded by group count) →
+      memory sink, as a real dashboard sink would hold them;
+    - ``append`` mode results are row streams (unbounded) → parquet sink
+      in the checkpoint's tmpfs, read back as a batch frame — exactly the
+      sink shape a production append stream uses, at any scale.
 
     ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to this
     query: a stateful stream materializes one state store PER shuffle
@@ -66,15 +72,27 @@ def run_available_now(
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    sink_dir = None
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if output_mode == "append":
+            sink_dir = tempfile.mkdtemp(prefix="sink_", dir=ckpt_base)
+            q = (
+                stream_df.writeStream.format("parquet")
+                .option("path", sink_dir)
+                .outputMode("append")
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         if state_partitions is not None:
@@ -84,6 +102,9 @@ def run_available_now(
                 # no previous value: unset rather than leak the override of 8
                 # into subsequent batch jobs on the shared session
                 spark.conf.unset("spark.sql.shuffle.partitions")
+    if sink_dir is not None:
+        # explicit schema: an empty append result leaves no data files
+        return spark.read.schema(stream_df.schema).parquet(sink_dir)
     return spark.table(query_name)
 
 
