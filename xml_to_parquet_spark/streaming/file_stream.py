@@ -108,6 +108,65 @@ def run_available_now(
     return spark.table(query_name)
 
 
+def run_tws_append(
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """AvailableNow harness for ``transformWithStateInPandas`` queries.
+
+    transformWithState under AvailableNow neither self-terminates nor
+    releases ``processAllAvailable()`` (measured on Spark 4.1: the batch
+    commits — the sink manifest lands, results are readable — but the
+    trigger executor never reaches the terminated state, timers or not).
+    So this runner waits for the FileStreamSink's batch-0 commit manifest
+    and then stops the query explicitly.
+
+    Single-batch sources only (one input file under the glob — the file
+    source packs it into one AvailableNow batch): with more batches the
+    early stop would drop data, so callers feed one file, as every
+    catalog stream here does.
+    """
+    import time
+
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    checkpoint_dir = tempfile.mkdtemp(prefix="ckpt_", dir=ckpt_base)
+    sink_dir = tempfile.mkdtemp(prefix="sink_", dir=ckpt_base)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .queryName(query_name)
+            .option("path", sink_dir)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        manifest = os.path.join(sink_dir, "_spark_metadata", "0")
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if q.exception():
+                raise q.exception()
+            if os.path.exists(manifest):
+                break
+            time.sleep(0.2)
+        else:  # pragma: no cover - hang guard
+            raise TimeoutError(f"{query_name}: no sink commit within 300s")
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            else:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+    return spark.read.schema(stream_df.schema).parquet(sink_dir)
+
+
 def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     # TIMESTAMP(NANOS) needs the legacy conf (see catalog.load_table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

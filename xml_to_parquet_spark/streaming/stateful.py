@@ -177,7 +177,11 @@ def sessionize_stateful(
     )
 
 
-def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    register_timers: bool = True,
+) -> DataFrame:
     """Sessionization on the MODERN stateful API
     (``transformWithStateInPandas``, Spark 4): same semantics as
     :func:`sessionize_stateful`, expressed as a ``StatefulProcessor``
@@ -254,12 +258,13 @@ def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 n += 1
                 vsum += float(v)
             self._state.update((start, last, n, vsum))
-            # one live timer per key: re-arm the inactivity deadline
-            for old in self._handle.listTimers():
-                self._handle.deleteTimer(old)
-            self._handle.registerTimer(
-                timer_values.getCurrentProcessingTimeInMs() + gap_ms
-            )
+            if register_timers:
+                # one live timer per key: re-arm the inactivity deadline
+                for old in self._handle.listTimers():
+                    self._handle.deleteTimer(old)
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs() + gap_ms
+                )
             if closed:
                 yield from _emit(user_id, closed)
 

@@ -1914,6 +1914,84 @@ ORDER BY user_id, s_start
 """
 
 
+def q_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE transformWithStateInPandas sessionization (a46, r6): the
+    modern Spark-4 stateful API executing the real protobuf state
+    protocol (value state + timer registry; see streaming/stateful.py and
+    the _pbshim runtime that makes it run in protobuf-less containers).
+
+    Exact oracle: with AvailableNow over a static file and a
+    processing-time gap far beyond the run's wall clock, the emitted rows
+    are exactly the sessions CLOSED BY A LATER ARRIVAL — every session
+    except each user's last. value_sum is excluded from the projection
+    (the kernel folds doubles in arrival order; only the integer/
+    timestamp outputs are engine-exact)."""
+    from xml_to_parquet_spark.streaming.file_stream import (
+        _events_schema,
+        _normalize_event_ts,
+        run_tws_append,
+    )
+    from xml_to_parquet_spark.streaming.stateful import sessionize_tws
+
+    schema = _events_schema(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = _normalize_event_ts(ev).filter(F.col("user_id") < 10)
+    # register_timers=False: the oracle excludes timer-emitted (still-
+    # open) sessions anyway, so the catalog rendering needs no timer —
+    # and run_tws_append handles the operator's never-terminating
+    # AvailableNow behavior either way
+    out = sessionize_tws(ev, gap_seconds=1800, register_timers=False)
+    res = run_tws_append(
+        out, query_name=f"sess_tws_{abs(hash(sf_dir)) % 99991}"
+    )
+    return res.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        "n_events",
+    ).orderBy("user_id", "s_start")
+
+
+_Q_SESSIONIZE_TWS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE user_id < 10
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS s_start_ts, MAX(ts) AS s_end_ts,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       strftime(s_start_ts, '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(s_end_ts, '%Y-%m-%d %H:%M:%S') AS s_end,
+       n_events
+FROM (
+  SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS max_sid
+  FROM agg
+) WHERE session_id < max_sid
+ORDER BY user_id, s_start
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Irregular price-band range join via bin-decomposition + broadcast
     equi-join (operators/range_join.py) — no nested-loop join in the plan."""
@@ -3881,6 +3959,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_netpbm_real_kernel,
         _Q_NETPBM_REAL_SQL,
         "REAL netpbm decode + raster resample (md5-matched output bytes)",
+    ),
+    "a46_sessionize_tws": QuerySpec(
+        q_sessionize_tws,
+        _Q_SESSIONIZE_TWS_SQL,
+        "transformWithStateInPandas sessions (real state protocol)",
     ),
     "a51_gapfill": QuerySpec(
         q_gapfill, _Q_GAPFILL_SQL, "time-spine gap fill (dense hourly grid)"
