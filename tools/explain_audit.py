@@ -58,6 +58,8 @@ REQUIRED_NODES = {
     "a55_contamination": "BroadcastHashJoin",  # eval shingles broadcast
     # tiled all-pairs gemm runs as grouped pandas — NOT a driver collect
     "q25_dedup_embedding": "FlatMapGroupsInPandas",
+    # r6: ADC candidates come from a broadcast equi-join on cell id
+    "a44_ivf_pq_adc": "BroadcastHashJoin",
 }
 # query → physical node that must NOT appear
 FORBIDDEN_NODES = {
@@ -68,6 +70,10 @@ FORBIDDEN_NODES = {
     "a85_fuzzy_pairs": "CartesianProduct",
     "a89_fuzzy_qgram": "CartesianProduct",
     "a60_simhash_blocked": "CartesianProduct",
+    # r6: repeated-k-gram spans must join postings↔repeated-hash set on
+    # the gram hash, never cross-product; ADC must never go all-pairs
+    "a42_substring_dedup": "CartesianProduct",
+    "a44_ivf_pq_adc": "CartesianProduct",
 }
 
 
