@@ -4144,7 +4144,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_GROUPING_SETS_SQL,
         "explicit GROUPING SETS with grouping_id",
     ),
-    "a88_null_battery": QuerySpec(
+    "q55_null_battery": QuerySpec(
         q_null_battery,
         _Q_NULL_BATTERY_SQL,
         "null-handling battery (coalesce/nullif/greatest/null-safe eq)",
