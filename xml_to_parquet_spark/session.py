@@ -38,11 +38,20 @@ def get_spark(
     # from the JVM environment captured at launch — addPyFile is too late
     # for the TWS driver worker). Must happen BEFORE getOrCreate; a real
     # protobuf installation shadows the shim by sys.path order.
+    shim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "_pbshim")
     try:  # pragma: no cover - environment probe
-        import google.protobuf  # noqa: F401
+        import google.protobuf
+
+        # the SHIM being importable (a stateful import earlier in this
+        # process put it on sys.path) is NOT a real installation — the
+        # env export below must still happen for spawned workers
+        real = not (
+            getattr(google.protobuf, "__file__", None) or ""
+        ).startswith(shim)
     except ImportError:
-        shim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "_pbshim")
+        real = False
+    if not real:
         parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
         if shim not in parts:
             os.environ["PYTHONPATH"] = os.pathsep.join(

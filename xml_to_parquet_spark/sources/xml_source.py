@@ -78,8 +78,10 @@ def invalidate_xml_probe_cache(path: str | None = None) -> None:
     whose input directories mutate between ingests."""
     if path is None:
         _PROBE_CACHE.clear()
-    else:
-        _PROBE_CACHE.pop(path, None)
+    else:  # entries are keyed "path#cap" — drop every cap's entry
+        prefix = f"{path}#"
+        for k in [k for k in _PROBE_CACHE if k.startswith(prefix)]:
+            del _PROBE_CACHE[k]
 
 
 def _hadoop_head_bytes(
@@ -120,7 +122,9 @@ def probe_first_file(
     string. Bounded by construction: a multi-GB single-file input
     contributes at most ``cap`` bytes of driver memory (VERDICT r5 #1 —
     the previous implementation collected the whole file)."""
-    key = str(path)
+    # cap is part of the key: a small-cap probe must not serve (or be
+    # served by) a full-cap one — the bound is per-call, not per-path
+    key = f"{path}#{cap}"
     if key not in _PROBE_CACHE:
         probe = path[0] if isinstance(path, list) else path
         try:

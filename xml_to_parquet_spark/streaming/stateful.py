@@ -74,19 +74,29 @@ def ensure_protobuf(spark=None) -> bool:
             sc.environment["PYTHONPATH"] = os.pathsep.join(
                 [p for p in [env_pp] if p] + [_PBSHIM_DIR]
             )
+        import hashlib
         import tempfile
         import zipfile
 
-        zpath = os.path.join(tempfile.gettempdir(), "pbshim_google.zip")
+        # content-addressed zip name: a fixed path would let a STALE shim
+        # (earlier round, other checkout, concurrent worktree) ship to
+        # workers while the driver runs the current code
+        sources = sorted(
+            os.path.join(root, fn)
+            for root, _dirs, files in os.walk(_PBSHIM_DIR)
+            for fn in files
+            if fn.endswith(".py")
+        )
+        digest = hashlib.md5(
+            b"\0".join(open(f, "rb").read() for f in sources)
+        ).hexdigest()[:12]
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"pbshim_google_{digest}.zip"
+        )
         if not os.path.exists(zpath):
             with zipfile.ZipFile(zpath, "w") as zf:
-                for root, _dirs, files in os.walk(_PBSHIM_DIR):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            zf.write(
-                                full, os.path.relpath(full, _PBSHIM_DIR)
-                            )
+                for full in sources:
+                    zf.write(full, os.path.relpath(full, _PBSHIM_DIR))
         sc.addPyFile(zpath)
     return True
 
