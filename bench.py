@@ -120,7 +120,7 @@ def main() -> None:
         "q01_star_revenue", "q02_grouped_multi_agg", "q35_sql_frontend",
         "q42_percentile", "a87_grouping_sets",
         # dedup family
-        "q20_dedup_exact", "q21_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
+        "q20_dedup_exact", "a40_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
         "a60_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
         "a75_dedup_apply", "a85_fuzzy_pairs", "a89_fuzzy_qgram",
         "a42_substring_dedup",
@@ -131,7 +131,7 @@ def main() -> None:
         "q16_token_count", "q17_text_quality", "q18_lang_id",
         "a67_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
         # streaming
-        "q36_streaming_window", "a76_stream_dedup", "a90_stream_join",
+        "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
         # scale ops
         "a82_zorder_key", "a84_scd2", "q50_salted_agg",
         # multimodal / scoring

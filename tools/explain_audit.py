@@ -24,7 +24,7 @@ SF_DIR = "/root/testdata/sf0.01"
 BROADCAST_ONLY = {
     "q01_star_revenue",
     "q09_star_dim_keys",
-    "q15_star_build",
+    "a39_star_build",
     "q26_knn_brute",
     "q32_semi_join",
     "q33_anti_join",
@@ -40,7 +40,7 @@ PRUNING = {
     "q04_project_filter": ("orders", 5),
     "q01_star_revenue": ("lineitem", 4),
     "q06_sort_limit": ("orders", 2),
-    "a52_hash_sample": ("documents", 4),
+    "q57_hash_sample": ("documents", 4),
     "a54_grouped_topk": ("documents", 3),
     "a67_repetition_features": ("documents", 2),
     "a73_dedup_incremental": ("documents", 2),
@@ -86,7 +86,7 @@ def main() -> int:
     hard_fail = []
 
     for name, spec in QUERIES.items():
-        if name in ("q36_streaming_window", "a92_multimodal_decode"):
+        if name in ("a41_streaming_window", "a92_multimodal_decode"):
             continue  # streaming/pandas plans don't expose these nodes
         try:
             df = spec.fn(spark, SF_DIR)

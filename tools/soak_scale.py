@@ -62,7 +62,7 @@ RUNGS = {
             "a77_dedup_clusters_star",
             "a85_fuzzy_pairs",
             "a60_simhash_blocked",
-            "q21_dedup_ngram_jaccard",
+            "a40_dedup_ngram_jaccard",
             "a75_dedup_apply",
             "a70_dedup_clusters",
             "a71_kmeans_cells",
@@ -99,7 +99,7 @@ RUNGS = {
         25,
         ["events", "customer"],
         [
-            "q36_streaming_window",
+            "a41_streaming_window",
             "a76_stream_dedup",
             "a90_stream_join",
             "a95_stream_enrich",
@@ -113,7 +113,7 @@ RUNGS = {
         250,
         ["events", "customer"],
         [
-            "q36_streaming_window",
+            "a41_streaming_window",
             "a76_stream_dedup",
             "a90_stream_join",
             "a95_stream_enrich",

@@ -3809,10 +3809,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q13_json_extract": QuerySpec(
         q_json_extract, _Q_JSON_EXTRACT_SQL, "JSON path extraction"
     ),
-    "q14_profile_classify": QuerySpec(
+    "a38_profile_classify": QuerySpec(
         q_profile_classify, _profile_oracle(), "A1/A4 schema profiling"
     ),
-    "q15_star_build": QuerySpec(
+    "a39_star_build": QuerySpec(
         q_star_build, _Q_STAR_BUILD_SQL, "catalog-driven star transform"
     ),
     "q16_token_count": QuerySpec(
@@ -3830,7 +3830,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q20_dedup_exact": QuerySpec(
         q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
     ),
-    "q21_dedup_ngram_jaccard": QuerySpec(
+    "a40_dedup_ngram_jaccard": QuerySpec(
         q_dedup_ngram_jaccard,
         _ngram_jaccard_sql(),
         "LSH candidates + exact 3-gram Jaccard verify",
@@ -3878,11 +3878,19 @@ QUERIES: dict[str, QuerySpec] = {
     "q35_sql_frontend": QuerySpec(
         q_sql_frontend, _Q_SQL_FRONTEND_SQL, "spark.sql frontend (TPC-H q6)"
     ),
-    "q36_streaming_window": QuerySpec(
+    "a41_streaming_window": QuerySpec(
         q_streaming_window,
         _Q_TIME_BUCKET_SQL,
         "Structured Streaming tumbling window (AvailableNow == batch)",
     ),
+    # r7 window rotation (VERDICT r6 item 2): the four deepest q-paths that
+    # last saw a driver row in r2-r3 — q14 profiling, q15 star build,
+    # q21 LSH->Jaccard, q36 true streaming window — are renamed
+    # a38/a39/a40/a41 so the driver re-checks them; to keep the 50-slot
+    # sorted window at 49 a-keys + q01 (flagship stays driver-checked),
+    # four long-green TRIVIAL sentinels rotate out: a51->q56 gapfill,
+    # a52->q57 hash sample, a53->q58 stratified sample, a56->q59 length
+    # histogram (driver-green r4-r6; still pytest- + verify_local-covered).
     # r6 window rotation (VERDICT r5 item 8): q37 — the XML->star E2E
     # golden, the single deepest path in the catalog — last saw driver
     # validation in r2; renamed into the a-window (a37 sorts first) so the
@@ -3965,15 +3973,15 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SESSIONIZE_TWS_SQL,
         "transformWithStateInPandas sessions (real state protocol)",
     ),
-    "a51_gapfill": QuerySpec(
+    "q56_gapfill": QuerySpec(
         q_gapfill, _Q_GAPFILL_SQL, "time-spine gap fill (dense hourly grid)"
     ),
-    "a52_hash_sample": QuerySpec(
+    "q57_hash_sample": QuerySpec(
         q_hash_sample,
         _hash_sample_sql(),
         "deterministic md5-gate sampling (partition-independent)",
     ),
-    "a53_stratified_sample": QuerySpec(
+    "q58_stratified_sample": QuerySpec(
         q_stratified_sample,
         _stratified_sample_sql(),
         "per-stratum sampling rates in one pushed-down filter",
@@ -3988,7 +3996,7 @@ QUERIES: dict[str, QuerySpec] = {
         _contamination_sql(),
         "benchmark contamination scan (broadcast eval shingles)",
     ),
-    "a56_length_histogram": QuerySpec(
+    "q59_length_histogram": QuerySpec(
         q_length_histogram,
         _Q_LENGTH_HISTOGRAM_SQL,
         "doc-length width_bucket histogram",
