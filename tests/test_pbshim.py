@@ -159,3 +159,52 @@ def test_shim_varint_primitives():
         assert dec == v
     for v in (0, -1, 1, -2, 2, 2**31, -(2**31)):
         assert _zigzag_dec(_zigzag_enc(v)) == v
+
+
+def test_submessage_write_through_read_anchors():
+    """Real-protobuf idiom: `msg.sub.field = x` on an ABSENT submessage
+    must anchor the submessage into the parent, not silently discard the
+    write into a throwaway default instance (r7 ADVICE fix)."""
+    m = sm.StateRequest()
+    # identity-stable lazy default across reads
+    assert m.statefulProcessorCall is m.statefulProcessorCall
+    # read alone creates no presence
+    assert not m.HasField("statefulProcessorCall")
+    # a deep write through two lazy levels anchors the whole chain
+    m.statefulProcessorCall.getValueState.stateName = "session"
+    assert m.HasField("statefulProcessorCall")
+    assert m.statefulProcessorCall.getValueState.stateName == "session"
+    # and it survives a wire round-trip
+    r = _roundtrip(m, sm.StateRequest)
+    assert r.statefulProcessorCall.getValueState.stateName == "session"
+
+
+def test_submessage_read_only_stays_absent_on_wire():
+    m = sm.StateRequest(version=3)
+    _ = m.statefulProcessorCall.getValueState.stateName  # read, no write
+    assert m.SerializeToString() == bytes.fromhex("0803")
+
+
+def test_shim_google_defers_to_real_distribution(tmp_path):
+    """The shim's google/__init__ must sort any OTHER sys.path google/
+    dir ahead of its own, so a real protobuf distribution wins even when
+    the shim path precedes site-packages (worker PYTHONPATH ordering)."""
+    import subprocess
+    import sys
+
+    from xml_to_parquet_spark.streaming import stateful
+
+    fake_site = tmp_path / "site"
+    real_pb = fake_site / "google" / "protobuf"
+    real_pb.mkdir(parents=True)
+    (real_pb / "__init__.py").write_text("__version__ = 'REAL'\n")
+    code = (
+        "import sys; sys.path.insert(0, %r); sys.path.append(%r); "
+        "import google.protobuf as p; print(p.__version__)"
+        % (stateful._PBSHIM_DIR, str(fake_site))
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        check=True,
+    )
+    assert out.stdout.strip() == "REAL"

@@ -132,3 +132,23 @@ def test_sessionize_tws_matches_legacy_api(spark, tmp_path):
     got = {(r.user_id, r.n_events, r.value_sum) for r in out}
     assert (1, 3, 6.0) in got
     assert all(r.user_id == 1 for r in out)
+
+
+def test_run_tws_append_rejects_multi_file_glob(spark, tmp_path):
+    """The single-batch stop assumption is enforced, not just documented
+    (r7 ADVICE fix): more than one input file under the glob must raise
+    BEFORE the query starts, because data in batch >= 1 would be lost."""
+    import pytest
+
+    from xml_to_parquet_spark.streaming.file_stream import run_tws_append
+
+    for i in range(2):
+        spark.range(5).write.parquet(str(tmp_path / f"in_{i}.parquet"))
+    stream = (
+        spark.readStream.schema("id long")
+        .parquet(str(tmp_path / "in_*.parquet"))
+    )
+    with pytest.raises(ValueError, match="exactly one input file"):
+        run_tws_append(
+            stream, "tws_multi", input_glob=str(tmp_path / "in_*.parquet")
+        )

@@ -467,6 +467,37 @@ def test_probe_bounded_on_huge_file(spark, tmp_path):
     invalidate_xml_probe_cache()
 
 
+def test_probe_fallback_bounded_one_line_file(spark, tmp_path, monkeypatch):
+    """The py4j-less fallback path (text reader) must be BYTE-bounded too:
+    a minified one-line XML file larger than the cap must reach the driver
+    truncated executor-side (VERDICT r6 #3 — previously the substring
+    happened after collect, so one giant row could land whole)."""
+    from xml_to_parquet_spark.sources import xml_source as xs
+
+    cap = 4096
+    one_line = (
+        "<?xml version='1.0'?><records>"
+        + "".join(f'<record id="{i}"><aa>x</aa></record>' for i in range(4000))
+        + "</records>"
+    )  # single line, ~150 KB >> cap
+    path = _write(tmp_path, "oneline.xml", one_line)
+    assert os.path.getsize(path) > 10 * cap
+    assert "\n" not in one_line
+
+    def _boom(*a, **k):
+        raise RuntimeError("no py4j filesystem in this session")
+
+    monkeypatch.setattr(xs, "_hadoop_head_bytes", _boom)
+    xs.invalidate_xml_probe_cache()
+    text = xs.probe_first_file(spark, path, cap=cap)
+    assert text is not None
+    # the bound held on the fallback path: at most cap chars survive
+    assert len(text) <= cap
+    # and discovery still works off the capped prefix
+    assert xs.resolve_row_tag(spark, path) == "record"
+    xs.invalidate_xml_probe_cache()
+
+
 def test_document_order_from_truncated_prefix(spark, tmp_path):
     """A tiny cap that cuts the file mid-record: document order must come
     from the complete events in the prefix instead of failing."""

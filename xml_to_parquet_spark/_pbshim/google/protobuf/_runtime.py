@@ -270,10 +270,25 @@ class ShimMessage:
 
     def __init__(self, **kwargs) -> None:
         object.__setattr__(self, "_values", {})
+        # lazy default submessages handed out by __getattr__, keyed by
+        # field name; each carries a parent back-link so the first WRITE
+        # through it anchors the chain (real-protobuf semantics: reading
+        # msg.sub does not create presence, but msg.sub.x = 1 must stick)
+        object.__setattr__(self, "_lazy_subs", {})
+        object.__setattr__(self, "_anchor", None)
         for k, v in kwargs.items():
             if v is None:
                 continue
             setattr(self, k, v)
+
+    def _anchor_into_parent(self) -> None:
+        """Attach this lazily-created submessage (and transitively its
+        lazy ancestors) into the parent's ``_values`` on first mutation."""
+        anchor = object.__getattribute__(self, "_anchor")
+        if anchor is not None:
+            object.__setattr__(self, "_anchor", None)
+            parent, fname = anchor
+            setattr(parent, fname, self)
 
     # -- attribute protocol --
     def __setattr__(self, name: str, value) -> None:
@@ -290,6 +305,8 @@ class ShimMessage:
                 ):
                     self._values.pop(other.name, None)
         self._values[name] = value
+        object.__getattribute__(self, "_lazy_subs").pop(name, None)
+        self._anchor_into_parent()
 
     def __getattr__(self, name: str):
         # fields never exist as real attributes, so every field read lands
@@ -305,9 +322,20 @@ class ShimMessage:
         if f.repeated:
             fresh: list = []
             values[name] = fresh  # so appends during decode stick
+            # a lazy submessage materializing a repeated field must anchor
+            # now — appends can't be intercepted later
+            self._anchor_into_parent()
             return fresh
         if f.type == TYPE_MESSAGE:
-            return f.message_cls()  # default (empty) instance
+            # cache the default instance (identity-stable across reads) with
+            # a parent back-link, so `msg.sub.field = x` anchors instead of
+            # silently writing into a discarded fresh instance
+            lazy = object.__getattribute__(self, "_lazy_subs")
+            if name not in lazy:
+                sub = f.message_cls()
+                object.__setattr__(sub, "_anchor", (self, name))
+                lazy[name] = sub
+            return lazy[name]
         if f.type == TYPE_STRING:
             return ""
         if f.type == TYPE_BYTES:
@@ -331,9 +359,10 @@ class ShimMessage:
 
     def Clear(self) -> None:
         self._values.clear()
+        object.__getattribute__(self, "_lazy_subs").clear()
 
     def CopyFrom(self, other: "ShimMessage") -> None:
-        self._values.clear()
+        self.Clear()
         self._values.update(other._values)
 
     def SerializeToString(self) -> bytes:

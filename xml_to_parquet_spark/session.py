@@ -36,8 +36,11 @@ def get_spark(
     # every Python process the JVM will spawn (the transformWithState
     # state protocol runs in the WORKER, whose PYTHONPATH is inherited
     # from the JVM environment captured at launch — addPyFile is too late
-    # for the TWS driver worker). Must happen BEFORE getOrCreate; a real
-    # protobuf installation shadows the shim by sys.path order.
+    # for the TWS driver worker). Must happen BEFORE getOrCreate. Note
+    # PYTHONPATH precedes site-packages in worker sys.path — deferring to
+    # a real installation is handled by the shim itself (_pbshim/google/
+    # __init__.py merges sys.path google/ dirs and sorts itself last), so
+    # exporting the shim path is safe even if workers have real protobuf.
     shim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "_pbshim")
     try:  # pragma: no cover - environment probe

@@ -130,10 +130,18 @@ def probe_first_file(
         try:
             raw = _hadoop_head_bytes(spark, probe, cap)
         except Exception:  # noqa: BLE001 — e.g. a py4j-less test session
-            # fallback stays bounded: line-mode text reader, capped rows;
-            # only degrades tag/order discovery for pathological one-line
-            # files (wholetext would reintroduce the unbounded collect)
-            rows = spark.read.text(probe).limit(4096).collect()
+            # fallback is byte-bounded BEFORE collect (VERDICT r6 #3): each
+            # line is truncated executor-side to cap bytes, so a one-line
+            # multi-GB file lands at most cap chars per row on the driver,
+            # and the row limit bounds the total
+            from pyspark.sql import functions as F
+
+            rows = (
+                spark.read.text(probe)
+                .select(F.substring("value", 1, cap).alias("value"))
+                .limit(4096)
+                .collect()
+            )
             raw = "\n".join(r[0] for r in rows).encode()[:cap] or None
         _PROBE_CACHE[key] = (
             raw.decode("utf-8", errors="replace") if raw else None

@@ -112,22 +112,36 @@ def run_tws_append(
     stream_df: DataFrame,
     query_name: str,
     state_partitions: int | None = 4,
+    input_glob: str | None = None,
 ) -> DataFrame:
     """AvailableNow harness for ``transformWithStateInPandas`` queries.
 
     transformWithState under AvailableNow neither self-terminates nor
     releases ``processAllAvailable()`` (measured on Spark 4.1: the batch
     commits — the sink manifest lands, results are readable — but the
-    trigger executor never reaches the terminated state, timers or not).
-    So this runner waits for the FileStreamSink's batch-0 commit manifest
-    and then stops the query explicitly.
+    trigger executor never reaches the terminated state; worse, it keeps
+    PLANNING empty batches indefinitely, so checkpoint-quiescence waiting
+    never converges — measured r7: the offsets log reached batch 411 in
+    300 s with no further input). So this runner waits for the
+    FileStreamSink's batch-0 commit manifest and stops the query.
 
-    Single-batch sources only (one input file under the glob — the file
-    source packs it into one AvailableNow batch): with more batches the
-    early stop would drop data, so callers feed one file, as every
-    catalog stream here does.
+    Single-DATA-batch sources only: all input must land in batch 0, which
+    the file source guarantees for one input file. The assumption is now
+    ENFORCED, not just documented (r7 ADVICE fix): pass ``input_glob``
+    and the runner raises before starting if it matches more than one
+    file, instead of silently dropping later batches' data.
     """
+    import glob as globmod
     import time
+
+    if input_glob is not None:
+        matches = globmod.glob(input_glob)
+        if len(matches) != 1:
+            raise ValueError(
+                f"{query_name}: run_tws_append needs exactly one input "
+                f"file (single-batch stop); {input_glob!r} matched "
+                f"{len(matches)}"
+            )
 
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     checkpoint_dir = tempfile.mkdtemp(prefix="ckpt_", dir=ckpt_base)

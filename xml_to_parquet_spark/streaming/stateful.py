@@ -94,9 +94,23 @@ def ensure_protobuf(spark=None) -> bool:
             tempfile.gettempdir(), f"pbshim_google_{digest}.zip"
         )
         if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w") as zf:
-                for full in sources:
-                    zf.write(full, os.path.relpath(full, _PBSHIM_DIR))
+            # write to a unique temp file and rename into place: a
+            # concurrent session computing the same digest must never
+            # observe (and addPyFile) a partially-written zip
+            fd, tmp = tempfile.mkstemp(
+                suffix=".zip", dir=os.path.dirname(zpath)
+            )
+            try:
+                with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(
+                    fh, "w"
+                ) as zf:
+                    for full in sources:
+                        zf.write(full, os.path.relpath(full, _PBSHIM_DIR))
+                os.replace(tmp, zpath)  # atomic on POSIX
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
         sc.addPyFile(zpath)
     return True
 
