@@ -653,3 +653,53 @@ def test_netpbm_decode_resize_batch_real_raster(spark):
     assert r.out_md5 == hashlib.md5(expect).hexdigest()
     assert r.out_bytes == len(expect)
     assert r.format == "pgm"
+
+
+def test_quantized_logreg_kernel_exact_arithmetic():
+    """Pin the quantized kernel against an independent pure-Python
+    reference, including unicode (multi-byte chars count toward byte
+    length but never toward the ASCII digit/upper/space classes)."""
+    from xml_to_parquet_spark.functions.inference import (
+        QUANT_BIAS,
+        QUANT_WEIGHTS,
+        quantized_logreg_scorer,
+    )
+
+    texts = [
+        "Plain text with 3 numbers 42 and 7",
+        "ALLCAPS",
+        "nocapsnodigits",
+        "   ",
+        "x",
+        "naïve café — ünïcödé 12",  # multi-byte bytes hit no ASCII class
+        "A" * 100 + "9" * 50 + " " * 25,
+    ]
+    got = quantized_logreg_scorer(texts)
+    for t, lg in zip(texts, got):
+        b = t.encode("utf-8")
+        f = [
+            len(b),
+            sum(1 for c in b if 48 <= c <= 57),
+            sum(1 for c in b if 65 <= c <= 90),
+            sum(1 for c in b if c == 32),
+        ]
+        expect = sum(w * x for w, x in zip(QUANT_WEIGHTS, f)) + QUANT_BIAS
+        assert lg == expect, t
+
+
+def test_score_documents_quantized_batch_invariant(spark):
+    from xml_to_parquet_spark.functions.inference import (
+        score_documents_quantized,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"Doc {i} text with {i % 7} CAPS and spaces") for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, score_documents_quantized(docs).collect()))
+    b = sorted(
+        map(tuple, score_documents_quantized(docs.repartition(9)).collect())
+    )
+    assert a == b
+    assert all(isinstance(r[1], int) for r in a)
+    assert all(r[2] == (r[1] >= 0) for r in a)

