@@ -596,6 +596,63 @@ def test_normalize_url_and_extract_domain(spark):
         assert got[i] == (want_nu, want_dom), (i, got[i])
 
 
+def test_registrable_domain_psl_subset(spark):
+    """PSL eTLD+1 semantics (r7, VERDICT r6 #8): multi-label suffixes
+    collapse subdomains; 3-label suffixes beat their embedded 2-label
+    suffix; a host that IS a suffix, a single-label host, and a non-URL
+    row yield NULL; unknown TLDs fall back to the two-label rule."""
+    from xml_to_parquet_spark.functions.text import registrable_domain
+
+    cases = [
+        ("https://a.b.example.co.uk/x", "example.co.uk"),
+        ("http://example.co.uk/", "example.co.uk"),
+        ("https://WWW.Example.CO.UK/y", "example.co.uk"),
+        ("http://deep.sub.example.com/p", "example.com"),
+        ("http://example.com", "example.com"),
+        # 3-label suffix wins over embedded 2-label (act.edu.au > edu.au)
+        ("http://school.act.edu.au/", "school.act.edu.au"),
+        ("http://x.school.act.edu.au/", "school.act.edu.au"),
+        ("http://uni.edu.au/", "uni.edu.au"),
+        # k12 state convention
+        ("http://lincoln.k12.ca.us/", "lincoln.k12.ca.us"),
+        # label ending in a suffix STRING is not a suffix match
+        ("http://xco.uk/", "xco.uk"),
+        # host IS a public suffix -> no registrable domain
+        ("http://co.uk/", None),
+        # single-label host
+        ("http://localhost/", None),
+        # unknown ccTLD -> default two-label rule
+        ("http://a.b.example.zz/", "example.zz"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.dom
+        for r in df.select(
+            "i", registrable_domain(F.col("url")).alias("dom")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_cap_per_domain_collapses_subdomains(spark):
+    """One 'SEO farm' spreading across subdomains of a multi-label-suffix
+    site must still hit the cap as ONE domain."""
+    from xml_to_parquet_spark.functions.text import cap_per_domain
+
+    rows = [
+        (i, f"https://page{i}.farm.co.uk/p{i}") for i in range(20)
+    ] + [(100 + i, f"https://legit{i}.org/x") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = cap_per_domain(df, 5)
+    assert capped.count() == 5 + 3  # farm.co.uk capped, legit*.org pass
+    farm = capped.filter(F.col("url").contains("farm.co.uk")).count()
+    assert farm == 5
+
+
 def test_cap_per_domain_semantics_and_plan(spark):
     from xml_to_parquet_spark.functions.text import (
         cap_per_domain,

@@ -309,13 +309,105 @@ def normalize_url(col: Column) -> Column:
 
 
 def extract_domain(col: Column) -> Column:
-    """Registrable host of a URL, lowercased, ``www.``-stripped, port
-    dropped. Rows without a scheme://host shape yield NULL (filterable)."""
+    """Full HOST of a URL, lowercased, ``www.``-stripped, port dropped.
+    Rows without a scheme://host shape yield NULL (filterable). For
+    grouping crawls use :func:`registrable_domain` — the host
+    under-groups multi-subdomain sites (VERDICT r6 #8)."""
     host = F.lower(
         F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
     )
     host = F.regexp_replace(host, r"^www\.", "")
     return F.when(host == "", None).otherwise(host)
+
+
+# Curated subset of the Public Suffix List's multi-label suffixes (the
+# facts are public; the full PSL also carries wildcard rules like ``*.ck``
+# and private-section entries like ``github.io`` — out of subset scope,
+# documented). Single-label TLDs need no entry: the default rule
+# (registrable = last two labels) covers them. Kept as a static literal so
+# the operator stays a pure column expression with an exact SQL oracle.
+PUBLIC_SUFFIX_MULTI: frozenset[str] = frozenset(
+    # uk / ie / nz / za
+    "co.uk org.uk me.uk net.uk ac.uk gov.uk sch.uk plc.uk ltd.uk "
+    "gov.ie co.nz net.nz org.nz ac.nz govt.nz school.nz gen.nz geek.nz "
+    "co.za net.za org.za ac.za gov.za edu.za web.za "
+    # au (incl. 3-label state education districts)
+    "com.au net.au org.au edu.au gov.au asn.au id.au "
+    "act.edu.au nsw.edu.au qld.edu.au vic.edu.au sa.edu.au wa.edu.au "
+    # jp / kr / cn / tw / hk / sg / th / my / ph / vn / id / in
+    "co.jp or.jp ne.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp "
+    "co.kr ne.kr or.kr re.kr pe.kr go.kr ac.kr ms.kr hs.kr es.kr sc.kr "
+    "com.cn net.cn org.cn gov.cn edu.cn ac.cn "
+    "com.tw net.tw org.tw edu.tw gov.tw idv.tw club.tw game.tw "
+    "com.hk net.hk org.hk edu.hk gov.hk idv.hk "
+    "com.sg net.sg org.sg edu.sg gov.sg per.sg "
+    "co.th ac.th go.th in.th mi.th net.th or.th "
+    "com.my net.my org.my edu.my gov.my mil.my name.my "
+    "com.ph net.ph org.ph edu.ph gov.ph mil.ph ngo.ph "
+    "com.vn net.vn org.vn edu.vn gov.vn ac.vn biz.vn info.vn pro.vn "
+    "co.id net.id or.id ac.id sch.id go.id mil.id web.id my.id biz.id "
+    "co.in net.in org.in firm.in gen.in ind.in ac.in edu.in res.in "
+    "gov.in mil.in nic.in "
+    # americas
+    "com.br net.br org.br gov.br edu.br mil.br art.br blog.br "
+    "com.mx net.mx org.mx edu.mx gob.mx "
+    "com.ar net.ar org.ar edu.ar gob.ar int.ar mil.ar tur.ar "
+    "com.co net.co org.co edu.co gov.co mil.co nom.co "
+    "com.pe net.pe org.pe edu.pe gob.pe mil.pe nom.pe "
+    "co.cr ac.cr ed.cr fi.cr go.cr or.cr sa.cr "
+    "com.uy net.uy org.uy edu.uy gub.uy mil.uy "
+    "com.ve net.ve org.ve co.ve e12.ve info.ve web.ve "
+    # us 3-label conventions (k12/cc/lib per state — sample of big states)
+    "k12.ca.us k12.ny.us k12.tx.us k12.fl.us k12.il.us k12.wa.us "
+    "cc.ca.us cc.ny.us lib.ca.us lib.ny.us lib.tx.us "
+    # europe / middle east / africa
+    "com.tr net.tr org.tr edu.tr gov.tr av.tr bel.tr biz.tr dr.tr "
+    "gen.tr info.tr k12.tr name.tr tel.tr web.tr "
+    "com.pl net.pl org.pl edu.pl gov.pl info.pl waw.pl "
+    "com.ru net.ru org.ru msk.ru spb.ru "
+    "com.ua net.ua org.ua edu.ua gov.ua in.ua kiev.ua "
+    "co.il org.il net.il ac.il gov.il muni.il k12.il idf.il "
+    "com.sa net.sa org.sa edu.sa gov.sa med.sa pub.sa sch.sa "
+    "com.eg net.eg org.eg edu.eg gov.eg eun.eg mil.eg sci.eg "
+    "com.ng net.ng org.ng edu.ng gov.ng sch.ng mobi.ng "
+    "co.ke or.ke ne.ke go.ke ac.ke sc.ke me.ke mobi.ke info.ke "
+    "com.pk net.pk org.pk edu.pk gov.pk biz.pk web.pk fam.pk "
+    "com.bd net.bd org.bd edu.bd gov.bd ac.bd mil.bd".split()
+)
+
+# Longest-suffix-first alternation (PSL prevailing-rule semantics: a
+# 3-label suffix must win over its embedded 2-label one).
+_PSL_ALT = "|".join(
+    s.replace(".", "\\.")
+    for s in sorted(
+        PUBLIC_SUFFIX_MULTI, key=lambda s: (-s.count("."), -len(s), s)
+    )
+)
+
+
+def registrable_domain(col: Column) -> Column:
+    """Registrable domain (PSL "eTLD+1") of a URL: the public suffix plus
+    one label — ``a.b.example.co.uk`` → ``example.co.uk``, not the host.
+    Grouping by host under-counts multi-subdomain crawls (every subdomain
+    of one SEO farm looks like its own site); this is the column
+    per-domain caps and blocklists must key on.
+
+    Pure column expressions (two anchored regexes + a literal IN guard),
+    so the operator is exact-oracle-expressible and stays inside codegen.
+    Hosts that ARE a public suffix, single-label hosts, and non-URL rows
+    yield NULL. Subset scope: :data:`PUBLIC_SUFFIX_MULTI` covers common
+    ccSLD conventions; wildcard/private PSL rules degrade to the default
+    two-label rule."""
+    host = extract_domain(col)
+    multi = F.regexp_extract(host, f"([^.]+\\.(?:{_PSL_ALT}))$", 1)
+    fallback = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(
+        host.isin(*sorted(PUBLIC_SUFFIX_MULTI)), F.lit(None)
+    ).otherwise(
+        F.coalesce(
+            F.nullif(multi, F.lit("")), F.nullif(fallback, F.lit(""))
+        )
+    )
 
 
 def cap_per_domain(
@@ -328,6 +420,8 @@ def cap_per_domain(
     the standard web-corpus anti-domination filter (one SEO farm must not
     become 5% of the training set).
 
+    Keyed on the REGISTRABLE domain (r7, VERDICT r6 #8): grouping by full
+    host let one SEO farm evade the cap with a subdomain per page.
     Deterministic survivors: rank by the md5 sample gate over the doc id
     (partitioning/engine-invariant), ties impossible (ids unique). The
     ``rank <= k`` filter rides ``row_number`` so Spark plans
@@ -339,7 +433,7 @@ def cap_per_domain(
 
     from xml_to_parquet_spark.functions.sampling import sample_key
 
-    dom = extract_domain(F.col(url_col))
+    dom = registrable_domain(F.col(url_col))
     # NULL domains get singleton per-row keys: they always survive, never
     # pool into one skewed group — and keeping the filter directly on
     # row_number lets Spark plan WindowGroupLimit (a `when` wrapper

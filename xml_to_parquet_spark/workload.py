@@ -3579,16 +3579,29 @@ def _messy_url_col() -> "F.Column":
     fragment + https default port + WWW/case noise; http default port +
     trailing slash; MID-query tracking param between two real params
     [the ADVICE r5 separator case]; http with :443 — a NON-default port
-    for that scheme, which must survive [the ADVICE r5 pairing case])."""
+    for that scheme, which must survive [the ADVICE r5 pairing case]).
+    Hosts cycle on doc_id % 3 across suffix shapes (r7, VERDICT r6 #8):
+    plain .example.com; an EXTRA-subdomain multi-label-suffix host
+    sub.<source>.example.co.uk; and <source>.example.co.uk — the last
+    two share the registrable domain example.co.uk, so per-domain
+    grouping must collapse them while host grouping would not."""
     d = F.col("doc_id").cast("string")
-    host = F.concat(F.col("source"), F.lit(".example.com"))
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 1, F.lit("sub.")).otherwise(
+            F.lit("")
+        ),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com")).otherwise(
+            F.lit(".example.co.uk")
+        ),
+    )
     return (
         F.when(
             F.col("doc_id") % 4 == 0,
             F.concat(
                 F.lit("HTTPS://WWW."),
-                F.col("source"),
-                F.lit(".Example.COM:443/Doc/"),
+                F.upper(host),
+                F.lit(":443/Doc/"),
                 d,
                 F.lit("?utm_source=x&q="),
                 (F.col("doc_id") % 7).cast("string"),
@@ -3622,14 +3635,21 @@ def _messy_url_col() -> "F.Column":
     )
 
 
-_URL_CASE_SQL = """CASE CAST(doc_id % 4 AS INT)
-      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Doc/'
+_URL_FIXTURE_HOST_SQL = (
+    "((CASE WHEN doc_id % 3 = 1 THEN 'sub.' ELSE '' END) || source || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '.example.com' "
+    "ELSE '.example.co.uk' END))"
+)
+
+_URL_CASE_SQL = f"""CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || upper({_URL_FIXTURE_HOST_SQL})
+                  || ':443/Doc/'
                   || doc_id || '?utm_source=x&q=' || (doc_id % 7) || '#frag'
-      WHEN 1 THEN 'http://' || source || '.example.com:80/doc/' || doc_id
-                  || '/'
-      WHEN 2 THEN 'https://' || source || '.example.com:8080/Doc/' || doc_id
-                  || '?a=' || (doc_id % 5) || '&fbclid=abc&keep=1'
-      ELSE 'http://' || source || '.example.com:443/doc/' || doc_id
+      WHEN 1 THEN 'http://' || {_URL_FIXTURE_HOST_SQL} || ':80/doc/'
+                  || doc_id || '/'
+      WHEN 2 THEN 'https://' || {_URL_FIXTURE_HOST_SQL} || ':8080/Doc/'
+                  || doc_id || '?a=' || (doc_id % 5) || '&fbclid=abc&keep=1'
+      ELSE 'http://' || {_URL_FIXTURE_HOST_SQL} || ':443/doc/' || doc_id
            || '?gclid=z'
     END"""
 
@@ -3686,16 +3706,39 @@ FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def _registrable_sql(host_expr: str = "host") -> str:
+    """DuckDB replay of text.registrable_domain over a host column:
+    suffix-membership guard + longest-suffix-first anchored regex +
+    two-label fallback, generated from the SAME Python constant the
+    Spark expression uses."""
+    from xml_to_parquet_spark.functions.text import (
+        _PSL_ALT,
+        PUBLIC_SUFFIX_MULTI,
+    )
+
+    suffixes = ", ".join(f"'{s}'" for s in sorted(PUBLIC_SUFFIX_MULTI))
+    return (
+        f"(CASE WHEN {host_expr} IN ({suffixes}) THEN NULL "
+        f"ELSE coalesce("
+        f"nullif(regexp_extract({host_expr}, "
+        f"'([^.]+\\.(?:{_PSL_ALT}))$', 1), ''), "
+        f"nullif(regexp_extract({host_expr}, "
+        f"'([^.]+\\.[^.]+)$', 1), '')) END)"
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup keys (a97,
-    text.normalize_url/extract_domain): scheme+host case-folded, www.
-    and default ports dropped, fragment and tracking params stripped,
-    trailing slash trimmed, path case preserved; registrable domain
-    extracted.  Every step is a regexp with identical semantics in both
-    engines, so the oracle replays the chain string-for-string."""
+    text.normalize_url/registrable_domain): scheme+host case-folded,
+    www. and default ports dropped, fragment and tracking params
+    stripped, trailing slash trimmed, path case preserved; host AND
+    registrable domain (PSL-subset eTLD+1, r7) extracted. Every step is
+    a regexp with identical semantics in both engines, so the oracle
+    replays the chain string-for-string."""
     from xml_to_parquet_spark.functions.text import (
         extract_domain,
         normalize_url,
+        registrable_domain,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -3704,7 +3747,8 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         normalize_url(F.col("url")).alias("url_norm"),
-        extract_domain(F.col("url")).alias("domain"),
+        extract_domain(F.col("url")).alias("host"),
+        registrable_domain(F.col("url")).alias("domain"),
     ).orderBy("doc_id")
 
 
@@ -3735,24 +3779,29 @@ n AS (
              '/$', '') AS url_norm
   FROM h
 )
-SELECT doc_id, url_norm,
-       nullif(regexp_replace(
-         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)',
-                              1)),
-         '^www\.', ''), '') AS domain
-FROM n ORDER BY doc_id
+SELECT doc_id, url_norm, host, {_registrable_sql()} AS domain
+FROM (
+  SELECT doc_id, url_norm,
+         nullif(regexp_replace(
+           lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+           '^www\.', ''), '') AS host
+  FROM n
+) ORDER BY doc_id
 """
 
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain anti-domination cap (a98, text.cap_per_domain): at most
-    k docs per registrable domain, survivors picked by the deterministic
-    md5 sample gate (partitioning/engine-invariant) — the rank filter
-    rides row_number so Spark plans WindowGroupLimit (shuffle ≤ k
-    rows/domain/map task)."""
+    k docs per REGISTRABLE domain (r7, VERDICT r6 #8 — the fixture's
+    sub.<source>.example.co.uk and <source>.example.co.uk hosts collapse
+    into one example.co.uk group, which host-keyed capping would miss),
+    survivors picked by the deterministic md5 sample gate (partitioning/
+    engine-invariant) — the rank filter rides row_number so Spark plans
+    WindowGroupLimit (shuffle ≤ k rows/domain/map task)."""
     from xml_to_parquet_spark.functions.text import (
         cap_per_domain,
-        extract_domain,
+        registrable_domain,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -3760,7 +3809,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = cap_per_domain(docs, 5)
     return kept.select(
-        extract_domain(F.col("url")).alias("domain"), "doc_id"
+        registrable_domain(F.col("url")).alias("domain"), "doc_id"
     ).orderBy("domain", "doc_id")
 
 
@@ -3768,13 +3817,16 @@ _Q_DOMAIN_CAP_SQL = f"""
 WITH u AS (
   SELECT doc_id, {_URL_CASE_SQL} AS url FROM documents
 ),
-d AS (
+hh AS (
   SELECT doc_id,
          nullif(regexp_replace(
            lower(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
-           '^www\.', ''), '') AS domain
+           '^www\.', ''), '') AS host
   FROM u
+),
+d AS (
+  SELECT doc_id, {_registrable_sql()} AS domain FROM hh
 ),
 r AS (
   SELECT domain, doc_id,
