@@ -1,0 +1,139 @@
+"""ANN retrieval-quality harness: recall@k of IVF-PQ ADC vs exact brute
+force (VERDICT r6 #6).
+
+The catalog's bit-exact oracles (a44/q47/q27) prove the PLAN is computed
+correctly, but a config regression (too few probes, too small a rerank
+shortlist) would still pass them — the replayed model would just be a
+worse model. This harness measures what the oracles can't: retrieval
+quality. Ground truth is the exact integer squared-L2 top-k over the same
+quantized vectors the operator re-ranks with (numpy, driver-side — the
+corpus fits; at 100 TB you'd sample queries the same way and brute-force
+only their rows), excluding self, ties broken by smaller id — the
+operator's own conventions, so recall@k = 1.0 is achievable.
+
+Usage:
+    python tools/ann_recall.py [--sf-dir=/tmp/soak_sf1] [--k=10]
+Prints one table row per (n_probe, rerank) config and a final JSON line.
+Defaults to the 20k-embedding soak rung (generate with
+``python tools/soak_scale.py --rung=sf1 --gen-only``); falls back to
+sf0.1 (2k embeddings) if the soak dir is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def ground_truth(
+    ids: np.ndarray, vq: np.ndarray, query_ids: list[int], k: int
+) -> dict[int, list[int]]:
+    """Exact top-k by (int squared-L2 asc, id asc), self excluded."""
+    pos = {int(i): p for p, i in enumerate(ids)}
+    out: dict[int, list[int]] = {}
+    for q in query_ids:
+        d = ((vq - vq[pos[q]]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))  # d asc, id asc
+        top = [int(ids[j]) for j in order if int(ids[j]) != q][:k]
+        out[q] = top
+    return out
+
+
+def main() -> None:
+    sf_dir = "/tmp/soak_sf1"
+    k = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--k="):
+            k = int(a.split("=", 1)[1])
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        sf_dir = "/root/testdata/sf0.1"
+
+    import pyarrow.parquet as pq
+
+    from xml_to_parquet_spark.functions.similarity import (
+        HYPERPLANE_QUANT,
+        ivf_pq_adc_topk,
+    )
+    from xml_to_parquet_spark.session import get_spark
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    # the operator's exact quantization: floor(v*quant + 0.5) as int64
+    vq = np.floor(emb * float(HYPERPLANE_QUANT) + 0.5).astype(np.int64)
+
+    # deterministic query sample: 16 evenly spaced ids beyond the model
+    # seed range (ids < max(n_centroids, pq_k) seed the codebooks)
+    cand = np.sort(ids[ids >= 16])
+    query_ids = [int(x) for x in cand[:: max(1, len(cand) // 16)][:16]]
+
+    gt = ground_truth(ids, vq, query_ids, k)
+
+    spark = get_spark("ann_recall")
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = df.cache()
+    df.count()
+
+    grid = [
+        (n_probe, rerank)
+        for n_probe in (1, 2, 4, 8)
+        for rerank in (20, 50, 200)
+    ]
+    rows = []
+    print(f"corpus={len(ids)} queries={len(query_ids)} k={k} dir={sf_dir}")
+    print(f"{'n_probe':>8} {'rerank':>7} {'recall@k':>9} {'sec':>6}")
+    for n_probe, rerank in grid:
+        t0 = time.time()
+        got = (
+            ivf_pq_adc_topk(
+                df, query_ids, k=k, n_probe=n_probe, rerank=rerank
+            )
+            .collect()
+        )
+        sec = time.time() - t0
+        by_q: dict[int, set[int]] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"])
+            )
+        recall = sum(
+            len(by_q.get(q, set()) & set(gt[q])) / float(k)
+            for q in query_ids
+        ) / len(query_ids)
+        rows.append(
+            {
+                "n_probe": n_probe,
+                "rerank": rerank,
+                "recall_at_k": round(recall, 4),
+                "sec": round(sec, 2),
+            }
+        )
+        print(f"{n_probe:>8} {rerank:>7} {recall:>9.4f} {sec:>6.2f}")
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "corpus": int(len(ids)),
+                "k": k,
+                "n_queries": len(query_ids),
+                "grid": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

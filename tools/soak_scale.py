@@ -119,6 +119,29 @@ RUNGS = {
             "a95_stream_enrich",
         ],
     ),
+    # r7 (VERDICT r6 item 5): CHURN-mode streaming-dedup rungs. The plain
+    # events rungs give every event a fresh key, so a76 only ever INSERTS
+    # state — honest but churn-blind. Here event ids are remapped onto a
+    # heavy-tailed key space of ~rows/50 keys (deterministic Knuth-scramble
+    # uniform, cubed for skew), so ~98% of arrivals hit EXISTING state
+    # (lookup + drop) and the watermark actually evicts. Generate BOTH
+    # rungs, then run the big one against the small as its own baseline:
+    #   python tools/soak_scale.py --rung=events1churn  --gen-only
+    #   python tools/soak_scale.py --rung=events25churn --gen-only
+    #   SOAK_SRC=/tmp/soak_events1churn \
+    #     python tools/soak_scale.py --rung=events25churn --run-only
+    "events1churn": (
+        "/tmp/soak_events1churn",
+        1,
+        ["events_churn"],
+        ["a76_stream_dedup"],
+    ),
+    "events25churn": (
+        "/tmp/soak_events25churn",
+        25,
+        ["events_churn"],
+        ["a76_stream_dedup"],
+    ),
 }
 
 ALL_TABLES = [
@@ -127,9 +150,26 @@ ALL_TABLES = [
 ]
 
 
-def _replicate_sql(table: str, rep: str) -> str:
+def _replicate_sql(table: str, rep: str, replicas: int = 1) -> str:
     """Per-table replication SQL — designed so data STRUCTURE scales
     honestly (see module docstring)."""
+    if table == "events_churn":
+        # heavy-tailed REPEATED keys: u = Knuth-scrambled uniform in
+        # [0,1), key = floor(K * u^3) over K ≈ total_rows/50 keys (key
+        # count grows with volume, mean repetition stays ~50×, head keys
+        # are hot). Deterministic — no random().
+        return f"""
+        SELECT CAST(floor(
+                 (SELECT count(*) * {replicas} / 50.0
+                  FROM '{SRC}/events.parquet')
+                 * pow(((e.event_id * 2654435761 + r.i * 40503)
+                        % 1048576) / 1048576.0, 3)
+               ) AS BIGINT) AS event_id,
+               e.ts,
+               e.user_id + r.i * 10000000 AS user_id,
+               e.event_type, e.value, e.props
+        FROM '{SRC}/events.parquet' e CROSS JOIN {rep} r
+        """
     if table == "documents":
         return f"""
         SELECT d.doc_id + r.i * 10000000 AS doc_id,
@@ -180,10 +220,13 @@ def generate(dst: str, replicas: int, replicate: list[str]) -> None:
     rep = f"(SELECT unnest(range({replicas})) AS i)"
 
     for table in replicate:
-        out = os.path.join(dst, f"{table}.parquet")
+        # "<name>_churn" recipes land in the base table's file slot
+        out = os.path.join(
+            dst, f"{table.replace('_churn', '')}.parquet"
+        )
         t = time.time()
         con.execute(
-            f"COPY ({_replicate_sql(table, rep)}) TO '{out}'"
+            f"COPY ({_replicate_sql(table, rep, replicas)}) TO '{out}'"
             " (FORMAT PARQUET)"
         )
         n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]

@@ -3727,6 +3727,65 @@ def _registrable_sql(host_expr: str = "host") -> str:
     )
 
 
+def q_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic manifest-pointer table publish (a47, sinks/publish.py —
+    VERDICT r6 #1): commit snapshot v1, supersede it with v2, then KILL a
+    v3 writer mid-materialization (a raise_error column) — the reader
+    resolving the pointer must see exactly v2, never the orphaned partial
+    files. The oracle recomputes v2's content straight from lineitem, so
+    a pointer that advanced on the failed commit (or stayed on v1, or a
+    reader that globbed version dirs instead of resolving the manifest)
+    hash-mismatches. Closes the reference's unguarded in-place overwrite
+    (parquet_writer.R:53-81)."""
+    import tempfile
+
+    from xml_to_parquet_spark.sinks.publish import (
+        publish_parquet,
+        read_published,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="a47_pub_")
+    publish_parquet(li.filter(F.col("l_quantity") >= 30), root)
+    publish_parquet(li.filter(F.col("l_quantity") >= 40), root)  # v2
+    poisoned = li.withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 997 == 0,
+            F.raise_error(F.lit("simulated mid-write failure")),
+        ).otherwise(F.col("l_quantity")),
+    )
+    try:
+        publish_parquet(poisoned, root)
+        raise AssertionError("poisoned publish must fail")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # the killed writer: pointer must still resolve v2
+    return (
+        read_published(spark, root)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q_ATOMIC_PUBLISH_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem
+WHERE l_quantity >= 40
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup keys (a97,
     text.normalize_url/registrable_domain): scheme+host case-folded,
@@ -4211,10 +4270,17 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_FUZZY_PAIRS_SQL,
         "length-blocked levenshtein fuzzy matching",
     ),
-    "a86_window_battery": QuerySpec(
+    # r7: a86 -> q60 (driver-green r5+r6 trivial function battery) makes
+    # the window slot for a47, the atomic-publish commit-protocol gate.
+    "q60_window_battery": QuerySpec(
         q_window_battery,
         _Q_WINDOW_BATTERY_SQL,
         "analytic window battery (lag/lead/rank/ntile/cume_dist)",
+    ),
+    "a47_atomic_publish": QuerySpec(
+        q_atomic_publish,
+        _Q_ATOMIC_PUBLISH_SQL,
+        "manifest-pointer commit: killed writer, reader sees last snapshot",
     ),
     "a87_grouping_sets": QuerySpec(
         q_grouping_sets,
