@@ -238,3 +238,39 @@ def test_vacuum_keeps_append_ancestors(spark, tmp_path):
     # v1's data dir is an ancestor of the current append chain: must live
     assert removed == []
     assert read_published(spark, root).count() == 12
+
+
+def test_pipeline_atomic_mode_end_to_end(spark, tmp_path):
+    """process_xml_to_parquet(atomic=True): every table resolves through
+    its pointer, the run manifest names the consistent version set, and
+    parquet_metadata counts only the committed version's files."""
+    from xml_to_parquet_spark.pipeline import process_xml_to_parquet
+    from xml_to_parquet_spark.sinks.writers import parquet_metadata
+
+    inp = tmp_path / "xml"
+    inp.mkdir()
+    (inp / "f1.xml").write_text(
+        "<products>"
+        + "".join(
+            f'<product id="P{i}"><name>n{i}</name>'
+            f"<category>c{i % 2}</category><price>{i}.50</price></product>"
+            for i in range(6)
+        )
+        + "</products>"
+    )
+    out = str(tmp_path / "star")
+    res = process_xml_to_parquet(spark, str(inp), out, atomic=True)
+    fact_root = res.paths["fact_main"]
+    assert os.path.exists(os.path.join(fact_root, "_CURRENT"))
+    assert read_published(spark, fact_root).count() == 6
+    assert os.path.exists(os.path.join(out, "_RUN_MANIFEST"))
+    # a second run commits v2 of every table; readers flip atomically
+    res2 = process_xml_to_parquet(spark, str(inp), out, atomic=True)
+    assert current_manifest(res2.paths["fact_main"])["version"] == 2
+    assert read_published(spark, fact_root).count() == 6
+    # metadata counts the committed version only (not both versions)
+    meta = {
+        r.table_name: r.n_rows
+        for r in parquet_metadata(spark, res2.paths).collect()
+    }
+    assert meta["fact_main"] == 6

@@ -163,6 +163,13 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="keep Spark's WARN-level console logging (default: errors only)",
     )
+    c.add_argument(
+        "--atomic",
+        action="store_true",
+        help="publish tables via manifest-pointer commits: a run killed "
+        "mid-write leaves the previous snapshot readable (versioned "
+        "dirs + atomic pointer swap; see sinks/publish.py)",
+    )
 
     s = sub.add_parser(
         "setup", help="bootstrap a project directory with examples + schema"
@@ -206,6 +213,7 @@ def cmd_convert(args: argparse.Namespace) -> int:
             extract_comments=not args.no_comments,
             id_attribute=args.id_attribute,
             write_reports=not args.no_reports,
+            atomic=args.atomic,
         )
     except FileNotFoundError as e:
         log.error(str(e))

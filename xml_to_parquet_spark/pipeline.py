@@ -63,11 +63,17 @@ def process_xml_to_parquet(
     extract_comments: bool = True,
     id_attribute: str = "id",
     write_reports: bool = True,
+    atomic: bool = False,
 ) -> PipelineResult:
     """The reference's ``process_xml_to_parquet`` as one declarative plan.
 
     With ``output_dir=None`` the star schema is built but not written
-    (useful for tests / composing into bigger plans).
+    (useful for tests / composing into bigger plans). ``atomic=True``
+    routes every table through the manifest-pointer commit protocol
+    (sinks/publish.py): a run killed mid-write leaves the previous
+    snapshot readable, and the star becomes visible as one consistent
+    table-version set — closing the reference's unguarded in-place
+    overwrite (parquet_writer.R:53-81).
     """
     pattern = os.path.join(input_dir, "*.xml")
     files = sorted(_glob.glob(pattern))
@@ -143,7 +149,14 @@ def process_xml_to_parquet(
 
         # 6. sinks + reports
         if output_dir:
-            result.paths = write_star_schema(star, output_dir)
+            if atomic:
+                from xml_to_parquet_spark.sinks.publish import (
+                    publish_star_schema,
+                )
+
+                result.paths = publish_star_schema(star, output_dir)
+            else:
+                result.paths = write_star_schema(star, output_dir)
             if write_reports:
                 manifest = processing_manifest(spark, records, validation)
                 # bounded-row reports (1 / #tables / #columns rows) take

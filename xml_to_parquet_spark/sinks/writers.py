@@ -123,6 +123,22 @@ def parquet_metadata(spark: SparkSession, paths: dict[str, str]) -> DataFrame:
     import pyarrow.parquet as pq
 
     def _files(p: str) -> list[str]:
+        if os.path.isdir(p) and os.path.exists(
+            os.path.join(p, "_CURRENT")
+        ):
+            # a published table root: count only the COMMITTED version's
+            # files — walking the root would also count superseded
+            # versions and orphaned partial writes
+            from xml_to_parquet_spark.sinks.publish import current_manifest
+
+            m = current_manifest(p)
+            return [
+                os.path.join(dp, f)
+                for d in m["data_dirs"]
+                for dp, _, fs in os.walk(os.path.join(p, d))
+                for f in fs
+                if f.endswith(".parquet")
+            ]
         if os.path.isdir(p):
             return [
                 os.path.join(dp, f)

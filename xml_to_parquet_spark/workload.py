@@ -3744,8 +3744,12 @@ def q_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_published,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_quantity"
+    # a 10% orderkey slice: the commit protocol is metadata-side — its
+    # gate doesn't need to rewrite 6M rows per bench run
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
     )
     root = tempfile.mkdtemp(prefix="a47_pub_")
     publish_parquet(li.filter(F.col("l_quantity") >= 30), root)
@@ -3780,7 +3784,7 @@ SELECT l_returnflag,
        count(*) AS n_rows,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
 FROM lineitem
-WHERE l_quantity >= 40
+WHERE l_orderkey % 10 = 0 AND l_quantity >= 40
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
