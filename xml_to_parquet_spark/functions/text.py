@@ -375,14 +375,17 @@ PUBLIC_SUFFIX_MULTI: frozenset[str] = frozenset(
     "com.bd net.bd org.bd edu.bd gov.bd ac.bd mil.bd".split()
 )
 
-# Longest-suffix-first alternation (PSL prevailing-rule semantics: a
-# 3-label suffix must win over its embedded 2-label one).
-_PSL_ALT = "|".join(
-    s.replace(".", "\\.")
-    for s in sorted(
-        PUBLIC_SUFFIX_MULTI, key=lambda s: (-s.count("."), -len(s), s)
-    )
-)
+# PSL prevailing-rule lookup split by label count: a 3-label suffix must
+# win over its embedded 2-label one, checked longest-first.
+_SUF2 = sorted(s for s in PUBLIC_SUFFIX_MULTI if s.count(".") == 1)
+_SUF3 = sorted(s for s in PUBLIC_SUFFIX_MULTI if s.count(".") == 2)
+
+# anchored last-k-label extracts (fixed-shape regexes, cheap per row)
+_LAST = {
+    2: r"([^.]+\.[^.]+)$",
+    3: r"([^.]+\.[^.]+\.[^.]+)$",
+    4: r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$",
+}
 
 
 def registrable_domain(col: Column) -> Column:
@@ -392,21 +395,26 @@ def registrable_domain(col: Column) -> Column:
     of one SEO farm looks like its own site); this is the column
     per-domain caps and blocklists must key on.
 
-    Pure column expressions (two anchored regexes + a literal IN guard),
-    so the operator is exact-oracle-expressible and stays inside codegen.
-    Hosts that ARE a public suffix, single-label hosts, and non-URL rows
-    yield NULL. Subset scope: :data:`PUBLIC_SUFFIX_MULTI` covers common
-    ccSLD conventions; wildcard/private PSL rules degrade to the default
-    two-label rule."""
+    Plan shape: three fixed anchored last-k-label extracts + two hashed
+    ``IN``-set probes (Spark compiles a >10-element isin to InSet — O(1)
+    per row), longest suffix first. A 200-branch regex alternation was
+    measured 3× slower per row (r7 bench) — label extraction is the cheap
+    part; membership belongs in a hash set, not the regex engine. All
+    codegen-friendly and exactly SQL-replayable. Hosts that ARE a public
+    suffix fall out naturally: the suffix matches but the next label
+    doesn't exist, so the extract is empty → NULL. Single-label hosts and
+    non-URL rows yield NULL; unknown TLDs take the default two-label
+    rule. Subset scope: :data:`PUBLIC_SUFFIX_MULTI` covers common ccSLD
+    conventions; wildcard/private PSL rules degrade to the default rule."""
     host = extract_domain(col)
-    multi = F.regexp_extract(host, f"([^.]+\\.(?:{_PSL_ALT}))$", 1)
-    fallback = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(
-        host.isin(*sorted(PUBLIC_SUFFIX_MULTI)), F.lit(None)
-    ).otherwise(
-        F.coalesce(
-            F.nullif(multi, F.lit("")), F.nullif(fallback, F.lit(""))
-        )
+    last = {
+        k: F.nullif(F.regexp_extract(host, _LAST[k], 1), F.lit(""))
+        for k in (2, 3, 4)
+    }
+    return (
+        F.when(last[3].isin(_SUF3), last[4])
+        .when(last[2].isin(_SUF2), last[3])
+        .otherwise(last[2])
     )
 
 

@@ -3707,23 +3707,23 @@ FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start
 
 
 def _registrable_sql(host_expr: str = "host") -> str:
-    """DuckDB replay of text.registrable_domain over a host column:
-    suffix-membership guard + longest-suffix-first anchored regex +
-    two-label fallback, generated from the SAME Python constant the
-    Spark expression uses."""
-    from xml_to_parquet_spark.functions.text import (
-        _PSL_ALT,
-        PUBLIC_SUFFIX_MULTI,
-    )
+    """DuckDB replay of text.registrable_domain over a host column: the
+    same three anchored last-k-label extracts + longest-first suffix
+    membership, generated from the SAME Python constants the Spark
+    expression uses."""
+    from xml_to_parquet_spark.functions.text import _LAST, _SUF2, _SUF3
 
-    suffixes = ", ".join(f"'{s}'" for s in sorted(PUBLIC_SUFFIX_MULTI))
+    def last(k: int) -> str:
+        return (
+            f"nullif(regexp_extract({host_expr}, '{_LAST[k]}', 1), '')"
+        )
+
+    s2 = ", ".join(f"'{s}'" for s in _SUF2)
+    s3 = ", ".join(f"'{s}'" for s in _SUF3)
     return (
-        f"(CASE WHEN {host_expr} IN ({suffixes}) THEN NULL "
-        f"ELSE coalesce("
-        f"nullif(regexp_extract({host_expr}, "
-        f"'([^.]+\\.(?:{_PSL_ALT}))$', 1), ''), "
-        f"nullif(regexp_extract({host_expr}, "
-        f"'([^.]+\\.[^.]+)$', 1), '')) END)"
+        f"(CASE WHEN {last(3)} IN ({s3}) THEN {last(4)} "
+        f"WHEN {last(2)} IN ({s2}) THEN {last(3)} "
+        f"ELSE {last(2)} END)"
     )
 
 
@@ -3831,13 +3831,13 @@ n AS (
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              regexp_replace(
              lower(head) || substring(url, length(head) + 1),
-             '^(https?://)www\.', '\\1'),
+             '^(https?://)www\\.', '\\1'),
              '^(http://[^/:?#]+):80([/?#]|$)', '\\1\\2'),
              '^(https://[^/:?#]+):443([/?#]|$)', '\\1\\2'),
              '#.*$', ''),
              '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-             '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
-             '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', ''),
+             '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+             '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', ''),
              '[?&]+$', ''),
              '/$', '') AS url_norm
   FROM h
@@ -3848,7 +3848,7 @@ FROM (
          nullif(regexp_replace(
            lower(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
-           '^www\.', ''), '') AS host
+           '^www\\.', ''), '') AS host
   FROM n
 ) ORDER BY doc_id
 """
@@ -3885,7 +3885,7 @@ hh AS (
          nullif(regexp_replace(
            lower(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
-           '^www\.', ''), '') AS host
+           '^www\\.', ''), '') AS host
   FROM u
 ),
 d AS (
