@@ -79,6 +79,30 @@ def test_data_type_rules(spark):
     assert prof["long"]["data_type"] == "text"  # mean_length > 100
 
 
+def test_analyze_fast_path_equals_dataframe_path(spark):
+    """analyze_schema's driver-side reshape must match the DataFrame
+    profile (classify_profile∘profile_columns) field-for-field, including
+    the NULL-ratio edge (all-null column) and ladder fallthroughs."""
+    df = spark.createDataFrame(
+        [
+            ("1", "electronics", None, "1.5", "x" * 150),
+            ("2", "electronics", None, "abc", "y" * 150),
+            ("3", "accessories", None, "2.5", "z"),
+        ],
+        "id string, category string, empty string, mixed string, "
+        "long string",
+    )
+    want = {
+        r["column"]: r.asDict()
+        for r in classify_profile(profile_columns(df)).collect()
+    }
+    got = analyze_schema(df)
+    assert set(got) == set(want)
+    for c, info in got.items():
+        for k, v in info.items():
+            assert v == want[c][k], (c, k, v, want[c][k])
+
+
 def test_star_schema_golden(spark, products_df):
     big = _big_products(spark)
     catalog = analyze_schema(big)
