@@ -60,25 +60,29 @@ def write_star_schema(
 
     paths: dict[str, str] = {}
     fact_path = os.path.join(output_dir, f"{fact_name}.parquet")
-    write_parquet(star.fact, fact_path, single_file=single_file)
-    paths[fact_name] = fact_path
-    # dimension writes are independent tiny jobs — submit them
-    # concurrently so the scheduler overlaps them instead of paying one
-    # sequential job-latency each (Spark schedules concurrent actions
-    # from separate threads; same pattern a real cluster uses for
-    # multi-sink fan-out)
+
+    # all table writes are independent jobs over the same cached input —
+    # submit the fact AND every dimension concurrently so the scheduler
+    # overlaps them instead of paying one sequential job-latency each
+    # (Spark schedules concurrent actions from separate threads; same
+    # pattern a real cluster uses for multi-sink fan-out).  The tiny dim
+    # writes ride along while the fact write occupies the executors.
     def _write_dim(item: tuple[str, DataFrame]) -> tuple[str, str]:
         name, dim = item
         p = os.path.join(output_dir, f"dim_{name}.parquet")
         write_parquet(dim.dropDuplicates(), p, single_file=True)
         return f"dim_{name}", p
 
-    if star.dimensions:
-        with ThreadPoolExecutor(
-            max_workers=min(8, len(star.dimensions))
-        ) as ex:
-            for key, p in ex.map(_write_dim, star.dimensions.items()):
-                paths[key] = p
+    paths[fact_name] = fact_path  # first entry: report row order
+    with ThreadPoolExecutor(
+        max_workers=min(8, 1 + len(star.dimensions))
+    ) as ex:
+        fact_future = ex.submit(
+            write_parquet, star.fact, fact_path, single_file=single_file
+        )
+        for key, p in ex.map(_write_dim, star.dimensions.items()):
+            paths[key] = p
+        fact_future.result()
     return paths
 
 
