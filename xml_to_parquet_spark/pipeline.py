@@ -81,17 +81,32 @@ def process_xml_to_parquet(
     if not files:
         raise FileNotFoundError(f"no XML files under {input_dir}")
 
-    # 1+3 overlapped: the business-key scan (reference S6; a small Spark
-    # job over file heads) runs on a helper thread while the driver does
-    # its own CPU-bound ingest prep (row-tag probe, document-order pull,
-    # ElementTree schema derivation over the sample files) — the two sides
-    # use disjoint resources (executors vs driver) and together cost
-    # ~0.9 s sequential in the 100-file ETL benchmark.  Spark sessions
-    # are safe for concurrent job submission from threads.
-    keys_pool = keys_future = None
+    cached = bool(output_dir)
+
+    # 1+2+3 overlapped: the business-key scan (reference S6; a small
+    # Spark job over file heads) and the per-file validation pass
+    # (reference ENABLE_VALIDATION; mapInPandas re-reading every file)
+    # run on helper threads while the driver does its own CPU-bound
+    # ingest prep (row-tag probe, document-order pull, ElementTree schema
+    # derivation over the sample files) — executors vs driver are
+    # disjoint resources, and sequentially these cost ~1.5 s of the
+    # 100-file ETL benchmark.  Spark sessions are safe for concurrent
+    # job submission from threads.
+    prep_pool = keys_future = validation_future = None
+    validation = None
+    if extract_comments or (validate and cached):
+        prep_pool = ThreadPoolExecutor(max_workers=2)
     if extract_comments:
-        keys_pool = ThreadPoolExecutor(max_workers=1)
-        keys_future = keys_pool.submit(extract_business_keys, spark, pattern)
+        keys_future = prep_pool.submit(extract_business_keys, spark, pattern)
+    if validate:
+        validation = validate_files(spark, files, schema_dir=schema_dir)
+        if cached:
+            # one row per file, but each downstream action that references
+            # it (gate join, manifest counts, error summary) would re-run
+            # the whole per-file validation pass uncached — persist, and
+            # materialize on a helper thread during the driver prep
+            validation = validation.persist()
+            validation_future = prep_pool.submit(validation.count)
 
     # ingest: parse + flatten + lineage (lazy).  XML structure comes
     # from the first SCHEMA_SAMPLE_SIZE files (driver-side derivation,
@@ -105,19 +120,20 @@ def process_xml_to_parquet(
         schema_sample_paths=files[:SCHEMA_SAMPLE_SIZE],
     )
 
-    # 2. optional validation gate (reference ENABLE_VALIDATION path)
-    validation = None
-    if validate:
-        validation = validate_files(spark, files, schema_dir=schema_dir)
+    # 2. validation gate join (validation itself already in flight)
+    if validation is not None:
         records = gate_valid(records, validation)
 
     # 3. comment business keys (join deferred until the scan finishes)
-    if keys_future is not None:
+    if prep_pool is not None:
         try:
-            keys = keys_future.result()
+            if keys_future is not None:
+                keys = keys_future.result()
+            if validation_future is not None:
+                validation_future.result()
         finally:
-            keys_pool.shutdown()
-        if not keys.isEmpty():
+            prep_pool.shutdown()
+        if keys_future is not None and not keys.isEmpty():
             records = attach_business_keys(records, keys)
 
     # The pipeline fans out into several actions over the same parsed rows
@@ -132,14 +148,8 @@ def process_xml_to_parquet(
     # manifest passes re-reading the (columnar, pruned) parquet instead
     # of the cache; swap the persist for that once batches outgrow
     # executor storage.
-    cached = bool(output_dir)
     if cached:
         records = records.persist()
-        if validation is not None:
-            # one row per file, but each downstream action that references
-            # it (gate join, manifest counts, error summary) would re-run
-            # the whole per-file validation pass uncached
-            validation = validation.persist()
     manifest_pool = manifest_future = None
     try:
         # 4. schema inference on a sample (reference first-100-files ≈
