@@ -406,3 +406,63 @@ def test_dtd_subset_accepts_conforming_rejects_broken(data):
                 f"<!DOCTYPE {root} [{dtd}]>{stripped}".encode()
             )
             assert errs, stripped
+
+
+# ---------------------------------------------------------------------------
+# spark: registrable_domain matches a straightforward PSL reference
+# ---------------------------------------------------------------------------
+
+# labels chosen so random joins frequently form real multi-label public
+# suffixes ("co.uk", "ac.jp", "com.br"), lookalikes ("xco.uk"), and
+# plain unknown TLDs
+_HOST_LABELS = st.sampled_from(
+    ["example", "shop", "www", "a", "b1", "xco", "co", "uk", "com",
+     "ac", "jp", "br", "gov", "edu", "io", "sub"]
+)
+_hosts = st.lists(
+    st.lists(_HOST_LABELS, min_size=1, max_size=6).map(".".join),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _py_registrable(host: str) -> str | None:
+    """Independent longest-suffix-first PSL-subset reference."""
+    from xml_to_parquet_spark.functions.text import PUBLIC_SUFFIX_MULTI
+
+    host = host.lower()
+    if host.startswith("www."):  # extract_domain strips one leading www.
+        host = host[4:]
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-3:]) in PUBLIC_SUFFIX_MULTI:
+        return ".".join(labels[-4:]) if len(labels) >= 4 else None
+    if len(labels) >= 2 and ".".join(labels[-2:]) in PUBLIC_SUFFIX_MULTI:
+        return ".".join(labels[-3:]) if len(labels) >= 3 else None
+    return ".".join(labels[-2:]) if len(labels) >= 2 else None
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_hosts)
+@example(["co.uk", "example.co.uk", "a.example.co.uk", "xco.uk",
+          "www.example.com", "localhost"])
+def test_registrable_domain_matches_psl_reference(spark, hosts):
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.text import registrable_domain
+
+    df = spark.createDataFrame(
+        [(i, f"http://{h}/p") for i, h in enumerate(hosts)],
+        "i int, url string",
+    )
+    got = {
+        r["i"]: r["dom"]
+        for r in df.select(
+            "i", registrable_domain(F.col("url")).alias("dom")
+        ).collect()
+    }
+    for i, h in enumerate(hosts):
+        assert got[i] == _py_registrable(h), (h, got[i], _py_registrable(h))
