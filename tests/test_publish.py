@@ -274,3 +274,70 @@ def test_pipeline_atomic_mode_end_to_end(spark, tmp_path):
         for r in parquet_metadata(spark, res2.paths).collect()
     }
     assert meta["fact_main"] == 6
+
+
+def test_time_travel_reads_and_history(spark, tmp_path):
+    """history() walks the committed parent chain newest-first, and
+    read_published(version=...) returns each snapshot byte-for-byte —
+    by number or by version id."""
+    from xml_to_parquet_spark.sinks.publish import history
+
+    root = str(tmp_path / "t")
+    v1 = publish_parquet(_snapshot(spark, 10, "one"), root)
+    v2 = publish_parquet(_snapshot(spark, 20, "two"), root)
+    v3 = publish_parquet(_snapshot(spark, 30, "three"), root)
+
+    h = history(root)
+    assert [m["version"] for m in h] == [3, 2, 1]
+    assert [m["version_id"] for m in h] == [v3, v2, v1]
+    assert h[0]["parent"] == f"{v2}.json" and h[2]["parent"] is None
+
+    assert read_published(spark, root).count() == 30
+    assert read_published(spark, root, version=1).count() == 10
+    assert _collect_sorted(
+        read_published(spark, root, version=2)
+    ) == _collect_sorted(_snapshot(spark, 20, "two"))
+    assert read_published(spark, root, version=v1).count() == 10
+
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root, version=99)
+
+
+def test_time_travel_never_reaches_uncommitted_versions(spark, tmp_path):
+    """A manifest stranded before its pointer swap is not any committed
+    version's parent — history skips it and version-addressed reads
+    refuse it, even though its manifest file exists on disk."""
+    from xml_to_parquet_spark.sinks.publish import history
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+
+    df = _snapshot(spark, 20, "stranded")
+    vid = "v00000002-deadbeef"
+    data_dir = _write_version_data(df, root, vid, None, False)
+    _write_manifest(df, root, vid, [data_dir], parent="ignored")
+    # crash here: no _swap_pointer — then a healthy publish supersedes.
+    # _new_version_id numbers from the COMMITTED manifest, so the healthy
+    # publish REUSES version number 2 under a fresh uid — exactly why
+    # version-id addressing must resolve through the committed chain.
+    publish_parquet(_snapshot(spark, 30, "healthy"), root)
+
+    assert [m["version"] for m in history(root)] == [2, 1]
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root, version=vid)
+    # by NUMBER, 2 resolves to the healthy commit, never the stranded one
+    assert read_published(spark, root, version=2).count() == 30
+
+
+def test_history_stops_at_vacuumed_ancestor(spark, tmp_path):
+    from xml_to_parquet_spark.sinks.publish import history
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+    publish_parquet(_snapshot(spark, 20, "v2"), root)
+    publish_parquet(_snapshot(spark, 30, "v3"), root)
+    removed = vacuum_published(root, keep=2)
+    assert removed  # v1's data went away
+    assert [m["version"] for m in history(root)] == [3, 2]
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root, version=1)

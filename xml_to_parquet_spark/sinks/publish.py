@@ -27,6 +27,13 @@ new one, so nothing is rewritten and the append becomes visible in the
 same single swap. Compaction (``compact_published``) rewrites into a NEW
 version and swaps — readers never observe half-compacted data.
 
+Each manifest records the manifest name committed when its publish began
+(``parent``), giving a committed-versions chain: ``history(root)`` walks
+it newest-first and ``read_published(..., version=)`` time-travels to any
+committed snapshot by number or version id. Orphaned manifests (writer
+died before its swap) are never a committed version's parent, so they are
+as invisible to time travel as they are to the pointer.
+
 Scope/portability: pointer swap relies on POSIX rename atomicity, which
 holds on local disks, NFS, and HDFS (``rename`` is atomic in the NameNode);
 on S3-class object stores the same protocol needs a conditional PUT
@@ -95,16 +102,45 @@ def _dataset_stats(data_dir: str) -> tuple[int, int]:
     return n_files, total
 
 
+def _current_pointer_name(root: str) -> str | None:
+    try:
+        with open(os.path.join(root, _POINTER)) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        return None
+
+
 def current_manifest(root: str) -> dict | None:
     """The committed manifest dict, or None for an empty/absent table."""
-    ptr = os.path.join(root, _POINTER)
-    try:
-        with open(ptr) as fh:
-            name = fh.read().strip()
-    except FileNotFoundError:
+    name = _current_pointer_name(root)
+    if name is None:
         return None
     with open(os.path.join(root, _MANIFESTS, name)) as fh:
         return json.load(fh)
+
+
+def history(root: str) -> list[dict]:
+    """Committed-version history, newest first: the parent chain walked
+    from the CURRENT pointer.
+
+    Only versions that were actually committed appear — a manifest whose
+    writer died before the pointer swap is never any committed version's
+    ``parent``, so orphans are invisible here exactly as they are to
+    readers. The walk stops at a vacuumed (deleted) ancestor manifest.
+    Manifests from before parent-tracking terminate the chain the same
+    way (no ``parent`` key).
+    """
+    out: list[dict] = []
+    name = _current_pointer_name(root)
+    while name:
+        try:
+            with open(os.path.join(root, _MANIFESTS, name)) as fh:
+                m = json.load(fh)
+        except FileNotFoundError:  # vacuumed ancestor
+            break
+        out.append(m)
+        name = m.get("parent")
+    return out
 
 
 def _write_version_data(
@@ -125,14 +161,25 @@ def _write_version_data(
 
 
 def _write_manifest(
-    df: DataFrame, root: str, vid: str, data_dirs: list[str]
+    df: DataFrame,
+    root: str,
+    vid: str,
+    data_dirs: list[str],
+    parent: str | None = None,
 ) -> str:
-    """Step 2: durable manifest naming every data dir of this version."""
+    """Step 2: durable manifest naming every data dir of this version.
+
+    ``parent`` is the manifest name committed (pointer-visible) when this
+    publish began — the time-travel chain. Recording it here, before the
+    swap, keeps the protocol's ordering: a manifest is immutable once
+    renamed into place.
+    """
     version = int(vid[1:9])
     stats = [_dataset_stats(d) for d in data_dirs]
     manifest = {
         "version": version,
         "version_id": vid,
+        "parent": parent,
         "data_dirs": [os.path.relpath(d, root) for d in data_dirs],
         "n_files": sum(s[0] for s in stats),
         "total_bytes": sum(s[1] for s in stats),
@@ -176,6 +223,7 @@ def publish_parquet(
         # appends would mis-infer. Snapshot-partitioned or append-flat.
         raise ValueError("partition_by requires mode='overwrite'")
     vid = _new_version_id(root)
+    parent_name = _current_pointer_name(root)
     data_dir = _write_version_data(df, root, vid, partition_by, single_file)
     dirs = [data_dir]
     if mode == "append":
@@ -184,16 +232,41 @@ def publish_parquet(
             dirs = [
                 os.path.join(root, d) for d in parent["data_dirs"]
             ] + dirs
-    name = _write_manifest(df, root, vid, dirs)
+    name = _write_manifest(df, root, vid, dirs, parent=parent_name)
     _swap_pointer(root, name)
     return vid
 
 
-def read_published(spark: SparkSession, root: str) -> DataFrame:
-    """Resolve the pointer and read exactly the committed version's files."""
-    m = current_manifest(root)
-    if m is None:
-        raise FileNotFoundError(f"no committed version under {root}")
+def read_published(
+    spark: SparkSession, root: str, version: int | str | None = None
+) -> DataFrame:
+    """Read exactly one committed version's files.
+
+    Default: resolve the CURRENT pointer. ``version`` time-travels to an
+    earlier committed snapshot — an int version number or a full version
+    id — found by walking the committed parent chain, so a version whose
+    writer died before its pointer swap is unreachable here too.  Raises
+    ``FileNotFoundError`` for versions that never committed or whose
+    manifest was vacuumed.
+    """
+    if version is None:
+        m = current_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no committed version under {root}")
+    else:
+        m = next(
+            (
+                h
+                for h in history(root)
+                if version in (h["version"], h["version_id"])
+            ),
+            None,
+        )
+        if m is None:
+            raise FileNotFoundError(
+                f"version {version!r} is not in the committed history of "
+                f"{root} (never committed, or vacuumed)"
+            )
     dirs = [os.path.join(root, d) for d in m["data_dirs"]]
     return spark.read.parquet(*dirs)
 
