@@ -341,3 +341,67 @@ def test_history_stops_at_vacuumed_ancestor(spark, tmp_path):
     assert [m["version"] for m in history(root)] == [3, 2]
     with pytest.raises(FileNotFoundError):
         read_published(spark, root, version=1)
+
+
+def test_publish_stream_exactly_once(spark, tmp_path):
+    """File stream → published table: all rows land once; a second run
+    with the same checkpoint appends only the new source tail; a replayed
+    batch id is skipped; a stranded pre-swap publish replays cleanly."""
+    from xml_to_parquet_spark.sinks.publish import (
+        foreach_batch_publisher,
+        history,
+        last_stream_batch,
+        publish_stream,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _snapshot(spark, 50, "a").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    publish_stream(stream, root, ckpt)
+    assert read_published(spark, root).count() == 50
+    assert last_stream_batch(root) == 0
+
+    # second run, same checkpoint: only the new file's rows commit
+    _snapshot(spark, 7, "b").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    publish_stream(stream, root, ckpt)
+    got = read_published(spark, root)
+    assert got.count() == 57
+    assert got.filter(F.col("tag") == "b").count() == 7
+
+    # replay of an already-committed batch id: no new version
+    n_before = len(history(root))
+    foreach_batch_publisher(root)(_snapshot(spark, 99, "dup"), 0)
+    assert len(history(root)) == n_before
+    assert read_published(spark, root).count() == 57
+
+    # stranded publish (died before swap) then replay of the SAME batch:
+    # the replay commits; the orphan stays invisible
+    bid = last_stream_batch(root) + 1
+    df = _snapshot(spark, 5, "stranded")
+    vid = "v00000099-feedface"
+    data_dir = _write_version_data(df, root, vid, None, False)
+    _write_manifest(df, root, vid, [data_dir], parent="x")
+    foreach_batch_publisher(root)(_snapshot(spark, 5, "replayed"), bid)
+    final = read_published(spark, root)
+    assert final.count() == 62
+    assert final.filter(F.col("tag") == "stranded").count() == 0
+    assert final.filter(F.col("tag") == "replayed").count() == 5
+    assert last_stream_batch(root) == bid
+
+
+def test_publish_stream_skips_empty_batches(spark, tmp_path):
+    from xml_to_parquet_spark.sinks.publish import (
+        foreach_batch_publisher,
+        history,
+    )
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 3, "x"), root)
+    n = len(history(root))
+    foreach_batch_publisher(root)(_snapshot(spark, 0, "empty"), 5)
+    assert len(history(root)) == n  # no version committed for 0 rows

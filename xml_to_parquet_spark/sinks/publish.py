@@ -166,6 +166,7 @@ def _write_manifest(
     vid: str,
     data_dirs: list[str],
     parent: str | None = None,
+    extra: dict | None = None,
 ) -> str:
     """Step 2: durable manifest naming every data dir of this version.
 
@@ -185,6 +186,8 @@ def _write_manifest(
         "total_bytes": sum(s[1] for s in stats),
         "schema": df.schema.jsonValue(),
     }
+    if extra:
+        manifest.update(extra)
     name = f"{vid}.json"
     _atomic_write(
         os.path.join(root, _MANIFESTS, name),
@@ -205,6 +208,7 @@ def publish_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     single_file: bool = False,
+    extra: dict | None = None,
 ) -> str:
     """Write ``df`` as the next committed version of table ``root``.
 
@@ -232,7 +236,7 @@ def publish_parquet(
             dirs = [
                 os.path.join(root, d) for d in parent["data_dirs"]
             ] + dirs
-    name = _write_manifest(df, root, vid, dirs, parent=parent_name)
+    name = _write_manifest(df, root, vid, dirs, parent=parent_name, extra=extra)
     _swap_pointer(root, name)
     return vid
 
@@ -374,3 +378,77 @@ def publish_training_shards(
         n_shards, F.col(order_col)
     ).sortWithinPartitions(order_col)
     return publish_parquet(ordered, root, mode="overwrite")
+
+
+def last_stream_batch(root: str) -> int | None:
+    """Newest committed micro-batch id in the table's parent chain, or
+    None if no streaming publish has committed yet. Walks past non-stream
+    commits (compactions, batch snapshots) to the most recent manifest
+    carrying a batch id."""
+    for m in history(root):
+        if m.get("stream_batch_id") is not None:
+            return m["stream_batch_id"]
+    return None
+
+
+def foreach_batch_publisher(root: str):
+    """Exactly-once streaming sink: a ``foreachBatch`` function that
+    append-publishes each micro-batch as a committed version stamped with
+    its batch id.
+
+    Idempotence under Spark's replay contract: after a crash, Structured
+    Streaming re-runs the last possibly-uncommitted micro-batch with the
+    SAME batch id. If that batch's publish reached the pointer swap, the
+    chain already carries the id and the replay is skipped; if the writer
+    died earlier, the half-written version is an invisible orphan (vacuum
+    reclaims it) and the replay publishes cleanly. Either way each batch's
+    rows are committed exactly once — this is the parquet+manifest version
+    of the sink-side dedup that exactly-once delivery requires.
+
+    Batch ids are checkpoint-scoped: one table root pairs with one stream
+    checkpoint (the module's single-writer assumption; a second stream
+    restarting its ids from 0 against the same root would be skipped).
+    """
+
+    def _publish_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_stream_batch(root)
+        if last is not None and batch_id <= last:
+            return  # replayed, already committed
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return  # nothing to commit; replay re-skips identically
+            publish_parquet(
+                batch_df,
+                root,
+                mode="append",
+                extra={"stream_batch_id": batch_id},
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _publish_batch
+
+
+def publish_stream(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Run a streaming frame into a published table root via
+    ``foreach_batch_publisher``; returns the StreamingQuery (already
+    terminated when ``available_now``). Restarting with the same
+    checkpoint resumes from the unprocessed source tail and never
+    double-commits a micro-batch."""
+    writer = (
+        stream_df.writeStream.foreachBatch(foreach_batch_publisher(root))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+    return q
