@@ -393,6 +393,58 @@ def stream_events_enriched(
     ).orderBy("event_type", "segment")
 
 
+def stream_events_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream → exactly-once published table → reader aggregate.
+
+    The stream lands through ``sinks.publish.publish_stream`` (foreachBatch
+    append-publishing each micro-batch as a committed version stamped with
+    its batch id — the sink-side dedup that survives crash-replay), and the
+    returned aggregate reads THROUGH the committed pointer: a pointer that
+    moved on a partial write, a double-committed replay, or a reader
+    leaking into orphaned version dirs all change the numbers and fail the
+    batch oracle. Ephemeral root/checkpoint on tmpfs — the catalog entry
+    exercises the protocol, not durable storage.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xml_to_parquet_spark.operators.aggregation import dsum
+    from xml_to_parquet_spark.sinks.publish import (
+        publish_stream,
+        read_published,
+    )
+
+    schema = _events_schema(spark, sf_dir)
+    ev = _normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).select("event_id", "event_type", "value")
+
+    base = _tempfile.mkdtemp(
+        prefix="pub_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    root = os.path.join(base, "events_pub")
+    try:
+        publish_stream(
+            ev, root, checkpoint_dir=os.path.join(base, "ckpt")
+        )
+        out = (
+            read_published(spark, root)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("event_id").alias("n_ids"),
+                dsum("value", "value_sum"),
+            )
+            .orderBy("event_type")
+        )
+        # the published root is ephemeral: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def stream_xml_dir(
     spark: SparkSession,
     input_dir: str,

@@ -3043,6 +3043,27 @@ GROUP BY 1, 2 ORDER BY event_type, segment
 """
 
 
+def q_stream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream → exactly-once published table → pointer-resolved
+    aggregate (streaming twin of a47: the stream lands via foreachBatch
+    append-publish with batch-id dedup, and the oracle recomputes the
+    aggregate from the raw events — a moved pointer, double-committed
+    replay, or orphan-dir read all hash-mismatch)."""
+    from xml_to_parquet_spark.streaming.file_stream import (
+        stream_events_published,
+    )
+
+    return stream_events_published(spark, sf_dir)
+
+
+_Q_STREAM_PUBLISH_SQL = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+       {dsum_sql('value', 'value_sum')}
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup retention (a96, dedup.dedup_apply_best): keep
     each cluster's best-scoring member instead of the min id — the
@@ -4285,6 +4306,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_atomic_publish,
         _Q_ATOMIC_PUBLISH_SQL,
         "manifest-pointer commit: killed writer, reader sees last snapshot",
+    ),
+    # r7 addition: the exactly-once streaming publish sink, oracle-checked
+    # end-to-end (q-name: outside the 50-slot driver window, judge-run)
+    "q61_stream_publish": QuerySpec(
+        q_stream_publish,
+        _Q_STREAM_PUBLISH_SQL,
+        "exactly-once streaming publish: batch-id dedup through the pointer",
     ),
     "a87_grouping_sets": QuerySpec(
         q_grouping_sets,
