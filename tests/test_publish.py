@@ -317,7 +317,7 @@ def test_time_travel_never_reaches_uncommitted_versions(spark, tmp_path):
     data_dir = _write_version_data(df, root, vid, None, False)
     _write_manifest(df, root, vid, [data_dir], parent="ignored")
     # crash here: no _swap_pointer — then a healthy publish supersedes.
-    # _new_version_id numbers from the COMMITTED manifest, so the healthy
+    # version numbers derive from the COMMITTED manifest, so the healthy
     # publish REUSES version number 2 under a fresh uid — exactly why
     # version-id addressing must resolve through the committed chain.
     publish_parquet(_snapshot(spark, 30, "healthy"), root)
@@ -405,3 +405,65 @@ def test_publish_stream_skips_empty_batches(spark, tmp_path):
     n = len(history(root))
     foreach_batch_publisher(root)(_snapshot(spark, 0, "empty"), 5)
     assert len(history(root)) == n  # no version committed for 0 rows
+
+
+def test_concurrent_commit_first_wins_loser_raises(spark, tmp_path):
+    """Two committers start from the same snapshot; the one that swaps
+    second gets ConcurrentCommitError and its fully-written version stays
+    an invisible orphan."""
+    from xml_to_parquet_spark.sinks.publish import (
+        ConcurrentCommitError,
+        _commit_pointer,
+        _current_pointer_name,
+        history,
+    )
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+    parent = _current_pointer_name(root)
+
+    # committer B: data + manifest written from parent v1, not yet swapped
+    df_b = _snapshot(spark, 20, "B")
+    vid_b = "v00000002-bbbbbbbb"
+    dir_b = _write_version_data(df_b, root, vid_b, None, False)
+    name_b = _write_manifest(df_b, root, vid_b, [dir_b], parent=parent)
+
+    # committer A publishes fully — pointer advances past v1
+    publish_parquet(_snapshot(spark, 30, "A"), root)
+
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        _commit_pointer(root, name_b, expected_parent=parent)
+
+    got = read_published(spark, root)
+    assert got.count() == 30
+    assert [m["version"] for m in history(root)] == [2, 1]
+    assert got.filter(F.col("tag") == "B").count() == 0
+
+
+def test_commit_lock_stale_break_and_timeout(spark, tmp_path, monkeypatch):
+    """A crashed committer's stale lock is broken; a fresh held lock makes
+    the second committer time out with ConcurrentCommitError."""
+    import xml_to_parquet_spark.sinks.publish as pub
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+
+    # stale lock (older than _LOCK_STALE_S): next publish breaks it
+    lock = os.path.join(root, "_COMMIT_LOCK")
+    with open(lock, "w") as fh:
+        fh.write("pid=dead\n")
+    old = os.path.getmtime(lock) - (pub._LOCK_STALE_S + 60)
+    os.utime(lock, (old, old))
+    publish_parquet(_snapshot(spark, 20, "v2"), root)
+    assert read_published(spark, root).count() == 20
+    assert not os.path.exists(lock)
+
+    # fresh lock held by a live committer: bounded wait, then clean error
+    with open(lock, "w") as fh:
+        fh.write("pid=live\n")
+    monkeypatch.setattr(pub, "_LOCK_WAIT_S", 0.2)
+    with pytest.raises(pub.ConcurrentCommitError, match="lock"):
+        publish_parquet(_snapshot(spark, 5, "v3"), root)
+    os.unlink(lock)
+    # and the table still reads the last committed snapshot
+    assert read_published(spark, root).count() == 20

@@ -38,10 +38,12 @@ Scope/portability: pointer swap relies on POSIX rename atomicity, which
 holds on local disks, NFS, and HDFS (``rename`` is atomic in the NameNode);
 on S3-class object stores the same protocol needs a conditional PUT
 (If-None-Match) or a DynamoDB-style lock on ``_CURRENT`` — the layout and
-manifests carry over unchanged. Single-writer-per-table is assumed (same
-operational model as the reference's batch ETL); concurrent committers are
-last-swap-wins, never corruption, because every version writes to its own
-uid-suffixed directory.
+manifests carry over unchanged. Commits are optimistic-concurrency-checked
+(``_commit_pointer``): the pointer flips only if it still names the
+manifest this publish started from, so racing committers resolve to
+first-commit-wins and the loser gets :class:`ConcurrentCommitError` with
+its fully-written version left as an invisible orphan (vacuum reclaims
+it) — never corruption, never a silent lost update.
 """
 
 from __future__ import annotations
@@ -84,12 +86,6 @@ def _atomic_write(path: str, data: bytes) -> None:
             os.unlink(tmp)
         raise
     _fsync_dir(d)
-
-
-def _new_version_id(root: str) -> str:
-    cur = current_manifest(root)
-    n = (cur["version"] + 1) if cur else 1
-    return f"v{n:08d}-{uuid.uuid4().hex[:8]}"
 
 
 def _dataset_stats(data_dir: str) -> tuple[int, int]:
@@ -202,6 +198,77 @@ def _swap_pointer(root: str, manifest_name: str) -> None:
     _atomic_write(os.path.join(root, _POINTER), manifest_name.encode())
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another committer swapped the pointer since this publish began.
+
+    The losing publish's data and manifest are invisible orphans (vacuum
+    reclaims them); the caller may re-run the publish against the new
+    committed state."""
+
+
+_LOCK = "_COMMIT_LOCK"
+_LOCK_STALE_S = 60.0  # a healthy committer holds the lock for microseconds
+_LOCK_WAIT_S = 10.0
+
+
+def _commit_pointer(
+    root: str, manifest_name: str, expected_parent: str | None
+) -> None:
+    """Compare-and-swap commit: flip the pointer only if it still names
+    ``expected_parent`` — optimistic concurrency in the Delta/Iceberg
+    mold, upgrading racing committers from last-swap-wins to
+    first-commit-wins + a clean :class:`ConcurrentCommitError` for the
+    loser (whose fully-written version stays an invisible orphan).
+
+    The check+rename pair runs under an ``O_EXCL`` lock file, held for
+    microseconds; a lock older than ``_LOCK_STALE_S`` is presumed crashed
+    and broken. Same portability envelope as the pointer itself: O_EXCL
+    create is atomic on local disks and HDFS (and NFSv3+ via the
+    exclusive-create emulation); S3-class stores swap this for a
+    conditional PUT.
+    """
+    import time as _time
+
+    lock = os.path.join(root, _LOCK)
+    os.makedirs(root, exist_ok=True)
+    deadline = _time.monotonic() + _LOCK_WAIT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = _time.time() - os.path.getmtime(lock)
+            except FileNotFoundError:
+                continue  # released between our attempts — retry now
+            if age > _LOCK_STALE_S:
+                try:
+                    os.unlink(lock)  # break a crashed committer's lock
+                except FileNotFoundError:
+                    pass
+                continue
+            if _time.monotonic() > deadline:
+                raise ConcurrentCommitError(
+                    f"commit lock on {root} held for {age:.1f}s"
+                )
+            _time.sleep(0.02)
+    try:
+        os.write(fd, f"pid={os.getpid()}\n".encode())
+        os.close(fd)
+        current = _current_pointer_name(root)
+        if current != expected_parent:
+            raise ConcurrentCommitError(
+                f"table {root} advanced from {expected_parent!r} to "
+                f"{current!r} during this publish"
+            )
+        _swap_pointer(root, manifest_name)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 def publish_parquet(
     df: DataFrame,
     root: str,
@@ -226,18 +293,23 @@ def publish_parquet(
         # discovery needs one basePath per dataset root, so hive-layout
         # appends would mis-infer. Snapshot-partitioned or append-flat.
         raise ValueError("partition_by requires mode='overwrite'")
-    vid = _new_version_id(root)
+    # ONE pointer read anchors the whole publish: the version number, the
+    # append base, the recorded parent, and the commit-time CAS check all
+    # derive from it — a committer racing in after this line is detected
+    # at _commit_pointer and loses cleanly.
     parent_name = _current_pointer_name(root)
+    parent = None
+    if parent_name:
+        with open(os.path.join(root, _MANIFESTS, parent_name)) as fh:
+            parent = json.load(fh)
+    n = (parent["version"] + 1) if parent else 1
+    vid = f"v{n:08d}-{uuid.uuid4().hex[:8]}"
     data_dir = _write_version_data(df, root, vid, partition_by, single_file)
     dirs = [data_dir]
-    if mode == "append":
-        parent = current_manifest(root)
-        if parent:
-            dirs = [
-                os.path.join(root, d) for d in parent["data_dirs"]
-            ] + dirs
+    if mode == "append" and parent:
+        dirs = [os.path.join(root, d) for d in parent["data_dirs"]] + dirs
     name = _write_manifest(df, root, vid, dirs, parent=parent_name, extra=extra)
-    _swap_pointer(root, name)
+    _commit_pointer(root, name, expected_parent=parent_name)
     return vid
 
 
