@@ -126,9 +126,11 @@ def test_append_is_metadata_only(spark, tmp_path):
     got = read_published(spark, root)
     assert got.count() == 42
     assert got.filter(F.col("tag") == "b").count() == 2
-    # a killed third append leaves the 42-row view
+    # a killed third append leaves the 42-row view (cast keeps the
+    # column's committed type so the crash happens mid-write, not at
+    # the append schema check)
     poisoned = _snapshot(spark, 5, "c").withColumn(
-        "v", F.raise_error(F.lit("boom"))
+        "v", F.raise_error(F.lit("boom")).cast("long")
     )
     with pytest.raises(Exception, match="boom"):
         publish_parquet(poisoned, root, mode="append")
@@ -467,3 +469,38 @@ def test_commit_lock_stale_break_and_timeout(spark, tmp_path, monkeypatch):
     os.unlink(lock)
     # and the table still reads the last committed snapshot
     assert read_published(spark, root).count() == 20
+
+
+def test_append_schema_checked_and_evolvable(spark, tmp_path):
+    """Schema-drifted appends are refused; opting into evolution commits
+    the new schema and readers see pre-evolution rows with NULLs in the
+    added column, post-evolution reads project through the committed
+    schema."""
+    from xml_to_parquet_spark.sinks.publish import SchemaMismatchError
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+
+    drifted = _snapshot(spark, 5, "v2").withColumn(
+        "extra", F.lit(1.5)
+    )
+    with pytest.raises(SchemaMismatchError, match="evolution"):
+        publish_parquet(drifted, root, mode="append")
+    # column-type drift is also refused
+    retyped = _snapshot(spark, 5, "v2").withColumn(
+        "v", F.col("v").cast("string")
+    )
+    with pytest.raises(SchemaMismatchError):
+        publish_parquet(retyped, root, mode="append")
+    assert read_published(spark, root).count() == 10
+
+    publish_parquet(
+        drifted, root, mode="append", allow_schema_evolution=True
+    )
+    got = read_published(spark, root)
+    assert got.count() == 15
+    assert "extra" in got.columns
+    assert got.filter(F.col("extra").isNull()).count() == 10  # v1 rows
+    # time travel still reads v1 through ITS committed schema
+    v1 = read_published(spark, root, version=1)
+    assert "extra" not in v1.columns and v1.count() == 10

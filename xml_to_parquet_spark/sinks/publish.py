@@ -269,6 +269,10 @@ def _commit_pointer(
             pass
 
 
+class SchemaMismatchError(ValueError):
+    """An append's schema diverges from the table's committed schema."""
+
+
 def publish_parquet(
     df: DataFrame,
     root: str,
@@ -276,6 +280,7 @@ def publish_parquet(
     partition_by: list[str] | None = None,
     single_file: bool = False,
     extra: dict | None = None,
+    allow_schema_evolution: bool = False,
 ) -> str:
     """Write ``df`` as the next committed version of table ``root``.
 
@@ -285,6 +290,14 @@ def publish_parquet(
     rewrite. Returns the committed version id. Readers (``read_published``)
     see the previous snapshot until the final pointer swap, and the new
     one after — never a mixture, never partial files.
+
+    Appends are schema-checked against the committed parent ((name, type)
+    field list must match) and refused with :class:`SchemaMismatchError`
+    otherwise — an upstream job whose schema silently drifted must not
+    poison the table. ``allow_schema_evolution=True`` opts in: the commit
+    records the NEW schema, and since readers project through the
+    committed manifest schema, rows in pre-evolution data dirs surface
+    the added columns as NULL (parquet schema projection).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported publish mode {mode!r}")
@@ -302,6 +315,19 @@ def publish_parquet(
     if parent_name:
         with open(os.path.join(root, _MANIFESTS, parent_name)) as fh:
             parent = json.load(fh)
+    if mode == "append" and parent and not allow_schema_evolution:
+        want = [
+            (f["name"], f["type"]) for f in parent["schema"]["fields"]
+        ]
+        got = [
+            (f["name"], f["type"])
+            for f in df.schema.jsonValue()["fields"]
+        ]
+        if want != got:
+            raise SchemaMismatchError(
+                f"append schema {got} != committed schema {want} for "
+                f"{root}; pass allow_schema_evolution=True to evolve"
+            )
     n = (parent["version"] + 1) if parent else 1
     vid = f"v{n:08d}-{uuid.uuid4().hex[:8]}"
     data_dir = _write_version_data(df, root, vid, partition_by, single_file)
@@ -344,7 +370,13 @@ def read_published(
                 f"{root} (never committed, or vacuumed)"
             )
     dirs = [os.path.join(root, d) for d in m["data_dirs"]]
-    return spark.read.parquet(*dirs)
+    # project through the COMMITTED schema, not file-by-file inference:
+    # post-evolution reads surface pre-evolution dirs' missing columns as
+    # NULL, and a stray foreign parquet file can never widen the table
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(m["schema"])
+    return spark.read.schema(schema).parquet(*dirs)
 
 
 def vacuum_published(root: str, keep: int = 2) -> list[str]:
