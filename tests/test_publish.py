@@ -504,3 +504,34 @@ def test_append_schema_checked_and_evolvable(spark, tmp_path):
     # time travel still reads v1 through ITS committed schema
     v1 = read_published(spark, root, version=1)
     assert "extra" not in v1.columns and v1.count() == 10
+
+
+def test_rollback_restores_snapshot_as_new_version(spark, tmp_path):
+    """RESTORE: rolling back re-commits the old snapshot's data dirs as a
+    new version without copying; history keeps everything; vacuum after a
+    rollback never reclaims the restored data."""
+    from xml_to_parquet_spark.sinks.publish import (
+        history,
+        rollback_published,
+    )
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "good"), root)
+    v1_rows = _collect_sorted(read_published(spark, root))
+    publish_parquet(_snapshot(spark, 99, "bad"), root)
+    publish_parquet(_snapshot(spark, 98, "worse"), root)
+
+    vid = rollback_published(root, 1)
+    assert vid.startswith("v00000004")
+    assert _collect_sorted(read_published(spark, root)) == v1_rows
+    h = history(root)
+    assert [m["version"] for m in h] == [4, 3, 2, 1]
+    assert h[0]["restored_from"].startswith("v00000001")
+    # metadata-only: the restored version names v1's data dir, no copy
+    assert h[0]["data_dirs"] == h[3]["data_dirs"]
+    # vacuum keeps the restored data alive (named by a kept manifest)
+    vacuum_published(root, keep=2)
+    assert _collect_sorted(read_published(spark, root)) == v1_rows
+    # the bad middle versions' data went away
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root, version=2)

@@ -379,6 +379,49 @@ def read_published(
     return spark.read.schema(schema).parquet(*dirs)
 
 
+def rollback_published(root: str, version: int | str) -> str:
+    """RESTORE an earlier committed snapshot as a NEW committed version.
+
+    O(1) metadata: the new manifest references the target version's data
+    dirs — nothing is copied or rewritten, and the rollback is itself an
+    OCC-checked commit, so it composes with concurrent writers and stays
+    in the history (the bad version remains time-travelable until
+    vacuum). The incident-recovery move at 100 TB: restoring yesterday's
+    snapshot costs one manifest write, not a table rewrite.
+    """
+    target = next(
+        (
+            h
+            for h in history(root)
+            if version in (h["version"], h["version_id"])
+        ),
+        None,
+    )
+    if target is None:
+        raise FileNotFoundError(
+            f"version {version!r} is not in the committed history of {root}"
+        )
+    parent_name = _current_pointer_name(root)
+    with open(os.path.join(root, _MANIFESTS, parent_name)) as fh:
+        cur = json.load(fh)
+    n = cur["version"] + 1
+    vid = f"v{n:08d}-{uuid.uuid4().hex[:8]}"
+    manifest = dict(
+        target,
+        version=n,
+        version_id=vid,
+        parent=parent_name,
+        restored_from=target["version_id"],
+    )
+    name = f"{vid}.json"
+    _atomic_write(
+        os.path.join(root, _MANIFESTS, name),
+        json.dumps(manifest, indent=1).encode(),
+    )
+    _commit_pointer(root, name, expected_parent=parent_name)
+    return vid
+
+
 def vacuum_published(root: str, keep: int = 2) -> list[str]:
     """Delete version dirs unreachable from the newest ``keep`` committed
     manifests — failed/orphaned writes and superseded snapshots. Returns
