@@ -535,3 +535,46 @@ def test_rollback_restores_snapshot_as_new_version(spark, tmp_path):
     # the bad middle versions' data went away
     with pytest.raises(FileNotFoundError):
         read_published(spark, root, version=2)
+
+
+def test_publish_stream_multi_batch_chain_and_compaction(spark, tmp_path):
+    """maxFilesPerTrigger=1 under AvailableNow splits the backlog into one
+    micro-batch per file — each commits its own append version; compaction
+    then collapses the chain to one data dir without changing the rows."""
+    from xml_to_parquet_spark.sinks.publish import (
+        history,
+        last_stream_batch,
+        publish_stream,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "table")
+    for i in range(5):
+        _snapshot(spark, 10 + i, f"f{i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    publish_stream(stream, root, str(tmp_path / "ckpt"))
+
+    total = sum(10 + i for i in range(5))
+    assert read_published(spark, root).count() == total
+    h = history(root)
+    # one committed append per micro-batch, chained
+    assert [m["version"] for m in h] == [5, 4, 3, 2, 1]
+    assert last_stream_batch(root) == 4
+    # the newest manifest references all five batch dirs (append chain)
+    assert len(h[0]["data_dirs"]) == 5
+
+    before = _collect_sorted(read_published(spark, root))
+    compact_published(spark, root, target_file_bytes=1 << 30)
+    assert _collect_sorted(read_published(spark, root)) == before
+    assert len(current_manifest(root)["data_dirs"]) == 1
+    # compaction is schema-preserving, so a later stream batch appends on
+    # top of the compacted snapshot (batch ids continue past compaction)
+    assert last_stream_batch(root) == 4
