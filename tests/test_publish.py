@@ -578,3 +578,33 @@ def test_publish_stream_multi_batch_chain_and_compaction(spark, tmp_path):
     # compaction is schema-preserving, so a later stream batch appends on
     # top of the compacted snapshot (batch ids continue past compaction)
     assert last_stream_batch(root) == 4
+
+
+def test_publish_stream_auto_compaction_bounds_chain(spark, tmp_path):
+    """compact_every bounds the number of sibling data dirs a reader
+    touches while batch-id dedup keeps working across compactions."""
+    from xml_to_parquet_spark.sinks.publish import (
+        last_stream_batch,
+        publish_stream,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "table")
+    for i in range(6):
+        _snapshot(spark, 5, f"f{i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    publish_stream(stream, root, str(tmp_path / "ckpt"), compact_every=3)
+
+    got = read_published(spark, root)
+    assert got.count() == 30
+    assert got.select("tag").distinct().count() == 6
+    assert last_stream_batch(root) == 5
+    # the chain never grew past compact_every + the fresh append
+    assert len(current_manifest(root)["data_dirs"]) <= 4

@@ -538,10 +538,19 @@ def last_stream_batch(root: str) -> int | None:
     return None
 
 
-def foreach_batch_publisher(root: str):
+def foreach_batch_publisher(root: str, compact_every: int | None = None):
     """Exactly-once streaming sink: a ``foreachBatch`` function that
     append-publishes each micro-batch as a committed version stamped with
     its batch id.
+
+    ``compact_every=N`` bounds the append chain for long-running streams:
+    when the committed version references N data dirs, the sink compacts
+    before appending — without it, a month of 1-minute micro-batches is
+    ~43k sibling dirs per read and O(chain²) total manifest bytes (each
+    append manifest lists every ancestor dir). Compaction is itself a
+    commit, so a crash between compact and append still leaves a readable
+    snapshot, and batch-id dedup keeps working across it
+    (``last_stream_batch`` walks past non-stream commits).
 
     Idempotence under Spark's replay contract: after a crash, Structured
     Streaming re-runs the last possibly-uncommitted micro-batch with the
@@ -565,6 +574,10 @@ def foreach_batch_publisher(root: str):
         try:
             if batch_df.isEmpty():
                 return  # nothing to commit; replay re-skips identically
+            if compact_every is not None:
+                cur = current_manifest(root)
+                if cur and len(cur["data_dirs"]) >= compact_every:
+                    compact_published(batch_df.sparkSession, root)
             publish_parquet(
                 batch_df,
                 root,
@@ -582,14 +595,18 @@ def publish_stream(
     root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Run a streaming frame into a published table root via
     ``foreach_batch_publisher``; returns the StreamingQuery (already
     terminated when ``available_now``). Restarting with the same
     checkpoint resumes from the unprocessed source tail and never
-    double-commits a micro-batch."""
+    double-commits a micro-batch. ``compact_every`` bounds the append
+    chain (see ``foreach_batch_publisher``)."""
     writer = (
-        stream_df.writeStream.foreachBatch(foreach_batch_publisher(root))
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_publisher(root, compact_every=compact_every)
+        )
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )
