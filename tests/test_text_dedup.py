@@ -746,3 +746,66 @@ def test_repeated_kgram_spans_within_one_doc(spark):
         .collect()
     ]
     assert got == [(0, 3, 1), (6, 9, 1)]
+
+
+def test_html_to_text_and_title(spark):
+    """Element drops (head/script/style/comments), tag stripping, entity
+    subset incl. double-encoding, whitespace collapse, and title
+    extraction across casing/multiline markup."""
+    from xml_to_parquet_spark.functions.text import html_title, html_to_text
+
+    rows = [
+        # head dropped entirely (title/meta are chrome, not text)
+        (
+            0,
+            "<html><head><title>T</title><meta x='1'></head>"
+            "<body><p>Body text</p></body></html>",
+            "Body text",
+            "T",
+        ),
+        # script content with TAGS INSIDE A STRING still dropped whole
+        (
+            1,
+            '<body>keep <SCRIPT type="a">var s="<p>no</p>";</SCRIPT> me',
+            "keep me",
+            None,
+        ),
+        # style + comments, multiline, uppercase tags
+        (
+            2,
+            "<BODY><STYLE>\np{color:red}\n</STYLE>a<!-- \n gone -->b",
+            "a b",
+            None,
+        ),
+        # entity subset; &amp;lt; must NOT double-decode
+        (
+            3,
+            "<p>x&nbsp;&lt;y&gt; &quot;q&quot; &#39;a&#39; &amp;lt;z</p>",
+            "x <y> \"q\" 'a' &lt;z",
+            None,
+        ),
+        # no markup passes through (whitespace-normalized)
+        (4, "  plain   text ", "plain text", None),
+        # unclosed tag stripped, text kept
+        (5, "<p>unclosed", "unclosed", None),
+        # multiline title, entity in title
+        (
+            6,
+            "<head><title>\n A &amp;\n B </title></head><p>c</p>",
+            "c",
+            "A & B",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _t, _ti in rows], "i int, h string"
+    )
+    got = {
+        r["i"]: (r["txt"], r["ti"])
+        for r in df.select(
+            "i",
+            html_to_text(F.col("h")).alias("txt"),
+            html_title(F.col("h")).alias("ti"),
+        ).collect()
+    }
+    for i, _h, want_text, want_title in rows:
+        assert got[i] == (want_text, want_title), (i, got[i])

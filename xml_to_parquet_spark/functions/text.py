@@ -455,3 +455,63 @@ def cap_per_domain(
     )
     ranked = df.withColumn("__rn", F.row_number().over(w))
     return ranked.filter(F.col("__rn") <= max_per_domain).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# HTML → text (web-crawl curation: boilerplate strip before quality/dedup)
+# ---------------------------------------------------------------------------
+
+# the entity subset every crawl actually hits; fuller decoding needs a
+# lookup UDF and leaves exact-oracle territory (documented scope)
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: '&amp;lt;' must decode to '&lt;', not '<'
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Visible text of an HTML document — the curation stage every web
+    crawl needs before quality scoring / dedup (raw markup inflates
+    length stats, poisons n-gram fingerprints, and leaks script junk
+    into training text).
+
+    Pure column expressions, identical semantics in Java regex and RE2
+    (no lookaround, ``(?is)`` inline flags both support), so the
+    operator is exactly SQL-replayable:
+    1. drop ``<head>``, ``<script>`` and ``<style>`` ELEMENTS (content
+       and all — titles/meta/code are page chrome, not training text)
+       and HTML comments;
+    2. every remaining tag becomes one space (block/inline distinction
+       collapses under the whitespace normalization anyway);
+    3. decode the common entity subset (``&amp;`` LAST so double-encoded
+       entities surface literally rather than double-decoding);
+    4. collapse whitespace runs, trim.
+    """
+    t = col
+    t = F.regexp_replace(t, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_title(col: Column) -> Column:
+    """``<title>`` content (first match), entity-decoded and
+    whitespace-collapsed; NULL when absent — the page-level metadata
+    column a crawl curation table keys on."""
+    raw = F.regexp_extract(
+        col, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1
+    )
+    t = raw
+    for ent, repl in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(repl))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.nullif(t, F.lit(""))

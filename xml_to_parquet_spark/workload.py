@@ -3043,6 +3043,121 @@ GROUP BY 1, 2 ORDER BY event_type, segment
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text curation (text.html_to_text/html_title): each document
+    wrapped in a deterministic page shell — head with title and style,
+    body with markup, a script whose STRING contains tags, a comment —
+    then stripped back to visible text. The oracle replays both the wrap
+    and the strip, so any divergence in element-drop order, entity
+    decoding, or whitespace collapse hash-mismatches."""
+    from xml_to_parquet_spark.functions.text import (
+        html_title,
+        html_to_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(
+            " &amp; friends</title><style>h1{font-size:12px}</style>"
+            "</head><body><h1>Doc "
+        ),
+        did,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><script type="text/javascript">var t = "<p>junk</p>";'
+            " run(1);</script><!-- trail --></body></html>"
+        ),
+    )
+    body = html_to_text(html)
+    return (
+        docs.select(
+            "doc_id",
+            html_title(html).alias("title"),
+            body.alias("body"),
+        )
+        .select(
+            "doc_id",
+            "title",
+            F.length("body").cast("long").alias("body_len"),
+            F.size(F.split(F.col("body"), " "))
+            .cast("long")
+            .alias("n_tokens"),
+            F.substring("body", 1, 40).alias("head40"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _html_strip_sql(expr: str) -> str:
+    """DuckDB replay of text.html_to_text over an html expression —
+    same element drops, same tag→space, same entity order, same
+    whitespace collapse (RE2 accepts the identical patterns; DuckDB
+    needs explicit 'g' where Spark's regexp_replace is always-global)."""
+    t = f"regexp_replace({expr}, '(?is)<head\\b[^>]*>.*?</head\\s*>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, repl in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&apos;", "''"),
+        ("&amp;", "&"),
+    ):
+        t = f"replace({t}, '{ent}', '{repl}')"
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
+def _html_title_sql(expr: str) -> str:
+    t = (
+        f"regexp_extract({expr}, "
+        f"'(?is)<title\\b[^>]*>(.*?)</title\\s*>', 1)"
+    )
+    for ent, repl in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&apos;", "''"),
+        ("&amp;", "&"),
+    ):
+        t = f"replace({t}, '{ent}', '{repl}')"
+    return f"nullif(trim(regexp_replace({t}, '\\s+', ' ', 'g')), '')"
+
+
+def _q_html_extract_sql() -> str:
+    wrap = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "' &amp; friends</title><style>h1{font-size:12px}</style>"
+        "</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</h1><p>' || text || "
+        "'</p><script type=\"text/javascript\">var t = \"<p>junk</p>\";"
+        " run(1);</script><!-- trail --></body></html>'"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {wrap} AS html FROM documents),
+x AS (
+  SELECT doc_id,
+         {_html_title_sql('html')} AS title,
+         {_html_strip_sql('html')} AS body
+  FROM h
+)
+SELECT doc_id, title,
+       CAST(length(body) AS BIGINT) AS body_len,
+       CAST(len(string_split(body, ' ')) AS BIGINT) AS n_tokens,
+       substring(body, 1, 40) AS head40
+FROM x ORDER BY doc_id
+"""
+
+
 def q_stream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream → exactly-once published table → pointer-resolved
     aggregate (streaming twin of a47: the stream lands via foreachBatch
@@ -4313,6 +4428,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_publish,
         _Q_STREAM_PUBLISH_SQL,
         "exactly-once streaming publish: batch-id dedup through the pointer",
+    ),
+    "q62_html_extract": QuerySpec(
+        q_html_extract,
+        _q_html_extract_sql(),
+        "HTML→text curation: element drops, entity decode, title extract",
     ),
     "a87_grouping_sets": QuerySpec(
         q_grouping_sets,
