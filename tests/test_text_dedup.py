@@ -809,3 +809,29 @@ def test_html_to_text_and_title(spark):
     }
     for i, _h, want_text, want_title in rows:
         assert got[i] == (want_text, want_title), (i, got[i])
+
+
+def test_clean_lines_min_words_and_first_occurrence_dedup(spark):
+    from xml_to_parquet_spark.functions.text import clean_lines
+
+    rows = [
+        # duplicate kept-line drops its SECOND occurrence only
+        (0, "a b c\nMenu\na b c\nd e f g", "a b c\nd e f g"),
+        # whitespace-normalized lines compare equal for dedup
+        (1, "x  y   z\nx y z\nlong enough line", "x y z\nlong enough line"),
+        # everything filtered -> empty string
+        (2, "one\ntwo words\n", ""),
+        # single real line, no newline at all
+        (3, "just three words", "just three words"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _w in rows], "i int, t string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", clean_lines(F.col("t")).alias("c")
+        ).collect()
+    }
+    for i, _t, want in rows:
+        assert got[i] == want, (i, got[i], want)

@@ -515,3 +515,32 @@ def html_title(col: Column) -> Column:
         t = F.replace(t, F.lit(ent), F.lit(repl))
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return F.nullif(t, F.lit(""))
+
+
+def clean_lines(col: Column, min_words: int = 3) -> Column:
+    """Line-level curation (the C4/RefinedWeb pass): split a document on
+    newlines, normalize each line's whitespace, drop lines with fewer
+    than ``min_words`` whitespace-delimited words (navigation stubs,
+    copyright lines, share buttons), drop within-document DUPLICATE
+    lines keeping the first occurrence (headers/footers repeated by
+    templating), re-join with ``\\n``.
+
+    Array HOFs run interpreted (outside codegen) but only over each
+    document's short line list — the same bounded-per-row trade
+    documented for strip_repeated_spans. First-occurrence dedup is
+    position-based (``array_position == index``), which both Java and
+    RE2-engine SQL dialects replay exactly (DuckDB ``list_filter``'s
+    index lambda is 1-based like ``list_position``; Spark's is 0-based,
+    hence the ``i+1``)."""
+    lines = F.split(col, "\n")
+    norm = F.transform(
+        lines, lambda x: F.trim(F.regexp_replace(x, r"\s+", " "))
+    )
+    long_enough = F.filter(
+        norm, lambda x: F.size(F.split(x, " ")) >= min_words
+    )
+    deduped = F.filter(
+        long_enough,
+        lambda x, i: F.array_position(long_enough, x) == i + 1,
+    )
+    return F.array_join(deduped, "\n")

@@ -3158,6 +3158,85 @@ FROM x ORDER BY doc_id
 """
 
 
+def q_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level curation (text.clean_lines — the C4/RefinedWeb pass):
+    documents rendered as multi-line pages with navigation stubs, a
+    repeated header line, and short boilerplate; the cleaner must drop
+    sub-``min_words`` lines and within-doc duplicate lines (first stays)
+    and the oracle replays the whole render+clean."""
+    from xml_to_parquet_spark.functions.text import clean_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    head = F.array_join(F.slice(toks, 1, 8), " ")
+    mid = F.array_join(F.slice(toks, 9, 8), " ")
+    page = F.concat_ws(
+        "\n",
+        head,                      # real first line
+        F.lit("Menu"),             # 1 word -> dropped
+        F.lit("© 2024 site"), # 3 words -> kept (boundary)
+        head,                      # duplicate of line 1 -> dropped
+        F.lit("  spaced\tout   words  here "),  # normalized, kept
+        mid,                       # real second line
+        F.lit("Share"),            # dropped
+        F.lit(""),                 # empty -> dropped
+    )
+    cleaned = clean_lines(page, min_words=3)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.size(F.split(cleaned, "\n")).cast("long").alias("n_lines"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def _q_line_clean_sql() -> str:
+    nl = "chr(10)"
+    page = (
+        f"concat_ws({nl}, head, 'Menu', '© 2024 site', head, "
+        f"'  spaced' || chr(9) || 'out   words  here ', mid, 'Share', '')"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+           AS head,
+         array_to_string(list_slice(string_split(text, ' '), 9, 16), ' ')
+           AS mid
+  FROM documents
+),
+p AS (SELECT doc_id, {page} AS page FROM t),
+c AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(
+             list_filter(
+               list_transform(
+                 string_split(page, {nl}),
+                 x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))
+               ),
+               x -> len(string_split(x, ' ')) >= 3
+             ),
+             (x, i) -> list_position(
+               list_filter(
+                 list_transform(
+                   string_split(page, {nl}),
+                   y -> trim(regexp_replace(y, '\\s+', ' ', 'g'))
+                 ),
+                 y -> len(string_split(y, ' ')) >= 3
+               ), x) = i
+           ),
+           {nl}
+         ) AS cleaned
+  FROM p
+)
+SELECT doc_id, cleaned,
+       CAST(len(string_split(cleaned, {nl})) AS BIGINT) AS n_lines,
+       CAST(length(cleaned) AS BIGINT) AS n_chars
+FROM c ORDER BY doc_id
+"""
+
+
 def q_stream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream → exactly-once published table → pointer-resolved
     aggregate (streaming twin of a47: the stream lands via foreachBatch
@@ -4433,6 +4512,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_html_extract,
         _q_html_extract_sql(),
         "HTML→text curation: element drops, entity decode, title extract",
+    ),
+    "q63_line_clean": QuerySpec(
+        q_line_clean,
+        _q_line_clean_sql(),
+        "line-level curation: min-word filter + within-doc line dedup",
     ),
     "a87_grouping_sets": QuerySpec(
         q_grouping_sets,
