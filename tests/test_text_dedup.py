@@ -835,3 +835,42 @@ def test_clean_lines_min_words_and_first_occurrence_dedup(spark):
     }
     for i, _t, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_mojibake_detect_and_repair(spark):
+    """Detection counts only artifact pairs; repair restores the intended
+    characters, is idempotent on clean text, and never touches legitimate
+    accented text."""
+    from xml_to_parquet_spark.functions.text import (
+        MOJIBAKE_REPAIRS,
+        fix_mojibake,
+        mojibake_hits,
+    )
+
+    broken = (
+        "caf\u00c3\u00a9 \u00e2\u20ac\u0153q\u00e2\u20ac\u009d "
+        "isn\u00e2\u20ac\u2122t \u00c2\u00a0x"
+    )
+    clean = "caf\u00e9 \u201cq\u201d isn\u2019t  x"
+    legit = "r\u00e9sum\u00e9 \u00fcber na\u00efve"
+    df = spark.createDataFrame(
+        [(0, broken), (1, legit), (2, clean)], "i int, t string"
+    )
+    got = {
+        r["i"]: (r["n"], r["f"])
+        for r in df.select(
+            "i",
+            mojibake_hits(F.col("t")).alias("n"),
+            fix_mojibake(F.col("t")).alias("f"),
+        ).collect()
+    }
+    assert got[0] == (5, clean)
+    assert got[1] == (0, legit)  # real accents untouched
+    assert got[2] == (0, clean)  # repair idempotent
+    # every marker repairs to its target
+    for marker, repaired in MOJIBAKE_REPAIRS:
+        row = spark.createDataFrame([(marker,)], "t string").select(
+            fix_mojibake(F.col("t")).alias("f"),
+            mojibake_hits(F.col("t")).alias("n"),
+        ).collect()[0]
+        assert row["f"] == repaired and row["n"] >= 1, marker

@@ -544,3 +544,52 @@ def clean_lines(col: Column, min_words: int = 3) -> Column:
         lambda x, i: F.array_position(long_enough, x) == i + 1,
     )
     return F.array_join(deduped, "\n")
+
+
+# UTF-8-bytes-read-as-Latin-1/cp1252 artifacts ("mojibake"): the common
+# accented-Latin vowels and the cp1252 punctuation block. Literal marker ->
+# repaired character (escapes keep the source ASCII: several artifacts
+# contain C1 control bytes), so detection AND repair are exact string ops
+# with identical SQL twins. Scope: one round of double-encoding (the
+# dominant crawl defect); full charset repair needs a byte-level UDF.
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = (
+    ("\u00c3\u00a9", "\u00e9"),  # e-acute
+    ("\u00c3\u00a1", "\u00e1"),  # a-acute
+    ("\u00c3\u00ad", "\u00ed"),  # i-acute
+    ("\u00c3\u00b3", "\u00f3"),  # o-acute
+    ("\u00c3\u00ba", "\u00fa"),  # u-acute
+    ("\u00c3\u00b1", "\u00f1"),  # n-tilde
+    ("\u00c3\u00bc", "\u00fc"),  # u-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o-umlaut
+    ("\u00c3\u00a4", "\u00e4"),  # a-umlaut
+    ("\u00c3\u00a8", "\u00e8"),  # e-grave
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u02dc", "\u2018"),  # left single quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00c2\u00a0", " "),  # nbsp artifact
+)
+
+
+def mojibake_hits(col: Column) -> Column:
+    """Count of mojibake marker occurrences -- the encoding-QA signal a
+    crawl pipeline gates on (a document whose bytes were decoded with
+    the wrong charset inflates token counts and poisons dedup shingles).
+    Pure ``regexp_count`` over a literal alternation (no metacharacters
+    in any marker)."""
+    pat = "|".join(m for m, _r in MOJIBAKE_REPAIRS)
+    return F.regexp_count(col, F.lit(pat))
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair one round of UTF-8-as-Latin-1 double-encoding by literal
+    replacement. Three-char cp1252 punctuation markers sit before any
+    two-char marker sharing a prefix, so the longest artifact repairs
+    first; idempotent on already-clean text."""
+    t = col
+    for marker, repaired in MOJIBAKE_REPAIRS:
+        t = F.replace(t, F.lit(marker), F.lit(repaired))
+    return t

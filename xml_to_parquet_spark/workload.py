@@ -3237,6 +3237,57 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding QA (text.mojibake_hits / fix_mojibake): every fifth doc
+    gets one round of UTF-8-as-Latin-1 corruption injected ('a' becomes
+    the e-acute mojibake pair), then the detector counts artifacts and
+    the repairer's output length proves the fix collapsed each two-char
+    marker back to one char. Oracle replays corrupt+detect+repair."""
+    from xml_to_parquet_spark.functions.text import (
+        MOJIBAKE_REPAIRS,
+        fix_mojibake,
+        mojibake_hits,
+    )
+
+    moji = MOJIBAKE_REPAIRS[0][0]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.replace(F.col("text"), F.lit("a"), F.lit(moji)),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        mojibake_hits(corrupted).cast("long").alias("n_moji"),
+        (mojibake_hits(corrupted) > 0).cast("int").alias("is_moji"),
+        F.length(corrupted).cast("long").alias("len_raw"),
+        F.length(fix_mojibake(corrupted)).cast("long").alias("len_fixed"),
+    ).orderBy("doc_id")
+
+
+def _q_mojibake_sql() -> str:
+    from xml_to_parquet_spark.functions.text import MOJIBAKE_REPAIRS
+
+    moji = MOJIBAKE_REPAIRS[0][0]
+    pat = "|".join(m for m, _r in MOJIBAKE_REPAIRS)
+    fix = "t"
+    for m, r in MOJIBAKE_REPAIRS:
+        fix = f"replace({fix}, '{m}', '{r}')"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN replace(text, 'a', '{moji}') ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_moji,
+       CAST(len(regexp_extract_all(t, '{pat}')) > 0 AS INT) AS is_moji,
+       CAST(length(t) AS BIGINT) AS len_raw,
+       CAST(length({fix}) AS BIGINT) AS len_fixed
+FROM c ORDER BY doc_id
+"""
+
+
 def q_stream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream → exactly-once published table → pointer-resolved
     aggregate (streaming twin of a47: the stream lands via foreachBatch
@@ -4517,6 +4568,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_line_clean,
         _q_line_clean_sql(),
         "line-level curation: min-word filter + within-doc line dedup",
+    ),
+    "q64_mojibake": QuerySpec(
+        q_mojibake,
+        _q_mojibake_sql(),
+        "encoding QA: mojibake detection + literal repair",
     ),
     "a87_grouping_sets": QuerySpec(
         q_grouping_sets,
