@@ -41,7 +41,7 @@ PRUNING = {
     "q01_star_revenue": ("lineitem", 4),
     "q06_sort_limit": ("orders", 2),
     "q57_hash_sample": ("documents", 4),
-    "a54_grouped_topk": ("documents", 3),
+    "q65_grouped_topk": ("documents", 3),
     "a67_repetition_features": ("documents", 2),
     "a73_dedup_incremental": ("documents", 2),
     "a74_assign_split": ("documents", 1),
@@ -52,7 +52,7 @@ PRUNING = {
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {
-    "a54_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
+    "q65_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
     "a98_domain_cap": "WindowGroupLimit",  # cap ≤ k rows/domain/map task
     "a58_tfidf_terms": "WindowGroupLimit",
     "a55_contamination": "BroadcastHashJoin",  # eval shingles broadcast

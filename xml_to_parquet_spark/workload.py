@@ -4384,7 +4384,10 @@ QUERIES: dict[str, QuerySpec] = {
         _stratified_sample_sql(),
         "per-stratum sampling rates in one pushed-down filter",
     ),
-    "a54_grouped_topk": QuerySpec(
+    # r7 rotation: a54 (driver-green r6, trivial WindowGroupLimit
+    # sentinel) retires to q65; its slot driver-gates the exactly-once
+    # streaming publish path as a48 (see below).
+    "q65_grouped_topk": QuerySpec(
         q_grouped_topk,
         _Q_GROUPED_TOPK_SQL,
         "per-group top-k via WindowGroupLimit rank filter",
@@ -4554,7 +4557,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r7 addition: the exactly-once streaming publish sink, oracle-checked
     # end-to-end (q-name: outside the 50-slot driver window, judge-run)
-    "q61_stream_publish": QuerySpec(
+    # r7 rotation (takes a54's window slot): the commit-protocol
+    # streaming twin of a47 goes under the driver gate.
+    "a48_stream_publish": QuerySpec(
         q_stream_publish,
         _Q_STREAM_PUBLISH_SQL,
         "exactly-once streaming publish: batch-id dedup through the pointer",
