@@ -110,3 +110,38 @@ def test_cli_help_exits_zero():
     with pytest.raises(SystemExit) as ei:
         main(["--help"])
     assert ei.value.code == 0
+
+
+def test_cli_table_management(spark, tmp_path, capsys):
+    """history / rollback / vacuum subcommands over a published root
+    (driver-side metadata ops — no new SparkSession needed)."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.__main__ import main
+    from xml_to_parquet_spark.sinks.publish import (
+        publish_parquet,
+        read_published,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(20).select("id", F.lit("a").alias("tag"))
+    publish_parquet(df, root)
+    publish_parquet(
+        spark.range(5).select("id", F.lit("b").alias("tag")), root
+    )
+
+    assert main(["table", "history", root]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    import json
+
+    assert json.loads(out[0])["version"] == 2
+
+    assert main(["table", "rollback", root, "1"]) == 0
+    capsys.readouterr()
+    assert read_published(spark, root).count() == 20
+
+    assert main(["table", "vacuum", root, "--keep", "2"]) == 0
+    vout = capsys.readouterr().out
+    assert "removed" in vout
+    assert read_published(spark, root).count() == 20

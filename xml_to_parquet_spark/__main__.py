@@ -185,6 +185,50 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip the SparkSession smoke test (fast, filesystem-only)",
     )
+
+    # table management over published (manifest-pointer) roots — the
+    # operational surface of sinks/publish.py, driver-side metadata only
+    # except compact (which runs a Spark rewrite job)
+    t = sub.add_parser(
+        "table",
+        help="manage a published table root (history/rollback/vacuum/"
+        "compact)",
+    )
+    tsub = t.add_subparsers(dest="table_command", required=True)
+    th = tsub.add_parser(
+        "history", help="committed versions, newest first (one JSON/line)"
+    )
+    th.add_argument("root", help="published table root (has _CURRENT)")
+    tr = tsub.add_parser(
+        "rollback",
+        help="RESTORE an earlier committed version as a new commit "
+        "(O(1) metadata, nothing copied)",
+    )
+    tr.add_argument("root")
+    tr.add_argument(
+        "version", help="version number (e.g. 3) or full version id"
+    )
+    tv = tsub.add_parser(
+        "vacuum",
+        help="delete version dirs unreachable from the newest N manifests",
+    )
+    tv.add_argument("root")
+    tv.add_argument(
+        "--keep", type=int, default=2, help="manifests to keep (default 2)"
+    )
+    tc = tsub.add_parser(
+        "compact",
+        help="rewrite the current version into ~target-size files as a "
+        "new commit (bounds streaming append chains)",
+    )
+    tc.add_argument("root")
+    tc.add_argument(
+        "--target-mb",
+        type=int,
+        default=256,
+        help="target file size in MB (default 256)",
+    )
+    tc.add_argument("--master", default=None)
     return p
 
 
@@ -301,16 +345,68 @@ def cmd_setup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_table(args: argparse.Namespace) -> int:
+    import json as _json
+
+    from xml_to_parquet_spark.sinks import publish as pub
+
+    if args.table_command == "history":
+        for m in pub.history(args.root):
+            print(
+                _json.dumps(
+                    {
+                        k: m.get(k)
+                        for k in (
+                            "version",
+                            "version_id",
+                            "n_files",
+                            "total_bytes",
+                            "stream_batch_id",
+                            "restored_from",
+                        )
+                        if m.get(k) is not None
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        return 0
+    if args.table_command == "rollback":
+        v: int | str = args.version
+        if v.isdigit():
+            v = int(v)
+        vid = pub.rollback_published(args.root, v)
+        print(f"restored {args.version} as {vid}")
+        return 0
+    if args.table_command == "vacuum":
+        removed = pub.vacuum_published(args.root, keep=args.keep)
+        print(f"removed {len(removed)} version dir(s)")
+        for vid in removed:
+            print(f"  {vid}")
+        return 0
+    if args.table_command == "compact":
+        from xml_to_parquet_spark.session import get_spark
+
+        spark = get_spark(master=args.master)
+        vid = pub.compact_published(
+            spark, args.root, target_file_bytes=args.target_mb << 20
+        )
+        print(f"compacted into {vid}")
+        return 0
+    return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # bare form: python -m xml_to_parquet_spark <in> <out> [flags] = convert
-    if argv and argv[0] not in ("convert", "setup", "-h", "--help"):
+    if argv and argv[0] not in ("convert", "setup", "table", "-h", "--help"):
         argv.insert(0, "convert")
     args = _build_parser().parse_args(argv)
     if args.command == "convert":
         return cmd_convert(args)
     if args.command == "setup":
         return cmd_setup(args)
+    if args.command == "table":
+        return cmd_table(args)
     _build_parser().print_help()
     return 1
 
