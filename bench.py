@@ -132,6 +132,7 @@ def main() -> None:
         "a67_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
         # streaming
         "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
+        "a48_stream_publish",
         # scale ops
         "a82_zorder_key", "a84_scd2", "q50_salted_agg",
         # multimodal / scoring
