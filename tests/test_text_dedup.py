@@ -874,3 +874,30 @@ def test_mojibake_detect_and_repair(spark):
             mojibake_hits(F.col("t")).alias("n"),
         ).collect()[0]
         assert row["f"] == repaired and row["n"] >= 1, marker
+
+
+def test_repeated_kgram_spans_xxhash64_matches_md5(spark):
+    """The production hash toggle must produce the identical span set on
+    real-shaped data (collisions are a 2^-64-scale event, so any diff is
+    a logic bug)."""
+    from xml_to_parquet_spark.functions.dedup import repeated_kgram_spans
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rep = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep} x {base} y {rep}"),
+            (2, f"{base} {base}"),
+            (3, "no repeats here at all since tokens differ fully"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        tuple(r)
+        for r in repeated_kgram_spans(docs, hash_mode="md5").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in repeated_kgram_spans(docs, hash_mode="xxhash64").collect()
+    )
+    assert a == b and len(a) > 0
