@@ -901,3 +901,25 @@ def test_repeated_kgram_spans_xxhash64_matches_md5(spark):
         for r in repeated_kgram_spans(docs, hash_mode="xxhash64").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_exact_dedup_xxhash64_matches_md5(spark):
+    from xml_to_parquet_spark.functions.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Same  Doc"),
+            (2, "same doc"),  # normalizes equal to 1
+            (3, "different entirely"),
+            (4, "same doc "),
+        ],
+        "doc_id long, text string",
+    )
+
+    def groups(mode):
+        return sorted(
+            (r["keep_id"], r["n_copies"])
+            for r in exact_dedup(docs, hash_mode=mode).collect()
+        )
+
+    assert groups("md5") == groups("xxhash64") == [(1, 3), (3, 1)]

@@ -98,16 +98,31 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Exact dedup: keep the smallest id per normalized-text fingerprint.
 
     min() as the representative picker is deterministic and commutative —
     safe under any partitioning. Returns (fingerprint, keep_id, n_copies).
+
+    ``hash_mode='xxhash64'`` is the production toggle for 100 TB runs:
+    the groupBy shuffle key shrinks from a 32-char md5 string to an
+    8-byte long (fingerprint column becomes bigint). md5 stays the
+    default for SQL-oracle parity; a test pins both modes to identical
+    (keep_id, n_copies) sets.
     """
+    if hash_mode == "md5":
+        fp = fingerprint_md5(F.col(text_col))
+    elif hash_mode == "xxhash64":
+        fp = F.xxhash64(norm_text(F.col(text_col)))
+    else:
+        raise ValueError(f"unsupported hash_mode {hash_mode!r}")
     return (
         df.select(
-            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            fp.alias("fingerprint"),
             F.col(id_col),
         )
         .groupBy("fingerprint")
