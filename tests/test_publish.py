@@ -608,3 +608,71 @@ def test_publish_stream_auto_compaction_bounds_chain(spark, tmp_path):
     assert last_stream_batch(root) == 5
     # the chain never grew past compact_every + the fresh append
     assert len(current_manifest(root)["data_dirs"]) <= 4
+
+
+def test_publish_crash_consistency_fuzz(spark, tmp_path, monkeypatch):
+    """Fail-inject at EVERY rename/fsync boundary of the commit protocol
+    in turn: whichever call dies, the previous snapshot must read back
+    byte-identically, and the next attempt must commit cleanly over the
+    wreckage. This sweeps the whole protocol, not just the hand-picked
+    crash points of the other tests."""
+    import xml_to_parquet_spark.sinks.publish as pub
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 30, "v1"), root)
+    v1_rows = _collect_sorted(read_published(spark, root))
+
+    real_replace = os.replace
+    real_fsync_dir = pub._fsync_dir
+    state = {"budget": None, "calls": 0}
+
+    def counting_replace(src, dst):
+        state["calls"] += 1
+        if state["budget"] is not None and state["calls"] > state["budget"]:
+            raise OSError("injected crash at replace")
+        return real_replace(src, dst)
+
+    def counting_fsync_dir(path):
+        state["calls"] += 1
+        if state["budget"] is not None and state["calls"] > state["budget"]:
+            raise OSError("injected crash at fsync")
+        return real_fsync_dir(path)
+
+    monkeypatch.setattr(pub.os, "replace", counting_replace)
+    monkeypatch.setattr(pub, "_fsync_dir", counting_fsync_dir)
+
+    # how many protocol-level file ops does one successful publish make?
+    state["budget"], state["calls"] = None, 0
+    publish_parquet(_snapshot(spark, 40, "probe"), root)
+    total_ops = state["calls"]
+    assert total_ops >= 4  # manifest write+fsync, pointer write+fsync
+    probe_rows = _collect_sorted(read_published(spark, root))
+
+    for k in range(total_ops):
+        state["budget"], state["calls"] = k, 0
+        attempt = _snapshot(spark, 50, f"crash{k}")
+        with pytest.raises(OSError, match="injected"):
+            publish_parquet(attempt, root)
+        # atomicity invariant: the reader sees the previous committed
+        # snapshot OR the attempt's COMPLETE data (the crash landed after
+        # the pointer replace — "commit succeeded, ack failed"), never a
+        # mixture or partial state
+        got = _collect_sorted(read_published(spark, root))
+        if got != probe_rows:
+            assert got == _collect_sorted(attempt)
+            probe_rows = got  # new committed baseline for later k
+
+    # full budget: the re-run commits over all accumulated wreckage
+    state["budget"] = None
+    publish_parquet(_snapshot(spark, 50, "final"), root)
+    got = read_published(spark, root)
+    assert got.count() == 50
+    assert set(r["tag"] for r in got.collect()) == {"final"}
+    # and history still walks cleanly past the carnage to v1
+    from xml_to_parquet_spark.sinks.publish import history
+
+    versions = [m["version"] for m in history(root)]
+    assert versions[0] > versions[-1] and versions[-1] == 1
+    assert _collect_sorted(
+        read_published(spark, root, version=1)
+    ) == v1_rows
