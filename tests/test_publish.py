@@ -676,3 +676,52 @@ def test_publish_crash_consistency_fuzz(spark, tmp_path, monkeypatch):
     assert _collect_sorted(
         read_published(spark, root, version=1)
     ) == v1_rows
+
+
+def test_read_star_run_pins_the_consistent_version_set(spark, tmp_path, sf_dir):
+    """A newer publish moving one table's pointer must not leak into a
+    reader resolving through the RUN manifest — the run's recorded
+    versions win, and the SQL frontend can query the registered set."""
+    from xml_to_parquet_spark.pipeline import process_xml_to_parquet
+    from xml_to_parquet_spark.sinks.publish import (
+        publish_parquet,
+        read_published,
+        read_star_run,
+    )
+
+    # build a small star atomically (reuses the pipeline fixtures' XML)
+    import glob
+    import shutil
+
+    src = str(tmp_path / "xml_in")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"f{i}.xml"), "w") as fh:
+            fh.write(
+                "<orders>"
+                + "".join(
+                    f'<order id="o{i}_{j}"><region>EU</region>'
+                    f"<price>{10 + j}.50</price></order>"
+                    for j in range(4)
+                )
+                + "</orders>"
+            )
+    out = str(tmp_path / "star")
+    process_xml_to_parquet(spark, src, out, atomic=True)
+
+    run = read_star_run(spark, out, register_views=True)
+    fact_rows = run["fact_main"].count()
+    assert fact_rows == 12
+    # SQL frontend over the registered consistent set
+    assert spark.sql("SELECT count(*) AS n FROM fact_main").collect()[0][
+        "n"
+    ] == 12
+
+    # supersede the fact with an unrelated v2 — current pointer moves,
+    # but the run-manifest reader stays pinned to the run's version
+    fact_root = os.path.join(out, "fact_main")
+    publish_parquet(
+        spark.range(3).select(F.col("id").alias("record_key")), fact_root
+    )
+    assert read_published(spark, fact_root).count() == 3  # current
+    assert read_star_run(spark, out)["fact_main"].count() == 12  # pinned

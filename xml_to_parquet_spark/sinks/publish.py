@@ -493,6 +493,33 @@ def publish_star_schema(
     return roots
 
 
+def read_star_run(
+    spark: SparkSession, output_dir: str, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Read the CONSISTENT table-version set a ``publish_star_schema``
+    run committed: every table resolves at the version the run manifest
+    recorded — NOT the table's current pointer — so a reader never joins
+    fact v2 against dims v1 even while a newer run is publishing table
+    by table. ``register_views=True`` additionally registers each table
+    as a temp view (``fact_main``, ``dim_<name>``) for the SQL frontend.
+
+    This is the read side of the run-manifest promise; it rides the
+    time-travel machinery, so a version superseded AND vacuumed raises
+    ``FileNotFoundError`` (retention must outlive the oldest run still
+    being read — the same contract every snapshot store has).
+    """
+    with open(os.path.join(output_dir, "_RUN_MANIFEST")) as fh:
+        run = json.load(fh)
+    out: dict[str, DataFrame] = {}
+    for name, vid in run["tables"].items():
+        root = os.path.join(output_dir, name)
+        df = read_published(spark, root, version=vid)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
 def compact_published(
     spark: SparkSession,
     root: str,
