@@ -466,3 +466,75 @@ def test_registrable_domain_matches_psl_reference(spark, hosts):
     }
     for i, h in enumerate(hosts):
         assert got[i] == _py_registrable(h), (h, got[i], _py_registrable(h))
+
+
+# ---------------------------------------------------------------------------
+# spark: model-based publish protocol — random op sequences vs a pure model
+# ---------------------------------------------------------------------------
+
+_pub_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["overwrite", "append", "compact", "rollback"]),
+        st.integers(min_value=1, max_value=20),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_pub_ops)
+def test_publish_sequences_match_model(spark, tmp_path_factory, ops):
+    """Any interleaving of overwrite/append/compact/rollback must leave
+    the table reading exactly what a trivial in-memory model predicts,
+    with every intermediate version still time-travelable."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.sinks.publish import (
+        compact_published,
+        publish_parquet,
+        read_published,
+        rollback_published,
+    )
+
+    root = str(tmp_path_factory.mktemp("pubmodel") / "t")
+
+    def rows(i, n):
+        return [(f"op{i}", j) for j in range(n)]
+
+    def df(i, n):
+        return spark.createDataFrame(rows(i, n), "tag string, j long")
+
+    versions = []  # committed multisets, versions[k] = version k+1
+    for i, (op, n) in enumerate(ops):
+        if not versions and op in ("append", "compact", "rollback"):
+            op = "overwrite"  # ops needing a parent degrade on empty
+        if op == "overwrite":
+            publish_parquet(df(i, n), root)
+            versions.append(sorted(rows(i, n)))
+        elif op == "append":
+            publish_parquet(df(i, n), root, mode="append")
+            versions.append(sorted(versions[-1] + rows(i, n)))
+        elif op == "compact":
+            compact_published(spark, root)
+            versions.append(versions[-1])
+        elif op == "rollback":
+            target = (n % len(versions)) + 1
+            rollback_published(root, target)
+            versions.append(versions[target - 1])
+
+    got = sorted(
+        (r["tag"], r["j"]) for r in read_published(spark, root).collect()
+    )
+    assert got == versions[-1]
+    # every committed version remains time-travelable and exact
+    for v in (1, len(versions)):
+        tv = sorted(
+            (r["tag"], r["j"])
+            for r in read_published(spark, root, version=v).collect()
+        )
+        assert tv == versions[v - 1], f"version {v}"
