@@ -703,3 +703,63 @@ def test_score_documents_quantized_batch_invariant(spark):
     assert a == b
     assert all(isinstance(r[1], int) for r in a)
     assert all(r[2] == (r[1] >= 0) for r in a)
+
+
+def test_semantic_dedup_fixture(spark):
+    # two well-separated clusters seeded by ids 0/1; 2 and 3 are in-cell
+    # near-dups of their seed; 4 is orthogonal to everything and kept
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.95, 0.05, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in similarity.semantic_dedup(
+            df, k=2, iterations=1, quant=512
+        ).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (True, None)
+    assert out[2] == (False, 0)
+    assert out[3] == (False, 1)
+    assert out[4] == (True, None)
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    results = [
+        sorted(
+            (r.vec_id, r.cell, r.keep, r.dup_of)
+            for r in similarity.semantic_dedup(
+                emb.repartition(p), k=4, iterations=2, quant=512
+            ).collect()
+        )
+        for p in (1, 7)
+    ]
+    assert results[0] == results[1]
+    assert any(not r[2] for r in results[0])  # some rows actually dropped
+
+
+def test_semantic_dedup_drops_satisfy_threshold_and_cell(spark):
+    # every dropped row must point at a smaller-id clustermate whose true
+    # (float) cosine clears the threshold up to quantization fuzz
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.semantic_dedup(emb, k=4, iterations=2, quant=512)
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    cells = {r.vec_id: r.cell for r in out.collect()}
+    dropped = [r for r in out.collect() if not r.keep]
+    assert dropped
+    for r in dropped:
+        assert r.dup_of < r.vec_id
+        assert cells[r.dup_of] == r.cell
+        a = vecs[r.vec_id]
+        b = vecs[r.dup_of]
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        assert num / den >= 0.4 - 0.01

@@ -74,6 +74,8 @@ FORBIDDEN_NODES = {
     # the gram hash, never cross-product; ADC must never go all-pairs
     "a42_substring_dedup": "CartesianProduct",
     "a44_ivf_pq_adc": "CartesianProduct",
+    # r7: semantic dedup's in-cell pairing must be an equi-join on cell
+    "a49_semantic_dedup": "CartesianProduct",
 }
 
 

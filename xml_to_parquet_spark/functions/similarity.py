@@ -864,3 +864,95 @@ def ivf_pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1024,
+    tau_num: int = 2,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    cluster the corpus with integer k-means, then WITHIN each cluster drop
+    any document whose cosine similarity to a smaller-id clustermate is
+    >= tau_num/tau_den. Returns one row per input id:
+    ``(id, cell, keep, dup_of)`` where ``dup_of`` is the smallest
+    qualifying clustermate id (NULL for kept rows).
+
+    Exactness: vectors are quantized to integers (``quantize_vec``) and the
+    threshold test is pure int64 arithmetic — ``cos(a,b) >= t`` iff
+    ``dot>0 AND dot^2*tau_den^2 >= tau_num^2*|a|^2*|b|^2`` — so any engine
+    replays the decision bit-for-bit (zero-norm vectors are never dups:
+    cosine is undefined there). Caller contract for no-overflow:
+    ``dim * quant^2 * tau_den <= 3e9`` (defaults: 64-dim, quant=1024,
+    tau_den=5 → 3.4e8, comfortably inside int64 when squared).
+
+    Scale shape (the reason SemDeDup works at 100 TB where all-pairs
+    cannot): the only join is an equi-join on ``cell``, so candidate pairs
+    are bounded by cluster sizes — pick k ∝ corpus size to hold clusters
+    at a constant target size; a skewed (hot) cluster is split by AQE skew
+    join. Centroids are a driver-held model broadcast as literals (see
+    kmeans_assign_quantized); norms are computed once per row before the
+    self-join. The per-pair HOF dot runs interpreted — for billion-row
+    cells swap the pair stage for the cell-grouped tiled-gemm kernel
+    (embedding_neardup_pairs' FlatMapGroupsInPandas shape); the decision
+    semantics above are kernel-independent.
+
+    Reference parity: the reference engine has no embedding ops at all
+    (R/ core is XML→star ETL); this is part of the mandated
+    training-data-pipeline surface (SURVEY §2.11 scale extensions).
+    """
+    cells = kmeans_assign_quantized(
+        df, k=k, iterations=iterations, id_col=id_col,
+        vec_col=vec_col, quant=quant,
+    ).select(F.col(id_col).alias("id"), "cell")
+    vq = df.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(as_double_array(F.col(vec_col)), quant).alias("vq"),
+    )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    v = (
+        vq.join(cells, "id")
+        .withColumn("nn", int_dot(F.col("vq"), F.col("vq")))
+    )
+    a = v.select(
+        F.col("id").alias("ia"), F.col("cell"),
+        F.col("vq").alias("vqa"), F.col("nn").alias("na"),
+    )
+    b = v.select(
+        F.col("id").alias("ib"), F.col("cell"),
+        F.col("vq").alias("vqb"), F.col("nn").alias("nb"),
+    )
+    dab = int_dot(F.col("vqa"), F.col("vqb"))
+    t2 = F.lit(tau_num * tau_num).cast("long")
+    d2 = F.lit(tau_den * tau_den).cast("long")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("dab", dab)
+        .filter(
+            (F.col("na") > 0) & (F.col("nb") > 0) & (F.col("dab") > 0)
+            & (F.col("dab") * F.col("dab") * d2
+               >= t2 * F.col("na") * F.col("nb"))
+        )
+        .groupBy(F.col("ib").alias("id"))
+        .agg(F.min("ia").alias("dup_of"))
+    )
+    return (
+        v.select("id", "cell")
+        .join(pairs, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

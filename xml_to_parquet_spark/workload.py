@@ -2898,6 +2898,71 @@ def _q_kmeans_sql(
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, the SemDeDup shape (similarity.semantic_dedup):
+    integer k-means cells, then within-cell int64-exact cosine pruning
+    (keep-min-id). The oracle replays the identical clustering rounds and
+    the identical threshold algebra, so every keep/drop decision is
+    bit-reproduced. `keep` is cast to INT (0/1) for the comparator."""
+    from xml_to_parquet_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, k=8, iterations=2, quant=1024)
+    return out.select(
+        "vec_id",
+        "cell",
+        F.col("keep").cast("int").alias("keep"),
+        "dup_of",
+    ).orderBy("vec_id")
+
+
+def _q_semantic_dedup_sql(
+    k: int = 8,
+    iterations: int = 2,
+    quant: int = 1024,
+    tau_num: int = 2,
+    tau_den: int = 5,
+) -> str:
+    kmeans = _q_kmeans_sql(k=k, iterations=iterations, quant=quant)
+    return f"""
+WITH assign AS (SELECT * FROM ({kmeans})),
+vq AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT)
+         ) AS vq
+  FROM embeddings
+),
+vp AS (
+  SELECT a.vec_id, a.cell, generate_subscripts(q.vq, 1) - 1 AS pos,
+         unnest(q.vq) AS qv
+  FROM assign a JOIN vq q USING (vec_id)
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nn FROM vp GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dab
+  FROM vp a JOIN vp b
+    ON a.cell = b.cell AND a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+dups AS (
+  SELECT d.ib AS vec_id, MIN(d.ia) AS dup_of
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.ia
+  JOIN norms nb ON nb.vec_id = d.ib
+  WHERE na.nn > 0 AND nb.nn > 0 AND d.dab > 0
+    AND d.dab * d.dab * {tau_den * tau_den}
+        >= {tau_num * tau_num} * na.nn * nb.nn
+  GROUP BY d.ib
+)
+SELECT a.vec_id, a.cell, CAST(p.vec_id IS NULL AS INT) AS keep, p.dup_of
+FROM assign a LEFT JOIN dups p USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
 _PII_ROWS = [
     (1, "contact me at john.doe@example.com or visit "
         "https://example.com/page?id=9"),
@@ -4402,7 +4467,9 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_LENGTH_HISTOGRAM_SQL,
         "doc-length width_bucket histogram",
     ),
-    "a57_mixture": QuerySpec(
+    # r7 rotation #3: driver-green r4-r7 under a57; slot ceded to
+    # a49_semantic_dedup.
+    "q66_mixture": QuerySpec(
         q_mixture,
         _mixture_sql(),
         "weighted source mixture with deterministic shuffle order",
@@ -4563,6 +4630,14 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_publish,
         _Q_STREAM_PUBLISH_SQL,
         "exactly-once streaming publish: batch-id dedup through the pointer",
+    ),
+    # r7 addition: SemDeDup-shape semantic dedup (k-means cells +
+    # within-cell integer-exact cosine pruning). Takes a57's window slot
+    # (a57_mixture, driver-green since r4, retires to q66).
+    "a49_semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        _q_semantic_dedup_sql(),
+        "semantic dedup: k-means cells + in-cell exact-cosine keep-min-id",
     ),
     "q62_html_extract": QuerySpec(
         q_html_extract,
