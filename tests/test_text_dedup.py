@@ -923,3 +923,34 @@ def test_exact_dedup_xxhash64_matches_md5(spark):
         )
 
     assert groups("md5") == groups("xxhash64") == [(1, 3), (3, 1)]
+
+
+def test_rare_gram_quality_flags_gibberish(spark):
+    # 20 copies of the same sentence make its trigrams common; one
+    # gibberish doc whose trigrams appear nowhere else must fail the gate
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "zq0vxk9jw2bq7zp4mx8cv1nq6rt3yl5"))
+    rows.append((101, "ab"))  # shorter than a trigram: no evidence, passes
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # rare_k sized to the fixture: grams under 1/500 of total are rare
+    # (the 20x-repeated sentence's grams sit at ~1/43)
+    out = {r.doc_id: r for r in text.rare_gram_quality(df, rare_k=500).collect()}
+    assert out[100].pass_gate == 0
+    assert out[100].n_rare == out[100].n_tri  # every gram unique -> rare
+    assert out[0].pass_gate == 1 and out[0].n_rare == 0
+    assert out[101].n_tri == 0 and out[101].pass_gate == 1
+    assert out[101].rare_ppm is None
+    assert out[100].rare_ppm == 1000000
+
+
+def test_rare_gram_quality_partition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = [
+        sorted(
+            (r.doc_id, r.n_tri, r.n_rare, r.rare_ppm, r.pass_gate)
+            for r in text.rare_gram_quality(docs.repartition(p)).collect()
+        )
+        for p in (1, 7)
+    ]
+    assert res[0] == res[1]
+    assert all(r[1] > 0 for r in res[0])  # real docs all emit grams

@@ -76,6 +76,9 @@ FORBIDDEN_NODES = {
     "a44_ivf_pq_adc": "CartesianProduct",
     # r7: semantic dedup's in-cell pairing must be an equi-join on cell
     "a49_semantic_dedup": "CartesianProduct",
+    # r7: rare-gram postings⋈freq is an equi-join on the gram; the only
+    # cross join is the broadcast 1-row total (BroadcastNestedLoopJoin)
+    "a50_rare_gram_lm": "CartesianProduct",
 }
 
 

@@ -593,3 +593,86 @@ def fix_mojibake(col: Column) -> Column:
     for marker, repaired in MOJIBAKE_REPAIRS:
         t = F.replace(t, F.lit(marker), F.lit(repaired))
     return t
+
+
+def rare_gram_quality(
+    df: DataFrame,
+    n: int = 3,
+    rare_k: int = 2000,
+    max_num: int = 1,
+    max_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-n-gram language-model quality filter — the integer-exact
+    rendering of the CCNet/KenLM perplexity gate: a document whose char
+    n-grams are improbable under the corpus distribution is likely
+    gibberish / wrong-language / mojibake. Per doc:
+    ``(id, n_tri, n_rare, rare_ppm, pass_gate)`` where a gram occurring
+    ``cnt`` times is RARE iff ``cnt * rare_k < total_positions`` (relative
+    frequency below 1/rare_k — scale-invariant, so the same constant works
+    at any corpus size) and the gate fails when more than
+    ``max_num/max_den`` of the doc's grams are rare. All decisions are
+    int64 cross-multiplications: any engine replays them bit-for-bit (no
+    logs, no floats — the rare-fraction is a monotone surrogate for
+    perplexity over the empirical unigram-of-n-grams model).
+
+    Scale shape: one generator (explode of a position ``sequence`` —
+    substring stays in whole-stage codegen; no interpreted HOFs), one
+    map-side-combined groupBy on the gram (distinct grams bounded by
+    charset^n, NOT corpus size), the total as a 1-row agg OF THE
+    FREQUENCY TABLE (no second corpus scan) broadcast into the plan, and
+    a postings⋈freq equi-join on the gram (AQE-skew-splittable — hot
+    grams are exactly the skew-join case, same shape as a42's postings
+    join). Docs shorter than ``n`` emit zero grams and PASS (no evidence
+    of junk). ``n_rare``-style counts stay int64 at 100 TB (bounded by
+    doc length × positions? no — bounded by doc gram count; only
+    ``total_positions`` approaches corpus scale and it is compared, never
+    summed per-doc).
+    """
+    t = F.lower(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), t.alias("t"))
+    pos = (
+        F.when(
+            F.length("t") >= n, F.sequence(F.lit(1), F.length("t") - (n - 1))
+        )
+        .otherwise(F.array().cast("array<int>"))
+    )
+    tris = base.select(
+        "id", F.explode_outer(pos).alias("i"), "t"
+    ).select(
+        "id",
+        F.when(F.col("i").isNotNull(), F.expr(f"substring(t, i, {n})"))
+        .alias("tri"),
+    )
+    grams = tris.filter(F.col("tri").isNotNull())
+    freq = grams.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    scored = (
+        grams.join(freq, "tri")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.count(
+                F.when(F.col("cnt") * rare_k < F.col("total"), F.lit(1))
+            ).alias("n_rare"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            F.when(
+                F.col("n_tri") > 0,
+                F.expr("(coalesce(n_rare, 0L) * 1000000) div n_tri"),
+            ).cast("long").alias("rare_ppm"),
+            (
+                F.coalesce("n_rare", F.lit(0)) * max_den
+                <= F.coalesce("n_tri", F.lit(0)) * max_num
+            ).cast("int").alias("pass_gate"),
+        )
+    )

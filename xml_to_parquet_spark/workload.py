@@ -2963,6 +2963,51 @@ ORDER BY a.vec_id
 """
 
 
+def q_rare_gram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality gate (text.rare_gram_quality): the
+    integer-exact perplexity-filter shape — rare-gram fraction under the
+    corpus's empirical n-gram distribution, gated at 10%. The oracle
+    replays the relative-frequency rarity test and the gate cross-
+    multiplications verbatim."""
+    from xml_to_parquet_spark.functions.text import rare_gram_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_gram_quality(docs).orderBy("doc_id")
+
+
+def _q_rare_gram_sql(
+    n: int = 3, rare_k: int = 2000, max_num: int = 1, max_den: int = 10
+) -> str:
+    return f"""
+WITH tris AS (
+  SELECT d.doc_id, substring(lower(d.text), g.i, {n}) AS tri
+  FROM documents d, LATERAL (
+    SELECT unnest(generate_series(1, length(lower(d.text)) - {n - 1})) AS i
+  ) g
+  WHERE length(d.text) >= {n}
+),
+freq AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt FROM tris GROUP BY tri),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+scored AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+         CAST(COUNT(CASE WHEN f.cnt * {rare_k} < tot.total THEN 1 END)
+              AS BIGINT) AS n_rare
+  FROM tris t JOIN freq f USING (tri) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(COALESCE(s.n_rare, 0) AS BIGINT) AS n_rare,
+       CASE WHEN s.n_tri > 0 THEN
+         CAST((COALESCE(s.n_rare, 0) * 1000000) // s.n_tri AS BIGINT)
+       END AS rare_ppm,
+       CAST(COALESCE(s.n_rare, 0) * {max_den}
+            <= COALESCE(s.n_tri, 0) * {max_num} AS INT) AS pass_gate
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 _PII_ROWS = [
     (1, "contact me at john.doe@example.com or visit "
         "https://example.com/page?id=9"),
@@ -4479,10 +4524,19 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_TFIDF_SQL,
         "top distinctive terms per doc (integer tf/df ranking)",
     ),
-    "a59_label_centroids": QuerySpec(
+    # r7 rotation #4: driver-green r4-r7 under a59; slot ceded to
+    # a50_rare_gram_lm.
+    "q67_label_centroids": QuerySpec(
         q_label_centroids,
         _Q_LABEL_CENTROIDS_SQL,
         "per-label embedding centroids (exact quantized vector sums)",
+    ),
+    # r7 addition: char-n-gram LM quality gate (the CCNet/KenLM
+    # perplexity-filter shape, integer-exact). Takes a59's window slot.
+    "a50_rare_gram_lm": QuerySpec(
+        q_rare_gram_lm,
+        _q_rare_gram_sql(),
+        "char-trigram rare-fraction LM gate (relative-frequency rarity)",
     ),
     "a60_simhash_blocked": QuerySpec(
         q_simhash_blocked,
