@@ -123,13 +123,14 @@ def main() -> None:
         "q20_dedup_exact", "a40_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
         "a60_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
         "a75_dedup_apply", "a85_fuzzy_pairs", "a89_fuzzy_qgram",
-        "a42_substring_dedup",
+        "a42_substring_dedup", "a49_semantic_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
         "a71_kmeans_cells", "a81_pq_codes", "a44_ivf_pq_adc",
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
         "a67_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
+        "a50_rare_gram_lm",
         # streaming
         "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
         "a48_stream_publish",
