@@ -763,3 +763,18 @@ def test_semantic_dedup_drops_satisfy_threshold_and_cell(spark):
             sum(y * y for y in b)
         )
         assert num / den >= 0.4 - 0.01
+
+
+def test_semantic_dedup_kernels_identical(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = [
+        sorted(
+            (r.vec_id, r.cell, r.keep, r.dup_of)
+            for r in similarity.semantic_dedup(
+                emb, k=4, iterations=2, quant=512, kernel=kern
+            ).collect()
+        )
+        for kern in ("gemm", "expr")
+    ]
+    assert res[0] == res[1]
+    assert any(not r[2] for r in res[0])

@@ -875,6 +875,7 @@ def semantic_dedup(
     quant: int = 1024,
     tau_num: int = 2,
     tau_den: int = 5,
+    kernel: str = "gemm",
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
     cluster the corpus with integer k-means, then WITHIN each cluster drop
@@ -897,10 +898,14 @@ def semantic_dedup(
     at a constant target size; a skewed (hot) cluster is split by AQE skew
     join. Centroids are a driver-held model broadcast as literals (see
     kmeans_assign_quantized); norms are computed once per row before the
-    self-join. The per-pair HOF dot runs interpreted — for billion-row
-    cells swap the pair stage for the cell-grouped tiled-gemm kernel
-    (embedding_neardup_pairs' FlatMapGroupsInPandas shape); the decision
-    semantics above are kernel-independent.
+    self-join. The per-pair HOF dot runs interpreted — so the default
+    ``kernel="gemm"`` runs the pair stage as ONE int64 numpy gemm per
+    cell inside applyInPandas (Arrow-batched, exact integer matmul; the
+    embedding_neardup_pairs shape; measured ~4x the column-expr path at
+    sf0.1, where the expr kernel's 16M interpreted lambda steps
+    dominate). ``kernel="expr"`` keeps the pure-DataFrame pair join; a
+    test pins the two kernels row-identical. Decision semantics are
+    kernel-independent (both are exact int64).
 
     Reference parity: the reference engine has no embedding ops at all
     (R/ core is XML→star ETL); this is part of the mandated
@@ -919,33 +924,75 @@ def semantic_dedup(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    v = (
-        vq.join(cells, "id")
-        .withColumn("nn", int_dot(F.col("vq"), F.col("vq")))
-    )
-    a = v.select(
-        F.col("id").alias("ia"), F.col("cell"),
-        F.col("vq").alias("vqa"), F.col("nn").alias("na"),
-    )
-    b = v.select(
-        F.col("id").alias("ib"), F.col("cell"),
-        F.col("vq").alias("vqb"), F.col("nn").alias("nb"),
-    )
-    dab = int_dot(F.col("vqa"), F.col("vqb"))
-    t2 = F.lit(tau_num * tau_num).cast("long")
-    d2 = F.lit(tau_den * tau_den).cast("long")
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("ia") < F.col("ib"))
-        .withColumn("dab", dab)
-        .filter(
-            (F.col("na") > 0) & (F.col("nb") > 0) & (F.col("dab") > 0)
-            & (F.col("dab") * F.col("dab") * d2
-               >= t2 * F.col("na") * F.col("nb"))
+    v = vq.join(cells, "id")
+    t2n, d2n = tau_num * tau_num, tau_den * tau_den
+    if kernel == "gemm":
+
+        def _cell_dups(pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"id": pd.Series(dtype="int64"),
+                 "dup_of": pd.Series(dtype="int64")}
+            )
+            if len(pdf) < 2:
+                return empty
+            ids = pdf["id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.stack(pdf["vq"].to_numpy()[order]).astype(np.int64)
+            G = V @ V.T  # exact: caller overflow contract (docstring)
+            nn = np.diagonal(G).copy()
+            ok = (
+                (G > 0)
+                & (nn[:, None] > 0)
+                & (nn[None, :] > 0)
+                & (G * G * d2n >= t2n * nn[:, None] * nn[None, :])
+            )
+            iu = np.triu_indices(len(ids), 1)
+            m = ok[iu]
+            if not m.any():
+                return empty
+            hit = pd.DataFrame(
+                {"id": ids[iu[1][m]], "dup_of": ids[iu[0][m]]}
+            )
+            out = hit.groupby("id", as_index=False)["dup_of"].min()
+            return out.astype({"id": "int64", "dup_of": "int64"})
+
+        from xml_to_parquet_spark.session import _ship_package
+
+        _ship_package(df.sparkSession)
+        pairs = v.groupBy("cell").applyInPandas(
+            _cell_dups, "id long, dup_of long"
         )
-        .groupBy(F.col("ib").alias("id"))
-        .agg(F.min("ia").alias("dup_of"))
-    )
+    elif kernel == "expr":
+        vn = v.withColumn("nn", int_dot(F.col("vq"), F.col("vq")))
+        a = vn.select(
+            F.col("id").alias("ia"), F.col("cell"),
+            F.col("vq").alias("vqa"), F.col("nn").alias("na"),
+        )
+        b = vn.select(
+            F.col("id").alias("ib"), F.col("cell"),
+            F.col("vq").alias("vqb"), F.col("nn").alias("nb"),
+        )
+        dab = int_dot(F.col("vqa"), F.col("vqb"))
+        t2 = F.lit(t2n).cast("long")
+        d2 = F.lit(d2n).cast("long")
+        pairs = (
+            a.join(b, "cell")
+            .filter(F.col("ia") < F.col("ib"))
+            .withColumn("dab", dab)
+            .filter(
+                (F.col("na") > 0) & (F.col("nb") > 0) & (F.col("dab") > 0)
+                & (F.col("dab") * F.col("dab") * d2
+                   >= t2 * F.col("na") * F.col("nb"))
+            )
+            .groupBy(F.col("ib").alias("id"))
+            .agg(F.min("ia").alias("dup_of"))
+        )
+    else:
+        raise ValueError(f"semantic_dedup: unknown kernel {kernel!r}")
     return (
         v.select("id", "cell")
         .join(pairs, "id", "left")
