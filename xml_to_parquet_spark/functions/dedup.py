@@ -136,7 +136,14 @@ def exact_dedup(
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows — distinct shingles per doc."""
+    """(id, shingle) inverted-index rows — distinct shingles per doc.
+
+    Sized to output parallelism (functions._parallel.size_to_cores): the
+    explode amplifies rows ~tokens-per-doc×, so a one-split input must
+    not pin the shingle stage to one core."""
+    from xml_to_parquet_spark.functions._parallel import size_to_cores
+
+    df = size_to_cores(df)
     return df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
@@ -305,6 +312,9 @@ def simhash(
 
     Pure column math over an exploded token table: one shuffle keyed by doc.
     """
+    from xml_to_parquet_spark.functions._parallel import size_to_cores
+
+    df = size_to_cores(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
@@ -1305,6 +1315,9 @@ def repeated_kgram_spans(
     """
     from pyspark.sql import Window
 
+    from xml_to_parquet_spark.functions._parallel import size_to_cores
+
+    df = size_to_cores(df)
     toks = F.split(norm_text(F.col(text_col)), " ")
     grams = F.when(F.size(toks) >= k, ngram_array(toks, k)).otherwise(
         F.array().cast("array<string>")

@@ -632,14 +632,12 @@ def rare_gram_quality(
     """
     t = F.lower(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), t.alias("t"))
-    # The explode amplifies rows ~doc_length×, so upstream parallelism
-    # must be sized to the OUTPUT: a small input (one parquet split)
-    # would otherwise run the whole generator stage on one core
-    # (measured 1.49s -> 0.31s at sf0.1). At real scale input splits
-    # already exceed cores and this is a no-op.
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < cores:
-        base = base.repartition(cores)
+    # explode amplifies rows ~doc_length×: size parallelism to the
+    # OUTPUT (measured 1.49s -> 0.31s at sf0.1 on a one-split input;
+    # no-op at real scale) — see functions._parallel.size_to_cores
+    from xml_to_parquet_spark.functions._parallel import size_to_cores
+
+    base = size_to_cores(base)
     pos = (
         F.when(
             F.length("t") >= n, F.sequence(F.lit(1), F.length("t") - (n - 1))

@@ -113,8 +113,12 @@ def bpe_token_counts(
     join back onto the source."""
     from pyspark.sql import functions as F
 
+    from xml_to_parquet_spark.functions._parallel import size_to_cores
     from xml_to_parquet_spark.session import _ship_package
 
+    # one-split inputs must not serialize the Python BPE work into a
+    # single mapInPandas task (no-op at real scale)
+    df = size_to_cores(df)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(tuple(merges))
 
