@@ -1,0 +1,214 @@
+"""Sketch family: KMV / HLL / count-min / DSIR selection.
+
+Cross-engine oracle equality is covered by tools/verify_local.py (the
+catalog entries q68-q71); here we pin the *algorithms* against exact
+Python references and the estimator error bounds the published analyses
+promise, plus partitioning invariance (the property that makes the
+sketches mergeable at 100 TB).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions.sketches import (
+    CM_DEPTH,
+    CM_WIDTH,
+    HLL_CONST_E,
+    HLL_LINEAR,
+    HLL_M,
+    HLL_SMALL_RANGE,
+    HLL_W_HEX,
+    KMV_K,
+    HASH52_MAX,
+    countmin_estimate,
+    countmin_sketch,
+    hll_distinct,
+    kmv_distinct,
+)
+
+
+def _h52(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def _words(n: int, tag: str) -> list[str]:
+    return [f"{tag}{i:06d}" for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def _kmv_py(keys: set[str], k: int = KMV_K) -> int:
+    hs = sorted({_h52(x) for x in keys})
+    if len(hs) < k:
+        return len(hs)
+    return (k - 1) * HASH52_MAX // hs[k - 1]
+
+
+def test_kmv_matches_python_reference(spark):
+    words = _words(3000, "w") * 2  # duplicates must not matter
+    df = spark.createDataFrame([("g", w) for w in words], "g string, k string")
+    row = kmv_distinct(df, "k", ["g"]).collect()[0]
+    assert row["est_distinct"] == _kmv_py(set(words))
+    assert row["exact_distinct"] == 3000
+    # k=64 KMV standard error is ~1/sqrt(k-2) ≈ 12.7%; allow 3 sigma
+    assert abs(row["est_distinct"] - 3000) / 3000 < 0.4
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(KMV_K - 5)], "g string, k string"
+    )
+    row = kmv_distinct(df, "k", ["g"]).collect()[0]
+    assert row["est_distinct"] == row["exact_distinct"] == KMV_K - 5
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"k{i % 500}") for i in range(4000)],
+        "g string, k string",
+    )
+    a = {r["g"]: r["est_distinct"] for r in kmv_distinct(df, "k", ["g"]).collect()}
+    b = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(df.repartition(7, "k"), "k", ["g"]).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+def _hll_py(keys: set[str]) -> tuple[int, int, int]:
+    """(s_sum, v_zero, est) — exact integer replay of the operator."""
+    regs = [0] * HLL_M
+    for x in keys:
+        hx = hashlib.md5(x.encode()).hexdigest()
+        reg = int(hx[:2], 16) % HLL_M
+        w = hx[2 : 2 + HLL_W_HEX]
+        z = len(w) - len(w.lstrip("0"))
+        if z == HLL_W_HEX:
+            rank = 4 * HLL_W_HEX + 1
+        else:
+            nib = int(w[z], 16)
+            extra = 0 if nib >= 8 else 1 if nib >= 4 else 2 if nib >= 2 else 3
+            rank = 4 * z + extra + 1
+        regs[reg] = max(regs[reg], rank)
+    s = sum(1 << (49 - r) for r in regs)
+    v = sum(1 for r in regs if r == 0)
+    est = HLL_CONST_E // s
+    if v > 0 and est <= HLL_SMALL_RANGE:
+        est = HLL_LINEAR[v - 1]
+    return s, v, est
+
+
+@pytest.mark.parametrize("n", [10, 120, 5000])
+def test_hll_matches_python_reference(spark, n):
+    keys = _words(n, "hk")
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, k string")
+    row = hll_distinct(df, "k", ["g"]).collect()[0]
+    s, v, est = _hll_py(set(keys))
+    assert (row["s_sum"], row["v_zero"], row["est_distinct"]) == (s, v, est)
+    assert row["exact_distinct"] == n
+    # m=64 HLL standard error ≈ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(est - n) / n < 0.4
+
+
+def test_hll_linear_counting_table():
+    # the baked table IS round(m*ln(m/V)) — recompute independently
+    for v in range(1, HLL_M + 1):
+        assert HLL_LINEAR[v - 1] == round(HLL_M * math.log(HLL_M / v))
+
+
+def test_hll_merge_is_register_max(spark):
+    """Union of two key sets == register-wise max of their sketches."""
+    a, b = _words(300, "a"), _words(300, "b")
+    sa, _, _ = _hll_py(set(a))
+    su, _, _ = _hll_py(set(a) | set(b))
+    df = spark.createDataFrame(
+        [("u", k) for k in a + b], "g string, k string"
+    )
+    row = hll_distinct(df, "k", ["g"]).collect()[0]
+    assert row["s_sum"] == su
+    assert su <= sa  # more keys -> higher ranks -> smaller sum
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+def test_countmin_overestimates_never_under(spark):
+    rows = [("tok%d" % (i % 50),) for i in range(2000)]
+    toks = spark.createDataFrame(rows, "token string")
+    sketch = countmin_sketch(toks)
+    cells = sketch.agg(F.count(F.lit(1)), F.sum("cnt")).collect()[0]
+    assert cells[0] <= CM_DEPTH * CM_WIDTH
+    assert cells[1] == CM_DEPTH * 2000  # every token counted in every row
+    probes = spark.createDataFrame(
+        [("tok0",), ("tok49",), ("never_seen",)], "token string"
+    )
+    est = {r["token"]: r["est_cnt"] for r in countmin_estimate(sketch, probes).collect()}
+    assert est["tok0"] >= 40 and est["tok49"] >= 40
+    assert est["never_seen"] >= 0  # may collide, never negative
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    # 5 tokens in 1024 buckets: overwhelmingly collision-free per row;
+    # min over 3 independent rows then equals the true count exactly
+    toks = spark.createDataFrame(
+        [(t,) for t in ["a", "b", "c"] * 7 + ["d"] * 3], "token string"
+    )
+    sketch = countmin_sketch(toks)
+    probes = spark.createDataFrame([("a",), ("d",)], "token string")
+    est = {r["token"]: r["est_cnt"] for r in countmin_estimate(sketch, probes).collect()}
+    assert est == {"a": 7, "d": 3}
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    from xml_to_parquet_spark.functions.sampling import dsir_scores
+
+    tgt_text = "alpha beta gamma delta"
+    raw_text = "umber vraska wyeth xylo"
+    rows = (
+        [(i, tgt_text, "tgt") for i in range(10)]
+        + [(100 + i, raw_text, "raw") for i in range(10)]
+        + [(200, tgt_text, "raw"), (201, raw_text, "raw")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    scores = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(df, F.col("source") == "tgt").collect()
+    }
+    # a raw doc written in target vocabulary outranks a raw doc that isn't
+    assert scores[200] > scores[201]
+    # and equals the target docs' own score (same token profile)
+    assert scores[200] == scores[0]
+
+
+def test_dsir_partitioning_invariant(spark, sf_dir):
+    from xml_to_parquet_spark.functions.sampling import dsir_scores
+    from xml_to_parquet_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        dsir_scores(docs, F.col("source") == "src0").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        dsir_scores(
+            docs.repartition(11, "doc_id"), F.col("source") == "src0"
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

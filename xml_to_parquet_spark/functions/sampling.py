@@ -228,3 +228,85 @@ def pack_sequences(
             "n_chunks", (F.col("end_chunk") - F.col("start_chunk") + 1)
         )
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, public): rank raw
+    documents by how target-like their hashed-n-gram profile is.
+
+    Integer re-expression of the published recipe so the result is
+    partitioning-invariant and exactly oracle-replayable: tokens hash
+    into ``n_buckets`` buckets; each bucket's weight is the Laplace-
+    smoothed target/raw frequency ratio in fixed-point,
+    ``w[b] = ((tgt_cnt+1)*scale) // (raw_cnt+1)``; a document's score
+    is the sum of its tokens' bucket weights (with multiplicity) —
+    the log-likelihood-ratio shape with ratios in place of logs, which
+    preserves the *ranking* the published estimator induces for the
+    smoothed two-distribution case while staying in BIGINT.
+
+    Scale shape: the bucket table is ≤ n_buckets rows whatever the
+    corpus (built by one map-side-combined groupBy over the token
+    stream) and is broadcast into the per-token join; the only
+    corpus-sized shuffle is the per-doc score groupBy. Overflow bound:
+    score ≤ n_tokens(doc) · scale · (|target|+1) — far under 2^63 for
+    any real scale/corpus pairing (documented contract).
+    """
+    from xml_to_parquet_spark.functions.sketches import md5_hash52
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("is_tgt"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token"),
+    ).withColumn("bucket", md5_hash52(F.col("token")) % n_buckets)
+    buckets = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum("is_tgt").alias("tgt_cnt"),
+    )
+    w = F.expr(f"div((tgt_cnt + 1) * {scale}L, raw_cnt + 1)").alias("w")
+    weights = buckets.select("bucket", w)
+    return (
+        toks.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("dsir_score"))
+    )
+
+
+def dsir_scores_sql(
+    table: str,
+    target_pred_sql: str,
+    norm_sql: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> str:
+    """Oracle twin of :func:`dsir_scores` over a DuckDB view."""
+    h = f"CAST('0x'||substr(md5(token),1,13) AS BIGINT) % {n_buckets}"
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, CAST(__tp AS INTEGER) AS is_tgt,
+         {h} AS bucket
+  FROM (SELECT {id_col}, {target_pred_sql} AS __tp,
+               unnest(string_split({norm_sql}, ' ')) AS token
+        FROM {table}) t
+),
+buckets AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_cnt,
+         CAST(SUM(is_tgt) AS BIGINT) AS tgt_cnt
+  FROM toks GROUP BY bucket
+),
+weights AS (
+  SELECT bucket, (tgt_cnt + 1) * {scale} // (raw_cnt + 1) AS w
+  FROM buckets
+)
+SELECT {id_col}, CAST(SUM(w) AS BIGINT) AS dsir_score
+FROM toks JOIN weights USING (bucket)
+GROUP BY {id_col}
+"""

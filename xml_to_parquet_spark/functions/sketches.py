@@ -1,0 +1,378 @@
+"""Mergeable cardinality / frequency sketches, integer-exact.
+
+The reference has no sketch surface (its profiling is exact counts over
+single files, schema_analyzer.R:47); at 100 TB, *fixed-size mergeable*
+summaries are a first-class operator family — COUNT(DISTINCT) over a
+trillion keys is a full shuffle of every key, while a sketch shuffles a
+few KB per group and merges associatively (partial aggregation does the
+map-side combine for free).
+
+Three classic sketches, each expressed so Spark and the DuckDB oracle
+compute bit-identical BIGINT results (no floats anywhere):
+
+- **KMV (k-minimum-values)**: keep the k smallest 52-bit key hashes per
+  group; estimate distinct = (k-1)·2^52 // kth_min. The k-smallest pass
+  is a WindowGroupLimit top-k over the *distinct* (group, hash) set, so
+  shuffle size ∝ distinct keys once, then k rows per group.
+- **HyperLogLog**: 64 registers (p=6) holding max leading-zero ranks of
+  a 48-bit hash suffix; harmonic estimate via a single BIGINT division
+  ``div(CONST_E, S)`` where S = Σ 2^(49-M_j) is an exact integer and
+  CONST_E folds α_m·m²·2^49/10^6 at compile time (the identity
+  a//(b·c) == (a//b)//c keeps it exact — floor of a *decimal* division
+  is NOT cross-engine-safe: DuckDB rounds the quotient at result scale
+  before FLOOR, measured off-by-one at S=64). Small-range linear
+  counting m·ln(m/V) is a baked 64-entry integer table, so the full
+  published algorithm runs in integer arithmetic.
+- **Count-min**: d=3 salted hash rows × w=1024 buckets of token counts;
+  point estimate = min over rows. The sketch build is one map-side-
+  combined groupBy over (row, bucket) — 3·1024 cells regardless of
+  corpus size — and probes are a broadcast join against those cells.
+
+Rank extraction (leading zeros) is done on the md5 *hex string* with a
+regexp + one nibble CASE, identical in both engines — no log2 floats
+and no bit_length builtin needed.
+
+All hash math stays below 2^53 so every product fits BIGINT under ANSI
+semantics; divisions are integer ``div`` (Spark) / ``//`` (DuckDB),
+both truncating, with every operand non-negative.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- shared constants (baked into both the Spark plan and the oracle SQL) --
+
+KMV_K = 64
+HASH52_MAX = 1 << 52  # 13 hex digits
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_W_HEX = 12  # 48-bit rank-source suffix, ranks in 1..49
+_ALPHA_PPM = 709253  # round(1e6 * 0.7213/(1 + 1.079/64))
+# E = alpha * m^2 * 2^49 / S, folded to one BIGINT division:
+# (alpha_ppm*m^2*2^49) // (1e6*S)  ==  ((alpha_ppm*m^2*2^49)//1e6) // S
+HLL_CONST_E = (_ALPHA_PPM * HLL_M * HLL_M * (1 << 49)) // 10**6
+# linear counting m*ln(m/V), rounded, V=1..m (V=m -> 0)
+HLL_LINEAR = [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+HLL_SMALL_RANGE = (5 * HLL_M) // 2  # use linear counting below this
+
+CM_DEPTH = 3
+CM_WIDTH = 1024
+
+
+def md5_hash52(col: Column) -> Column:
+    """First 13 hex digits of MD5 as a 52-bit non-negative bigint.
+
+    DuckDB twin: CAST('0x'||substr(md5(x),1,13) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def _md5_hash52_sql(expr: str) -> str:
+    return f"CAST('0x'||substr(md5({expr}),1,13) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV distinct estimate next to the exact distinct count.
+
+    Plan shape (the 100 TB path): one distinct over (group, hash) — the
+    only corpus-sized shuffle — then a rank-k filter that Spark rewrites
+    to WindowGroupLimit (k rows per group survive the partial), and a
+    broadcast-joined exact count for the comparison column. The sketch
+    state per group is k longs, mergeable by keeping the k smallest of
+    any union of sketches.
+    """
+    from xml_to_parquet_spark.operators.window import grouped_topk
+
+    h = md5_hash52(F.col(key_col))
+    hashed = df.select(*group_cols, h.alias("h")).distinct()
+    topk = grouped_topk(
+        hashed,
+        group_cols=group_cols,
+        order_cols=[F.col("h").asc()],
+        k=k,
+    )
+    sk = topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_min"),
+    )
+    exact = hashed.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch")
+    ).otherwise(F.expr(f"div({(k - 1) * HASH52_MAX}L, kth_min)"))
+    return (
+        sk.join(F.broadcast(exact), on=group_cols)
+        .withColumn("est_distinct", est.cast("long"))
+    )
+
+
+def kmv_distinct_sql(
+    table: str,
+    key_expr: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    with_ctes: str = "",
+) -> str:
+    """Oracle twin; ``with_ctes`` prepends caller CTEs (e.g. the token
+    stream) into the single WITH clause — SQL forbids nested WITH."""
+    g = ", ".join(group_cols)
+    pre = f"{with_ctes}," if with_ctes else ""
+    return f"""
+WITH {pre} hashed AS (
+  SELECT DISTINCT {g}, {_md5_hash52_sql(key_expr)} AS h FROM {table}
+),
+ranked AS (
+  SELECT {g}, h,
+         ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY h) AS rnk
+  FROM hashed
+),
+sk AS (
+  SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         MAX(h) AS kth_min
+  FROM ranked WHERE rnk <= {k} GROUP BY {g}
+),
+exact AS (
+  SELECT {g}, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM hashed GROUP BY {g}
+)
+SELECT sk.*, exact.exact_distinct,
+       CAST(CASE WHEN n_sketch < {k} THEN n_sketch
+                 ELSE {(k - 1) * HASH52_MAX} // kth_min END
+            AS BIGINT) AS est_distinct
+FROM sk JOIN exact USING ({g})
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _hll_rank(w_hex: Column) -> Column:
+    """1 + leading-zero bits of the 48-bit value behind 12 hex digits."""
+    z = F.length(F.regexp_extract(w_hex, "^(0*)", 1))
+    nib = F.conv(F.substring(w_hex, z + 1, 1), 16, 10).cast("int")
+    extra = (
+        F.when(nib >= 8, 0)
+        .when(nib >= 4, 1)
+        .when(nib >= 2, 2)
+        .otherwise(3)
+    )
+    return F.when(
+        z == HLL_W_HEX, F.lit(4 * HLL_W_HEX + 1)
+    ).otherwise(z * 4 + extra + 1)
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL estimate (64 registers) next to the exact count.
+
+    The register table is the sketch: m rows per group, built by one
+    map-side-combined max-agg — shuffle bytes ∝ groups·m, independent
+    of corpus size, and two sketches merge by register-wise MAX. The
+    harmonic estimate and the small-range linear-counting correction
+    are single BIGINT expressions over that table (constants folded at
+    compile time; see module docstring for why no decimal division).
+    """
+    md5 = F.md5(F.col(key_col).cast("string"))
+    reg = (F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % HLL_M)
+    rank = _hll_rank(F.substring(md5, 3, HLL_W_HEX))
+    regs = (
+        df.select(*group_cols, reg.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    # absent registers count as rank 0 (contribute 2^49 each to S)
+    groups = df.select(*group_cols).distinct()
+    full = groups.select(
+        *group_cols, F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")
+    )
+    filled = full.join(regs, on=[*group_cols, "reg"], how="left").withColumn(
+        "mr", F.coalesce(F.col("mr"), F.lit(0))
+    )
+    summed = filled.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(1L, cast(49 - mr AS int))")).alias("s_sum"),
+        F.sum(F.when(F.col("mr") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    est_raw = F.expr(f"div({HLL_CONST_E}L, s_sum)")
+    linear_map = F.create_map(
+        *[F.lit(x) for v in range(1, HLL_M + 1) for x in (v, HLL_LINEAR[v - 1])]
+    )
+    est = F.when(
+        (F.col("v_zero") > 0) & (est_raw <= HLL_SMALL_RANGE),
+        F.element_at(linear_map, F.col("v_zero").cast("int")).cast("long"),
+    ).otherwise(est_raw.cast("long"))
+    exact = (
+        df.select(*group_cols, F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return (
+        summed.withColumn("est_distinct", est)
+        .join(F.broadcast(exact), on=group_cols)
+    )
+
+
+def hll_distinct_sql(
+    table: str, key_expr: str, group_cols: list[str], with_ctes: str = ""
+) -> str:
+    """Oracle twin; ``with_ctes`` as in :func:`kmv_distinct_sql`."""
+    g = ", ".join(group_cols)
+    linear_case = " ".join(
+        f"WHEN {v} THEN {HLL_LINEAR[v - 1]}" for v in range(1, HLL_M + 1)
+    )
+    pre = f"{with_ctes}," if with_ctes else ""
+    return f"""
+WITH {pre} h AS (
+  SELECT {g}, md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {table}
+),
+ranked AS (
+  SELECT {g},
+         CAST('0x'||substr(hx,1,2) AS INTEGER) % {HLL_M} AS reg,
+         CASE WHEN length(regexp_extract(substr(hx,3,{HLL_W_HEX}), '^(0*)', 1))
+                   = {HLL_W_HEX} THEN {4 * HLL_W_HEX + 1}
+              ELSE length(regexp_extract(substr(hx,3,{HLL_W_HEX}), '^(0*)', 1)) * 4
+                   + (CASE WHEN CAST('0x'||substr(substr(hx,3,{HLL_W_HEX}),
+                          length(regexp_extract(substr(hx,3,{HLL_W_HEX}), '^(0*)', 1)) + 1, 1)
+                          AS INTEGER) >= 8 THEN 0
+                       WHEN CAST('0x'||substr(substr(hx,3,{HLL_W_HEX}),
+                          length(regexp_extract(substr(hx,3,{HLL_W_HEX}), '^(0*)', 1)) + 1, 1)
+                          AS INTEGER) >= 4 THEN 1
+                       WHEN CAST('0x'||substr(substr(hx,3,{HLL_W_HEX}),
+                          length(regexp_extract(substr(hx,3,{HLL_W_HEX}), '^(0*)', 1)) + 1, 1)
+                          AS INTEGER) >= 2 THEN 2
+                       ELSE 3 END) + 1
+         END AS rank
+  FROM h
+),
+regs AS (
+  SELECT {g}, reg, MAX(rank) AS mr FROM ranked GROUP BY {g}, reg
+),
+full_regs AS (
+  SELECT grp.*, r.reg, COALESCE(regs.mr, 0) AS mr
+  FROM (SELECT DISTINCT {g} FROM {table}) grp
+  CROSS JOIN (SELECT unnest(range({HLL_M})) AS reg) r
+  LEFT JOIN regs USING ({g}, reg)
+),
+summed AS (
+  SELECT {g},
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - mr)) AS BIGINT) AS s_sum,
+         CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+  FROM full_regs GROUP BY {g}
+),
+exact AS (
+  SELECT {g}, CAST(COUNT(DISTINCT CAST({key_expr} AS VARCHAR)) AS BIGINT)
+              AS exact_distinct
+  FROM {table} GROUP BY {g}
+)
+SELECT summed.{", summed.".join(group_cols)}, s_sum, v_zero,
+       CAST(CASE WHEN v_zero > 0 AND {HLL_CONST_E} // s_sum <= {HLL_SMALL_RANGE}
+                 THEN CASE v_zero {linear_case} END
+                 ELSE {HLL_CONST_E} // s_sum END AS BIGINT) AS est_distinct,
+       exact_distinct
+FROM summed JOIN exact USING ({g})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+def countmin_sketch(
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the d×w counter table from a token stream.
+
+    One generator (d rows per token) + one map-side-combined groupBy;
+    the result is ≤ d·w rows total whatever the corpus size — the whole
+    point of the sketch. Returns (row, bucket, cnt).
+    """
+    rows = tokens.select(
+        F.col(token_col).alias("token"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    bucket = (
+        md5_hash52(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("token")))
+        % width
+    )
+    return (
+        rows.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for probe tokens: min over the d rows.
+
+    The sketch side is broadcast — it is ≤ d·w cells by construction,
+    the whole point of the summary — so probing never shuffles; absent
+    (row,bucket) cells are zero, so a probe whose bucket was never
+    touched estimates 0 via the left join + coalesce.
+    """
+    pr = probes.select(
+        F.col(token_col).alias("token"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    bucket = (
+        md5_hash52(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("token")))
+        % width
+    )
+    keyed = pr.select("token", "row", bucket.alias("bucket"))
+    joined = keyed.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
+    )
+
+
+def countmin_sql(
+    toks_cte: str,
+    probe_values: list[str],
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> str:
+    """Oracle: replay sketch build + probe over a token CTE named toks."""
+    probes = ", ".join(f"('{t}')" for t in probe_values)
+    h = _md5_hash52_sql("CAST(r.row AS VARCHAR)||':'||token")
+    return f"""
+WITH toks AS ({toks_cte}),
+cells AS (
+  SELECT r.row, {h} % {width} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN (SELECT unnest(range({depth})) AS row) r
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT token, r.row, {h} % {width} AS bucket
+  FROM (VALUES {probes}) p(token)
+  CROSS JOIN (SELECT unnest(range({depth})) AS row) r
+)
+SELECT probe.token,
+       CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_cnt
+FROM probe LEFT JOIN cells USING (row, bucket)
+GROUP BY probe.token
+"""

@@ -4279,6 +4279,171 @@ SELECT domain, doc_id FROM r WHERE rn <= 5 ORDER BY domain, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch family (r7): mergeable fixed-size summaries — the 100 TB answer to
+# COUNT(DISTINCT) and per-token frequency queries. Integer-exact in both
+# engines (functions/sketches.py module docstring has the overflow budget
+# and the decimal-division pitfall that forced pure-BIGINT estimates).
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token estimate per language, next to the exact count.
+
+    Plan shape: one distinct over (lang, hash52(token)) — the only
+    corpus-sized shuffle — then WindowGroupLimit keeps k=64 rows per
+    group; the exact comparison count is a second agg over the same
+    distinct set, broadcast back. Sketch state is 64 longs per group,
+    mergeable by keeping the 64 smallest of any union."""
+    from xml_to_parquet_spark.functions.sketches import kmv_distinct
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+    )
+    return (
+        kmv_distinct(toks, key_col="token", group_cols=["lang"])
+        .orderBy("lang")
+    )
+
+
+def _q_kmv_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import kmv_distinct_sql
+
+    toks = (
+        "SELECT lang, unnest(string_split(" + _NORM_SQL + ", ' ')) AS token "
+        "FROM documents"
+    )
+    return (
+        kmv_distinct_sql(
+            "tok_t", "token", ["lang"], with_ctes=f"tok_t AS ({toks})"
+        )
+        + " ORDER BY lang"
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per language (64 registers),
+    with the published small-range linear-counting correction as a baked
+    integer table. Shuffle bytes ∝ groups·64 whatever the corpus; the
+    harmonic estimate is one BIGINT division (no floats — see
+    functions/sketches.py for the DuckDB decimal-rounding trap)."""
+    from xml_to_parquet_spark.functions.sketches import hll_distinct
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+    )
+    return (
+        hll_distinct(toks, key_col="token", group_cols=["lang"])
+        .select("lang", "s_sum", "v_zero", "est_distinct", "exact_distinct")
+        .orderBy("lang")
+    )
+
+
+def _q_hll_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import hll_distinct_sql
+
+    toks = (
+        "SELECT lang, unnest(string_split(" + _NORM_SQL + ", ' ')) AS token "
+        "FROM documents"
+    )
+    return (
+        hll_distinct_sql(
+            "tok_t", "token", ["lang"], with_ctes=f"tok_t AS ({toks})"
+        )
+        + " ORDER BY lang"
+    )
+
+
+_CM_PROBES = [
+    "table", "row", "data", "query", "join", "spark", "window", "value",
+    "batch", "merge", "the", "zz_absent_token",
+]
+
+
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for a fixed probe vocabulary.
+
+    The sketch is 3×1024 counter cells built in one map-side-combined
+    groupBy (state size independent of corpus size); probes broadcast-
+    join against the cells. est_cnt ≥ true count is the CM guarantee —
+    the paired exact counts ride along so the row shows the error."""
+    from xml_to_parquet_spark.functions.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+    )
+    sketch = countmin_sketch(toks)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CM_PROBES])).alias("token")
+    )
+    est = countmin_estimate(sketch, probes)
+    true_cnt = (
+        toks.filter(F.col("token").isin(_CM_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        est.join(F.broadcast(true_cnt), on="token", how="left")
+        .withColumn("true_cnt", F.coalesce("true_cnt", F.lit(0)).cast("long"))
+        .orderBy("token")
+    )
+
+
+def _q_countmin_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import countmin_sql
+
+    toks = (
+        "SELECT unnest(string_split(" + _NORM_SQL + ", ' ')) AS token "
+        "FROM documents"
+    )
+    probes = ", ".join(f"('{t}')" for t in _CM_PROBES)
+    return f"""
+WITH est AS ({countmin_sql(toks, _CM_PROBES)}),
+true_t AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM ({toks}) GROUP BY token
+)
+SELECT est.token, est.est_cnt,
+       CAST(COALESCE(true_t.true_cnt, 0) AS BIGINT) AS true_cnt
+FROM est LEFT JOIN true_t USING (token)
+ORDER BY est.token
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: top-40 documents by target-likeness.
+
+    Target = source 'src0'; hashed-unigram bucket weights are integer
+    fixed-point target/raw ratios (functions/sampling.dsir_scores). The
+    1024-row weight table broadcasts; the only corpus-sized shuffle is
+    the per-doc score agg. Deterministic ties via doc_id."""
+    from xml_to_parquet_spark.functions.sampling import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = dsir_scores(docs, target_pred=F.col("source") == "src0")
+    return scores.orderBy(F.col("dsir_score").desc(), "doc_id").limit(40)
+
+
+def _q_dsir_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import dsir_scores_sql
+
+    inner = dsir_scores_sql("documents", "source = 'src0'", _NORM_SQL)
+    return f"""
+WITH scored AS ({inner})
+SELECT doc_id, dsir_score FROM scored
+ORDER BY dsir_score DESC, doc_id LIMIT 40
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_star_revenue": QuerySpec(
         q_star_revenue, _Q_STAR_REVENUE_SQL, "flagship 5-way star join + agg"
@@ -4771,6 +4936,28 @@ QUERIES: dict[str, QuerySpec] = {
         q_domain_cap,
         _Q_DOMAIN_CAP_SQL,
         "per-domain anti-domination cap (deterministic survivors)",
+    ),
+    # r7 sketch family: mergeable fixed-size summaries (KMV / HLL /
+    # count-min) + DSIR importance selection — all pure-BIGINT estimates.
+    "q68_kmv_distinct": QuerySpec(
+        q_kmv_distinct,
+        _q_kmv_sql(),
+        "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
+    ),
+    "q69_hll_distinct": QuerySpec(
+        q_hll_distinct,
+        _q_hll_sql(),
+        "HyperLogLog (64 registers, integer harmonic + linear counting)",
+    ),
+    "q70_countmin": QuerySpec(
+        q_countmin,
+        _q_countmin_sql(),
+        "count-min sketch point estimates vs true counts (3x1024 cells)",
+    ),
+    "q71_dsir_select": QuerySpec(
+        q_dsir_select,
+        _q_dsir_sql(),
+        "DSIR importance selection (hashed-ngram integer LLR ranking)",
     ),
 }
 
