@@ -175,3 +175,65 @@ def test_assign_split_fractions_must_sum_to_one(spark):
     df = spark.range(5)
     with pytest.raises(ValueError):
         assign_split(df, "id", fractions={"a": 0.5, "b": 0.6})
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from xml_to_parquet_spark.functions.sampling import leakage_safe_split
+
+    # 60 singleton docs + 3 explicit near-dup chains of 4 docs each
+    rows = [(i,) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(100, 101), (101, 102), (102, 103),
+         (200, 201), (201, 202), (202, 203),
+         (300, 301), (301, 302), (302, 303)],
+        ["id_a", "id_b"],
+    )
+    cluster_docs = spark.createDataFrame(
+        [(i,) for i in (100, 101, 102, 103, 200, 201, 202, 203,
+                        300, 301, 302, 303)],
+        ["doc_id"],
+    )
+    out = leakage_safe_split(
+        docs.unionByName(cluster_docs), pairs, iterations=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # exhaustive, disjoint
+    assert len(by_id) == 72
+    assert set(r["split"] for r in out) <= {"train", "val", "test"}
+    # every chain shares one cluster_id = min member, hence ONE split
+    for base in (100, 200, 300):
+        members = [by_id[base + j] for j in range(4)]
+        assert {m["cluster_id"] for m in members} == {base}
+        assert len({m["split"] for m in members}) == 1
+    # singletons keep their own id as the cluster key → identical decision
+    # to plain assign_split (the no-near-dup fast path degrades gracefully)
+    from xml_to_parquet_spark.functions.sampling import assign_split
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, key_col="doc_id").collect()
+    }
+    for i in range(60):
+        assert by_id[i]["split"] == plain[i]
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    from xml_to_parquet_spark.functions.dedup import minhash_lsh_candidates
+    from xml_to_parquet_spark.functions.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_candidates(docs)
+    split = leakage_safe_split(docs, cand, iterations=3)
+    a = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    crossers = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossers == 0

@@ -212,3 +212,101 @@ def test_dsir_partitioning_invariant(spark, sf_dir):
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_ref_positions(keys: list[str], m: int, k: int) -> set[int]:
+    return {
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:13], 16) % m
+        for key in keys
+        for i in range(k)
+    }
+
+
+def test_bloom_no_false_negatives_and_exact_bitmap(spark):
+    from xml_to_parquet_spark.functions.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    m, k = 256, 3
+    members = _words(40, "in")
+    build = spark.createDataFrame([(w,) for w in members], ["key"])
+    bm = bloom_bitmap(build, "key", m=m, k=k)
+    assert len(bm) == m // 4
+    # the bitmap is exactly the reference position set
+    ref = _bloom_ref_positions(members, m, k)
+    got = {
+        4 * j + b
+        for j, ch in enumerate(bm)
+        for b in range(4)
+        if int(ch, 16) & (1 << b)
+    }
+    assert got == ref
+    # every member passes the probe (no false negatives, the BF guarantee)
+    probe = spark.createDataFrame(
+        [(w,) for w in members + _words(200, "out")], ["key"]
+    )
+    rows = probe.select(
+        "key", bloom_might_contain(F.col("key"), bm, m=m, k=k).alias("hit")
+    ).collect()
+    hits = {r["key"] for r in rows if r["hit"]}
+    assert set(members) <= hits
+    # probe decisions match the reference membership-set semantics
+    for r in rows:
+        want = all(
+            int(hashlib.md5(f"{i}:{r['key']}".encode()).hexdigest()[:13], 16)
+            % m
+            in ref
+            for i in range(k)
+        )
+        assert r["hit"] == want
+
+
+def test_bloom_false_positive_rate_in_band(spark):
+    from xml_to_parquet_spark.functions.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    m, k = 1024, 2
+    members = _words(300, "mem")
+    build = spark.createDataFrame([(w,) for w in members], ["key"])
+    bm = bloom_bitmap(build, "key", m=m, k=k)
+    fill = sum(bin(int(c, 16)).count("1") for c in bm) / m
+    outsiders = _words(2000, "zzz")
+    probe = spark.createDataFrame([(w,) for w in outsiders], ["key"])
+    fp = (
+        probe.select(
+            bloom_might_contain(F.col("key"), bm, m=m, k=k).alias("hit")
+        )
+        .filter("hit")
+        .count()
+    )
+    rate = fp / len(outsiders)
+    # expected FP rate = fill^k; allow a generous band around it
+    assert 0.3 * fill**k <= rate <= 2.0 * fill**k
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    from xml_to_parquet_spark.functions.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    build = spark.createDataFrame([(w,) for w in _words(20, "b")], ["key"])
+    bm = bloom_bitmap(build, "key", m=256, k=2)
+    probe = spark.createDataFrame([(w,) for w in _words(50, "p")], ["key"])
+    plan = (
+        probe.withColumn(
+            "hit", bloom_might_contain(F.col("key"), bm, m=256, k=2)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # row-local probe: no join, no shuffle

@@ -230,6 +230,50 @@ def pack_sequences(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split0",
+    iterations: int = 3,
+) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicates never straddle
+    a split boundary.
+
+    :func:`assign_split` keyed on the document id leaks — two
+    near-identical documents hash independently, so one lands in train
+    and its twin in test, and the eval set ends up scoring memorization.
+    The fix is to key the SAME deterministic hash gate on the near-dup
+    *cluster* id instead: connected components over the candidate pair
+    list (dedup.dedup_clusters), every document labeled by its component
+    (documents in no pair keep their own id), split assigned per label —
+    so an entire duplicate cluster moves between splits as one unit.
+
+    Scale shape: the clustering cost is iterations × |edges| joins over
+    the near-dup SUBGRAPH (pairs, not corpus); the label table is bounded
+    by the paired-node count — usually a small corpus fraction, so the
+    attach join is left unhinted for AQE to broadcast when it fits (it is
+    SF-dependent, so no static broadcast hint per the SCALING.md policy);
+    the split itself stays one row-local deterministic expression.
+    Output: (id, cluster_id, split) — exhaustive, disjoint,
+    partitioning- and engine-invariant like assign_split.
+    """
+    from xml_to_parquet_spark.functions.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs, iterations=iterations)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(clusters, on=id_col, how="left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+    )
+    return assign_split(
+        labeled, key_col="cluster_id", fractions=fractions, salt=salt
+    )
+
+
 def dsir_scores(
     docs: DataFrame,
     target_pred: Column,

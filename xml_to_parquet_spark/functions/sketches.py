@@ -350,6 +350,99 @@ def countmin_estimate(
     )
 
 
+def bloom_positions(
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 13,
+    k: int = 4,
+) -> DataFrame:
+    """Distinct set-bit positions of a Bloom filter over ``keys``.
+
+    One generator (k rows per key) + one distinct — the result is ≤ m
+    rows whatever the build side's size, the fixed-size property that
+    makes the filter shippable to every task.
+    """
+    rows = keys.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    )
+    pos = (
+        md5_hash52(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("key")))
+        % m
+    )
+    return rows.select(pos.alias("pos")).distinct()
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 13,
+    k: int = 4,
+) -> str:
+    """Materialize the filter as an m/4-char lowercase hex string.
+
+    The collect is bounded by construction (≤ m position rows — the
+    whole point of a Bloom filter is that its size is fixed); hex char
+    j holds positions 4j..4j+3 with weight 2^(pos mod 4), so a probe
+    is one substring + one nibble AND — row-local, inside codegen.
+    This is Spark's own runtime-filter shape (a BloomFilterAggregate
+    build side shipped into a might_contain expression), expressed so
+    the DuckDB oracle can replay the identical membership semantics.
+    """
+    if m % 4:
+        raise ValueError(f"m must be a multiple of 4, got {m}")
+    nib = [0] * (m // 4)
+    for row in bloom_positions(keys, key_col, m, k).collect():
+        p = row["pos"]
+        nib[p // 4] |= 1 << (p % 4)
+    return "".join(format(v, "x") for v in nib)
+
+
+def bloom_might_contain(
+    key: Column, bitmap: str, m: int = 1 << 13, k: int = 4
+) -> Column:
+    """Row-local membership probe against a :func:`bloom_bitmap` string.
+
+    k fixed substring+nibble checks ANDed together — no join, no
+    shuffle, whole-stage-codegen friendly; false positives possible
+    (rate ≈ fill_fraction^k), false negatives impossible.
+    """
+    out = F.lit(True)
+    for i in range(k):
+        pos = md5_hash52(
+            F.concat(F.lit(f"{i}:"), key.cast("string"))
+        ) % m
+        nibble = F.conv(
+            F.substring(F.lit(bitmap), (pos / 4).cast("int") + 1, 1), 16, 10
+        ).cast("int")
+        pm = (pos % 4).cast("int")
+        bit = (
+            F.when(pm == 0, 1).when(pm == 1, 2).when(pm == 2, 4).otherwise(8)
+        )
+        out = out & (nibble.bitwiseAND(bit) != 0)
+    return out
+
+
+def bloom_membership_sql(
+    build_cte: str,
+    probe_key: str,
+    m: int = 1 << 13,
+    k: int = 4,
+) -> str:
+    """Membership predicate replay for the oracle: ``probe_key`` might be
+    in the filter iff ALL k of its positions appear in the build side's
+    distinct position set (CTE ``bpos`` emitted here; the caller embeds
+    ``build_cte`` — a single-column ``key`` relation — and correlates
+    with this predicate via the fixed probe-position CTE join)."""
+    h = "CAST('0x'||substr(md5(CAST(r.i AS VARCHAR)||':'||CAST({key} AS VARCHAR)),1,13) AS BIGINT)"
+    build_h = h.format(key="b.key")
+    return (
+        f"bkeys AS ({build_cte}), "
+        f"bpos AS (SELECT DISTINCT {build_h} % {m} AS pos "
+        f"FROM bkeys b CROSS JOIN (SELECT unnest(range({k})) AS i) r)"
+    )
+
+
 def countmin_sql(
     toks_cte: str,
     probe_values: list[str],

@@ -2805,7 +2805,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _q_dedup_clusters_sql(iterations: int = 3) -> str:
+def _cluster_label_ctes(iterations: int = 3) -> tuple[str, str]:
+    """CTE chain replaying dedup_clusters' k min-label-propagation rounds
+    over the MinHash-LSH candidate pairs; returns (ctes, final_table) so
+    callers (a70, q72) can compose further stages onto the labels."""
     steps = []
     prev = "l0"
     for i in range(1, iterations + 1):
@@ -2816,15 +2819,21 @@ def _q_dedup_clusters_sql(iterations: int = 3) -> str:
             f"JOIN {prev} l ON e.dst = l.node) GROUP BY node)"
         )
         prev = f"l{i}"
-    return f"""
-WITH cand AS ({_minhash_lsh_sql()}),
+    ctes = f"""cand AS ({_minhash_lsh_sql()}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM cand
   UNION ALL SELECT id_b AS src, id_a AS dst FROM cand
 ),
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-{", ".join(steps)}
-SELECT node AS doc_id, label AS cluster_id FROM {prev} ORDER BY doc_id
+{", ".join(steps)}"""
+    return ctes, prev
+
+
+def _q_dedup_clusters_sql(iterations: int = 3) -> str:
+    ctes, final = _cluster_label_ctes(iterations)
+    return f"""
+WITH {ctes}
+SELECT node AS doc_id, label AS cluster_id FROM {final} ORDER BY doc_id
 """
 
 
@@ -4444,6 +4453,125 @@ ORDER BY dsir_score DESC, doc_id LIMIT 40
 """
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the deterministic hash gate is
+    keyed on the near-dup CLUSTER id (sampling.leakage_safe_split), so a
+    duplicate cluster moves between splits as one unit — keying on doc_id
+    would put near-identical twins on both sides of the eval boundary.
+    Clustering cost is bounded by the near-dup subgraph; the split itself
+    is one row-local expression."""
+    from xml_to_parquet_spark.functions.dedup import minhash_lsh_candidates
+    from xml_to_parquet_spark.functions.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        docs, minhash_lsh_candidates(docs), iterations=3
+    ).orderBy("doc_id")
+
+
+def _q_leakage_split_sql(iterations: int = 3) -> str:
+    from xml_to_parquet_spark.functions.sampling import assign_split_sql
+
+    ctes, final = _cluster_label_ctes(iterations)
+    return f"""
+WITH {ctes},
+labeled AS (
+  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN {final} l ON d.doc_id = l.node
+)
+SELECT doc_id, cluster_id, {assign_split_sql("cluster_id")} AS split
+FROM labeled ORDER BY doc_id
+"""
+
+
+_BLOOM_M = 1024  # demo-sized so false positives are visible at sf0.01;
+_BLOOM_K = 2     # production sizes m for the target FP rate (fill^k)
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter join pruning — Spark's runtime-filter shape,
+    oracle-checked: build a fixed-size bitmap over BUILDING customers
+    (bounded ≤ m-row distinct + driver fold, sketches.bloom_bitmap), probe
+    every order with a row-local k-nibble expression (no join, no shuffle,
+    codegen), and compare against the exact semi-join per priority class.
+    false_pos = bloom_pass − exact_pass ≥ 0 (never negative: a Bloom
+    filter has no false negatives)."""
+    from xml_to_parquet_spark.functions.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bm = bloom_bitmap(build, "key", m=_BLOOM_M, k=_BLOOM_K)
+    probed = orders.withColumn(
+        "bloom_pass",
+        bloom_might_contain(F.col("o_custkey"), bm, m=_BLOOM_M, k=_BLOOM_K),
+    )
+    exact = build.select(
+        F.col("key").alias("o_custkey"), F.lit(1).alias("exact_hit")
+    )
+    joined = probed.join(exact, on="o_custkey", how="left")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("bloom_pass").cast("int")).alias("bloom_pass"),
+            F.sum(F.coalesce(F.col("exact_hit"), F.lit(0)))
+            .cast("long")
+            .alias("exact_pass"),
+        )
+        .withColumn("false_pos", F.col("bloom_pass") - F.col("exact_pass"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_bloom_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import bloom_membership_sql
+
+    m, k = _BLOOM_M, _BLOOM_K
+    build = (
+        "SELECT DISTINCT c_custkey AS key FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'"
+    )
+    bloom_ctes = bloom_membership_sql(build, "o_custkey", m=m, k=k)
+    h = (
+        "CAST('0x'||substr(md5(CAST(r.i AS VARCHAR)||':'||"
+        "CAST(p.key AS VARCHAR)),1,13) AS BIGINT)"
+    )
+    return f"""
+WITH {bloom_ctes},
+pkeys AS (SELECT DISTINCT o_custkey AS key FROM orders
+          WHERE o_custkey IS NOT NULL),
+ppos AS (SELECT p.key, {h} % {m} AS pos
+         FROM pkeys p CROSS JOIN (SELECT unnest(range({k})) AS i) r),
+pflag AS (SELECT key,
+                 CAST(MIN(CASE WHEN pos IN (SELECT pos FROM bpos)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS might
+          FROM ppos GROUP BY key)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(f.might) AS BIGINT) AS bloom_pass,
+       CAST(SUM(CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_pass,
+       CAST(SUM(f.might)
+            - SUM(CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS false_pos
+FROM orders o
+JOIN pflag f ON o.o_custkey = f.key
+LEFT JOIN bkeys b ON o.o_custkey = b.key
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_star_revenue": QuerySpec(
         q_star_revenue, _Q_STAR_REVENUE_SQL, "flagship 5-way star join + agg"
@@ -4958,6 +5086,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_dsir_select,
         _q_dsir_sql(),
         "DSIR importance selection (hashed-ngram integer LLR ranking)",
+    ),
+    "q72_leakage_split": QuerySpec(
+        q_leakage_split,
+        _q_leakage_split_sql(),
+        "leakage-safe split (near-dup clusters move between splits whole)",
+    ),
+    "q73_bloom_prune": QuerySpec(
+        q_bloom_prune,
+        _q_bloom_sql(),
+        "Bloom-filter join pruning (row-local probe vs exact semi-join)",
     ),
 }
 
