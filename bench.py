@@ -132,7 +132,7 @@ def main() -> None:
         "a67_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
         "a50_rare_gram_lm",
         # sketches / selection
-        "q69_hll_distinct", "q71_dsir_select",
+        "a31_hll_distinct", "q71_dsir_select",
         # streaming
         "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
         "a48_stream_publish",

@@ -1,0 +1,109 @@
+"""BM25 retrieval: ilog2 fixed-point pinning + independent score replay.
+
+Cross-engine oracle equality is covered by tools/verify_local.py
+(a33_bm25_topk); here the integer kernels are pinned against pure-Python
+references and the ranking properties that make the operator usable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions.retrieval import (
+    BM25_SCALE,
+    IDF_PRESHIFT,
+    bm25_topk,
+    ilog2_1024_py,
+    ilog2_1024_spark,
+)
+
+
+def test_ilog2_spark_matches_python_reference(spark):
+    xs = (
+        list(range(1, 300))
+        + [2**i for i in range(1, 53)]
+        + [2**i - 1 for i in range(2, 53)]
+        + [1234567, 987654321, (1 << 52) + 12345]
+    )
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    rows = df.select(
+        "v", F.expr(ilog2_1024_spark("v")).alias("l")
+    ).collect()
+    for r in rows:
+        assert r["l"] == ilog2_1024_py(r["v"]), r["v"]
+
+
+def test_ilog2_monotone_and_bounded_error():
+    prev = None
+    for x in range(1, 5000):
+        got = ilog2_1024_py(x)
+        if prev is not None:
+            assert got >= prev  # monotone (strict on distinct mantissas)
+        prev = got
+        err = abs(got / 1024 - math.log2(x))
+        assert err <= 0.09  # published linear-mantissa bound ~0.086 bits
+
+
+def _bm25_py(docs: dict[int, list[str]], terms: list[str], k: int):
+    """Independent integer replay of the documented arithmetic."""
+    dl = {d: len(t) for d, t in docs.items()}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) // n_docs
+    scores = {}
+    hits = {}
+    for term in terms:
+        tfs = {d: t.count(term) for d, t in docs.items() if term in t}
+        if not tfs:
+            continue
+        df = len(tfs)
+        ratio = ((2 * n_docs + 2) << IDF_PRESHIFT) // (2 * df + 1)
+        idf = ilog2_1024_py(ratio) - IDF_PRESHIFT * 1024
+        for d, tf in tfs.items():
+            tfn = (88 * tf * avgdl * BM25_SCALE) // (
+                40 * tf * avgdl + 12 * avgdl + 36 * dl[d]
+            )
+            scores[d] = scores.get(d, 0) + idf * tfn
+            hits[d] = hits.get(d, 0) + 1
+    order = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+    return [(d, scores[d], hits[d]) for d in order]
+
+
+def test_bm25_matches_independent_replay(spark):
+    corpus = {
+        1: "cat dog cat bird",
+        2: "cat cat cat cat dog dog",
+        3: "bird bird fish",
+        4: "dog",
+        5: "fish cat",
+        6: "lizard stone stone stone stone stone stone stone stone",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], ["doc_id", "text"]
+    )
+    terms = ["cat", "dog", "absent"]
+    got = [
+        (r["doc_id"], r["bm25_fp"], r["n_terms_hit"])
+        for r in bm25_topk(docs, terms, k=4).collect()
+    ]
+    want = _bm25_py(
+        {i: t.split() for i, t in corpus.items()}, terms, k=4
+    )
+    assert got == want
+    # rarer term ('dog' appears in fewer docs than 'cat') must out-idf;
+    # doc 4 is pure-dog and short, so it should beat the pure-cat doc 2
+    # on the per-term score despite lower tf when lengths equalize —
+    # sanity: every returned score is positive and ordered
+    assert all(s > 0 for _, s, _ in got)
+    assert [s for _, s, _ in got] == sorted(
+        (s for _, s, _ in got), reverse=True
+    )
+
+
+def test_bm25_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["hash", "join"]
+    a = bm25_topk(docs.repartition(1), terms, k=10).collect()
+    b = bm25_topk(docs.repartition(7, "lang"), terms, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -186,3 +186,16 @@ def test_scd2_apply_null_valued_open_row(spark):
         (1, "X", "2024-01-01", "None"),           # new open version
         (2, "None", "2020-01-01", "None"),        # untouched NULL row kept
     ]
+
+
+def test_skew_report_finds_hot_key_and_salt(spark):
+    from xml_to_parquet_spark.operators.scale import skew_report
+
+    rows = [("hot",)] * 1000 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_report(df, ["k"], target_rows_per_task=300, top_n=3).collect()
+    assert out[0]["k"] == "hot"
+    assert out[0]["cnt"] == 1000
+    assert out[0]["salt_factor"] == 4  # ceil(1000/300)
+    assert out[0]["share_ppm"] == 1000 * 1_000_000 // 1050
+    assert all(r["cnt"] == 1 and r["salt_factor"] == 1 for r in out[1:])

@@ -1,0 +1,133 @@
+"""Graph ranking: weighted PageRank in integer fixed point.
+
+The reference has no graph surface; in a web-corpus training pipeline a
+link-graph importance score (the published PageRank recipe, Brin & Page
+1998) is a standard quality-weighting signal next to the text-level
+gates. The engine already has the iterative-join machinery (connected
+components, functions/dedup.py:828); this is the same per-round shape —
+one equi-join + one groupBy — with rank mass instead of min-labels.
+
+Integer re-expression so the DuckDB oracle replays bit-identically:
+ranks live in ``scale`` fixed-point units; one power-iteration round is
+
+    rank'(v) = (15·scale) // (100·N)
+             + Σ_{u→v} (85 · rank(u) · w(u,v)) // (100 · W(u))
+
+with W(u) = Σ_w out-weights, damping 0.85 as the 85/100 rational, and
+every division a truncating integer div. Dangling-node mass is dropped
+(documented simplification, shared by many production implementations;
+ranks then sum to slightly under ``scale``). Fixed ``iterations`` rounds
+keep the oracle a finite CTE chain — the convergence-probe upgrade path
+is identical to dedup_clusters' checksum early-exit.
+
+Overflow contract: ``85 · rank · weight < 2^63`` ⇒ keep
+``scale · max_edge_weight ≲ 10^17`` (documented; at the default
+scale=10^9 edge weights up to ~10^8 transitions are safe).
+
+Scale shape: edges are built ONCE by the caller (for the catalog query:
+one lag-window over per-user event streams + a map-side-combined count
+groupBy — corpus-sized but single-pass); each round's join/groupBy
+touches only the aggregated EDGE table (≪ corpus) and the N-row rank
+table; per-round ``localCheckpoint`` cuts the exponentially-growing
+iterative lineage exactly as in dedup_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Weighted PageRank over an (src, dst, weight) edge table.
+
+    Returns (node, rank) in ``scale`` fixed-point units after
+    ``iterations`` power-iteration rounds from the uniform start
+    ``scale // N``. Deterministic, partitioning-invariant, and exactly
+    SQL-replayable (see module docstring for the round formula).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    e = edges.join(outw, on="src").localCheckpoint(eager=True)
+    # N and the per-round base stay IN the plan (1-row broadcast), so the
+    # operator needs no driver action and the oracle derives them the
+    # same way
+    nstats = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nstats))
+        .select("node", F.expr(f"div({scale}L, n_nodes)").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("div(85 * rank * weight, 100 * w_out)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                "node",
+                (
+                    F.expr(f"div(15 * {scale}L, 100 * n_nodes)")
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+) -> tuple[str, str]:
+    """Oracle twin: returns (ctes, final_rank_table). ``edges_cte`` must
+    select (src, dst, weight); compose the result into one WITH clause.
+    """
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst AS node FROM edges)",
+        "outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS w_out "
+        "FROM edges GROUP BY src)",
+        "nstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
+        f"r0 AS (SELECT node, {scale} // n_nodes AS rank "
+        "FROM nodes CROSS JOIN nstats)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(85 * r.rank * e.weight // (100 * o.w_out)) AS BIGINT) AS s
+  FROM edges e JOIN outw o USING (src) JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(15 * {scale} // (100 * t.n_nodes)
+              + COALESCE(c.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (node) CROSS JOIN nstats t
+)"""
+        )
+        prev = f"r{i}"
+    return ",\n".join(parts), prev

@@ -1,0 +1,192 @@
+"""BM25 full-text retrieval, integer-exact across engines.
+
+The reference has no retrieval surface; for a training-data pipeline,
+query-targeted selection ("pull the documents most relevant to this
+probe set") is a first-class operation — and the published BM25 ranking
+function (Robertson et al., Okapi; the Lucene idf variant
+``ln(1 + (N - df + 0.5)/(df + 0.5))``) is its standard form.
+
+Everything here is re-expressed in BIGINT fixed point so Spark and the
+DuckDB oracle produce bit-identical scores:
+
+- **log2 without floats**: ``ilog2_1024(x) = L*1024 + ((x*1024) >> L)
+  - 1024`` where L is the MSB index read off ``hex(x)`` (both engines
+  print uppercase hex with no leading zeros, verified) — the classic
+  linear-mantissa approximation, *strictly monotone*, max error 0.086
+  bits. Natural-vs-base-2 log only rescales every idf by the same
+  constant, which BM25's ranking is invariant to.
+- **idf**: ``ilog2_1024(((2N + 2) << 20) // (2df + 1)) - 20*1024`` —
+  the <<20 pre-scale keeps 10 true fractional bits through the integer
+  division; always positive (the Lucene variant never goes negative, so
+  no clamp branch to disagree on).
+- **tf normalization** (k1 = 1.2, b = 0.75): multiply through by
+  40·avgdl to clear the rationals:
+  ``tfn = (88·tf·avgdl·10^4) // (40·tf·avgdl + 12·avgdl + 36·dl)``.
+- ``score = Σ_terms idf_1024 · tfn`` — per-term product ≤ ~2^31, sums
+  far below 2^63.
+
+Scale shape: the only corpus-sized work is one token scan feeding (a)
+the per-doc length agg and (b) the tf agg *pre-filtered to the query
+terms* (an IN-list that pushes into the scan); the df/avgdl tables are
+query-sized / 1-row and broadcast. At production scale the dl and
+postings tables are published once (sinks/publish.py) and reused per
+query — the plan here is the index-free one-shot form of the same math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BM25_SCALE = 10_000  # tf-normalization fixed point
+IDF_PRESHIFT = 20  # fractional bits carried through the idf division
+
+
+def _msb_case(ch: str) -> str:
+    """Bits below the MSB within a single uppercase hex digit ``ch``
+    (SQL expr). Lexicographic compare is numeric for '1'-'9','A'-'F'."""
+    return (
+        f"CASE WHEN {ch} >= '8' THEN 3 WHEN {ch} >= '4' THEN 2 "
+        f"WHEN {ch} >= '2' THEN 1 ELSE 0 END"
+    )
+
+
+def ilog2_1024_spark(col: str) -> str:
+    """Spark-SQL expression: strictly monotone fixed-point log2 of a
+    POSITIVE bigint column ``col`` (values must stay < 2^53 so the
+    mantissa multiply cannot overflow)."""
+    L = (
+        f"((length(hex({col})) - 1) * 4 + "
+        f"{_msb_case(f'substring(hex({col}), 1, 1)')})"
+    )
+    return (
+        f"({L} * 1024 + shiftright({col} * 1024, cast({L} AS int)) - 1024)"
+    )
+
+
+def ilog2_1024_duck(col: str) -> str:
+    """DuckDB twin of :func:`ilog2_1024_spark` (>> in place of
+    shiftright; hex() agrees byte-for-byte, verified in-container)."""
+    L = (
+        f"((length(hex({col})) - 1) * 4 + "
+        f"{_msb_case(f'substr(hex({col}), 1, 1)')})"
+    )
+    return f"({L} * 1024 + (({col} * 1024) >> {L}) - 1024)"
+
+
+def ilog2_1024_py(x: int) -> int:
+    """Python reference for tests."""
+    if x <= 0:
+        raise ValueError("ilog2 of non-positive value")
+    L = x.bit_length() - 1
+    return L * 1024 + ((x * 1024) >> L) - 1024
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under integer BM25.
+
+    Returns (id, bm25_fp, n_terms_hit) ordered by (bm25_fp DESC, id) —
+    deterministic, partitioning-invariant, exactly replayable in SQL.
+    """
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    ).select(
+        "n_docs", F.expr("div(total_dl, n_docs)").alias("avgdl")
+    )
+    qtf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        qtf.join(F.broadcast(dft), on="token")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_ratio",
+            F.expr(
+                f"div((2 * n_docs + 2) * {1 << IDF_PRESHIFT}L, 2 * df + 1)"
+            ),
+        )
+        .withColumn(
+            "idf_1024",
+            F.expr(ilog2_1024_spark("idf_ratio"))
+            - F.lit(IDF_PRESHIFT * 1024),
+        )
+        .withColumn(
+            "tfn",
+            F.expr(
+                f"div(88 * tf * avgdl * {BM25_SCALE}L, "
+                f"40 * tf * avgdl + 12 * avgdl + 36 * dl)"
+            ),
+        )
+    )
+    scores = joined.groupBy(id_col).agg(
+        F.sum(F.col("idf_1024") * F.col("tfn")).alias("bm25_fp"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return scores.orderBy(F.col("bm25_fp").desc(), id_col).limit(k)
+
+
+def bm25_topk_sql(
+    terms: list[str],
+    norm_sql: str,
+    k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` (same integer arithmetic,
+    same tie-breaks)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split({norm_sql}, ' ')) AS token
+  FROM {table}
+),
+dl AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+  FROM dl
+),
+qtf AS (
+  SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({in_list}) GROUP BY 1, 2
+),
+dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+parts AS (
+  SELECT q.{id_col},
+         (2 * s.n_docs + 2) * {1 << IDF_PRESHIFT} // (2 * d.df + 1)
+             AS idf_ratio,
+         q.tf, l.dl, s.avgdl
+  FROM qtf q JOIN dft d USING (token)
+  JOIN dl l USING ({id_col}) CROSS JOIN stats s
+),
+scored AS (
+  SELECT {id_col},
+         ({ilog2_1024_duck("idf_ratio")} - {IDF_PRESHIFT * 1024})
+         * (88 * tf * avgdl * {BM25_SCALE}
+            // (40 * tf * avgdl + 12 * avgdl + 36 * dl)) AS term_score
+  FROM parts
+)
+SELECT {id_col},
+       CAST(SUM(term_score) AS BIGINT) AS bm25_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY {id_col}
+ORDER BY bm25_fp DESC, {id_col} LIMIT {k}
+"""

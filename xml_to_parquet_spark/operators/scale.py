@@ -288,3 +288,35 @@ def scd2_apply(
         .unionByName(new_versions)
         .unionByName(brand_new)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    target_rows_per_task: int = 1_000_000,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight shuffle-skew diagnosis: the top-N hottest keys with the
+    salt factor that would bound their per-task row count.
+
+    At 100 TB the difference between a 2-hour job and a dead one is a
+    single hot key; this report is the measurement that decides between
+    plain groupBy, :func:`salted_grouped_sum`, and AQE skew-join hints.
+    One map-side-combined count per key (the same shuffle the real agg
+    would do, minus the payload), a 1-row total broadcast back into the
+    plan, and a top-N — output is N rows whatever the input.
+
+    Columns: key cols, ``cnt``, ``share_ppm`` (integer parts-per-million
+    of all rows), ``salt_factor`` = ceil(cnt / target_rows_per_task) —
+    the ``n_salts`` that keeps every partial group under target.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_rows"))
+    t = target_rows_per_task
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share_ppm", F.expr("div(cnt * 1000000, total_rows)"))
+        .withColumn("salt_factor", F.expr(f"div(cnt + {t - 1}, {t})"))
+        .orderBy(F.col("cnt").desc(), *key_cols)
+        .limit(top_n)
+    )

@@ -4572,6 +4572,55 @@ ORDER BY o.o_orderpriority
 """
 
 
+_BM25_TERMS = ["hash", "join", "window", "stream"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (functions/retrieval.bm25_topk): top-20 documents
+    for a fixed bag-of-words query, scored in BIGINT fixed point — the
+    monotone hex-MSB ilog2 stands in for ln (ranking-invariant rescale),
+    k1/b rationals cleared by multiplying through by 40·avgdl. The only
+    corpus-sized work is one token scan (doc-length agg + IN-filtered
+    tf agg); df/avgdl broadcast."""
+    from xml_to_parquet_spark.functions.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def _q_bm25_sql() -> str:
+    from xml_to_parquet_spark.functions.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(_BM25_TERMS, _NORM_SQL, k=20)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew pre-flight (operators/scale.skew_report): hottest keys
+    + integer ppm share + the salt factor that bounds per-task rows. The
+    measurement that picks between plain groupBy, salted_grouped_sum, and
+    AQE skew hints — one counting shuffle, N-row output."""
+    from xml_to_parquet_spark.operators.scale import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(
+        ev, ["user_id"], target_rows_per_task=50, top_n=10
+    )
+
+
+_Q_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows FROM counts)
+SELECT user_id, cnt,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       cnt * 1000000 // total_rows AS share_ppm,
+       (cnt + 49) // 50 AS salt_factor
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, user_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_star_revenue": QuerySpec(
         q_star_revenue, _Q_STAR_REVENUE_SQL, "flagship 5-way star join + agg"
@@ -4836,7 +4885,7 @@ QUERIES: dict[str, QuerySpec] = {
         _simhash_blocked_sql(),
         "SimHash Hamming pairs via pigeonhole chunk blocking",
     ),
-    "a61_business_keys": QuerySpec(
+    "q76_business_keys": QuerySpec(
         q_business_keys,
         _Q_BUSINESS_KEYS_SQL,
         "S6 comment business keys attached per file (golden fixture)",
@@ -4931,7 +4980,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SESSION_WINDOW_SQL,
         "native session_window gap-merged sessions",
     ),
-    "a80_variant_json": QuerySpec(
+    "q77_variant_json": QuerySpec(
         q_variant_json,
         _Q_VARIANT_JSON_SQL,
         "VariantType JSON: parse once, typed binary field access",
@@ -5037,7 +5086,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_MULTIMODAL_RESIZE_SQL,
         "mapInPandas resize plumbing (aspect-fit, stand-in kernel)",
     ),
-    "a94_byte_features": QuerySpec(
+    "q78_byte_features": QuerySpec(
         q_byte_features,
         _Q_BYTE_FEATURES_SQL,
         "binary feature-extract (numpy byte statistics over Arrow batches)",
@@ -5072,7 +5121,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
     ),
-    "q69_hll_distinct": QuerySpec(
+    "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
         _q_hll_sql(),
         "HyperLogLog (64 registers, integer harmonic + linear counting)",
@@ -5087,7 +5136,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_dsir_sql(),
         "DSIR importance selection (hashed-ngram integer LLR ranking)",
     ),
-    "q72_leakage_split": QuerySpec(
+    "a32_leakage_split": QuerySpec(
         q_leakage_split,
         _q_leakage_split_sql(),
         "leakage-safe split (near-dup clusters move between splits whole)",
@@ -5096,6 +5145,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_bloom_prune,
         _q_bloom_sql(),
         "Bloom-filter join pruning (row-local probe vs exact semi-join)",
+    ),
+    "a33_bm25_topk": QuerySpec(
+        q_bm25_topk,
+        _q_bm25_sql(),
+        "BM25 top-k retrieval (integer fixed-point, hex-MSB ilog2)",
+    ),
+    "q75_skew_report": QuerySpec(
+        q_skew_report,
+        _Q_SKEW_SQL,
+        "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
     ),
 }
 
