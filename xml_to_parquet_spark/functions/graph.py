@@ -66,6 +66,10 @@ def pagerank(
     ranks = (
         nodes.crossJoin(F.broadcast(nstats))
         .select("node", F.expr(f"div({scale}L, n_nodes)").alias("rank"))
+        # rank tables are node-count-sized — tiny relative to the edge
+        # stream; coalesce keeps per-round task counts proportional to
+        # the data (the dedup_clusters hygiene)
+        .coalesce(8)
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
@@ -88,6 +92,7 @@ def pagerank(
                     + F.coalesce(F.col("s"), F.lit(0))
                 ).alias("rank"),
             )
+            .coalesce(8)
             .localCheckpoint(eager=True)
         )
     return ranks
@@ -108,7 +113,7 @@ def pagerank_sql(
         "outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS w_out "
         "FROM edges GROUP BY src)",
         "nstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
-        f"r0 AS (SELECT node, {scale} // n_nodes AS rank "
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) // n_nodes AS rank "
         "FROM nodes CROSS JOIN nstats)",
     ]
     prev = "r0"
@@ -124,7 +129,7 @@ def pagerank_sql(
         parts.append(
             f"""r{i} AS (
   SELECT n.node,
-         CAST(15 * {scale} // (100 * t.n_nodes)
+         CAST(15 * CAST({scale} AS BIGINT) // (100 * t.n_nodes)
               + COALESCE(c.s, 0) AS BIGINT) AS rank
   FROM nodes n LEFT JOIN c{i} c USING (node) CROSS JOIN nstats t
 )"""

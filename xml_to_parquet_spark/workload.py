@@ -4621,6 +4621,163 @@ ORDER BY cnt DESC, user_id LIMIT 10
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph
+    (functions/graph.pagerank): per-user lag-window edges → one
+    map-side-combined count agg (the only corpus-sized pass) → 3
+    integer power-iteration rounds, each an edge⋈rank join + groupBy
+    with per-round localCheckpoint. The web-corpus quality-weighting
+    shape (link-graph importance next to the text gates)."""
+    from pyspark.sql import Window
+
+    from xml_to_parquet_spark.functions.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    edges = trans.groupBy(
+        F.col("prev").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return pagerank(edges, iterations=3).orderBy(
+        F.col("rank").desc(), "node"
+    )
+
+
+def _q_pagerank_sql() -> str:
+    from xml_to_parquet_spark.functions.graph import pagerank_sql
+
+    edges = """SELECT prev AS src, event_type AS dst,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM (SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events) t
+WHERE prev IS NOT NULL GROUP BY 1, 2"""
+    ctes, final = pagerank_sql(edges, iterations=3)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT node, rank FROM {final} ORDER BY rank DESC, node"
+    )
+
+
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability, proven in the oracle: per-(lang, source)
+    sketches merged per lang (k smallest of the union of per-source
+    k-minima) give BIT-IDENTICAL estimates to a sketch built directly
+    on the whole group — the property that lets 1000 executors sketch
+    independently and combine at the driver. Output carries est_merged,
+    est_direct (equal by the identity), and the exact count."""
+    from xml_to_parquet_spark.functions.sketches import (
+        HASH52_MAX,
+        KMV_K,
+        md5_hash52,
+    )
+    from xml_to_parquet_spark.functions.text import norm_text
+    from xml_to_parquet_spark.operators.window import grouped_topk
+
+    k = KMV_K
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "lang",
+        "source",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("token"),
+    ).select("lang", "source", md5_hash52(F.col("token")).alias("h")).distinct()
+
+    def _est(n_col: str, kth_col: str) -> Column:
+        return F.when(F.col(n_col) < k, F.col(n_col)).otherwise(
+            F.expr(f"div({(k - 1) * HASH52_MAX}L, {kth_col})")
+        ).cast("long")
+
+    per_src = grouped_topk(
+        hashed, group_cols=["lang", "source"],
+        order_cols=[F.col("h").asc()], k=k,
+    ).select("lang", "h").distinct()
+    merged = (
+        grouped_topk(per_src, ["lang"], [F.col("h").asc()], k=k)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_m"), F.max("h").alias("kth_m"))
+    )
+    direct = (
+        grouped_topk(
+            hashed.select("lang", "h").distinct(),
+            ["lang"], [F.col("h").asc()], k=k,
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_d"), F.max("h").alias("kth_d"))
+    )
+    exact = (
+        hashed.select("lang", "h").distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return (
+        merged.join(direct, on="lang")
+        .join(exact, on="lang")
+        .select(
+            "lang",
+            _est("n_m", "kth_m").alias("est_merged"),
+            _est("n_d", "kth_d").alias("est_direct"),
+            "exact_distinct",
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_kmv_merge_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import HASH52_MAX, KMV_K
+
+    k = KMV_K
+    h = "CAST('0x'||substr(md5(token),1,13) AS BIGINT)"
+    est = (
+        "CAST(CASE WHEN {n} < %d THEN {n} ELSE %d // {kth} END AS BIGINT)"
+        % (k, (k - 1) * HASH52_MAX)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, source, unnest(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+hashed AS (SELECT DISTINCT lang, source, {h} AS h FROM toks),
+persrc AS (
+  SELECT lang, h,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h) AS rn
+  FROM hashed
+),
+unioned AS (SELECT DISTINCT lang, h FROM persrc WHERE rn <= {k}),
+mranked AS (
+  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM unioned
+),
+msk AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_m, MAX(h) AS kth_m
+  FROM mranked WHERE rn <= {k} GROUP BY lang
+),
+dall AS (SELECT DISTINCT lang, h FROM hashed),
+dranked AS (
+  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM dall
+),
+dsk AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_d, MAX(h) AS kth_d
+  FROM dranked WHERE rn <= {k} GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM dall GROUP BY lang
+)
+SELECT msk.lang,
+       {est.format(n="n_m", kth="kth_m")} AS est_merged,
+       {est.format(n="n_d", kth="kth_d")} AS est_direct,
+       exact_distinct
+FROM msk JOIN dsk ON msk.lang = dsk.lang JOIN exact ON msk.lang = exact.lang
+ORDER BY msk.lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_star_revenue": QuerySpec(
         q_star_revenue, _Q_STAR_REVENUE_SQL, "flagship 5-way star join + agg"
@@ -5155,6 +5312,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_skew_report,
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
+    ),
+    "q79_pagerank": QuerySpec(
+        q_pagerank,
+        _q_pagerank_sql(),
+        "weighted PageRank over event transitions (integer fixed point)",
+    ),
+    "q80_kmv_merge": QuerySpec(
+        q_kmv_merge,
+        _q_kmv_merge_sql(),
+        "KMV sketch merge == direct sketch (mergeability identity)",
     ),
 }
 
