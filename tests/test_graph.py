@@ -63,3 +63,19 @@ def test_pagerank_uniform_cycle_stays_uniform(spark):
     df = spark.createDataFrame(ring, ["src", "dst", "weight"])
     got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
     assert len(set(got.values())) == 1
+
+
+def test_pagerank_checkpoint_cadence_identical(spark):
+    edges = [
+        (f"n{i}", f"n{(i * 3 + 1) % 12}", (i % 4) + 1) for i in range(30)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    a = sorted(
+        tuple(r)
+        for r in pagerank(df, iterations=6, checkpoint_every=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pagerank(df, iterations=6, checkpoint_every=100).collect()
+    )
+    assert a == b

