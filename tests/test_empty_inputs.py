@@ -74,3 +74,41 @@ def test_empty_url_ops(spark):
     ).collect()[0]
     assert row.nu is None and row.d is None
     assert text.cap_per_domain(one, 1).count() == 1
+
+
+def test_empty_sketches_and_retrieval(spark):
+    from xml_to_parquet_spark.functions import graph, retrieval, sketches
+
+    toks = spark.createDataFrame([], "lang string, token string")
+    assert sketches.kmv_distinct(toks, "token", ["lang"]).count() == 0
+    assert sketches.hll_distinct(toks, "token", ["lang"]).count() == 0
+    bare = spark.createDataFrame([], "token string")
+    assert sketches.countmin_sketch(bare).count() == 0
+    # an empty build side is a valid (all-zero) Bloom filter: every
+    # probe must come back False, never error
+    bm = sketches.bloom_bitmap(
+        spark.createDataFrame([], "key string"), "key", m=256, k=2
+    )
+    assert set(bm) == {"0"}
+    probe = spark.createDataFrame([("x",)], ["key"])
+    row = probe.select(
+        sketches.bloom_might_contain(F.col("key"), bm, m=256, k=2).alias("h")
+    ).collect()[0]
+    assert row["h"] is False
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert retrieval.bm25_topk(docs, ["cat"], k=5).count() == 0
+
+    edges = spark.createDataFrame([], "src string, dst string, weight long")
+    assert graph.pagerank(edges, iterations=2).count() == 0
+
+
+def test_empty_leakage_split_and_dsir(spark):
+    from xml_to_parquet_spark.functions import sampling
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert sampling.leakage_safe_split(docs, pairs).count() == 0
+    assert (
+        sampling.dsir_scores(docs, target_pred=F.lit(True)).count() == 0
+    )
