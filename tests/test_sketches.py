@@ -310,3 +310,74 @@ def test_bloom_probe_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan  # row-local probe: no join, no shuffle
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantiles_error_bound_and_exact_columns(spark):
+    from xml_to_parquet_spark.functions.sketches import histogram_quantiles
+
+    import random
+
+    rng = random.Random(7)
+    rows = [("g", rng.randrange(1, 1_000_000)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = histogram_quantiles(df, "v", ["grp"], qs=[50, 90, 99]).collect()
+    assert len(out) == 1
+    r = out[0]
+    vals = sorted(v for _, v in rows)
+    for q in (50, 90, 99):
+        exact = vals[-(-len(vals) * q // 100) - 1]  # ceil position, 1-based
+        assert r[f"p{q}_exact"] == exact
+        est = r[f"p{q}_est"]
+        # lower bound within one 2^(1/16) bucket
+        assert est <= exact
+        assert exact <= est * 2 ** (1 / 16) * 1.0001
+
+
+def test_hist_quantiles_partition_invariant_and_mergeable(spark):
+    from xml_to_parquet_spark.functions.sketches import histogram_quantiles
+
+    rows = [(f"g{i % 3}", (i * 37) % 997 + 1) for i in range(900)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    a = sorted(
+        tuple(r)
+        for r in histogram_quantiles(df.repartition(1), "v", ["grp"]).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            df.repartition(7, "v"), "v", ["grp"]
+        ).collect()
+    )
+    assert a == b
+    # mergeability: bucket cells built on two halves and (sum, min)-merged
+    # equal the cells built on the whole — the groupBy IS the merge, so
+    # splitting the input any way yields identical sketches (checked via
+    # the identical estimates above and the cell algebra here)
+    from pyspark.sql import functions as F  # noqa: F811
+    from xml_to_parquet_spark.functions.retrieval import ilog2_1024_spark
+
+    half1 = spark.createDataFrame(rows[:450], ["grp", "v"])
+    half2 = spark.createDataFrame(rows[450:], ["grp", "v"])
+
+    def cells(d):
+        return (
+            d.withColumn("bucket", F.expr(f"{ilog2_1024_spark('v')} >> 6"))
+            .groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("v").alias("vmin"))
+        )
+
+    merged = (
+        cells(half1)
+        .unionByName(cells(half2))
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").alias("cnt"), F.min("vmin").alias("vmin"))
+    )
+    whole = cells(df)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )

@@ -363,6 +363,136 @@ def countmin_estimate(
     )
 
 
+HIST_FRAC_BITS = 4  # bucket width 2^(1/16): relative error ≤ 4.4%
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[int] = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable quantile sketch: dyadic log-bucket histogram, integer-
+    exact, completing the sketch family (distinct / frequency /
+    membership / **quantile**).
+
+    Bucket = ``ilog2_1024(v) >> 6`` (1/16-bit resolution); the sketch
+    state per group is (cnt, vmin) per OCCUPIED bucket — ≤ ~16·64 rows
+    for the full positive-bigint range, mergeable by (sum, min). The
+    q-th percentile estimate is the min value in the first bucket whose
+    cumulative count reaches ``ceil(n·q/100)`` — a LOWER bound of the
+    true quantile within one bucket width (≤ 2^(1/16)−1 ≈ 4.4 %
+    relative error). Exact quantiles (the same ceil-position
+    definition, computed from a per-group sort) ride along so the row
+    shows the error. Values must be ≥ 1 (log buckets).
+
+    Scale shape: the sketch build is ONE map-side-combined groupBy
+    (shuffle bytes ∝ groups × occupied buckets, corpus-independent);
+    the selection is a window + conditional min over that bounded
+    table. The exact columns are the sf-demo comparison only — at
+    100 TB you run the sketch INSTEAD of the sort, that's the point.
+    Everything (including the ceil) is integer compares
+    (``100·cum ≥ q·n``), bit-identical in both engines.
+    """
+    from pyspark.sql import Window
+
+    from xml_to_parquet_spark.functions.retrieval import ilog2_1024_spark
+
+    v = df.select(*group_cols, F.col(value_col).cast("long").alias("v"))
+    bucketed = v.withColumn(
+        "bucket", F.expr(f"{ilog2_1024_spark('v')} >> 6")
+    )
+    cells = bucketed.groupBy(*group_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("v").alias("vmin")
+    )
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c2 = cells.withColumn("cum", F.sum("cnt").over(w_ord)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    est_aggs = [
+        F.min(
+            F.when(100 * F.col("cum") >= q * F.col("n"), F.col("vmin"))
+        ).alias(f"p{q}_est")
+        for q in qs
+    ]
+    sk = c2.groupBy(*group_cols).agg(
+        F.max("n").cast("long").alias("n"), *est_aggs
+    )
+    # exact twin: value at the ceil position of the per-group sort —
+    # min(value | 100·rn ≥ q·n) picks exactly that row
+    w_rn = Window.partitionBy(*group_cols).orderBy("v")
+    ranked = v.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    exact_aggs = [
+        F.min(
+            F.when(100 * F.col("rn") >= q * F.col("n"), F.col("v"))
+        ).alias(f"p{q}_exact")
+        for q in qs
+    ]
+    exact = ranked.groupBy(*group_cols).agg(*exact_aggs)
+    return sk.join(exact, on=group_cols)
+
+
+def histogram_quantiles_sql(
+    table: str,
+    value_expr: str,
+    group_cols: list[str],
+    qs: list[int] = (50, 90, 99),
+) -> str:
+    """DuckDB oracle twin of :func:`histogram_quantiles`."""
+    from xml_to_parquet_spark.functions.retrieval import ilog2_1024_duck
+
+    g = ", ".join(group_cols)
+    est_cols = ", ".join(
+        f"MIN(CASE WHEN 100 * cum >= {q} * n THEN vmin END) AS p{q}_est"
+        for q in qs
+    )
+    exact_cols = ", ".join(
+        f"MIN(CASE WHEN 100 * rn >= {q} * n THEN v END) AS p{q}_exact"
+        for q in qs
+    )
+    return f"""
+WITH vals AS (
+  SELECT {g}, CAST({value_expr} AS BIGINT) AS v FROM {table}
+),
+bucketed AS (
+  SELECT {g}, v, {ilog2_1024_duck("v")} >> 6 AS bucket FROM vals
+),
+cells AS (
+  SELECT {g}, bucket, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(v) AS vmin
+  FROM bucketed GROUP BY {g}, bucket
+),
+c2 AS (
+  SELECT {g}, bucket, cnt, vmin,
+         SUM(cnt) OVER (PARTITION BY {g} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY {g}) AS n
+  FROM cells
+),
+sk AS (
+  SELECT {g}, CAST(MAX(n) AS BIGINT) AS n, {est_cols}
+  FROM c2 GROUP BY {g}
+),
+ranked AS (
+  SELECT {g}, v,
+         ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY {g}) AS n
+  FROM vals
+),
+exact AS (
+  SELECT {g}, {exact_cols} FROM ranked GROUP BY {g}
+)
+SELECT sk.*, {", ".join("exact.p%d_exact" % q for q in qs)}
+FROM sk JOIN exact USING ({g})
+"""
+
+
 def bloom_positions(
     keys: DataFrame,
     key_col: str,
