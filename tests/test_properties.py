@@ -538,3 +538,81 @@ def test_publish_sequences_match_model(spark, tmp_path_factory, ops):
             for r in read_published(spark, root, version=v).collect()
         )
         assert tv == versions[v - 1], f"version {v}"
+
+
+# --- r7 integer kernels -----------------------------------------------------
+
+
+@given(st.integers(1, (1 << 52) - 1))
+def test_ilog2_1024_reference_properties(x):
+    import math
+
+    from xml_to_parquet_spark.functions.retrieval import ilog2_1024_py
+
+    got = ilog2_1024_py(x)
+    # linear-mantissa bound
+    assert abs(got / 1024 - math.log2(x)) <= 0.09
+    # exact at powers of two
+    if x & (x - 1) == 0:
+        assert got == 1024 * (x.bit_length() - 1)
+
+
+@given(
+    st.lists(st.integers(1, (1 << 52) - 1), min_size=2, max_size=40)
+)
+def test_ilog2_1024_monotone_on_any_set(xs):
+    from xml_to_parquet_spark.functions.retrieval import ilog2_1024_py
+
+    xs = sorted(set(xs))
+    logs = [ilog2_1024_py(x) for x in xs]
+    assert logs == sorted(logs)
+
+
+@given(
+    st.lists(st.text("abcdef", min_size=1, max_size=8), max_size=30),
+    st.sampled_from([64, 256, 1024]),
+    st.integers(1, 4),
+)
+@settings(max_examples=25, suppress_health_check=[HealthCheck.too_slow])
+def test_bloom_nibble_bitmap_matches_position_set(keys, m, k):
+    import hashlib
+
+    ref = {
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:13], 16) % m
+        for key in keys
+        for i in range(k)
+    }
+    nib = [0] * (m // 4)
+    for p in ref:
+        nib[p // 4] |= 1 << (p % 4)
+    bitmap = "".join(format(v, "x") for v in nib)
+    # decode the bitmap back: exactly the reference set, nothing else
+    got = {
+        4 * j + b
+        for j, ch in enumerate(bitmap)
+        for b in range(4)
+        if int(ch, 16) & (1 << b)
+    }
+    assert got == ref
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6), st.integers(0, 6), st.integers(1, 100)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=30, suppress_health_check=[HealthCheck.too_slow])
+def test_pagerank_reference_conserves_bounded_mass(edge_list, iters):
+    """Rank stays positive and total mass never exceeds scale (damping
+    plus dropped dangling mass can only LOSE mass, never mint it)."""
+    from tests.test_graph import _pagerank_py
+
+    edges = [(f"v{a}", f"v{b}", w) for a, b, w in edge_list]
+    ranks = _pagerank_py(edges, iterations=iters)
+    assert all(r >= 0 for r in ranks.values())
+    assert sum(ranks.values()) <= 10**9
