@@ -381,3 +381,28 @@ def test_hist_quantiles_partition_invariant_and_mergeable(spark):
     assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in whole.collect()
     )
+
+
+def test_dsir_sampled_weights_rank_sensibly(spark, sf_dir):
+    from xml_to_parquet_spark.functions.sampling import dsir_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = F.col("source") == "src0"
+    full = dsir_scores(docs, pred).collect()
+    samp = dsir_scores(docs, pred, weight_sample_rate=0.5).collect()
+    # same docs scored, deterministic either way
+    assert {r["doc_id"] for r in full} == {r["doc_id"] for r in samp}
+    samp2 = dsir_scores(docs, pred, weight_sample_rate=0.5).collect()
+    assert sorted(map(tuple, samp)) == sorted(map(tuple, samp2))
+    # sampled weights preserve the broad ranking: the full-weight top
+    # decile stays well above the bottom decile under sampled weights
+    import statistics
+
+    full_rank = {r["doc_id"]: r["dsir_score"] for r in full}
+    k = max(5, len(full) // 10)
+    top = sorted(full_rank, key=full_rank.get, reverse=True)[:k]
+    bot = sorted(full_rank, key=full_rank.get)[:k]
+    samp_rank = {r["doc_id"]: r["dsir_score"] for r in samp}
+    assert statistics.mean(samp_rank[d] for d in top) > statistics.mean(
+        samp_rank[d] for d in bot
+    )

@@ -281,6 +281,7 @@ def dsir_scores(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     scale: int = 1_000_000,
+    weight_sample_rate: float = 1.0,
 ) -> DataFrame:
     """DSIR-style importance scores (Xie et al. 2023, public): rank raw
     documents by how target-like their hashed-n-gram profile is.
@@ -301,6 +302,16 @@ def dsir_scores(
     corpus-sized shuffle is the per-doc score groupBy. Overflow bound:
     score ≤ n_tokens(doc) · scale · (|target|+1) — far under 2^63 for
     any real scale/corpus pairing (documented contract).
+
+    ``weight_sample_rate`` is the 100 TB knob (and the published
+    method's own shape — DSIR fits its importance model on a sample):
+    with rate < 1 the weight table is estimated from a deterministic
+    md5-gate document sample (same hash gate as :func:`hash_sample`,
+    so the sample — and therefore the weights and the ranking — is
+    partitioning/engine-invariant and still exactly SQL-replayable),
+    cutting the weights pass from a full corpus scan to a sampled one;
+    scoring always reads every document once. Default 1.0 keeps the
+    exact-full-corpus weights the catalog oracle replays.
     """
     from xml_to_parquet_spark.functions.sketches import md5_hash52
     from xml_to_parquet_spark.functions.text import norm_text
@@ -310,7 +321,15 @@ def dsir_scores(
         target_pred.cast("int").alias("is_tgt"),
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token"),
     ).withColumn("bucket", md5_hash52(F.col("token")) % n_buckets)
-    buckets = toks.groupBy("bucket").agg(
+    weight_src = (
+        toks
+        if weight_sample_rate >= 1.0
+        else toks.filter(
+            sample_key(F.col(id_col), "dsirw")
+            < F.lit(hex_threshold(weight_sample_rate))
+        )
+    )
+    buckets = weight_src.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_cnt"),
         F.sum("is_tgt").alias("tgt_cnt"),
     )
