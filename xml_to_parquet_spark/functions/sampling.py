@@ -335,10 +335,17 @@ def dsir_scores(
     )
     w = F.expr(f"div((tgt_cnt + 1) * {scale}L, raw_cnt + 1)").alias("w")
     weights = buckets.select("bucket", w)
+    # Left join + Laplace-neutral fallback: with weight_sample_rate < 1 a
+    # bucket may never appear in the sampled weight table; its tokens must
+    # score the smoothed empty-bucket weight ((0+1)*scale)//(0+1) == scale,
+    # not vanish (an inner join would silently drop them — and drop any
+    # document whose every token lands in unseen buckets).
     return (
-        toks.join(F.broadcast(weights), on="bucket")
+        toks.join(F.broadcast(weights), on="bucket", how="left")
         .groupBy(id_col)
-        .agg(F.sum("w").alias("dsir_score"))
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(scale))).alias("dsir_score")
+        )
     )
 
 

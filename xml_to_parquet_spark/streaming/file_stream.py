@@ -128,19 +128,31 @@ def run_tws_append(
     Single-DATA-batch sources only: all input must land in batch 0, which
     the file source guarantees for one input file. The assumption is now
     ENFORCED, not just documented (r7 ADVICE fix): pass ``input_glob``
-    and the runner raises before starting if it matches more than one
-    file, instead of silently dropping later batches' data.
+    and the runner raises before starting unless it resolves to exactly
+    one DATA FILE — a directory match (e.g. a multi-part
+    ``events.parquet`` directory) is expanded to its data files first
+    (r8 ADVICE fix: a one-match glob over a many-part directory could
+    still be packed into several AvailableNow batches whose data the
+    batch-0 stop would drop).
+
+    Stop mechanism (r8): a ``StreamingQueryListener`` signals the first
+    data-carrying batch commit (progress events fire after the sink +
+    offset-log commit), so the harness is event-driven; the batch-0
+    sink-manifest poll is retained inside the same wait loop as a
+    fallback for environments where the py4j callback server is
+    unavailable.
     """
     import glob as globmod
+    import threading
     import time
 
     if input_glob is not None:
-        matches = globmod.glob(input_glob)
-        if len(matches) != 1:
+        files = _expand_data_files(globmod.glob(input_glob))
+        if len(files) != 1:
             raise ValueError(
                 f"{query_name}: run_tws_append needs exactly one input "
-                f"file (single-batch stop); {input_glob!r} matched "
-                f"{len(matches)}"
+                f"file (single-batch stop); {input_glob!r} resolved to "
+                f"{len(files)} data files"
             )
 
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -150,6 +162,13 @@ def run_tws_append(
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    committed = threading.Event()
+    listener = None
+    try:
+        listener = _first_data_batch_listener(committed)
+        spark.streams.addListener(listener)
+    except Exception:  # pragma: no cover - callback server unavailable
+        listener = None
     try:
         q = (
             stream_df.writeStream.format("parquet")
@@ -160,25 +179,86 @@ def run_tws_append(
             .trigger(availableNow=True)
             .start()
         )
+        if listener is not None:
+            listener.query_id = str(q.id)
         manifest = os.path.join(sink_dir, "_spark_metadata", "0")
         deadline = time.time() + 300
         while time.time() < deadline:
             if q.exception():
                 raise q.exception()
-            if os.path.exists(manifest):
+            # event-driven primary: the listener fires when the first
+            # data-carrying batch has fully committed (sink + offset log)
+            if committed.wait(timeout=0.2) or os.path.exists(manifest):
                 break
-            time.sleep(0.2)
         else:  # pragma: no cover - hang guard
             raise TimeoutError(f"{query_name}: no sink commit within 300s")
         q.stop()
         q.awaitTermination()
     finally:
+        if listener is not None:
+            try:
+                spark.streams.removeListener(listener)
+            except Exception:  # pragma: no cover
+                pass
         if state_partitions is not None:
             if prev is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
             else:
                 spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.read.schema(stream_df.schema).parquet(sink_dir)
+
+
+def _expand_data_files(matches: list[str]) -> list[str]:
+    """Expand glob matches into the DATA files the file stream source
+    would actually list: a directory match contributes every non-hidden
+    file under it (Spark's file index skips ``_``/``.`` prefixed names),
+    a file match contributes itself."""
+    files: list[str] = []
+    for m in matches:
+        if os.path.isdir(m):
+            for dirpath, dirnames, filenames in os.walk(m):
+                dirnames[:] = [
+                    d for d in dirnames if not d.startswith(("_", "."))
+                ]
+                files.extend(
+                    os.path.join(dirpath, f)
+                    for f in filenames
+                    if not f.startswith(("_", "."))
+                    and not f.endswith(".crc")
+                )
+        else:
+            files.append(m)
+    return files
+
+
+def _first_data_batch_listener(committed):
+    """Listener signalling the first data-carrying batch commit of the
+    query whose id is later assigned to ``.query_id`` (progress events
+    fire only after the batch — sink manifest included — has committed).
+    Built lazily so environments without the py4j callback server fail at
+    ``addListener`` time and the caller degrades to manifest polling."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _L(StreamingQueryListener):
+        query_id: str | None = None
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if self.query_id is not None and str(p.id) != self.query_id:
+                return
+            if p.numInputRows > 0:
+                committed.set()
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return _L()
 
 
 def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:

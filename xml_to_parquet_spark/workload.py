@@ -4122,6 +4122,8 @@ def q_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader that globbed version dirs instead of resolving the manifest)
     hash-mismatches. Closes the reference's unguarded in-place overwrite
     (parquet_writer.R:53-81)."""
+    import os as _os
+    import shutil as _shutil
     import tempfile
 
     from xml_to_parquet_spark.sinks.publish import (
@@ -4136,32 +4138,40 @@ def q_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 10 == 0)
         .select("l_orderkey", "l_returnflag", "l_quantity")
     )
-    root = tempfile.mkdtemp(prefix="a47_pub_")
-    publish_parquet(li.filter(F.col("l_quantity") >= 30), root)
-    publish_parquet(li.filter(F.col("l_quantity") >= 40), root)  # v2
-    poisoned = li.withColumn(
-        "l_quantity",
-        F.when(
-            F.col("l_orderkey") % 997 == 0,
-            F.raise_error(F.lit("simulated mid-write failure")),
-        ).otherwise(F.col("l_quantity")),
+    root = tempfile.mkdtemp(
+        prefix="a47_pub_",
+        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
     )
     try:
-        publish_parquet(poisoned, root)
-        raise AssertionError("poisoned publish must fail")
-    except AssertionError:
-        raise
-    except Exception:
-        pass  # the killed writer: pointer must still resolve v2
-    return (
-        read_published(spark, root)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        publish_parquet(li.filter(F.col("l_quantity") >= 30), root)
+        publish_parquet(li.filter(F.col("l_quantity") >= 40), root)  # v2
+        poisoned = li.withColumn(
+            "l_quantity",
+            F.when(
+                F.col("l_orderkey") % 997 == 0,
+                F.raise_error(F.lit("simulated mid-write failure")),
+            ).otherwise(F.col("l_quantity")),
         )
-        .orderBy("l_returnflag")
-    )
+        try:
+            publish_parquet(poisoned, root)
+            raise AssertionError("poisoned publish must fail")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # the killed writer: pointer must still resolve v2
+        out = (
+            read_published(spark, root)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            )
+            .orderBy("l_returnflag")
+        )
+        # the published root is ephemeral: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
 
 
 _Q_ATOMIC_PUBLISH_SQL = """
