@@ -12,6 +12,14 @@ if REPO not in sys.path:
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "posix_only: exercises POSIX commit-lock internals; skipped under "
+        "the object-store commit backend parametrization",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from xml_to_parquet_spark.session import get_spark

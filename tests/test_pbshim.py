@@ -179,6 +179,24 @@ def test_submessage_write_through_read_anchors():
     assert r.statefulProcessorCall.getValueState.stateName == "session"
 
 
+def test_stale_lazy_handle_cannot_overwrite_explicit_value():
+    """A lazy handle read out BEFORE an explicit submessage assignment
+    must not re-anchor on a later first-write and clobber the assigned
+    value (r8 ADVICE fix): real protobuf's read handle aliases the live
+    field, it never resurrects a replaced default instance."""
+    m = sm.StateRequest()
+    stale = m.statefulProcessorCall  # lazy handle, not yet anchored
+    explicit = type(m.statefulProcessorCall)()
+    explicit.getValueState.stateName = "explicit"
+    m.statefulProcessorCall = explicit
+    # first write through the stale pre-assignment handle: must NOT
+    # replace the explicitly-set submessage
+    stale.getValueState.stateName = "stale"
+    assert m.statefulProcessorCall.getValueState.stateName == "explicit"
+    r = _roundtrip(m, sm.StateRequest)
+    assert r.statefulProcessorCall.getValueState.stateName == "explicit"
+
+
 def test_submessage_read_only_stays_absent_on_wire():
     m = sm.StateRequest(version=3)
     _ = m.statefulProcessorCall.getValueState.stateName  # read, no write

@@ -305,7 +305,14 @@ class ShimMessage:
                 ):
                     self._values.pop(other.name, None)
         self._values[name] = value
-        object.__getattribute__(self, "_lazy_subs").pop(name, None)
+        # invalidate any outstanding lazy handle for this field (r8 ADVICE
+        # fix): a handle given out BEFORE this explicit assignment still
+        # carries its (parent, field) anchor, and a later first-write
+        # through it would re-anchor and silently overwrite the value just
+        # set — real protobuf aliases the live field, it never time-travels
+        popped = object.__getattribute__(self, "_lazy_subs").pop(name, None)
+        if popped is not None and popped is not value:
+            object.__setattr__(popped, "_anchor", None)
         self._anchor_into_parent()
 
     def __getattr__(self, name: str):

@@ -127,15 +127,19 @@ def parquet_metadata(spark: SparkSession, paths: dict[str, str]) -> DataFrame:
     import pyarrow.parquet as pq
 
     def _files(p: str) -> list[str]:
-        if os.path.isdir(p) and os.path.exists(
-            os.path.join(p, "_CURRENT")
-        ):
-            # a published table root: count only the COMMITTED version's
-            # files — walking the root would also count superseded
-            # versions and orphaned partial writes
+        # a published table root is recognized by its _versions layout —
+        # not by a _CURRENT file, which only the POSIX commit backend
+        # keeps on disk (the object-store backend holds the pointer as a
+        # store object)
+        m = None
+        if os.path.isdir(p) and os.path.isdir(os.path.join(p, "_versions")):
             from xml_to_parquet_spark.sinks.publish import current_manifest
 
             m = current_manifest(p)
+        if m is not None:
+            # count only the COMMITTED version's files — walking the root
+            # would also count superseded versions and orphaned partial
+            # writes
             return [
                 os.path.join(dp, f)
                 for d in m["data_dirs"]
