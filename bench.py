@@ -128,11 +128,11 @@ def main() -> None:
     headline = [
         # relational core / star
         "q01_star_revenue", "q02_grouped_multi_agg", "q35_sql_frontend",
-        "q42_percentile", "a87_grouping_sets",
+        "q42_percentile", "q91_grouping_sets",
         # dedup family
         "q20_dedup_exact", "a40_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
         "a60_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
-        "a75_dedup_apply", "a85_fuzzy_pairs", "a89_fuzzy_qgram",
+        "a75_dedup_apply", "q90_fuzzy_pairs", "q92_fuzzy_qgram",
         "a42_substring_dedup", "a49_semantic_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
@@ -142,12 +142,12 @@ def main() -> None:
         "a67_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
         "a50_rare_gram_lm",
         # sketches / selection
-        "a31_hll_distinct", "q71_dsir_select",
+        "a31_hll_distinct", "a25_dsir_select",
         # streaming
         "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
         "a48_stream_publish",
         # scale ops
-        "a82_zorder_key", "a84_scd2", "q50_salted_agg",
+        "q87_zorder_key", "q89_scd2", "q50_salted_agg",
         # multimodal / scoring
         "a92_multimodal_decode", "a93_multimodal_resize", "a91_batch_score",
         "a45_netpbm_real",

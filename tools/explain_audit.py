@@ -44,7 +44,7 @@ PRUNING = {
     "q65_grouped_topk": ("documents", 3),
     "a67_repetition_features": ("documents", 2),
     "a73_dedup_incremental": ("documents", 2),
-    "a74_assign_split": ("documents", 1),
+    "q86_assign_split": ("documents", 1),
     # URL ops build from (doc_id, source) only — the wide text column
     # must never reach the scan
     "a97_url_normalize": ("documents", 2),
@@ -54,8 +54,8 @@ PRUNING = {
 REQUIRED_NODES = {
     "q65_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
     "a98_domain_cap": "WindowGroupLimit",  # cap ≤ k rows/domain/map task
-    "a58_tfidf_terms": "WindowGroupLimit",
-    "a55_contamination": "BroadcastHashJoin",  # eval shingles broadcast
+    "q83_tfidf_terms": "WindowGroupLimit",
+    "q82_contamination": "BroadcastHashJoin",  # eval shingles broadcast
     # tiled all-pairs gemm runs as grouped pandas — NOT a driver collect
     "q25_dedup_embedding": "FlatMapGroupsInPandas",
     # r6: ADC candidates come from a broadcast equi-join on cell id
@@ -67,8 +67,8 @@ FORBIDDEN_NODES = {
     # the corpus flows through the driver again (VERDICT r1 finding #2)
     "q25_dedup_embedding": "CollectLimit",
     # blocked pair searches must never plan an all-pairs cross product
-    "a85_fuzzy_pairs": "CartesianProduct",
-    "a89_fuzzy_qgram": "CartesianProduct",
+    "q90_fuzzy_pairs": "CartesianProduct",
+    "q92_fuzzy_qgram": "CartesianProduct",
     "a60_simhash_blocked": "CartesianProduct",
     # r6: repeated-k-gram spans must join postings↔repeated-hash set on
     # the gram hash, never cross-product; ADC must never go all-pairs

@@ -60,7 +60,7 @@ RUNGS = {
         [
             "a81_pq_codes",
             "a77_dedup_clusters_star",
-            "a85_fuzzy_pairs",
+            "q90_fuzzy_pairs",
             "a60_simhash_blocked",
             "a40_dedup_ngram_jaccard",
             "a75_dedup_apply",

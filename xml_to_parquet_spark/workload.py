@@ -5041,7 +5041,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_GROUPED_TOPK_SQL,
         "per-group top-k via WindowGroupLimit rank filter",
     ),
-    "a55_contamination": QuerySpec(
+    "q82_contamination": QuerySpec(
         q_contamination,
         _contamination_sql(),
         "benchmark contamination scan (broadcast eval shingles)",
@@ -5058,7 +5058,7 @@ QUERIES: dict[str, QuerySpec] = {
         _mixture_sql(),
         "weighted source mixture with deterministic shuffle order",
     ),
-    "a58_tfidf_terms": QuerySpec(
+    "q83_tfidf_terms": QuerySpec(
         q_tfidf_terms,
         _Q_TFIDF_SQL,
         "top distinctive terms per doc (integer tf/df ranking)",
@@ -5122,7 +5122,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_quality_gate_sql(),
         "composite quality gate with named drop reasons",
     ),
-    "a69_pack_sequences": QuerySpec(
+    "q84_pack_sequences": QuerySpec(
         q_pack_sequences,
         _Q_PACK_SEQUENCES_SQL,
         "concat-and-chunk sequence packing planner (sharded windows)",
@@ -5137,7 +5137,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_sql(),
         "Lloyd k-means cell assignment in exact integer arithmetic",
     ),
-    "a72_scrub_pii": QuerySpec(
+    "q85_scrub_pii": QuerySpec(
         q_scrub_pii,
         _Q_SCRUB_PII_SQL,
         "PII scrubbing with typed placeholders (golden fixture)",
@@ -5147,7 +5147,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_DEDUP_INCREMENTAL_SQL,
         "incremental dedup against an existing corpus (anti-join)",
     ),
-    "a74_assign_split": QuerySpec(
+    "q86_assign_split": QuerySpec(
         q_assign_split,
         _q_assign_split_sql(),
         "deterministic train/val/test split assignment",
@@ -5187,18 +5187,18 @@ QUERIES: dict[str, QuerySpec] = {
         _q_pq_codes_sql(),
         "product-quantization codes (per-subspace integer kmeans)",
     ),
-    "a82_zorder_key": QuerySpec(
+    "q87_zorder_key": QuerySpec(
         q_zorder_key,
         _q_zorder_key_sql(),
         "Morton Z-order keys for multi-column file skipping",
     ),
-    "a83_upsert": QuerySpec(
+    "q88_upsert": QuerySpec(
         q_upsert, _Q_UPSERT_SQL, "keyed MERGE-style upsert"
     ),
-    "a84_scd2": QuerySpec(
+    "q89_scd2": QuerySpec(
         q_scd2, _Q_SCD2_SQL, "SCD Type 2 dimension history maintenance"
     ),
-    "a85_fuzzy_pairs": QuerySpec(
+    "q90_fuzzy_pairs": QuerySpec(
         q_fuzzy_pairs,
         _Q_FUZZY_PAIRS_SQL,
         "length-blocked levenshtein fuzzy matching",
@@ -5232,22 +5232,22 @@ QUERIES: dict[str, QuerySpec] = {
         _q_semantic_dedup_sql(),
         "semantic dedup: k-means cells + in-cell exact-cosine keep-min-id",
     ),
-    "q62_html_extract": QuerySpec(
+    "a20_html_extract": QuerySpec(
         q_html_extract,
         _q_html_extract_sql(),
         "HTML→text curation: element drops, entity decode, title extract",
     ),
-    "q63_line_clean": QuerySpec(
+    "a21_line_clean": QuerySpec(
         q_line_clean,
         _q_line_clean_sql(),
         "line-level curation: min-word filter + within-doc line dedup",
     ),
-    "q64_mojibake": QuerySpec(
+    "a22_mojibake": QuerySpec(
         q_mojibake,
         _q_mojibake_sql(),
         "encoding QA: mojibake detection + literal repair",
     ),
-    "a87_grouping_sets": QuerySpec(
+    "q91_grouping_sets": QuerySpec(
         q_grouping_sets,
         _Q_GROUPING_SETS_SQL,
         "explicit GROUPING SETS with grouping_id",
@@ -5257,7 +5257,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_NULL_BATTERY_SQL,
         "null-handling battery (coalesce/nullif/greatest/null-safe eq)",
     ),
-    "a89_fuzzy_qgram": QuerySpec(
+    "q92_fuzzy_qgram": QuerySpec(
         q_fuzzy_qgram,
         _Q_FUZZY_QGRAM_SQL,
         "q-gram prefix-filtered levenshtein fuzzy matching (general path)",
@@ -5313,7 +5313,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r7 sketch family: mergeable fixed-size summaries (KMV / HLL /
     # count-min) + DSIR importance selection — all pure-BIGINT estimates.
-    "q68_kmv_distinct": QuerySpec(
+    "a23_kmv_distinct": QuerySpec(
         q_kmv_distinct,
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
@@ -5323,12 +5323,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_hll_sql(),
         "HyperLogLog (64 registers, integer harmonic + linear counting)",
     ),
-    "q70_countmin": QuerySpec(
+    "a24_countmin": QuerySpec(
         q_countmin,
         _q_countmin_sql(),
         "count-min sketch point estimates vs true counts (3x1024 cells)",
     ),
-    "q71_dsir_select": QuerySpec(
+    "a25_dsir_select": QuerySpec(
         q_dsir_select,
         _q_dsir_sql(),
         "DSIR importance selection (hashed-ngram integer LLR ranking)",
@@ -5338,7 +5338,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_leakage_split_sql(),
         "leakage-safe split (near-dup clusters move between splits whole)",
     ),
-    "q73_bloom_prune": QuerySpec(
+    "a26_bloom_prune": QuerySpec(
         q_bloom_prune,
         _q_bloom_sql(),
         "Bloom-filter join pruning (row-local probe vs exact semi-join)",
@@ -5348,22 +5348,22 @@ QUERIES: dict[str, QuerySpec] = {
         _q_bm25_sql(),
         "BM25 top-k retrieval (integer fixed-point, hex-MSB ilog2)",
     ),
-    "q75_skew_report": QuerySpec(
+    "a27_skew_report": QuerySpec(
         q_skew_report,
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
     ),
-    "q79_pagerank": QuerySpec(
+    "a28_pagerank": QuerySpec(
         q_pagerank,
         _q_pagerank_sql(),
         "weighted PageRank over event transitions (integer fixed point)",
     ),
-    "q80_kmv_merge": QuerySpec(
+    "a29_kmv_merge": QuerySpec(
         q_kmv_merge,
         _q_kmv_merge_sql(),
         "KMV sketch merge == direct sketch (mergeability identity)",
     ),
-    "q81_hist_quantiles": QuerySpec(
+    "a30_hist_quantiles": QuerySpec(
         q_hist_quantiles,
         _q_hist_quantiles_sql(),
         "mergeable log-bucket quantile sketch (est vs exact, <=4.4% err)",
