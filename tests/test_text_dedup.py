@@ -837,6 +837,48 @@ def test_clean_lines_min_words_and_first_occurrence_dedup(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_clean_lines_exploded_equals_hof(spark, sf_dir):
+    """The codegen (posexplode + min-pos dedup) twin must equal the HOF
+    column version field-for-field — including NULL text staying NULL and
+    fully-filtered docs becoming '' (r8, VERDICT r7 #3)."""
+    from xml_to_parquet_spark.functions.text import (
+        clean_lines,
+        clean_lines_exploded,
+    )
+
+    # ids far above the testdata range: clean_lines_exploded groups by
+    # doc_id, so the id column must be unique (contract in its docstring)
+    fixtures = spark.createDataFrame(
+        [
+            (9_000_000, "a b c\nMenu\na b c\nd e f g"),
+            (9_000_001, "x  y   z\nx y z\nlong enough line"),
+            (9_000_002, "one\ntwo words\n"),
+            (9_000_003, "just three words"),
+            (9_000_004, None),
+            (9_000_005, ""),
+            (9_000_006, " \t \n  \n"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(fixtures)
+    )
+    hof = docs.select(
+        "doc_id", clean_lines(F.col("text"), min_words=3).alias("cleaned")
+    )
+    exploded = clean_lines_exploded(docs, min_words=3).select(
+        "doc_id", "cleaned"
+    )
+    a = {r["doc_id"]: r["cleaned"] for r in hof.collect()}
+    b = {r["doc_id"]: r["cleaned"] for r in exploded.collect()}
+    assert a == b
+    # plan sanity: no interpreted array HOFs in the exploded variant
+    plan = exploded._jdf.queryExecution().executedPlan().toString()
+    assert "transform(" not in plan and "filter(lambda" not in plan
+
+
 def test_mojibake_detect_and_repair(spark):
     """Detection counts only artifact pairs; repair restores the intended
     characters, is idempotent on clean text, and never touches legitimate
