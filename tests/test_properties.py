@@ -413,11 +413,13 @@ def test_dtd_subset_accepts_conforming_rejects_broken(data):
 # ---------------------------------------------------------------------------
 
 # labels chosen so random joins frequently form real multi-label public
-# suffixes ("co.uk", "ac.jp", "com.br"), lookalikes ("xco.uk"), and
-# plain unknown TLDs
+# suffixes ("co.uk", "ac.jp", "com.br"), lookalikes ("xco.uk"), plain
+# unknown TLDs, and — r8, full-PSL — wildcard zones (*.ck,
+# *.kawasaki.jp) and exception names (!www.ck, !city.kawasaki.jp)
 _HOST_LABELS = st.sampled_from(
     ["example", "shop", "www", "a", "b1", "xco", "co", "uk", "com",
-     "ac", "jp", "br", "gov", "edu", "io", "sub"]
+     "ac", "jp", "br", "gov", "edu", "io", "sub", "ck", "kawasaki",
+     "city", "github"]
 )
 _hosts = st.lists(
     st.lists(_HOST_LABELS, min_size=1, max_size=6).map(".".join),
@@ -427,18 +429,32 @@ _hosts = st.lists(
 
 
 def _py_registrable(host: str) -> str | None:
-    """Independent longest-suffix-first PSL-subset reference."""
-    from xml_to_parquet_spark.functions.text import PUBLIC_SUFFIX_MULTI
+    """Independent full-PSL reference: the publicsuffix.org algorithm
+    (exception rules beat everything, then longest matching rule where a
+    wildcard base of s-1 labels means a suffix of s labels, then the
+    default rule) over the SAME parsed rule tables the operator loads —
+    but walked with plain Python string ops, no Spark, no SQL."""
+    from xml_to_parquet_spark.functions.text import _load_psl
 
-    host = host.lower()
-    if host.startswith("www."):  # extract_domain strips one leading www.
-        host = host[4:]
-    labels = host.split(".")
-    if len(labels) >= 3 and ".".join(labels[-3:]) in PUBLIC_SUFFIX_MULTI:
-        return ".".join(labels[-4:]) if len(labels) >= 4 else None
-    if len(labels) >= 2 and ".".join(labels[-2:]) in PUBLIC_SUFFIX_MULTI:
-        return ".".join(labels[-3:]) if len(labels) >= 3 else None
-    return ".".join(labels[-2:]) if len(labels) >= 2 else None
+    rules = _load_psl()
+    labels = host.lower().split(".")
+
+    def tail(n: int) -> str:
+        return ".".join(labels[-n:])
+
+    for k in sorted(rules.exc, reverse=True):
+        if len(labels) >= k and tail(k) in rules.exc[k]:
+            return tail(k)
+    for s in range(rules.max_suffix, 1, -1):
+        exact_hit = len(labels) >= s and tail(s) in rules.exact.get(s, ())
+        wild_hit = (
+            len(labels) >= s
+            and (s - 1) in rules.wild
+            and tail(s - 1) in rules.wild[s - 1]
+        )
+        if exact_hit or wild_hit:
+            return tail(s + 1) if len(labels) >= s + 1 else None
+    return tail(2) if len(labels) >= 2 else None
 
 
 @settings(
@@ -448,7 +464,9 @@ def _py_registrable(host: str) -> str | None:
 )
 @given(_hosts)
 @example(["co.uk", "example.co.uk", "a.example.co.uk", "xco.uk",
-          "www.example.com", "localhost"])
+          "www.example.com", "localhost", "www.ck", "a.www.ck", "b.ck",
+          "a.b.ck", "city.kawasaki.jp", "x.city.kawasaki.jp",
+          "y.kawasaki.jp", "x.y.kawasaki.jp", "user.github.io"])
 def test_registrable_domain_matches_psl_reference(spark, hosts):
     from pyspark.sql import functions as F
 

@@ -638,6 +638,49 @@ def test_registrable_domain_psl_subset(spark):
         assert got[i] == want, (cases[i][0], got[i], want)
 
 
+def test_registrable_domain_full_psl_wildcard_exception_private(spark):
+    """Full-PSL semantics (r8, VERDICT r7 #4): wildcard rules (*.ck,
+    *.kawasaki.jp) make every single label under them a public suffix;
+    exception rules (!www.ck, !city.kawasaki.jp) beat the wildcard and
+    ARE the registrable domain; private-section rules (github.io,
+    amazonaws.com S3 zones) count as suffixes for capping purposes; and
+    the raw host is walked (www is an ordinary label — required for
+    !www.ck to ever match)."""
+    from xml_to_parquet_spark.functions.text import (
+        _load_psl,
+        registrable_domain,
+    )
+
+    assert _load_psl().source is not None  # the real list, not the subset
+    cases = [
+        ("https://foo.ck/", None),  # *.ck -> foo.ck IS a public suffix
+        ("https://bar.foo.ck/", "bar.foo.ck"),
+        ("https://www.ck/", "www.ck"),  # exception beats wildcard
+        ("https://sub.www.ck/", "www.ck"),
+        ("https://city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("https://x.city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("https://deep.kawasaki.jp/", None),  # wildcard suffix itself
+        ("https://a.deep.kawasaki.jp/", "a.deep.kawasaki.jp"),
+        ("https://user.github.io/repo", "user.github.io"),  # private
+        ("https://x.user.github.io/", "user.github.io"),
+        (
+            "https://b.s3.dualstack.ap-northeast-1.amazonaws.com/",
+            "b.s3.dualstack.ap-northeast-1.amazonaws.com",  # 5-label rule
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.dom
+        for r in df.select(
+            "i", registrable_domain(F.col("url")).alias("dom")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
 def test_cap_per_domain_collapses_subdomains(spark):
     """One 'SEO farm' spreading across subdomains of a multi-label-suffix
     site must still hit the cap as ONE domain."""

@@ -3973,20 +3973,33 @@ def _messy_url_col() -> "F.Column":
     trailing slash; MID-query tracking param between two real params
     [the ADVICE r5 separator case]; http with :443 — a NON-default port
     for that scheme, which must survive [the ADVICE r5 pairing case]).
-    Hosts cycle on doc_id % 3 across suffix shapes (r7, VERDICT r6 #8):
-    plain .example.com; an EXTRA-subdomain multi-label-suffix host
-    sub.<source>.example.co.uk; and <source>.example.co.uk — the last
-    two share the registrable domain example.co.uk, so per-domain
-    grouping must collapse them while host grouping would not."""
+    Hosts cycle on doc_id % 6 across suffix shapes (r7 VERDICT r6 #8;
+    r8 adds the wildcard/exception rows VERDICT r7 #4 asked for):
+    0 plain <source>.example.com; 1 sub.<source>.example.co.uk and
+    2 <source>.example.co.uk — these two share the registrable domain
+    example.co.uk, so per-domain grouping must collapse them while host
+    grouping would not; 3 pg<doc_id%7>.quarry.ck — the PSL WILDCARD rule
+    ``*.ck`` makes quarry.ck itself a public suffix, so the registrable
+    domain keeps all three labels; 4 www.ck — the EXCEPTION rule
+    ``!www.ck`` beats the wildcard and makes www.ck its own registrable
+    domain; 5 svc.city.kawasaki.jp — ``!city.kawasaki.jp`` inside the
+    ``*.kawasaki.jp`` wildcard zone."""
     d = F.col("doc_id").cast("string")
-    host = F.concat(
-        F.when(F.col("doc_id") % 3 == 1, F.lit("sub.")).otherwise(
-            F.lit("")
-        ),
-        F.col("source"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com")).otherwise(
-            F.lit(".example.co.uk")
-        ),
+    six = F.col("doc_id") % 6
+    host = (
+        F.when(six == 3, F.concat(
+            F.lit("pg"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".quarry.ck"),
+        ))
+        .when(six == 4, F.lit("www.ck"))
+        .when(six == 5, F.lit("svc.city.kawasaki.jp"))
+        .otherwise(F.concat(
+            F.when(six == 1, F.lit("sub.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.when(six == 0, F.lit(".example.com")).otherwise(
+                F.lit(".example.co.uk")
+            ),
+        ))
     )
     return (
         F.when(
@@ -4029,9 +4042,13 @@ def _messy_url_col() -> "F.Column":
 
 
 _URL_FIXTURE_HOST_SQL = (
-    "((CASE WHEN doc_id % 3 = 1 THEN 'sub.' ELSE '' END) || source || "
-    "(CASE WHEN doc_id % 3 = 0 THEN '.example.com' "
-    "ELSE '.example.co.uk' END))"
+    "(CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 3 THEN 'pg' || (doc_id % 7) || '.quarry.ck' "
+    "WHEN 4 THEN 'www.ck' "
+    "WHEN 5 THEN 'svc.city.kawasaki.jp' "
+    "ELSE ((CASE WHEN doc_id % 6 = 1 THEN 'sub.' ELSE '' END) || source || "
+    "(CASE WHEN doc_id % 6 = 0 THEN '.example.com' "
+    "ELSE '.example.co.uk' END)) END)"
 )
 
 _URL_CASE_SQL = f"""CASE CAST(doc_id % 4 AS INT)
@@ -4100,24 +4117,13 @@ FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start
 
 
 def _registrable_sql(host_expr: str = "host") -> str:
-    """DuckDB replay of text.registrable_domain over a host column: the
-    same three anchored last-k-label extracts + longest-first suffix
-    membership, generated from the SAME Python constants the Spark
-    expression uses."""
-    from xml_to_parquet_spark.functions.text import _LAST, _SUF2, _SUF3
+    """DuckDB replay of text.registrable_domain over a host column,
+    generated from the SAME parsed full-PSL tables the Spark expression
+    probes (r8: real Public Suffix List incl. wildcard/exception rules —
+    see text.registrable_domain_sql)."""
+    from xml_to_parquet_spark.functions.text import registrable_domain_sql
 
-    def last(k: int) -> str:
-        return (
-            f"nullif(regexp_extract({host_expr}, '{_LAST[k]}', 1), '')"
-        )
-
-    s2 = ", ".join(f"'{s}'" for s in _SUF2)
-    s3 = ", ".join(f"'{s}'" for s in _SUF3)
-    return (
-        f"(CASE WHEN {last(3)} IN ({s3}) THEN {last(4)} "
-        f"WHEN {last(2)} IN ({s2}) THEN {last(3)} "
-        f"ELSE {last(2)} END)"
-    )
+    return registrable_domain_sql(host_expr)
 
 
 def q_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4198,24 +4204,30 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.normalize_url/registrable_domain): scheme+host case-folded,
     www. and default ports dropped, fragment and tracking params
     stripped, trailing slash trimmed, path case preserved; host AND
-    registrable domain (PSL-subset eTLD+1, r7) extracted. Every step is
-    a regexp with identical semantics in both engines, so the oracle
-    replays the chain string-for-string."""
+    registrable domain (FULL-PSL eTLD+1 incl. wildcard/exception rules,
+    r8 — computed via the broadcast rules-table lookup, the scale path)
+    extracted. Every step is a regexp with identical semantics in both
+    engines, so the oracle replays the chain string-for-string; the
+    domain ladder SQL is GENERATED from the same parsed PSL tables."""
     from xml_to_parquet_spark.functions.text import (
         extract_domain,
         normalize_url,
-        registrable_domain,
+        with_registrable_domain,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _messy_url_col().alias("url")
     )
-    return docs.select(
-        "doc_id",
-        normalize_url(F.col("url")).alias("url_norm"),
-        extract_domain(F.col("url")).alias("host"),
-        registrable_domain(F.col("url")).alias("domain"),
-    ).orderBy("doc_id")
+    return (
+        with_registrable_domain(docs, url_col="url", out_col="domain")
+        .select(
+            "doc_id",
+            normalize_url(F.col("url")).alias("url_norm"),
+            extract_domain(F.col("url")).alias("host"),
+            "domain",
+        )
+        .orderBy("doc_id")
+    )
 
 
 _Q_URL_NORMALIZE_SQL = f"""
@@ -4245,13 +4257,18 @@ n AS (
              '/$', '') AS url_norm
   FROM h
 )
-SELECT doc_id, url_norm, host, {_registrable_sql()} AS domain
+SELECT doc_id, url_norm, host, {_registrable_sql('rawhost')} AS domain
 FROM (
   SELECT doc_id, url_norm,
          nullif(regexp_replace(
            lower(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
-           '^www\\.', ''), '') AS host
+           '^www\\.', ''), '') AS host,
+         -- PSL walks the RAW host: www is an ordinary label to the list
+         -- (!www.ck must see it), only the display column strips it
+         nullif(lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '')
+           AS rawhost
   FROM n
 ) ORDER BY doc_id
 """
@@ -4267,16 +4284,18 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit (shuffle ≤ k rows/domain/map task)."""
     from xml_to_parquet_spark.functions.text import (
         cap_per_domain,
-        registrable_domain,
+        with_registrable_domain,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _messy_url_col().alias("url")
     )
     kept = cap_per_domain(docs, 5)
-    return kept.select(
-        registrable_domain(F.col("url")).alias("domain"), "doc_id"
-    ).orderBy("domain", "doc_id")
+    return (
+        with_registrable_domain(kept, url_col="url", out_col="domain")
+        .select("domain", "doc_id")
+        .orderBy("domain", "doc_id")
+    )
 
 
 _Q_DOMAIN_CAP_SQL = f"""
@@ -4285,14 +4304,13 @@ WITH u AS (
 ),
 hh AS (
   SELECT doc_id,
-         nullif(regexp_replace(
-           lower(regexp_extract(url,
-                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
-           '^www\\.', ''), '') AS host
+         nullif(lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '')
+           AS rawhost
   FROM u
 ),
 d AS (
-  SELECT doc_id, {_registrable_sql()} AS domain FROM hh
+  SELECT doc_id, {_registrable_sql('rawhost')} AS domain FROM hh
 ),
 r AS (
   SELECT domain, doc_id,
