@@ -139,8 +139,8 @@ def main() -> None:
         "a71_kmeans_cells", "a81_pq_codes", "a44_ivf_pq_adc",
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
-        "a67_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
-        "a50_rare_gram_lm",
+        "q93_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
+        "a50_rare_gram_lm", "a34_mojibake_deep",
         # sketches / selection
         "a31_hll_distinct", "a25_dsir_select",
         # streaming

@@ -638,6 +638,47 @@ def test_registrable_domain_psl_subset(spark):
         assert got[i] == want, (cases[i][0], got[i], want)
 
 
+def test_fix_mojibake_deep_rounds_and_idempotence(spark):
+    """Multi-round byte-level repair (r8, VERDICT r7 #5): 1-3 rounds of
+    UTF-8-as-latin-1/cp1252 corruption all recover exactly; clean text
+    (ASCII, legit accents, chars beyond cp1252) is untouched; NULL stays
+    NULL; repair is idempotent."""
+    from xml_to_parquet_spark.functions.text import (
+        corrupt_utf8_py,
+        fix_mojibake_deep,
+        fix_mojibake_deep_py,
+    )
+
+    clean = [
+        "plain ascii only",
+        "café déjà-vu naïve",
+        "quotes “inside” – dash … end",
+        "beyond cp1252: Ω λ 中文 🙂",
+        "",
+    ]
+    # pure-Python battery: every corruption depth unwinds exactly
+    for s in clean:
+        for r in range(4):
+            assert fix_mojibake_deep_py(corrupt_utf8_py(s, r)) == s, (s, r)
+        assert fix_mojibake_deep_py(fix_mojibake_deep_py(s)) == s
+    assert fix_mojibake_deep_py(None) is None
+    # cp1252-flavored corruption (punctuation bytes land in the C1 range
+    # as real cp1252 characters, not controls) also unwinds
+    broken_cp = "cafÃ© â€œqâ€"
+    assert fix_mojibake_deep_py(broken_cp) == "café “q”"
+    # the Spark kernel matches the pure function row-for-row
+    rows = [(i, corrupt_utf8_py(s, r)) for i, (s, r) in enumerate(
+        [(s, r) for s in clean for r in range(3)]
+    )] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.fixed
+        for r in fix_mojibake_deep(df).collect()
+    }
+    for i, (_i, t) in enumerate(rows):
+        assert got[rows[i][0]] == fix_mojibake_deep_py(rows[i][1])
+
+
 def test_registrable_domain_full_psl_wildcard_exception_private(spark):
     """Full-PSL semantics (r8, VERDICT r7 #4): wildcard rules (*.ck,
     *.kawasaki.jp) make every single label under them a public suffix;

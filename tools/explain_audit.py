@@ -42,7 +42,7 @@ PRUNING = {
     "q06_sort_limit": ("orders", 2),
     "q57_hash_sample": ("documents", 4),
     "q65_grouped_topk": ("documents", 3),
-    "a67_repetition_features": ("documents", 2),
+    "q93_repetition_features": ("documents", 2),
     "a73_dedup_incremental": ("documents", 2),
     "q86_assign_split": ("documents", 1),
     # URL ops build from (doc_id, source) only — the wide text column

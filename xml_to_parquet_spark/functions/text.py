@@ -950,6 +950,113 @@ def fix_mojibake(col: Column) -> Column:
     return t
 
 
+def _sloppy_cp1252_encode(s: str) -> bytes:
+    """ftfy's "sloppy windows-1252": cp1252 where defined, raw C1 bytes
+    for U+0080–U+009F (what a lenient cp1252 decoder leaves behind for
+    the five undefined byte positions). Raises UnicodeEncodeError for
+    anything else, exactly like a strict codec."""
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if 0x80 <= o <= 0x9F:
+                out.append(o)
+            else:
+                raise
+    return bytes(out)
+
+
+def _fix_mojibake_once(s: str) -> str:
+    """One reversal round: if the string's codepoints re-encode under
+    sloppy-cp1252 (cp1252 + raw C1 passthrough — covers text decoded as
+    EITHER cp1252 or latin-1) or plain latin-1, AND those bytes form
+    valid UTF-8, the string was UTF-8 read with the wrong charset;
+    decode it properly. A strict UTF-8 decode of wrong-charset bytes is
+    the high-precision mojibake witness (ftfy's core heuristic): clean
+    text virtually never survives the round-trip, so unchanged input
+    returns unchanged. Scope: whole-string repair — a string mixing
+    mojibake with clean chars outside cp1252∪latin-1 (e.g. CJK) stays
+    unchanged rather than half-repaired (segmenting is ftfy-proper
+    territory, documented)."""
+    for enc in ("sloppy", "latin-1"):
+        try:
+            b = (
+                _sloppy_cp1252_encode(s)
+                if enc == "sloppy"
+                else s.encode(enc)
+            )
+        except UnicodeEncodeError:
+            continue
+        try:
+            u = b.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if u != s:
+            return u
+    return s
+
+
+def fix_mojibake_deep_py(s: str | None, max_rounds: int = 4) -> str | None:
+    """Deterministic multi-round encoding repair (r8, VERDICT r7 #5):
+    iterate :func:`_fix_mojibake_once` to a fixed point, bounded by
+    ``max_rounds`` — real crawls carry double- and triple-encoded UTF-8
+    (each bad pipeline hop adds a round), which the single-round literal
+    table cannot reach. Pure function of the input string."""
+    if not isinstance(s, str):  # None / pandas NaN from Arrow nulls
+        return None
+    for _ in range(max_rounds):
+        u = _fix_mojibake_once(s)
+        if u == s:
+            break
+        s = u
+    return s
+
+
+def corrupt_utf8_py(s: str, rounds: int = 1) -> str:
+    """Fixture helper: apply ``rounds`` of the crawl defect (UTF-8 bytes
+    decoded as latin-1). Inverse of :func:`fix_mojibake_deep_py` for
+    strings whose repair rounds are unambiguous; ASCII is invariant."""
+    for _ in range(rounds):
+        s = s.encode("utf-8").decode("latin-1")
+    return s
+
+
+def fix_mojibake_deep(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fixed",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Arrow-batched byte-level encoding repair over a corpus: appends
+    ``out_col`` = :func:`fix_mojibake_deep_py` of ``text_col``.
+
+    This is the documented byte-level UDF step past the exact-SQL
+    literal table (``fix_mojibake`` stays the one-round literal twin):
+    transcoding decisions need real codecs, so the kernel runs in
+    ``mapInPandas`` — one Arrow batch in, one out, no per-row Python
+    call overhead beyond the map itself, embarrassingly parallel, zero
+    shuffle."""
+    from pyspark.sql import types as T
+
+    # fresh StructType: StructType.add MUTATES, which would poison the
+    # input DataFrame's cached schema (mapInPandas reads df.columns)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def _fix(batches):
+        for pdf in batches:
+            pdf[out_col] = [
+                fix_mojibake_deep_py(s, max_rounds)
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_fix, out_schema)
+
+
 def rare_gram_quality(
     df: DataFrame,
     n: int = 3,

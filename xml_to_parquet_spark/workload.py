@@ -3415,6 +3415,64 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_mojibake_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round byte-level encoding repair (a34,
+    text.fix_mojibake_deep — r8, VERDICT r7 #5): real crawls carry
+    double/triple-encoded UTF-8 that the single-round literal table
+    (a22) cannot reach, so this kernel iterates the ftfy-core reversal
+    (re-encode cp1252/latin-1, strict-UTF-8 decode as the witness) to a
+    fixed point inside Arrow-batched mapInPandas.
+
+    Exact oracle by round-trip construction: each doc's input is an
+    ASCII token prefix (corruption-INVARIANT, so the corrupted input is
+    buildable with plain literals) plus a unicode suffix corrupted
+    doc_id%4 rounds in Python at plan-build time; a correct kernel must
+    recover prefix + the CLEAN suffix exactly, which the oracle computes
+    straight from documents — under-repair (stopping a round early),
+    over-repair (touching clean text), or any byte drift hash-mismatches.
+    Round 0 rows pin idempotence on already-clean text."""
+    from xml_to_parquet_spark.functions.text import (
+        corrupt_utf8_py,
+        fix_mojibake_deep,
+    )
+
+    # Ω blocks any further round-trip (outside cp1252/latin-1), making
+    # the clean suffix a provable fixed point of the repair loop
+    clean_sfx = "café “naïve Ω–…”"
+    stages = [corrupt_utf8_py(clean_sfx, r) for r in range(4)]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 5), " "
+    )
+    corrupted = F.element_at(
+        F.array(*[F.lit(s) for s in stages]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    inp = docs.select(
+        "doc_id",
+        F.concat(prefix, F.lit(" "), corrupted).alias("text"),
+    )
+    fixed = fix_mojibake_deep(inp, text_col="text", out_col="fixed")
+    return fixed.select(
+        "doc_id",
+        "fixed",
+        F.length("fixed").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def _q_mojibake_deep_sql() -> str:
+    sfx = "café “naïve Ω–…”"
+    return f"""
+SELECT doc_id,
+       array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+         || ' ' || '{sfx}' AS fixed,
+       CAST(length(array_to_string(
+              list_slice(string_split(text, ' '), 1, 5), ' ')
+            || ' ' || '{sfx}') AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_stream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream → exactly-once published table → pointer-resolved
     aggregate (streaming twin of a47: the stream lands via foreachBatch
@@ -5138,7 +5196,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_REPORT_RATES_SQL,
         "F15 processing-report rate math from Spark-side counts",
     ),
-    "a67_repetition_features": QuerySpec(
+    "q93_repetition_features": QuerySpec(
         q_repetition_features,
         _Q_REPETITION_INT_SQL,
         "Gopher-style within-doc repetition signals",
@@ -5272,6 +5330,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_mojibake,
         _q_mojibake_sql(),
         "encoding QA: mojibake detection + literal repair",
+    ),
+    "a34_mojibake_deep": QuerySpec(
+        q_mojibake_deep,
+        _q_mojibake_deep_sql(),
+        "multi-round byte-level encoding repair (ftfy-shape kernel)",
     ),
     "q91_grouping_sets": QuerySpec(
         q_grouping_sets,
