@@ -135,5 +135,98 @@ def main() -> None:
     )
 
 
+def semdedup_recall() -> None:
+    """Pair-recall of semantic_dedup's k-means cells vs exact all-pairs
+    cosine (r8, VERDICT r7 #6 — SemDeDup's known failure mode is
+    near-dup pairs straddling cell boundaries, which the bit-exact
+    oracle cannot see because the oracle replays the same cells).
+
+    Ground truth: ALL pairs with int64-exact cos >= tau over the same
+    quantized vectors the operator uses (numpy, driver-side — sampling
+    territory at 100 TB). Reported per k:
+      pair_recall  = fraction of true near-dup pairs landing in ONE cell
+      drop_recall  = fraction of the exact keep-min-id drop set that
+                     semantic_dedup(k) also drops (the end metric)
+      drops        = operator drop count (exact all-pairs = upper bound)
+    """
+    sf_dir = "/root/testdata/sf0.1"
+    ks = (1, 2, 4, 8, 16, 32)
+    for a in sys.argv[1:]:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--ks="):
+            ks = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+    import pyarrow.parquet as pq
+
+    from xml_to_parquet_spark.functions.similarity import semantic_dedup
+    from xml_to_parquet_spark.session import get_spark
+
+    quant, t_num, t_den = 1024, 2, 5
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    V = np.floor(emb * float(quant) + 0.5).astype(np.int64)
+    G = V @ V.T
+    nn = np.diagonal(G).copy()
+    ok = (
+        (G > 0)
+        & (nn[:, None] > 0)
+        & (nn[None, :] > 0)
+        & (G * G * (t_den * t_den) >= (t_num * t_num) * nn[:, None] * nn[None, :])
+    )
+    iu = np.triu_indices(len(ids), 1)
+    mask = ok[iu]
+    true_pairs = list(zip(ids[iu[0][mask]], ids[iu[1][mask]]))
+    # exact keep-min-id drop set: j drops iff any i<j qualifies
+    tri = np.triu(ok, 1)
+    drop_true = {int(ids[j]) for j in range(len(ids)) if tri[:, j].any()}
+    print(
+        f"corpus={len(ids)} true_pairs={len(true_pairs)} "
+        f"exact_drops={len(drop_true)} dir={sf_dir}"
+    )
+    spark = get_spark("semdedup_recall")
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = df.cache()
+    df.count()
+    print(f"{'k':>4} {'pair_recall':>12} {'drop_recall':>12} "
+          f"{'drops':>6} {'sec':>6}")
+    rows = []
+    for k in ks:
+        t0 = time.time()
+        out = semantic_dedup(df, k=k, iterations=2, quant=quant).collect()
+        sec = time.time() - t0
+        cell = {int(r["vec_id"]): r["cell"] for r in out}
+        drops = {int(r["vec_id"]) for r in out if not r["keep"]}
+        pr = (
+            sum(1 for i, j in true_pairs if cell[int(i)] == cell[int(j)])
+            / len(true_pairs)
+            if true_pairs
+            else 1.0
+        )
+        dr = (
+            len(drops & drop_true) / len(drop_true) if drop_true else 1.0
+        )
+        rows.append(
+            {"k": k, "pair_recall": round(pr, 4),
+             "drop_recall": round(dr, 4), "drops": len(drops),
+             "sec": round(sec, 2)}
+        )
+        print(f"{k:>4} {pr:>12.4f} {dr:>12.4f} {len(drops):>6} {sec:>6.2f}")
+        # the operator never drops a row the exact pass keeps: within-cell
+        # pairs are a subset of all pairs, keep-min-id is monotone
+        assert drops <= drop_true, "false drop — operator bug"
+    print(json.dumps({"sf_dir": sf_dir, "corpus": int(len(ids)),
+                      "true_pairs": len(true_pairs),
+                      "exact_drops": len(drop_true), "grid": rows}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--semdedup" in sys.argv:
+        semdedup_recall()
+    else:
+        main()
