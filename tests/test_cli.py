@@ -141,7 +141,21 @@ def test_cli_table_management(spark, tmp_path, capsys):
     capsys.readouterr()
     assert read_published(spark, root).count() == 20
 
+    # diff BEFORE vacuum (retention must outlive the oldest consumer):
+    # v1 -> v2 replaced 20 'a' rows with 5 'b' rows
+    assert main(["table", "diff", root, "1", "2", "--limit", "3"]) == 0
+    dout = capsys.readouterr().out.strip().splitlines()
+    assert dout[0] == "inserts=5 deletes=20"
+    assert all('"_change_type"' in ln for ln in dout[1:])
+    assert len(dout) == 1 + 3  # limit honored
+
     assert main(["table", "vacuum", root, "--keep", "2"]) == 0
     vout = capsys.readouterr().out
     assert "removed" in vout
     assert read_published(spark, root).count() == 20
+
+    # vacuumed-base diff raises the documented retention error
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="committed history"):
+        main(["table", "diff", root, "1"])

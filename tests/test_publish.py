@@ -754,6 +754,69 @@ def test_read_star_run_pins_the_consistent_version_set(spark, tmp_path, sf_dir):
     assert read_star_run(spark, out)["fact_main"].count() == 12  # pinned
 
 
+def test_diff_published_append_fast_path_and_general(spark, tmp_path):
+    """Version-to-version change feed (r8): an append-chain diff reads
+    ONLY the new data dirs (O(delta) — asserted via inputFiles), an
+    overwrite diff falls back to exceptAll multiset semantics with
+    duplicate rows counted per copy, a compaction-only diff is empty,
+    and self-diff is empty."""
+    from xml_to_parquet_spark.sinks.publish import (
+        diff_published,
+        publish_parquet,
+    )
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 30, "base"), root)  # v1
+    extra = _snapshot(spark, 10, "extra")
+    # duplicate rows: append the same 10 rows twice over two versions
+    publish_parquet(extra, root, mode="append")  # v2
+    publish_parquet(extra, root, mode="append")  # v3
+
+    d12 = diff_published(spark, root, 1, 2)
+    assert set(r["_change_type"] for r in d12.collect()) == {"insert"}
+    assert d12.count() == 10
+    # O(delta): the fast path must not even list the base version's files
+    assert all("v00000002" in f for f in d12.inputFiles())
+    # duplicate handling across the chain: v1 -> v3 sees both copies
+    assert diff_published(spark, root, 1, 3).count() == 20
+    # self-diff empty, both paths
+    assert diff_published(spark, root, 2, 2).count() == 0
+
+    # overwrite: general exceptAll path, inserts AND deletes
+    publish_parquet(_snapshot(spark, 35, "next"), root)  # v4: 35 "next"
+    d34 = diff_published(spark, root, 3, 4)
+    by = {
+        t: n
+        for t, n in d34.groupBy("_change_type").count().collect()
+    }
+    assert by == {"insert": 35, "delete": 50}  # 30 base + 2x10 extra out
+
+    # compaction rewrites files but not rows: diff must be EMPTY
+    from xml_to_parquet_spark.sinks.publish import compact_published
+
+    compact_published(spark, root)  # v5
+    assert diff_published(spark, root, 4, 5).count() == 0
+
+
+def test_diff_published_schema_evolution_alignment(spark, tmp_path):
+    """Diff across an evolved schema aligns through the TARGET schema:
+    pre-evolution rows surface the added column as NULL."""
+    from xml_to_parquet_spark.sinks.publish import (
+        diff_published,
+        publish_parquet,
+    )
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 5, "v1"), root)
+    evolved = _snapshot(spark, 3, "v2").withColumn("extra", F.lit(1.5))
+    publish_parquet(evolved, root, allow_schema_evolution=True)
+    d = diff_published(spark, root, 1, 2)
+    assert "extra" in d.columns
+    dels = d.filter(F.col("_change_type") == "delete")
+    assert dels.count() == 5
+    assert dels.filter(F.col("extra").isNull()).count() == 5
+
+
 # --- commit backends (r8, VERDICT r7 #2) ---------------------------------
 
 

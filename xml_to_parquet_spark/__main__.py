@@ -229,6 +229,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="target file size in MB (default 256)",
     )
     tc.add_argument("--master", default=None)
+    td = tsub.add_parser(
+        "diff",
+        help="row-level change feed between two committed versions "
+        "(append chains read only the new data dirs)",
+    )
+    td.add_argument("root")
+    td.add_argument("v_from", help="base version number or id")
+    td.add_argument(
+        "v_to", nargs="?", default=None,
+        help="target version (default: current)",
+    )
+    td.add_argument(
+        "--limit", type=int, default=20,
+        help="rows to print (default 20; counts are always full)",
+    )
+    td.add_argument("--master", default=None)
     return p
 
 
@@ -391,6 +407,27 @@ def cmd_table(args: argparse.Namespace) -> int:
             spark, args.root, target_file_bytes=args.target_mb << 20
         )
         print(f"compacted into {vid}")
+        return 0
+    if args.table_command == "diff":
+        from xml_to_parquet_spark.session import get_spark
+
+        def _v(x):
+            return int(x) if x is not None and x.isdigit() else x
+
+        spark = get_spark(master=args.master)
+        d = pub.diff_published(
+            spark, args.root, _v(args.v_from), _v(args.v_to)
+        )
+        counts = {
+            r["_change_type"]: r["count"]
+            for r in d.groupBy("_change_type").count().collect()
+        }
+        print(
+            f"inserts={counts.get('insert', 0)} "
+            f"deletes={counts.get('delete', 0)}"
+        )
+        for r in d.limit(args.limit).collect():
+            print(_json.dumps(r.asDict(), separators=(",", ":"), default=str))
         return 0
     return 1
 

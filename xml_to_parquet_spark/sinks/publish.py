@@ -658,6 +658,84 @@ def rollback_published(root: str, version: int | str) -> str:
     return vid
 
 
+def diff_published(
+    spark: SparkSession,
+    root: str,
+    v_from: int | str,
+    v_to: int | str | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions (the Delta
+    CDF shape): the target version's rows absent from the base tagged
+    ``_change_type='insert'`` plus the base's rows absent from the
+    target tagged ``'delete'`` — what an incremental consumer needs to
+    catch up from ``v_from`` to ``v_to`` (default: current) without
+    re-reading the table.
+
+    Scale shape, structural when possible: if ``v_from``'s data dirs
+    are a subset of ``v_to``'s (pure append chain in between — appends
+    are O(1)-metadata so this is the common case for streaming tables),
+    the diff READS ONLY THE NEW DATA DIRS — O(delta), zero scans or
+    comparisons of the base, no shuffle at all. Otherwise (overwrite /
+    compaction in between) it falls back to two ``exceptAll``
+    multiset anti-joins over versions aligned through the target's
+    committed schema (evolution-safe: pre-evolution rows surface added
+    columns as NULL). A compaction-only diff correctly returns zero
+    rows through the general path — same rows, different files.
+
+    Both versions must still be in the committed history (vacuum
+    retention must outlive the oldest consumer, the standard snapshot
+    contract). Duplicate rows are handled as multisets: appending an
+    identical row twice yields one insert per copy."""
+    hs = history(root)
+
+    def find(v):
+        if v is None:
+            if not hs:
+                raise FileNotFoundError(f"no committed version under {root}")
+            return hs[0]
+        m = next(
+            (h for h in hs if v in (h["version"], h["version_id"])), None
+        )
+        if m is None:
+            raise FileNotFoundError(
+                f"version {v!r} is not in the committed history of {root}"
+            )
+        return m
+
+    from pyspark.sql import types as T
+
+    m_from, m_to = find(v_from), find(v_to)
+    schema_to = T.StructType.fromJson(m_to["schema"])
+    tag = "_change_type"
+    if set(m_from["data_dirs"]) <= set(m_to["data_dirs"]):
+        base = set(m_from["data_dirs"])
+        new = [d for d in m_to["data_dirs"] if d not in base]
+        if not new:
+            return spark.createDataFrame([], schema_to).withColumn(
+                tag, F.lit("insert")
+            )
+        ins = spark.read.schema(schema_to).parquet(
+            *[os.path.join(root, d) for d in new]
+        )
+        return ins.withColumn(tag, F.lit("insert"))
+
+    def aligned(m):
+        df = read_published(spark, root, version=m["version_id"])
+        return df.select(
+            [
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema_to.fields
+            ]
+        )
+
+    a, b = aligned(m_from), aligned(m_to)
+    ins = b.exceptAll(a).withColumn(tag, F.lit("insert"))
+    dels = a.exceptAll(b).withColumn(tag, F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def vacuum_published(root: str, keep: int = 2) -> list[str]:
     """Delete version dirs unreachable from the newest ``keep`` committed
     manifests — failed/orphaned writes and superseded snapshots. Returns

@@ -4257,6 +4257,82 @@ ORDER BY l_returnflag
 """
 
 
+def q_diff_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version change feed (q94, publish.diff_published —
+    the Delta-CDF-shaped incremental-consumer surface, r8): publish
+    v1 = qty>=30 slice, v2 = APPEND of the qty<15 slice, v3 = OVERWRITE
+    with the qty>=40 slice, then emit diff(v1→v2) (the append fast path:
+    reads ONLY the new version dir, O(delta)) and diff(v2→v3) (the
+    general exceptAll path: deletes = v2's rows outside v3). The oracle
+    recomputes both diffs from lineitem set algebra — a fast path that
+    leaked base rows, a pointer misread, or multiset-wrong exceptAll all
+    hash-mismatch."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from xml_to_parquet_spark.sinks.publish import (
+        diff_published,
+        publish_parquet,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    root = tempfile.mkdtemp(
+        prefix="q94_diff_",
+        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+    )
+    try:
+        publish_parquet(li.filter(F.col("l_quantity") >= 30), root)
+        publish_parquet(
+            li.filter(F.col("l_quantity") < 15), root, mode="append"
+        )
+        publish_parquet(li.filter(F.col("l_quantity") >= 40), root)
+        fast = diff_published(spark, root, 1, 2).withColumn(
+            "phase", F.lit("append")
+        )
+        general = diff_published(spark, root, 2, 3).withColumn(
+            "phase", F.lit("overwrite")
+        )
+        out = fast.unionByName(general).select(
+            "phase",
+            "_change_type",
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        # the published root is ephemeral: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+_Q_DIFF_PUBLISHED_SQL = """
+WITH li AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey % 10 = 0
+)
+SELECT 'append' AS phase, 'insert' AS _change_type, * FROM li
+WHERE qty < 15
+UNION ALL
+SELECT 'overwrite', 'insert', * FROM (
+  SELECT * FROM li WHERE qty >= 40
+  EXCEPT ALL
+  SELECT * FROM li WHERE qty >= 30 OR qty < 15
+)
+UNION ALL
+SELECT 'overwrite', 'delete', * FROM (
+  SELECT * FROM li WHERE qty >= 30 OR qty < 15
+  EXCEPT ALL
+  SELECT * FROM li WHERE qty >= 40
+)
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup keys (a97,
     text.normalize_url/registrable_domain): scheme+host case-folded,
@@ -5298,6 +5374,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_atomic_publish,
         _Q_ATOMIC_PUBLISH_SQL,
         "manifest-pointer commit: killed writer, reader sees last snapshot",
+    ),
+    "q94_diff_published": QuerySpec(
+        q_diff_published,
+        _Q_DIFF_PUBLISHED_SQL,
+        "version change feed: append fast path + exceptAll general path",
     ),
     # r7 addition: the exactly-once streaming publish sink, oracle-checked
     # end-to-end (q-name: outside the 50-slot driver window, judge-run)
