@@ -154,3 +154,33 @@ def test_stream_enrich_unknown_segment_and_batch_equal(spark, tmp_path):
         ("view", "BUILDING", 2, 3.0),
         ("view", "UNKNOWN", 1, 7.0),
     ]
+
+
+def test_stream_events_kmv_merge_identity(spark, sf_dir):
+    """Streaming KMV maintenance (r8): per-batch sketches published
+    exactly-once merge to the SAME estimate as one sketch built directly
+    on the whole static table — regardless of how the stream was
+    batched — and multiple micro-batches really happened."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.sketches import kmv_distinct
+    from xml_to_parquet_spark.streaming.file_stream import stream_events_kmv
+
+    got = {
+        r.event_type: (r.est_distinct, r.exact_distinct, r.multi_batch)
+        for r in stream_events_kmv(spark, sf_dir).collect()
+    }
+    assert all(mb for _, _, mb in got.values())
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("string").alias("key"), "event_type"
+    )
+    direct = {
+        r.event_type: (r.est_distinct, r.exact_distinct)
+        for r in kmv_distinct(
+            ev, key_col="key", group_cols=["event_type"]
+        ).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == direct
+    # sketches estimate: within the KMV error envelope on every group
+    for est, exact, _ in got.values():
+        assert abs(est - exact) <= max(3, exact * 0.5)

@@ -525,6 +525,135 @@ def stream_events_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+def stream_events_kmv(
+    spark: SparkSession, sf_dir: str, k: int = 64, n_splits: int = 4
+) -> DataFrame:
+    """Continuous distinct-count maintenance (r8): each micro-batch
+    sketches its slice of the events stream (per-event_type KMV rows, ≤k
+    smallest 52-bit hashes per group) and append-publishes the SKETCH
+    ROWS through the exactly-once commit sink; the reader merges all
+    published sketches (k smallest of the union) into per-group
+    estimates.
+
+    This is the 100 TB pattern the sketch family exists for: executors/
+    batches sketch independently, state per (group, batch) is ≤ k longs,
+    the published table grows by O(k·groups) per batch — never raw keys
+    — and the merge is associative, so ANY batching yields the same
+    final estimate. That invariant IS the oracle: the merged streaming
+    estimate must equal a KMV built directly on the whole static table
+    (q80's merge identity, here proven across micro-batches AND through
+    crash-replay-safe publish commits). The static input is re-split so
+    AvailableNow genuinely delivers multiple micro-batches
+    (maxFilesPerTrigger=1); ``multi_batch`` pins that ≥2 commits
+    actually happened.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xml_to_parquet_spark.functions.sketches import (
+        HASH52_MAX,
+        md5_hash52,
+    )
+    from xml_to_parquet_spark.operators.window import grouped_topk
+    from xml_to_parquet_spark.sinks.publish import (
+        foreach_batch_publisher,
+        history,
+        read_published,
+    )
+
+    schema = _events_schema(spark, sf_dir)
+    static = (
+        spark.read.schema(schema)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "event_type")
+    )
+    base = _tempfile.mkdtemp(
+        prefix="kmv_stream_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    # scope shuffle partitions to the stream (same rationale as
+    # run_available_now: per-batch sketch aggs are tiny; 32 partitions
+    # just multiply task overhead per micro-batch)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = os.path.join(base, "src")
+        static.repartition(n_splits).write.parquet(src)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        root = os.path.join(base, "sketch_pub")
+        publish = foreach_batch_publisher(root)
+
+        def _sketch_batch(bdf: DataFrame, batch_id: int) -> None:
+            hashed = bdf.select(
+                "event_type",
+                md5_hash52(F.col("event_id").cast("string")).alias("h"),
+            ).distinct()
+            publish(
+                grouped_topk(
+                    hashed, ["event_type"], [F.col("h").asc()], k
+                ).select("event_type", "h"),
+                batch_id,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_sketch_batch)
+            .option(
+                "checkpointLocation", os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_commits = len(history(root))
+        # merge: k smallest DISTINCT hashes of the union of all sketches
+        merged = grouped_topk(
+            read_published(spark, root).distinct(),
+            ["event_type"],
+            [F.col("h").asc()],
+            k,
+        )
+        sk = merged.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max("h").alias("kth_min"),
+        )
+        est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+            F.expr(f"div({(k - 1) * HASH52_MAX}L, kth_min)")
+        )
+        # exact twin counts distinct HASHES (matching the oracle's CTE
+        # exactly — event_id distinct would diverge on a 52-bit collision)
+        exact = (
+            static.select(
+                "event_type",
+                md5_hash52(F.col("event_id").cast("string")).alias("h"),
+            )
+            .distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("exact_distinct"))
+        )
+        out = (
+            sk.join(F.broadcast(exact), on="event_type")
+            .select(
+                "event_type",
+                est.cast("long").alias("est_distinct"),
+                "exact_distinct",
+                F.lit(n_commits >= 2).alias("multi_batch"),
+            )
+            .orderBy("event_type")
+        )
+        # the published root is ephemeral: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def stream_xml_dir(
     spark: SparkSession,
     input_dir: str,

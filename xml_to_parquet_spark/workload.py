@@ -3494,6 +3494,32 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous sketch maintenance (q95, file_stream.stream_events_kmv,
+    r8): each micro-batch KMV-sketches its slice (≤k hashes per
+    event_type) and append-publishes the sketch rows exactly-once; the
+    reader merges all published sketches into per-group distinct
+    estimates. Oracle: the KMV merge identity — the streamed-and-merged
+    estimate must equal a sketch built directly on the whole events
+    table (kmv_distinct_sql), and multi_batch pins that ≥2 micro-batch
+    commits really happened (the merge was not vacuous)."""
+    from xml_to_parquet_spark.streaming.file_stream import stream_events_kmv
+
+    return stream_events_kmv(spark, sf_dir)
+
+
+def _q_stream_kmv_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import kmv_distinct_sql
+
+    inner = kmv_distinct_sql(
+        "events", "CAST(event_id AS VARCHAR)", ["event_type"]
+    )
+    return f"""
+SELECT event_type, est_distinct, exact_distinct, TRUE AS multi_batch
+FROM ({inner}) ORDER BY event_type
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup retention (a96, dedup.dedup_apply_best): keep
     each cluster's best-scoring member instead of the min id — the
@@ -5379,6 +5405,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_diff_published,
         _Q_DIFF_PUBLISHED_SQL,
         "version change feed: append fast path + exceptAll general path",
+    ),
+    "q95_stream_kmv": QuerySpec(
+        q_stream_kmv,
+        _q_stream_kmv_sql(),
+        "streaming KMV maintenance: per-batch sketches published "
+        "exactly-once, merged estimate == whole-table sketch",
     ),
     # r7 addition: the exactly-once streaming publish sink, oracle-checked
     # end-to-end (q-name: outside the 50-slot driver window, judge-run)
