@@ -439,3 +439,54 @@ def test_dsir_unseen_buckets_get_neutral_weight(spark, sf_dir):
             ).collect()
         }
         assert set(got) == {"d_a", "d_b"}  # both docs always scored
+
+
+def test_kmv_set_algebra_small_sets_exact(spark):
+    """Below k the union sketch is exhaustive, so every estimate equals
+    the exact value — including the intersection and Jaccard."""
+    from xml_to_parquet_spark.functions.sketches import kmv_set_algebra
+
+    rows = [("A", f"k{i}") for i in range(20)] + [
+        ("B", f"k{i}") for i in range(12, 40)
+    ]
+    df = spark.createDataFrame(rows, "lbl string, key string")
+    r = kmv_set_algebra(df, "key", "lbl", "A", "B").collect()[0]
+    assert (r.exact_a, r.exact_b) == (20, 28)
+    assert r.exact_union == 40 and r.exact_inter == 8
+    assert (r.est_a, r.est_b) == (20, 28)
+    assert r.est_union == 40 and r.est_inter == 8
+    assert r.jaccard_ppm == 8 * 1_000_000 // 40
+
+
+def test_kmv_set_algebra_corpus_error_band(spark, sf_dir):
+    """Above k: union/intersection estimates stay within the KMV error
+    envelope (~1/sqrt(k) ≈ 12.5% at k=64; allow 3 sigma) and the result
+    is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.sketches import kmv_set_algebra
+
+    # orders custkeys per status overlap PARTIALLY — the one
+    # non-degenerate set pair in the testdata (token/user columns share
+    # one fixed vocabulary across labels); sf0.01 for sketch territory
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.01/orders.parquet"
+    ).select(
+        "o_orderstatus", F.col("o_custkey").cast("string").alias("ck")
+    )
+    r = kmv_set_algebra(
+        orders, "ck", "o_orderstatus", "F", "O"
+    ).collect()[0]
+    assert r.exact_union > 64  # genuinely in sketch territory
+    assert abs(r.est_union - r.exact_union) <= 0.4 * r.exact_union
+    assert abs(r.est_a - r.exact_a) <= 0.4 * r.exact_a
+    # intersection carries both union and ratio error — wider band,
+    # but it must be sane and bounded by the smaller set's estimate
+    assert 0 <= r.est_inter <= min(r.est_a, r.est_b) * 1.5
+    # true intersection here is large (most customers hold both order
+    # kinds) — the estimate must see that, not report disjoint sets
+    assert r.est_inter >= 0.4 * r.exact_inter
+    r2 = kmv_set_algebra(
+        orders.repartition(7), "ck", "o_orderstatus", "F", "O"
+    ).collect()[0]
+    assert tuple(r) == tuple(r2)

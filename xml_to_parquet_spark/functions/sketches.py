@@ -158,6 +158,192 @@ FROM sk JOIN exact USING ({g})
 """
 
 
+def kmv_set_algebra(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Sketch SET ALGEBRA (r8): distinct estimates for two key sets A, B
+    and their UNION, INTERSECTION and Jaccard — computed from two
+    fixed-size KMV sketches alone (the theta-sketch trick, public
+    DataSketches theory): the k minimum hashes of skA ∪ skB are a
+    uniform sample of A ∪ B, so the fraction of them present in BOTH
+    sketches estimates |A∩B| / |A∪B|; multiplying by the union estimate
+    gives the intersection. One row out:
+    ``(n_u, est_a, est_b, est_union, est_inter, jaccard_ppm,
+    exact_a, exact_b, exact_union, exact_inter)``.
+
+    Why it matters at 100 TB: "how many distinct tokens/users/urls do
+    corpus A and corpus B share" is a cross-corpus question whose exact
+    answer costs a full co-shuffle of both key sets; the sketch answer
+    costs two already-maintained k-long sketches and O(k) merge work —
+    and sketches built independently (per partition, per day, per
+    stream batch — see q95) compose into it. All integer arithmetic:
+    jaccard as ppm, intersection by integer division, exactly
+    SQL-replayable. The only corpus-sized work is the (label, hash)
+    distinct; everything downstream is k-row tables."""
+    from xml_to_parquet_spark.operators.window import grouped_topk
+
+    h = md5_hash52(F.col(key_col))
+    hashed = (
+        df.filter(F.col(label_col).isin([label_a, label_b]))
+        .select(F.col(label_col).alias("lbl"), h.alias("h"))
+        .distinct()
+    )
+    sk = grouped_topk(
+        hashed, group_cols=["lbl"], order_cols=[F.col("h").asc()], k=k
+    ).select("lbl", "h")
+    # union sketch: k smallest distinct hashes of skA ∪ skB
+    u = sk.select("h").distinct().orderBy("h").limit(k)
+    ina = sk.filter(F.col("lbl") == label_a).select(
+        "h", F.lit(1).alias("in_a")
+    )
+    inb = sk.filter(F.col("lbl") == label_b).select(
+        "h", F.lit(1).alias("in_b")
+    )
+    flags = (
+        u.join(ina, "h", "left")
+        .join(inb, "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.max("h").alias("kth_u"),
+            F.sum(
+                F.coalesce(F.col("in_a"), F.lit(0))
+                * F.coalesce(F.col("in_b"), F.lit(0))
+            ).alias("n_match"),
+        )
+    )
+
+    def _est(n, kth):
+        return F.when(n < k, n).otherwise(
+            F.expr(f"div({(k - 1) * HASH52_MAX}L, {kth})")
+        )
+
+    per = (
+        sk.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+        .select(
+            "lbl", _est(F.col("n"), "kth").cast("long").alias("est")
+        )
+    )
+    est_a = per.filter(F.col("lbl") == label_a).select(
+        F.col("est").alias("est_a")
+    )
+    est_b = per.filter(F.col("lbl") == label_b).select(
+        F.col("est").alias("est_b")
+    )
+    exact = (
+        hashed.groupBy()
+        .agg(
+            F.count_distinct(
+                F.when(F.col("lbl") == label_a, F.col("h"))
+            ).alias("exact_a"),
+            F.count_distinct(
+                F.when(F.col("lbl") == label_b, F.col("h"))
+            ).alias("exact_b"),
+            F.count_distinct("h").alias("exact_union"),
+        )
+        .withColumn(
+            "exact_inter",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_union"),
+        )
+    )
+    out = (
+        flags.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(exact))
+    )
+    out = out.withColumn(
+        "est_union", _est(F.col("n_u"), "kth_u").cast("long")
+    )
+    return out.select(
+        F.col("n_u").cast("long").alias("n_u"),
+        "est_a",
+        "est_b",
+        "est_union",
+        # integer division to match the oracle's // exactly
+        F.expr("div(n_match * est_union, n_u)")
+        .cast("long")
+        .alias("est_inter"),
+        F.expr("div(n_match * 1000000L, n_u)")
+        .cast("long")
+        .alias("jaccard_ppm"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+    )
+
+
+def kmv_set_algebra_sql(
+    table: str,
+    key_expr: str,
+    label_expr: str,
+    label_a: str,
+    label_b: str,
+    k: int = KMV_K,
+    with_ctes: str = "",
+) -> str:
+    """Oracle twin of :func:`kmv_set_algebra` (same CTE shape, same
+    integer algebra)."""
+    pre = f"{with_ctes}," if with_ctes else ""
+    est = (
+        lambda n, kth: f"CASE WHEN {n} < {k} THEN {n} "
+        f"ELSE {(k - 1) * HASH52_MAX} // {kth} END"
+    )
+    return f"""
+WITH {pre} hashed AS (
+  SELECT DISTINCT {label_expr} AS lbl,
+         {_md5_hash52_sql(key_expr)} AS h
+  FROM {table} WHERE {label_expr} IN ('{label_a}', '{label_b}')
+),
+sk AS (
+  SELECT lbl, h FROM (
+    SELECT lbl, h,
+           ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY h) AS rnk
+    FROM hashed
+  ) WHERE rnk <= {k}
+),
+u AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT {k}),
+flags AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS kth_u,
+         CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM sk WHERE lbl = '{label_a}' AND sk.h = u.h
+                  ) AND EXISTS (
+                    SELECT 1 FROM sk WHERE lbl = '{label_b}' AND sk.h = u.h
+                  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM u
+),
+per AS (
+  SELECT lbl, CAST({est('COUNT(*)', 'MAX(h)')} AS BIGINT) AS est
+  FROM sk GROUP BY lbl
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN lbl = '{label_a}' THEN h END)
+              AS BIGINT) AS exact_a,
+         CAST(COUNT(DISTINCT CASE WHEN lbl = '{label_b}' THEN h END)
+              AS BIGINT) AS exact_b,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_union
+  FROM hashed
+)
+SELECT flags.n_u,
+       (SELECT est FROM per WHERE lbl = '{label_a}') AS est_a,
+       (SELECT est FROM per WHERE lbl = '{label_b}') AS est_b,
+       CAST({est('flags.n_u', 'flags.kth_u')} AS BIGINT) AS est_union,
+       CAST((flags.n_match *
+             CAST({est('flags.n_u', 'flags.kth_u')} AS BIGINT))
+            // flags.n_u AS BIGINT) AS est_inter,
+       flags.n_match * 1000000 // flags.n_u AS jaccard_ppm,
+       exact.exact_a, exact.exact_b, exact.exact_union,
+       CAST(exact.exact_a + exact.exact_b - exact.exact_union AS BIGINT)
+         AS exact_inter
+FROM flags, exact
+"""
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

@@ -4528,6 +4528,38 @@ def _q_kmv_sql() -> str:
     )
 
 
+def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra (q96, sketches.kmv_set_algebra, r8): how many
+    distinct customers have fulfilled ('F') orders, open ('O') orders,
+    either, BOTH, and their Jaccard — estimated from two fixed-size KMV
+    sketches alone (the theta-sketch composition: the union sketch's k
+    minima are a uniform sample of A∪B; the both-sketches hit-rate
+    estimates the Jaccard; intersection = ratio × union estimate). The
+    cross-corpus overlap question whose exact answer co-shuffles both
+    key sets costs O(k) on sketches q95 shows can be maintained
+    incrementally. Exact columns ride along; the oracle replays sketch
+    AND exact bit-for-bit. (The partially-overlapping custkey sets are
+    the one non-degenerate set pair in the testdata — the token/user
+    columns share one fixed vocabulary across labels.)"""
+    from xml_to_parquet_spark.functions.sketches import kmv_set_algebra
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_custkey").cast("string").alias("ck")
+    )
+    return kmv_set_algebra(
+        orders, key_col="ck", label_col="o_orderstatus",
+        label_a="F", label_b="O",
+    )
+
+
+def _q_kmv_set_algebra_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import kmv_set_algebra_sql
+
+    return kmv_set_algebra_sql(
+        "orders", "CAST(o_custkey AS VARCHAR)", "o_orderstatus", "F", "O"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate per language (64 registers),
     with the published small-range linear-counting correction as a baked
@@ -5519,6 +5551,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_kmv_distinct,
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
+    ),
+    "q96_kmv_set_algebra": QuerySpec(
+        q_kmv_set_algebra,
+        _q_kmv_set_algebra_sql(),
+        "sketch set algebra: union/intersection/Jaccard from two KMV "
+        "sketches",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
