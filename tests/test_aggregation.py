@@ -60,3 +60,43 @@ def test_surrogate_keys_global_dense_sorted(spark):
         (1, "accessories"),
         (2, "electronics"),
     ]
+
+
+def test_funnel_stages_strict_first_occurrence_order(spark):
+    """Funnel semantics pinned: a stage counts only when its FIRST
+    qualifying occurrence is strictly after the previous stage's; a
+    user who clicks before ever viewing does not convert; equal
+    timestamps do not advance the funnel; later re-views don't reset."""
+    import datetime as dt
+
+    from xml_to_parquet_spark.operators.aggregation import funnel_stages
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: view(1) -> click(2) -> purchase(3): full conversion
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # u2: click BEFORE view -> stops at view
+        (2, "click", t(1)), (2, "view", t(2)),
+        # u3: view and click at the SAME ts -> strict > fails
+        (3, "view", t(5)), (3, "click", t(5)),
+        # u4: view -> click, purchase BEFORE click -> stops at click
+        (4, "view", t(1)), (4, "purchase", t(2)), (4, "click", t(4)),
+        # u5: never views -> not even in stage 1
+        (5, "purchase", t(1)),
+        # u6: first click precedes first view, but a LATER click follows
+        # the view -> the funnel uses first-qualifying AFTER, so u6's
+        # click at t(6) > view t(3) counts
+        (6, "click", t(1)), (6, "view", t(3)), (6, "click", t(6)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.stage: (r.n_users, r.conv_ppm)
+        for r in funnel_stages(
+            df, stages=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got["view"] == (5, 1_000_000)      # u1..u4, u6
+    assert got["click"] == (3, 600_000)       # u1, u4, u6
+    assert got["purchase"] == (1, 200_000)    # u1 only

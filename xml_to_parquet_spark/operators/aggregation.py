@@ -167,3 +167,57 @@ def grouped_percentiles(
             else:
                 aggs.append(F.percentile(col, F.lit(p)).alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis (r8): for each stage k, how many users
+    reached it — where "reached" means the FIRST qualifying occurrence
+    of stage k happened STRICTLY AFTER the user's first qualifying
+    occurrence of stage k−1 (the standard product-analytics funnel, a
+    MATCH_RECOGNIZE-lite). Output one row per stage:
+    ``(stage_idx, stage, n_users, conv_ppm)`` with conversion as integer
+    ppm of stage 1's population.
+
+    Plan shape: one filtered min-agg per stage (map-side combinable,
+    shuffle keyed on the user — K stages = K cheap passes over the
+    pre-filtered event slice, each smaller than the last because it
+    joins the survivors of the previous stage). Survivor frames are
+    user-count-sized, joined with AQE sizing them (broadcast at small
+    SF, shuffle join at 100 TB). No window over the raw stream, no
+    per-user event collection — state per user is ONE timestamp per
+    stage."""
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    prev = (
+        ev.filter(F.col("t") == stages[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("ts_0"))
+    )
+    counts = [prev.count()]
+    for i, stage in enumerate(stages[1:], start=1):
+        prev = (
+            ev.filter(F.col("t") == stage)
+            .join(prev, on="u")
+            .filter(F.col("ts") > F.col(f"ts_{i - 1}"))
+            .groupBy("u", *[f"ts_{j}" for j in range(i)])
+            .agg(F.min("ts").alias(f"ts_{i}"))
+        )
+        counts.append(prev.count())
+    spark = df.sparkSession
+    base = max(counts[0], 1)
+    rows = [
+        (i + 1, s, counts[i], counts[i] * 1_000_000 // base)
+        for i, s in enumerate(stages)
+    ]
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_users long, conv_ppm long"
+    )

@@ -4560,6 +4560,55 @@ def _q_kmv_set_algebra_sql() -> str:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
+    first click follows their first view, and whose first purchase
+    follows THAT click — strict first-occurrence ordering, the
+    product-analytics funnel (MATCH_RECOGNIZE-lite). One filtered
+    min-agg per stage; survivors join forward. The oracle replays the
+    same three-stage CTE chain with the same strict inequalities."""
+    from xml_to_parquet_spark.operators.aggregation import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, stages=["view", "click", "purchase"]
+    ).orderBy("stage_idx")
+
+
+_Q_FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id AS u, MIN(ts) AS ts_0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id AS u, s0.ts_0, MIN(e.ts) AS ts_1
+  FROM events e JOIN s0 ON e.user_id = s0.u
+  WHERE e.event_type = 'click' AND e.ts > s0.ts_0
+  GROUP BY e.user_id, s0.ts_0
+),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS ts_2
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts > s1.ts_1
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT COUNT(*) FROM s0) AS n0,
+         (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2
+)
+SELECT 1 AS stage_idx, 'view' AS stage, CAST(n0 AS BIGINT) AS n_users,
+       CAST(n0 * 1000000 // greatest(n0, 1) AS BIGINT) AS conv_ppm FROM c
+UNION ALL
+SELECT 2, 'click', CAST(n1 AS BIGINT),
+       CAST(n1 * 1000000 // greatest(n0, 1) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+       CAST(n2 * 1000000 // greatest(n0, 1) AS BIGINT) FROM c
+ORDER BY stage_idx
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate per language (64 registers),
     with the published small-range linear-counting correction as a baked
@@ -5557,6 +5606,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmv_set_algebra_sql(),
         "sketch set algebra: union/intersection/Jaccard from two KMV "
         "sketches",
+    ),
+    "q97_funnel": QuerySpec(
+        q_funnel,
+        _Q_FUNNEL_SQL,
+        "ordered funnel: strict first-occurrence stage sequencing",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
