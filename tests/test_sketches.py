@@ -490,3 +490,42 @@ def test_kmv_set_algebra_corpus_error_band(spark, sf_dir):
         orders.repartition(7), "ck", "o_orderstatus", "F", "O"
     ).collect()[0]
     assert tuple(r) == tuple(r2)
+
+
+def test_frequency_drift_known_values(spark):
+    """Drift arithmetic pinned by hand: relative frequencies in ppm with
+    truncating division, vanished/appeared keys count as drift, output
+    ordered by |dppm| desc then key."""
+    from xml_to_parquet_spark.functions.drift import frequency_drift
+
+    rows = (
+        [("A", "x")] * 6 + [("A", "y")] * 3 + [("A", "z")] * 1
+        + [("B", "x")] * 2 + [("B", "y")] * 6 + [("B", "w")] * 2
+        + [("C", "ignored")] * 5  # other labels excluded
+    )
+    df = spark.createDataFrame(rows, "src string, token string")
+    got = [
+        tuple(r)
+        for r in frequency_drift(
+            df, "src", "A", "B", key_col="token", top_k=10
+        ).collect()
+    ]
+    # tot_a = 10, tot_b = 10
+    want = sorted(
+        [
+            ("x", 6, 2, 600_000, 200_000, 400_000),
+            ("y", 3, 6, 300_000, 600_000, 300_000),
+            ("w", 0, 2, 0, 200_000, 200_000),  # appeared in B
+            ("z", 1, 0, 100_000, 0, 100_000),  # vanished from B
+        ],
+        key=lambda t: (-t[5], t[0]),
+    )
+    assert got == want
+    # partitioning invariance (deterministic integer arithmetic)
+    got2 = [
+        tuple(r)
+        for r in frequency_drift(
+            df.repartition(5), "src", "A", "B", key_col="token", top_k=10
+        ).collect()
+    ]
+    assert got2 == got

@@ -4560,6 +4560,40 @@ def _q_kmv_set_algebra_sql() -> str:
     )
 
 
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (q98, drift.frequency_drift, r8): the
+    top-20 tokens whose relative frequency moved most between the src0
+    and src1 corpus slices, in exact integer ppm — the refresh-cycle QA
+    gate that catches a crawl whose token mix shifted before training
+    does. One conditional-sum groupBy folds both slices in a single
+    corpus pass; totals broadcast; shuffle ∝ vocabulary."""
+    from xml_to_parquet_spark.functions.drift import frequency_drift
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("token"),
+    )
+    return frequency_drift(
+        toks, label_col="source", label_a="src0", label_b="src1",
+        key_col="token",
+    )
+
+
+def _q_token_drift_sql() -> str:
+    from xml_to_parquet_spark.functions.drift import frequency_drift_sql
+
+    toks = (
+        "SELECT source, unnest(string_split(" + _NORM_SQL + ", ' ')) "
+        "AS token FROM documents"
+    )
+    return frequency_drift_sql(
+        "tok_t", "source", "src0", "src1", "token",
+        with_ctes=f"tok_t AS ({toks})",
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5611,6 +5645,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_funnel,
         _Q_FUNNEL_SQL,
         "ordered funnel: strict first-occurrence stage sequencing",
+    ),
+    "q98_token_drift": QuerySpec(
+        q_token_drift,
+        _q_token_drift_sql(),
+        "distribution-drift monitor: top token frequency movers in ppm",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
