@@ -1080,3 +1080,57 @@ def test_rare_gram_quality_partition_invariant(spark):
     ]
     assert res[0] == res[1]
     assert all(r[1] > 0 for r in res[0])  # real docs all emit grams
+
+
+def test_gopher_rules_full_battery(spark):
+    # One doc per rule violation, plus a clean doc that passes everything.
+    clean = (
+        "the quick brown fox jumps over that lazy dog and then walks "
+        "to the river with grace because every word here is normal "
+        "prose and the rhythm keeps mean word length inside bounds "
+        "while the sentence keeps going to reach fifty words of "
+        "ordinary text that have enough variety to look like real "
+        "writing with letters in every single word of it today"
+    )
+    filler = "the and that have with words keep flowing onward " * 6
+    rows = [
+        (0, clean),                              # passes all
+        (1, "too few words"),                    # fails r_words (short)
+        (2, "a " * 300),                         # fails r_mwl (mwl=1)
+        (3, filler + "# " * 20),                 # fails r_symbol
+        (4, filler + "\n" + "\n".join(f"- item {i}" for i in range(40))),
+        (5, filler + "\n" + "\n".join(f"line {i} trails off..." for i in range(40))),
+        (6, filler + " ".join("1234" for _ in range(40))),  # fails r_alpha
+        (7, ("zork blee quux flarn " * 15)),     # fails r_stop (no stopwords)
+        (8, None),                               # NULL text
+        (9, ""),                                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_rules(df, min_words=40).collect()}
+    assert out[0].passes_gopher == 1
+    assert out[1].r_words == 0 and out[1].passes_gopher == 0
+    assert out[2].r_mwl == 0 and out[2].r_words == 1
+    assert out[3].r_symbol == 0
+    assert out[4].r_bullet == 0
+    assert out[5].r_ellipsis == 0
+    assert out[6].r_alpha == 0
+    assert out[7].r_stop == 0 and out[7].r_alpha == 1
+    # NULL text: every regexp_count is NULL -> flags NULL -> composite NULL
+    assert out[8].passes_gopher is None
+    assert out[9].r_words == 0 and out[9].passes_gopher == 0
+
+
+def test_gopher_rules_matches_oracle_counts(spark):
+    # the catalog entry's corpus-splitting claim: both r_words and r_stop
+    # vary on the synthetic docs, and the composite is their AND here
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text.gopher_rules(docs, min_words=30, min_stop_distinct=1)
+    agg = out.agg(
+        F.sum("r_words").alias("w"),
+        F.sum("r_stop").alias("s"),
+        F.sum("passes_gopher").alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert 0 < agg.w < agg.n  # word-count rule splits the corpus
+    assert 0 < agg.s < agg.n  # stopword rule splits the corpus
+    assert agg.p <= min(agg.w, agg.s)

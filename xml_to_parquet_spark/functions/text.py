@@ -1144,3 +1144,166 @@ def rare_gram_quality(
             ).cast("int").alias("pass_gate"),
         )
     )
+
+
+# Gopher/MassiveText-style composite quality rules (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Appendix A — public paper).
+# The canonical pre-training document gate: word-count bounds, mean-word-
+# length bounds, symbol ratio, bullet/ellipsis line ratios, alpha-word
+# ratio, and a minimum count of DISTINCT common stopwords present.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_x10: int = 30,
+    max_mwl_x10: int = 100,
+    max_symbol_pct: int = 10,
+    max_bullet_pct: int = 10,
+    max_ellipsis_pct: int = 30,
+    min_alpha_pct: int = 80,
+    min_stop_distinct: int = 2,
+) -> DataFrame:
+    """Gopher-style composite quality gate, integer-exact.
+
+    Per document: one INT flag per rule plus the composite
+    ``passes_gopher``. Every ratio threshold is evaluated as an int64
+    cross-multiplication (``100 * hits <= pct * base`` — no floats), so
+    any engine replays the decisions bit-for-bit. Mean word length
+    bounds arrive as tenths (``min_mwl_x10=30`` means 3.0 chars/word).
+
+    Scale shape: pure narrow column expressions — zero shuffles, zero
+    joins, zero UDFs; every count is a ``regexp_count`` evaluated inside
+    whole-stage codegen in one pass over the text. At 100 TB this is a
+    map-only scan whose cost is the parquet read itself; the gate
+    composes with ``quality_gate``/``rare_gram_quality`` as another
+    AND-able flag column. Rules:
+
+    - r_words: ``min_words <= n_words <= max_words``
+    - r_mwl: mean word length (non-space chars / words) within bounds
+    - r_symbol: ``#``/``...`` occurrences ≤ max_symbol_pct% of words
+    - r_bullet: ≤ max_bullet_pct% of lines start with a bullet
+    - r_ellipsis: ≤ max_ellipsis_pct% of lines end with ``...``
+    - r_alpha: ≥ min_alpha_pct% of words contain a letter
+    - r_stop: ≥ min_stop_distinct DISTINCT stopwords present
+
+    Empty/whitespace-only docs fail r_words (0 words) and fail the
+    composite; single-line docs evaluate the line rules over 1 line.
+    """
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    n_nonspace = F.regexp_count(t, F.lit(r"\S")).cast("long")
+    n_symbol = (
+        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    n_lines = F.size(F.split(t, F.lit("\n"))).cast("long")
+    n_bullet = F.regexp_count(t, F.lit(r"(?m)^[ \t]*[-*•]")).cast("long")
+    n_ell_end = F.regexp_count(t, F.lit(r"(?m)\.\.\.[ \t]*$")).cast("long")
+    n_alpha = F.regexp_count(t, F.lit(r"[^\s]*[A-Za-z][^\s]*")).cast("long")
+    n_stop = sum(
+        (F.regexp_count(F.lower(t), F.lit(rf"\b{w}\b")) > 0).cast("long")
+        for w in GOPHER_STOPWORDS
+    )
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (10 * n_nonspace >= min_mwl_x10 * n_words) & (
+        10 * n_nonspace <= max_mwl_x10 * n_words
+    )
+    r_symbol = 100 * n_symbol <= max_symbol_pct * n_words
+    r_bullet = 100 * n_bullet <= max_bullet_pct * n_lines
+    r_ellipsis = 100 * n_ell_end <= max_ellipsis_pct * n_lines
+    r_alpha = 100 * n_alpha >= min_alpha_pct * n_words
+    r_stop = n_stop >= min_stop_distinct
+    rules = {
+        "r_words": r_words,
+        "r_mwl": r_mwl,
+        "r_symbol": r_symbol,
+        "r_bullet": r_bullet,
+        "r_ellipsis": r_ellipsis,
+        "r_alpha": r_alpha,
+        "r_stop": r_stop,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[c.cast("int").alias(name) for name, c in rules.items()],
+        passes.cast("int").alias("passes_gopher"),
+    )
+
+
+def gopher_rules_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_x10: int = 30,
+    max_mwl_x10: int = 100,
+    max_symbol_pct: int = 10,
+    max_bullet_pct: int = 10,
+    max_ellipsis_pct: int = 30,
+    min_alpha_pct: int = 80,
+    min_stop_distinct: int = 2,
+) -> str:
+    """DuckDB oracle twin of :func:`gopher_rules` — same counts (RE2
+    renders each Java pattern identically on this charset), same int64
+    cross-multiplied thresholds, same column names."""
+    rc = "len(regexp_extract_all({src}, '{pat}'))"
+    n_words = rc.format(src=text_col, pat=r"\S+")
+    n_nonspace = rc.format(src=text_col, pat=r"\S")
+    n_symbol = (
+        rc.format(src=text_col, pat="#")
+        + " + "
+        + rc.format(src=text_col, pat=r"\.\.\.")
+    )
+    n_lines = f"len(string_split({text_col}, chr(10)))"
+    n_bullet = rc.format(src=text_col, pat=r"(?m)^[ \t]*[-*•]")
+    n_ell_end = rc.format(src=text_col, pat=r"(?m)\.\.\.[ \t]*$")
+    n_alpha = rc.format(src=text_col, pat=r"[^\s]*[A-Za-z][^\s]*")
+    n_stop = " + ".join(
+        "CAST(" + rc.format(src=f"lower({text_col})", pat=rf"\b{w}\b")
+        + " > 0 AS BIGINT)"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH c AS (
+  SELECT {id_col},
+         CAST({n_words} AS BIGINT) AS n_words,
+         CAST({n_nonspace} AS BIGINT) AS n_nonspace,
+         CAST({n_symbol} AS BIGINT) AS n_symbol,
+         CAST({n_lines} AS BIGINT) AS n_lines,
+         CAST({n_bullet} AS BIGINT) AS n_bullet,
+         CAST({n_ell_end} AS BIGINT) AS n_ell_end,
+         CAST({n_alpha} AS BIGINT) AS n_alpha,
+         CAST({n_stop} AS BIGINT) AS n_stop
+  FROM {table}
+),
+r AS (
+  SELECT {id_col}, n_words,
+    CAST(n_words >= {min_words} AND n_words <= {max_words} AS INTEGER)
+      AS r_words,
+    CAST(10 * n_nonspace >= {min_mwl_x10} * n_words
+         AND 10 * n_nonspace <= {max_mwl_x10} * n_words AS INTEGER) AS r_mwl,
+    CAST(100 * n_symbol <= {max_symbol_pct} * n_words AS INTEGER) AS r_symbol,
+    CAST(100 * n_bullet <= {max_bullet_pct} * n_lines AS INTEGER) AS r_bullet,
+    CAST(100 * n_ell_end <= {max_ellipsis_pct} * n_lines AS INTEGER)
+      AS r_ellipsis,
+    CAST(100 * n_alpha >= {min_alpha_pct} * n_words AS INTEGER) AS r_alpha,
+    CAST(n_stop >= {min_stop_distinct} AS INTEGER) AS r_stop
+  FROM c
+)
+SELECT {id_col}, n_words, r_words, r_mwl, r_symbol, r_bullet, r_ellipsis,
+       r_alpha, r_stop,
+       CAST(r_words * r_mwl * r_symbol * r_bullet * r_ellipsis * r_alpha
+            * r_stop AS INTEGER) AS passes_gopher
+FROM r ORDER BY {id_col}
+"""

@@ -4594,6 +4594,30 @@ def _q_token_drift_sql() -> str:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText composite quality rules (q99,
+    text.gopher_rules, r8): the canonical published pre-training document
+    gate — word-count and mean-word-length bounds, symbol/bullet/
+    ellipsis ratios, alpha-word ratio, distinct-stopword floor — every
+    threshold an int64 cross-multiplication, zero shuffles/joins/UDFs
+    (map-only codegen scan). Catalog thresholds are tuned so the
+    synthetic corpus splits on r_words and r_stop; the full rule battery
+    (bullets, ellipses, symbols, mwl bounds) is pinned by fixture tests.
+    """
+    from xml_to_parquet_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(
+        docs, min_words=30, min_stop_distinct=1
+    ).orderBy("doc_id")
+
+
+def _q_gopher_rules_sql() -> str:
+    from xml_to_parquet_spark.functions.text import gopher_rules_sql
+
+    return gopher_rules_sql(min_words=30, min_stop_distinct=1)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5650,6 +5674,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_token_drift,
         _q_token_drift_sql(),
         "distribution-drift monitor: top token frequency movers in ppm",
+    ),
+    "q99_gopher_rules": QuerySpec(
+        q_gopher_rules,
+        _q_gopher_rules_sql(),
+        "Gopher-style composite quality rules, integer-exact map-only gate",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
