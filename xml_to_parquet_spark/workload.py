@@ -4618,6 +4618,25 @@ def _q_gopher_rules_sql() -> str:
     return gopher_rules_sql(min_words=30, min_stop_distinct=1)
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair PMI / collocation mining (q100, association.pmi_pairs,
+    r8): top within-document token pairs by exact integer lift
+    (monotone surrogate of PMI — no logs, no floats). One corpus scan →
+    presence table; df table map-side combined (shuffle ∝ vocabulary);
+    pair self-join bounded BEFORE the join by min_df pruning + a
+    deterministic per-doc cap (the a-priori trick)."""
+    from xml_to_parquet_spark.functions.association import pmi_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_pairs(docs, min_df=3, min_pair_count=3)
+
+
+def _q_pmi_pairs_sql() -> str:
+    from xml_to_parquet_spark.functions.association import pmi_pairs_sql
+
+    return pmi_pairs_sql(norm_sql=_NORM_SQL, min_df=3, min_pair_count=3)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5679,6 +5698,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_gopher_rules,
         _q_gopher_rules_sql(),
         "Gopher-style composite quality rules, integer-exact map-only gate",
+    ),
+    "q100_pmi_pairs": QuerySpec(
+        q_pmi_pairs,
+        _q_pmi_pairs_sql(),
+        "token-pair PMI via exact integer lift, a-priori-bounded self-join",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
