@@ -79,3 +79,68 @@ def test_pagerank_checkpoint_cadence_identical(spark):
         for r in pagerank(df, iterations=6, checkpoint_every=100).collect()
     )
     assert a == b
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangles_known_graph(spark):
+    from xml_to_parquet_spark.functions.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    # and an isolated edge 6-7 (no triangles).
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _edges(spark, k4 + [(4, 5), (6, 7)])
+    out = {r.node: r for r in triangle_counts(e).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(out[n].triangles == 3 for n in (1, 2, 3))
+    assert out[4].triangles == 3 and out[4].degree == 4
+    assert out[1].degree == 3
+
+
+def test_triangles_direction_and_duplicate_invariant(spark):
+    from xml_to_parquet_spark.functions.graph import triangle_counts
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    flipped = [(b, a) for a, b in tri]
+    with_dups = tri + flipped + tri + [(2, 2)]  # self-loop dropped too
+    res = [
+        sorted(
+            (r.node, r.degree, r.triangles)
+            for r in triangle_counts(_edges(spark, p)).collect()
+        )
+        for p in (tri, flipped, with_dups)
+    ]
+    assert res[0] == res[1] == res[2] == [(1, 2, 1), (2, 2, 1), (3, 2, 1)]
+
+
+def test_triangles_python_replay_and_partition_invariant(spark):
+    from itertools import combinations
+
+    from xml_to_parquet_spark.functions.graph import triangle_counts
+
+    # deterministic pseudo-random graph, replayed by brute force
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in combinations(range(24), 2)
+            if (a * 31 + b * 17) % 5 < 2
+        }
+    )
+    adj = {n: set() for n in range(24)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for x, y, z in combinations(range(24), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    for parts in (1, 7):
+        e = _edges(spark, pairs).repartition(parts)
+        got = {
+            r.node: r.triangles
+            for r in triangle_counts(e, top_k=100).collect()
+        }
+        assert got == want and len(want) > 5

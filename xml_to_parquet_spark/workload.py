@@ -4637,6 +4637,45 @@ def _q_pmi_pairs_sql() -> str:
     return pmi_pairs_sql(norm_sql=_NORM_SQL, min_df=3, min_pair_count=3)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (q101, graph.triangle_counts, r8): per-part
+    triangle participation in the co-purchase graph (parts co-ordered in
+    the same order at least twice), by degree-ordered orientation — the
+    published O(m^1.5) MapReduce recipe whose wedge table stays bounded
+    under hub skew. The min-support edge filter is the pre-quadratic
+    thinning step a 100 TB basket graph needs anyway."""
+    from xml_to_parquet_spark.functions.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
+def _q_triangles_sql() -> str:
+    from xml_to_parquet_spark.functions.graph import triangle_counts_sql
+
+    edges = """
+  SELECT p1 AS src, p2 AS dst FROM (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS w
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+"""
+    return triangle_counts_sql(edges)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5703,6 +5742,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_pmi_pairs,
         _q_pmi_pairs_sql(),
         "token-pair PMI via exact integer lift, a-priori-bounded self-join",
+    ),
+    "q101_triangles": QuerySpec(
+        q_triangles,
+        _q_triangles_sql(),
+        "triangle counting by degree-ordered orientation (O(m^1.5) wedges)",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
