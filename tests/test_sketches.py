@@ -529,3 +529,48 @@ def test_frequency_drift_known_values(spark):
         ).collect()
     ]
     assert got2 == got
+
+
+def test_bucket_anomalies_known_spike(spark):
+    from datetime import datetime
+
+    from xml_to_parquet_spark.functions.drift import bucket_anomalies
+
+    # stream "a": 9 quiet hours of 10 events + 1 hour of 100 (clear spike)
+    # stream "b": perfectly constant (sigma=0 -> nothing can flag)
+    rows = []
+    for h in range(10):
+        n = 100 if h == 5 else 10
+        for i in range(n):
+            rows.append((datetime(2024, 1, 1, h, i % 60, 0), "a"))
+    for h in range(10):
+        for i in range(7):
+            rows.append((datetime(2024, 1, 1, h, i, 0), "b"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = bucket_anomalies(df, top_k=50).collect()
+    flagged = [(r.grp, r.bucket_start) for r in out if r.is_anomaly == 1]
+    assert flagged == [("a", "2024-01-01 05:00:00")]
+    # python replay of the integer algebra for the spike bucket
+    cnts = [10] * 10
+    cnts[5] = 100
+    n, tot, sumsq = len(cnts), sum(cnts), sum(c * c for c in cnts)
+    dev = n * 100 - tot
+    z2 = dev * dev * 10**6 // max(4 * (n * sumsq - tot * tot), 1)
+    spike = [r for r in out if r.grp == "a" and r.cnt == 100][0]
+    assert spike.z2_ppm == z2 > 10**6
+    # constant stream: dev=0 for every bucket -> z2_ppm 0, never flagged
+    assert all(r.z2_ppm == 0 for r in out if r.grp == "b")
+
+
+def test_bucket_anomalies_partition_invariant(spark):
+    from xml_to_parquet_spark.functions.drift import bucket_anomalies
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    res = [
+        [
+            (r.grp, r.bucket_start, r.cnt, r.z2_ppm, r.is_anomaly)
+            for r in bucket_anomalies(ev.repartition(p)).collect()
+        ]
+        for p in (1, 7)
+    ]
+    assert res[0] == res[1] and len(res[0]) == 20

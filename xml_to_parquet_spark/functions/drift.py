@@ -111,3 +111,125 @@ SELECT key, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
        CAST(dppm AS BIGINT) AS dppm
 FROM ppm ORDER BY dppm DESC, key ASC LIMIT {top_k}
 """
+
+
+def bucket_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket: str = "1 hour",
+    k_num: int = 2,
+    k_den: int = 1,
+    top_k: int = 20,
+) -> DataFrame:
+    """Volume-anomaly detection over time-bucketed event counts — the
+    monitoring twin of :func:`frequency_drift`: which hours of which
+    event stream spiked (or cratered) beyond ``k = k_num/k_den``
+    standard deviations of that stream's own bucket distribution?
+
+    The z-score test is rendered in exact integers. With per-group
+    bucket counts ``c_1..c_n``, ``tot = Σc`` and ``sumsq = Σc²``:
+
+        |c - μ| > k·σ  ⇔  k_den²·(n·c - tot)² > k_num²·(n·sumsq - tot²)
+
+    (both sides int64 — multiply out the two divisions-by-n hiding in μ
+    and σ²; no floats, no sqrt). The report carries the ratio of the two
+    sides in ppm (``z²`` in ppm of ``k²``), so reviewers see magnitude
+    and the flag is just ``z2_ppm > 1e6``. Overflow contract:
+    ``(n·max_cnt)² · 1e6`` must fit int64 ⇒ ``n_buckets · max_bucket_cnt
+    ≲ 3e6`` — at larger scales coarsen the bucket or pre-div the counts
+    (same contract style as pagerank's ``scale·weight`` bound).
+
+    Shape: ONE map-side-combined groupBy builds the bucket table
+    (shuffle ∝ groups × buckets, corpus-independent); per-group moments
+    are a second groupBy OF THAT TABLE (≪ data); the join back is
+    group-keyed and broadcast-sized. Constant series (σ = 0) flag any
+    deviation; the ppm denominator is clamped to ≥1.
+
+    Returns ``(grp, bucket_start, cnt, z2_ppm, is_anomaly)`` — top
+    ``top_k`` by z2_ppm desc, then grp/bucket asc (deterministic)."""
+    buckets = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.window(ts_col, bucket).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "grp",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "cnt",
+        )
+    )
+    stats = buckets.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    scored = (
+        buckets.join(F.broadcast(stats), "grp")
+        .withColumn("dev", F.col("n") * F.col("cnt") - F.col("tot"))
+        .withColumn(
+            "thr",
+            F.lit(k_num * k_num)
+            * (F.col("n") * F.col("sumsq") - F.col("tot") * F.col("tot")),
+        )
+        .withColumn(
+            "z2_ppm",
+            F.expr(
+                f"div({k_den * k_den}L * dev * dev * {PPM}L, "
+                "greatest(thr, 1L))"
+            ),
+        )
+        .withColumn(
+            "is_anomaly", (F.col("z2_ppm") > PPM).cast("int")
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("z2_ppm").desc(), F.col("grp").asc(),
+            F.col("bucket_start").asc(),
+        )
+        .limit(top_k)
+        .select("grp", "bucket_start", "cnt", "z2_ppm", "is_anomaly")
+    )
+
+
+def bucket_anomalies_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket_interval: str = "1 hour",
+    k_num: int = 2,
+    k_den: int = 1,
+    top_k: int = 20,
+) -> str:
+    """Oracle twin of :func:`bucket_anomalies` — same bucket table, same
+    integer moment algebra, same ordering."""
+    return f"""
+WITH buckets AS (
+  SELECT {group_col} AS grp,
+         strftime(time_bucket(INTERVAL '{bucket_interval}',
+                              CAST({ts_col} AS TIMESTAMP)),
+                  '%Y-%m-%d %H:%M:%S') AS bucket_start,
+         COUNT(*) AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+stats AS (
+  SELECT grp, COUNT(*) AS n, SUM(cnt) AS tot, SUM(cnt * cnt) AS sumsq
+  FROM buckets GROUP BY grp
+),
+scored AS (
+  SELECT b.grp, b.bucket_start, b.cnt,
+         {k_den * k_den} * (n * cnt - tot) * (n * cnt - tot) * {PPM}
+           // greatest({k_num * k_num} * (n * sumsq - tot * tot), 1)
+           AS z2_ppm
+  FROM buckets b JOIN stats USING (grp)
+)
+SELECT grp, bucket_start, CAST(cnt AS BIGINT) AS cnt,
+       CAST(z2_ppm AS BIGINT) AS z2_ppm,
+       CAST(z2_ppm > {PPM} AS INTEGER) AS is_anomaly
+FROM scored
+ORDER BY z2_ppm DESC, grp ASC, bucket_start ASC LIMIT {top_k}
+"""

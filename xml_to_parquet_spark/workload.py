@@ -4676,6 +4676,24 @@ def _q_triangles_sql() -> str:
     return triangle_counts_sql(edges)
 
 
+def q_bucket_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor (q102, drift.bucket_anomalies, r8): hourly
+    event-count z-score outliers per stream, the |c-mean| > 2*stddev
+    test multiplied out into exact int64 algebra (no floats, no sqrt).
+    Bucket table shuffle ∝ groups×buckets (corpus-independent); moments
+    aggregate THAT table; broadcast join back."""
+    from xml_to_parquet_spark.functions.drift import bucket_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return bucket_anomalies(ev)
+
+
+def _q_bucket_anomalies_sql() -> str:
+    from xml_to_parquet_spark.functions.drift import bucket_anomalies_sql
+
+    return bucket_anomalies_sql()
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5747,6 +5765,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_triangles,
         _q_triangles_sql(),
         "triangle counting by degree-ordered orientation (O(m^1.5) wedges)",
+    ),
+    "q102_bucket_anomalies": QuerySpec(
+        q_bucket_anomalies,
+        _q_bucket_anomalies_sql(),
+        "time-bucket volume anomalies: integer z-score test, no floats",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
