@@ -237,3 +237,46 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
         .count()
     )
     assert crossers == 0
+
+
+def test_k_anonymize_suppression_semantics(spark):
+    from xml_to_parquet_spark.functions.sampling import k_anonymize
+
+    rows = [
+        (0, "en", "a"), (1, "en", "a"), (2, "en", "a"),   # class of 3
+        (3, "fr", "a"), (4, "fr", "a"),                   # class of 2
+        (5, "de", None), (6, "de", None),                 # NULL quasi class
+        (7, "zh", "b"),                                   # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, src string")
+    out = {
+        r.doc_id: r
+        for r in k_anonymize(df, ["lang", "src"], k=3).collect()
+    }
+    assert len(out) == 8  # every row survives
+    assert out[0].lang == "en" and out[0].suppressed == 0 and out[0].grp_n == 3
+    # class of 2 suppressed
+    assert out[3].lang is None and out[3].src is None and out[3].suppressed == 1
+    assert out[3].grp_n == 2
+    # NULL quasi values form a real class (size 2 < k -> suppressed),
+    # and the null-safe join still found the class size
+    assert out[5].grp_n == 2 and out[5].suppressed == 1
+    assert out[7].grp_n == 1 and out[7].suppressed == 1
+
+
+def test_k_anonymize_guarantee_holds(spark):
+    from xml_to_parquet_spark.functions.sampling import k_anonymize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = k_anonymize(docs, ["lang", "source"], k=5)
+    # the k-anonymity property: every UNSUPPRESSED quasi combination
+    # appears at least k times in the released table
+    released = (
+        out.filter(F.col("suppressed") == 0)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert released.filter(F.col("n") < 5).count() == 0
+    # and suppression actually triggered on this corpus
+    assert out.filter(F.col("suppressed") == 1).count() > 0
+    assert out.count() == docs.count()

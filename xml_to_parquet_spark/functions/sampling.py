@@ -380,3 +380,84 @@ SELECT {id_col}, CAST(SUM(w) AS BIGINT) AS dsir_score
 FROM toks JOIN weights USING (bucket)
 GROUP BY {id_col}
 """
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-anonymity suppression over quasi-identifier columns — the
+    privacy-curation step between PII scrubbing (text.scrub_pii redacts
+    direct identifiers) and release: a row whose quasi-identifier
+    combination is shared by fewer than ``k`` rows is re-identifiable by
+    linkage, so its quasi values are suppressed to NULL (Sweeney 2002,
+    the published k-anonymity model; suppression-only variant — no
+    generalization hierarchies).
+
+    Returns the input's id plus each quasi column (suppressed where the
+    equivalence class is small), the class size ``grp_n``, and the
+    ``suppressed`` flag. Every row survives — suppression redacts, it
+    does not drop — so downstream joins keep their cardinality.
+
+    Shape: one map-side-combined groupBy builds the equivalence-class
+    table (shuffle ∝ distinct quasi combinations, not rows), then one
+    equi-join back on the quasi key. NULL quasi values group together
+    (SQL GROUP BY semantics) and the join uses null-safe equality so
+    NULL-keyed rows still pick up their class size. At 100 TB the class
+    table is dimension-sized for realistic quasi sets; AQE broadcasts it
+    when it fits."""
+    # class-table columns are renamed before the join so the plan is not
+    # an ambiguous self-reference (the class table derives from df)
+    grp = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+        .select(
+            *[F.col(c).alias(f"_q_{c}") for c in quasi_cols], "grp_n"
+        )
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = df.join(grp, on=cond, how="left")
+    keep = F.col("grp_n") >= k
+    return joined.select(
+        F.col(id_col),
+        *[
+            F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in quasi_cols
+        ],
+        F.col("grp_n"),
+        (~keep).cast("int").alias("suppressed"),
+    )
+
+
+def k_anonymize_sql(
+    table: str,
+    quasi_cols: list[str],
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`k_anonymize` — same class table, same
+    null-safe join, same suppression."""
+    quasi = ", ".join(quasi_cols)
+    on = " AND ".join(
+        f"t.{c} IS NOT DISTINCT FROM g.{c}" for c in quasi_cols
+    )
+    sup = ",\n       ".join(
+        f"CASE WHEN g.grp_n >= {k} THEN t.{c} ELSE NULL END AS {c}"
+        for c in quasi_cols
+    )
+    return f"""
+WITH g AS (
+  SELECT {quasi}, COUNT(*) AS grp_n FROM {table} GROUP BY {quasi}
+)
+SELECT t.{id_col},
+       {sup},
+       CAST(g.grp_n AS BIGINT) AS grp_n,
+       CAST(g.grp_n < {k} AS INTEGER) AS suppressed
+FROM {table} t LEFT JOIN g ON {on}
+ORDER BY t.{id_col}
+"""

@@ -4694,6 +4694,24 @@ def _q_bucket_anomalies_sql() -> str:
     return bucket_anomalies_sql()
 
 
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (q103, sampling.k_anonymize, r8): redact
+    quasi-identifier combinations shared by fewer than k=5 documents —
+    the privacy step between scrub_pii and release. One class-table
+    groupBy (shuffle ∝ distinct quasi combos) + one null-safe equi-join
+    back; every row survives, suppression redacts rather than drops."""
+    from xml_to_parquet_spark.functions.sampling import k_anonymize
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_anonymize(docs, ["lang", "source"], k=5).orderBy("doc_id")
+
+
+def _q_k_anonymize_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import k_anonymize_sql
+
+    return k_anonymize_sql("documents", ["lang", "source"], k=5)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5770,6 +5788,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_bucket_anomalies,
         _q_bucket_anomalies_sql(),
         "time-bucket volume anomalies: integer z-score test, no floats",
+    ),
+    "q103_k_anonymize": QuerySpec(
+        q_k_anonymize,
+        _q_k_anonymize_sql(),
+        "k-anonymity suppression of small quasi-identifier classes",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
