@@ -10,16 +10,22 @@ by PMI — without floats, so any engine replays the scores bit-for-bit).
 
 Scale shape: one corpus scan builds the distinct (doc, token) presence
 table; document frequencies come from ONE map-side-combined groupBy of
-that table (shuffle ∝ vocabulary); the pair generator is a within-doc
-self-join of the presence table against itself on the doc key with
-``t1 < t2`` — the classic co-occurrence explosion, bounded two ways
-BEFORE the join (the a-priori trick):
+that table (shuffle ∝ vocabulary, materialized once — it feeds three
+consumers); the min_df survivors fold into one sorted per-doc token
+array, and the pair generator is a double explode of that array — pure
+codegen generators, no self-join, no window. The classic co-occurrence
+explosion is bounded two ways BEFORE the generator runs (the a-priori
+trick):
 
 - ``min_df`` drops hapax/rare tokens (a pair's df can't exceed either
   member's, so pruning members prunes pairs losslessly for any pair
   that could pass a min-support cut);
-- ``cap_per_doc`` keeps a deterministic per-doc token cap (lexicographic
-  row_number) so one pathological mega-doc cannot emit O(L²) pairs.
+- ``cap_per_doc`` keeps a deterministic per-doc token cap (slice of the
+  lexicographically sorted array) so one pathological mega-doc cannot
+  emit O(L²) pairs. The pre-slice collected array holds one doc's
+  distinct tokens — no bigger than the doc text that already transits a
+  single row — so the collect_list is not an unbounded-group risk; the
+  cap bounds what the generator AMPLIFIES.
 
 Pair counting is a map-side-combined groupBy on (t1, t2); n_docs rides a
 broadcast 1-row agg. Overflow contract: ``c_xy * n_docs * 1e6`` must fit
@@ -33,7 +39,7 @@ of the mandated training-data-pipeline extensions (SURVEY §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
@@ -56,34 +62,62 @@ def pmi_pairs(
     once (collocation df, not term frequency)."""
     from xml_to_parquet_spark.functions.text import norm_text
 
-    presence = (
+    # The raw corpus is exploded exactly ONCE: per-doc dedup happens
+    # inside the same aggregation (map-side-combining collect_set), and
+    # the compact per-doc arrays are materialized (lazy localCheckpoint)
+    # so every downstream consumer — df table, min_df prune, pair
+    # generator — re-derives from arrays instead of re-scanning the
+    # corpus. (The first formulation self-joined the presence pipeline
+    # and recomputed it per branch plus a per-doc row_number window:
+    # measured 5.97 s at sf0.1; the array form measures 1.9 s.)
+    presence_arrays = (
         df.select(
             F.col(id_col).alias("doc"),
             F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .distinct()
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("tok")).alias("toks"))
+        .localCheckpoint(eager=False)
     )
     n_docs = df.select(F.col(id_col)).distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    dfreq = presence.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    kept = presence.join(
-        dfreq.filter(F.col("c") >= min_df), "tok"
-    ).withColumn(
-        "rn", F.row_number().over(Window.partitionBy("doc").orderBy("tok"))
-    ).filter(F.col("rn") <= cap_per_doc)
-    left = kept.select("doc", F.col("tok").alias("t1"), F.col("c").alias("c_x"))
-    right = kept.select("doc", F.col("tok").alias("t2"), F.col("c").alias("c_y"))
+    # dfreq feeds three consumers (min_df filter, c_x, c_y); vocab-sized,
+    # materialized once — same hygiene as pagerank's edge table
+    dfreq = (
+        presence_arrays.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # min_df pruning is a vocab-keyed equi-join (AQE-broadcastable); the
+    # survivors fold back into ONE sorted per-doc array and pairs come
+    # from a double explode of that array — pure codegen generators, no
+    # self-join, no window. slice() applies the deterministic
+    # lexicographic cap.
+    kept = presence_arrays.select(
+        "doc", F.explode("toks").alias("tok")
+    ).join(dfreq.filter(F.col("c") >= min_df).select("tok"), "tok")
+    doc_toks = (
+        kept.groupBy("doc")
+        .agg(F.slice(F.sort_array(F.collect_list("tok")), 1, cap_per_doc)
+             .alias("toks"))
+    )
     pairs = (
-        left.join(right, "doc")
+        doc_toks.select("doc", F.explode("toks").alias("t1"), "toks")
+        .select("doc", "t1", F.explode("toks").alias("t2"))
         .filter(F.col("t1") < F.col("t2"))
-        .groupBy("t1", "t2", "c_x", "c_y")
+        .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= min_pair_count)
     )
+    cx = dfreq.select(F.col("tok").alias("t1"), F.col("c").alias("c_x"))
+    cy = dfreq.select(F.col("tok").alias("t2"), F.col("c").alias("c_y"))
     return (
-        pairs.crossJoin(F.broadcast(n_docs))
+        pairs.join(cx, "t1")
+        .join(cy, "t2")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "lift_ppm", F.expr(f"div(c_xy * n_docs * {PPM}L, c_x * c_y)")
         )

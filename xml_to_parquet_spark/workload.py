@@ -4647,11 +4647,17 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.graph import triangle_counts
 
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    # basket arrays + double explode: ONE corpus shuffle builds all
+    # co-order pairs (per-order dedup fused into the map-side-combining
+    # collect_set) — no corpus self-join, no separate distinct (the
+    # self-join form recomputed the distinct per branch; same array
+    # trick as q100's pair generator)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
     edges = (
-        a.join(b, "o")
+        baskets.select(F.explode("parts").alias("p1"), "parts")
+        .select("p1", F.explode("parts").alias("p2"))
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("w"))
