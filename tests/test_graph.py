@@ -144,3 +144,32 @@ def test_triangles_python_replay_and_partition_invariant(spark):
             for r in triangle_counts(e, top_k=100).collect()
         }
         assert got == want and len(want) > 5
+
+
+def test_bfs_levels_known_graph(spark):
+    from xml_to_parquet_spark.functions.graph import bfs_levels
+
+    # path 1-2-3-4-5 plus a branch 2-10: from seed 1,
+    # hop1={2}, hop2={3,10}, hop3={4}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10)])
+    out = {(r.seed, r.hop): r.n_nodes for r in bfs_levels(e, [1, 5]).collect()}
+    assert out[(1, 1)] == 1 and out[(1, 2)] == 2 and out[(1, 3)] == 1
+    # from seed 5: hop1={4}, hop2={3}, hop3={2}
+    assert out[(5, 1)] == 1 and out[(5, 2)] == 1 and out[(5, 3)] == 1
+    # visited set: node 1 must not be re-counted from seed 1 via cycles
+    assert len(out) == 6
+
+
+def test_bfs_levels_exhausted_frontier_and_directed(spark):
+    from xml_to_parquet_spark.functions.graph import bfs_levels
+
+    e = _edges(spark, [(1, 2), (2, 1)])  # 2-cycle
+    und = {
+        (r.seed, r.hop): r.n_nodes
+        for r in bfs_levels(e, [1], max_hops=3).collect()
+    }
+    # hop1 reaches 2, then the frontier is exhausted: no hop2/hop3 rows
+    assert und == {(1, 1): 1}
+    # directed mode on a one-way edge: seed 2 reaches nothing
+    d = bfs_levels(_edges(spark, [(1, 2)]), [2], undirected=False).collect()
+    assert d == []

@@ -174,7 +174,8 @@ def triangle_counts(
     # und/deg/oriented are each referenced 2-3 times downstream, and the
     # caller's edge construction (often a heavy co-occurrence self-join)
     # sits in their lineage — without materialization every reference
-    # replays it (measured 4.45 s → 1.1 s at sf0.1 on the q101 graph).
+    # replays it (q101 graph at sf0.1: 4.45 s → 1.8 s steady-state
+    # together with the basket-array edge build).
     # All three are edge/node-sized, far below the input corpus.
     und = (
         edges.select(
@@ -271,3 +272,107 @@ SELECT p.node, CAST(d AS BIGINT) AS degree,
 FROM per_node p JOIN deg USING (node)
 ORDER BY triangles DESC, node ASC LIMIT {top_k}
 """
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: list[int],
+    max_hops: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: how many NEW nodes each seed reaches at hop
+    1..``max_hops`` — the reachability / neighborhood-growth profile
+    (link-graph crawl-frontier sizing, contamination blast-radius
+    checks). Classic iterative frontier expansion:
+
+        frontier_h = (frontier_{h-1} ⋈ edges) ∖ visited
+
+    with the visited set preventing re-counting across hops (a node is
+    counted at its FIRST hop distance — BFS level, not walk count).
+
+    Scale shape: per round one equi-join keyed on the frontier node
+    (AQE-splittable) + one left-anti join against visited, both keyed
+    tables ∝ seeds × reachable nodes (≪ corpus for bounded hops);
+    per-round ``localCheckpoint`` cuts iterative lineage exactly as in
+    pagerank/dedup_clusters. The hop count is fixed, so the oracle is a
+    finite unrolled CTE chain (pagerank_sql style — no recursion).
+
+    Returns ``(seed, hop, n_nodes)`` for hop 1..``max_hops`` (0 rows
+    possible for exhausted frontiers — seeds that saturate early simply
+    stop producing), ordered seed asc, hop asc."""
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in seeds], "seed long"
+    )
+    frontier = seed_df.select("seed", F.col("seed").alias("node"))
+    visited = frontier
+    out = None
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        level = nxt.groupBy("seed").agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        ).select("seed", F.lit(hop).alias("hop"), "n_nodes")
+        out = level if out is None else out.unionByName(level)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return out.orderBy("seed", "hop")
+
+
+def bfs_levels_sql(
+    edges_cte: str,
+    seeds: list[int],
+    max_hops: int = 3,
+    undirected: bool = True,
+) -> str:
+    """Oracle twin of :func:`bfs_levels` — the same frontier/visited
+    algebra unrolled into a finite CTE chain."""
+    seed_rows = ", ".join(f"({s})" for s in seeds)
+    und = (
+        "SELECT src, dst FROM raw_e UNION SELECT dst AS src, src AS dst "
+        "FROM raw_e"
+        if undirected
+        else "SELECT DISTINCT src, dst FROM raw_e"
+    )
+    parts = [
+        f"raw_e AS ({edges_cte})",
+        f"e AS ({und})",
+        f"seeds(seed) AS (VALUES {seed_rows})",
+        "f0 AS (SELECT seed, seed AS node FROM seeds)",
+        "v0 AS (SELECT seed, node FROM f0)",
+    ]
+    levels = []
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""f{h} AS (
+  SELECT DISTINCT f.seed, e.dst AS node
+  FROM f{h - 1} f JOIN e ON f.node = e.src
+  WHERE NOT EXISTS (SELECT 1 FROM v{h - 1} v
+                    WHERE v.seed = f.seed AND v.node = e.dst)
+)"""
+        )
+        parts.append(
+            f"v{h} AS (SELECT seed, node FROM v{h - 1} "
+            f"UNION ALL SELECT seed, node FROM f{h})"
+        )
+        levels.append(
+            f"SELECT seed, {h} AS hop, COUNT(*) AS n_nodes "
+            f"FROM f{h} GROUP BY seed"
+        )
+    union = "\nUNION ALL\n".join(levels)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(seed AS BIGINT) AS seed, CAST(hop AS BIGINT) AS hop,"
+        f" CAST(n_nodes AS BIGINT) AS n_nodes FROM ({union})"
+        " ORDER BY seed, hop"
+    )

@@ -4646,40 +4646,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     thinning step a 100 TB basket graph needs anyway."""
     from xml_to_parquet_spark.functions.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem")
-    # basket arrays + double explode: ONE corpus shuffle builds all
-    # co-order pairs (per-order dedup fused into the map-side-combining
-    # collect_set) — no corpus self-join, no separate distinct (the
-    # self-join form recomputed the distinct per branch; same array
-    # trick as q100's pair generator)
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(F.explode("parts").alias("p1"), "parts")
-        .select("p1", F.explode("parts").alias("p2"))
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_coorder_edges(spark, sf_dir))
 
 
 def _q_triangles_sql() -> str:
     from xml_to_parquet_spark.functions.graph import triangle_counts_sql
 
-    edges = """
-  SELECT p1 AS src, p2 AS dst FROM (
-    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS w
-    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY 1, 2
-  ) WHERE w >= 2
-"""
-    return triangle_counts_sql(edges)
+    return triangle_counts_sql(_COORDER_EDGES_SQL)
 
 
 def q_bucket_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4716,6 +4689,54 @@ def _q_k_anonymize_sql() -> str:
     from xml_to_parquet_spark.functions.sampling import k_anonymize_sql
 
     return k_anonymize_sql("documents", ["lang", "source"], k=5)
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str):
+    """Shared co-purchase edge builder for the graph entries (q101/q104):
+    basket arrays + double explode (one corpus shuffle, per-order dedup
+    fused into map-side collect_set), min-support w>=2 thinning."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    return (
+        baskets.select(F.explode("parts").alias("p1"), "parts")
+        .select("p1", F.explode("parts").alias("p2"))
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
+_COORDER_EDGES_SQL = """
+  SELECT p1 AS src, p2 AS dst FROM (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS w
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+"""
+
+
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels (q104, graph.bfs_levels, r8): how many
+    new parts each seed part reaches at hop 1/2/3 of the co-purchase
+    graph — frontier expansion with a visited anti-join, per-round
+    localCheckpoint (the iterative hygiene shared with pagerank and
+    dedup_clusters); fixed hop count keeps the oracle a finite unrolled
+    CTE chain."""
+    from xml_to_parquet_spark.functions.graph import bfs_levels
+
+    return bfs_levels(_coorder_edges(spark, sf_dir), seeds=[1, 2, 3])
+
+
+def _q_bfs_khop_sql() -> str:
+    from xml_to_parquet_spark.functions.graph import bfs_levels_sql
+
+    return bfs_levels_sql(_COORDER_EDGES_SQL, seeds=[1, 2, 3])
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5799,6 +5820,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_k_anonymize,
         _q_k_anonymize_sql(),
         "k-anonymity suppression of small quasi-identifier classes",
+    ),
+    "q104_bfs_khop": QuerySpec(
+        q_bfs_khop,
+        _q_bfs_khop_sql(),
+        "multi-source BFS hop levels: frontier expansion + visited anti-join",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
