@@ -574,3 +574,36 @@ def test_bucket_anomalies_partition_invariant(spark):
         for p in (1, 7)
     ]
     assert res[0] == res[1] and len(res[0]) == 20
+
+
+def test_ngram_diversity_known_values(spark):
+    from xml_to_parquet_spark.functions.drift import ngram_diversity
+
+    rows = [
+        (0, "a b a b a b", "loop"),     # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (1, "a b c d e", "fresh"),      # 4 total, 4 distinct
+        (2, "x", "tiny"),               # <2 tokens -> no grams, no row
+        (3, None, "tiny"),              # NULL text -> no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.label: r for r in ngram_diversity(df).collect()}
+    assert out["loop"].n_grams == 5 and out["loop"].n_distinct == 2
+    assert out["loop"].ttr_ppm == 2 * 10**6 // 5
+    assert out["fresh"].ttr_ppm == 10**6
+    assert "tiny" not in out  # no evidence, no row
+    # the monitor's point: the loop slice scores far below the fresh one
+    assert out["loop"].ttr_ppm < out["fresh"].ttr_ppm
+
+
+def test_ngram_diversity_partition_invariant_and_trigram(spark):
+    from xml_to_parquet_spark.functions.drift import ngram_diversity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = [
+        [
+            (r.label, r.n_grams, r.n_distinct, r.ttr_ppm)
+            for r in ngram_diversity(docs.repartition(p), n=3).collect()
+        ]
+        for p in (1, 7)
+    ]
+    assert res[0] == res[1] and len(res[0]) > 0

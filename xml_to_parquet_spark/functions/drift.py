@@ -233,3 +233,83 @@ SELECT grp, bucket_start, CAST(cnt AS BIGINT) AS cnt,
 FROM scored
 ORDER BY z2_ppm DESC, grp ASC, bucket_start ASC LIMIT {top_k}
 """
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "source",
+    n: int = 2,
+) -> DataFrame:
+    """Per-slice corpus diversity: the word-``n``-gram type/token ratio
+    (distinct grams ÷ gram instances, integer ppm) — the
+    templated-content / mode-collapse monitor next to
+    :func:`frequency_drift` (a slice whose TTR craters is boilerplate or
+    synthetic loops; the corpus-level cousin of per-doc
+    ``repetition_features``).
+
+    Grams are built ROW-LOCALLY by an array transform over the token
+    array (no shuffle, no join, work ∝ doc length); the only shuffles
+    are the two map-side-combinable aggregations behind
+    ``count`` + ``count(distinct)`` per slice (shuffle ∝ slice
+    vocabulary, not corpus). Docs with fewer than ``n`` tokens
+    contribute nothing (no evidence). Output: ``(label, n_grams,
+    n_distinct, ttr_ppm)`` ordered by label."""
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.split(norm_text(F.col(text_col)), " ").alias("toks"),
+    )
+    grams = toks.select(
+        "label",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.expr(
+                    "transform(sequence(0, size(toks) - %d), "
+                    "i -> array_join(slice(toks, i + 1, %d), ' '))" % (n, n)
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct(F.col("gram")).alias("n_distinct"),
+        )
+        .withColumn(
+            "ttr_ppm", F.expr("div(n_distinct * 1000000L, n_grams)")
+        )
+        .orderBy("label")
+    )
+
+
+def ngram_diversity_sql(
+    table: str = "documents",
+    norm_sql: str = "text",
+    label_col: str = "source",
+    n: int = 2,
+) -> str:
+    """Oracle twin of :func:`ngram_diversity` — same row-local gram
+    construction (DuckDB list_transform 1-based ↔ Spark slice), same
+    counts, same truncating ppm."""
+    return f"""
+WITH toks AS (
+  SELECT {label_col} AS label, string_split({norm_sql}, ' ') AS t
+  FROM {table}
+),
+grams AS (
+  SELECT label, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(range(1, len(t) - {n} + 2),
+                             i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))
+         ELSE [] END) AS gram
+  FROM toks
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT) AS ttr_ppm
+FROM grams GROUP BY label ORDER BY label
+"""

@@ -4739,6 +4739,23 @@ def _q_bfs_khop_sql() -> str:
     return bfs_levels_sql(_COORDER_EDGES_SQL, seeds=[1, 2, 3])
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity monitor (q105, drift.ngram_diversity, r8):
+    per-source word-bigram type/token ratio in integer ppm — the
+    templated-content / mode-collapse gate. Grams built row-locally by
+    an array transform (zero-shuffle generation); only the two map-side
+    aggs shuffle, ∝ slice vocabulary."""
+    from xml_to_parquet_spark.functions.drift import ngram_diversity
+
+    return ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_diversity_sql() -> str:
+    from xml_to_parquet_spark.functions.drift import ngram_diversity_sql
+
+    return ngram_diversity_sql(norm_sql=_NORM_SQL)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5825,6 +5842,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_bfs_khop,
         _q_bfs_khop_sql(),
         "multi-source BFS hop levels: frontier expansion + visited anti-join",
+    ),
+    "q105_ngram_diversity": QuerySpec(
+        q_ngram_diversity,
+        _q_ngram_diversity_sql(),
+        "per-source bigram type/token ratio (ppm) — diversity monitor",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
