@@ -112,3 +112,29 @@ def test_empty_leakage_split_and_dsir(spark):
     assert (
         sampling.dsir_scores(docs, target_pred=F.lit(True)).count() == 0
     )
+
+
+def test_empty_inputs_r8_additions(spark):
+    from xml_to_parquet_spark.functions.association import pmi_pairs
+    from xml_to_parquet_spark.functions.drift import (
+        bucket_anomalies,
+        frequency_drift,
+        ngram_diversity,
+    )
+    from xml_to_parquet_spark.functions.graph import bfs_levels, triangle_counts
+    from xml_to_parquet_spark.functions.sampling import k_anonymize
+    from xml_to_parquet_spark.functions.text import gopher_rules
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert gopher_rules(docs).count() == 0
+    assert pmi_pairs(docs).count() == 0
+    assert ngram_diversity(docs).count() == 0
+    assert k_anonymize(docs, ["source"]).count() == 0
+    toks = spark.createDataFrame([], "token string, source string")
+    assert frequency_drift(toks, "source", "a", "b").count() == 0
+    ev = spark.createDataFrame([], "ts timestamp, event_type string")
+    assert bucket_anomalies(ev).count() == 0
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(edges).count() == 0
+    # BFS over an empty graph: seeds reach nothing, no level rows
+    assert bfs_levels(edges, [1, 2]).count() == 0
