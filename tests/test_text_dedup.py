@@ -1134,3 +1134,71 @@ def test_gopher_rules_matches_oracle_counts(spark):
     assert 0 < agg.w < agg.n  # word-count rule splits the corpus
     assert 0 < agg.s < agg.n  # stopword rule splits the corpus
     assert agg.p <= min(agg.w, agg.s)
+
+
+def _brute_jaccard_pairs(rows, n, t_num, t_den):
+    # replay word_shingles semantics: distinct word n-grams, whole text
+    # if shorter than n tokens
+    import re
+
+    def shingles(s):
+        toks = re.sub(r"\s+", " ", s.strip().lower()).split(" ")
+        if len(toks) >= n:
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+        return {" ".join(toks)}
+
+    sets = {i: shingles(t) for i, t in rows if t is not None}
+    out = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * t_den >= t_num * union:
+                out.append((a, b, inter, union, inter * 10**6 // union))
+    return sorted(out)
+
+
+def test_setsim_prefix_lossless_vs_bruteforce(spark):
+    # pseudo-random docs over a tiny vocabulary force partial overlaps at
+    # many different Jaccard levels — the prefix filter must lose NONE
+    vocab = ["red", "blue", "green", "gold", "iron", "wolf", "moon", "star"]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j * 3) % 8] for j in range(4 + i % 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t_num, t_den in [(1, 4), (1, 2), (4, 5), (1, 1)]:
+        want = _brute_jaccard_pairs(rows, 3, t_num, t_den)
+        got = sorted(
+            (r.id_a, r.id_b, r.inter_sz, r.union_sz, r.jacc_ppm)
+            for r in dedup.setsim_prefix_pairs(
+                df, t_num=t_num, t_den=t_den
+            ).collect()
+        )
+        assert got == want, f"t={t_num}/{t_den}"
+    assert len(_brute_jaccard_pairs(rows, 3, 1, 4)) > 5  # non-trivial
+
+
+def test_setsim_prefix_known_pair_and_partition_invariance(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # high overlap
+        (3, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = []
+    for p in (1, 5):
+        got = [
+            (r.id_a, r.id_b, r.inter_sz, r.union_sz)
+            for r in dedup.setsim_prefix_pairs(
+                df.repartition(p), t_num=1, t_den=2
+            ).collect()
+        ]
+        res.append(got)
+    # 9 tokens -> 7 trigrams each; docs 1/2 share 6 (all but the last):
+    # union 8, jaccard 6/8 >= 0.5; doc 3 pairs with nothing
+    assert res[0] == res[1] == [(1, 2, 6, 8)]

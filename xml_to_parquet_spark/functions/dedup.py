@@ -1409,3 +1409,134 @@ def strip_repeated_spans(
             (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
+
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    published AllPairs/PPJoin recipe (Bayardo et al. 2007; Xiao et al.
+    2008), the LOSSLESS counterpart of ``ngram_jaccard_via_lsh``: every
+    pair with shingle-Jaccard ≥ ``t_num/t_den`` is returned, none
+    missed, but unlike ``ngram_jaccard_pairs`` (full inverted-index
+    self-join — every shared shingle generates a candidate row, and a
+    boilerplate shingle shared by 10^6 docs generates 10^12) the join
+    only touches each document's PREFIX: under any global total order
+    over shingles, two sets with Jaccard ≥ t MUST share a token among
+    each one's first ``|x| - ceil(t·|x|) + 1`` tokens (pigeonhole on the
+    overlap bound ceil(t·|x|)); ordering by ASCENDING global frequency
+    makes those prefix tokens the RAREST ones, so hot shingles never
+    enter the candidate join at all. At t=0.8 the prefix is ~20% of each
+    doc; candidate volume drops by the square of that.
+
+    Shape: ONE corpus scan builds per-doc shingle arrays row-locally
+    (checkpointed — they feed ordering and both verify sides); the
+    global frequency table is vocabulary-sized; the candidate join is
+    keyed on rare prefix shingles (rare ⇒ short postings ⇒ no skew);
+    verification is row-local ``array_intersect`` over the two capped
+    arrays. Exact integer accept test ``inter·t_den ≥ t_num·union``;
+    ``jacc_ppm`` reported as truncating integer.
+
+    Returns ``(id_a, id_b, inter_sz, union_sz, jacc_ppm)``, id_a < id_b,
+    ordered — bit-comparable to the brute-force all-pairs oracle, which
+    is how the losslessness is proven on real data."""
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
+    )
+    dfreq = (
+        base.select(F.explode("toks").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # per-doc shingles ordered rarest-first under the (df, shingle)
+    # total order; sort_array over structs orders by fields in sequence
+    ordered = (
+        base.select("id", F.explode("toks").alias("shingle"))
+        .join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(c, shingle))),"
+                   " x -> x.shingle)").alias("otoks")
+        )
+    )
+    # prefix length p = sz - ceil(t*sz) + 1, ceil as (t_num*sz+t_den-1)//t_den
+    prefix = ordered.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"slice(otoks, 1, size(otoks) "
+                f"- div({t_num} * size(otoks) + {t_den - 1}, {t_den}) + 1)"
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter_sz", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "union_sz", F.size("ta") + F.size("tb") - F.col("inter_sz")
+        )
+        .filter(
+            F.col("inter_sz") * t_den >= F.lit(t_num) * F.col("union_sz")
+        )
+    )
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            F.col("union_sz").cast("long").alias("union_sz"),
+            F.expr("div(inter_sz * 1000000L, union_sz)").alias("jacc_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def setsim_bruteforce_sql(
+    table: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> str:
+    """Brute-force all-pairs oracle for :func:`setsim_prefix_pairs` —
+    deliberately prefix-free (every shared shingle joins), so a driver
+    match PROVES the prefix filter lossless on the real corpus."""
+    return f"""
+WITH sh AS ({shingle_sql(table, id_col, n)}),
+sizes AS (SELECT {id_col} AS id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS BIGINT) AS inter_sz,
+       CAST(sa.sz + sb.sz - i AS BIGINT) AS union_sz,
+       CAST(i * 1000000 // (sa.sz + sb.sz - i) AS BIGINT) AS jacc_ppm
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * {t_den} >= {t_num} * (sa.sz + sb.sz - i)
+ORDER BY id_a, id_b
+"""

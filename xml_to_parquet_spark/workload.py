@@ -4756,6 +4756,26 @@ def _q_ngram_diversity_sql() -> str:
     return ngram_diversity_sql(norm_sql=_NORM_SQL)
 
 
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (q106,
+    dedup.setsim_prefix_pairs, r8): all shingle-Jaccard >= 0.5 pairs via
+    the published AllPairs/PPJoin prefix filter — LOSSLESS (the oracle
+    is the brute-force all-pairs join, so a driver match proves no pair
+    was missed) while the candidate join touches only each doc's
+    rarest ~50% of shingles; hot shingles never enter the join."""
+    from xml_to_parquet_spark.functions.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(
+        _t(spark, sf_dir, "documents"), t_num=1, t_den=2
+    )
+
+
+def _q_setsim_prefix_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import setsim_bruteforce_sql
+
+    return setsim_bruteforce_sql("documents", t_num=1, t_den=2)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5847,6 +5867,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_ngram_diversity,
         _q_ngram_diversity_sql(),
         "per-source bigram type/token ratio (ppm) — diversity monitor",
+    ),
+    "q106_setsim_prefix": QuerySpec(
+        q_setsim_prefix,
+        _q_setsim_prefix_sql(),
+        "AllPairs/PPJoin prefix-filtered exact Jaccard join vs brute oracle",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
