@@ -1471,19 +1471,54 @@ def setsim_prefix_pairs(
         )
     )
     # prefix length p = sz - ceil(t*sz) + 1, ceil as (t_num*sz+t_den-1)//t_den
+    # posexplode keeps each prefix token's 0-based POSITION for the
+    # positional filter below; sz rides along for the length filter
     prefix = ordered.select(
-        "id",
-        F.explode(
+        F.col("id"),
+        F.size("otoks").alias("sz"),
+        F.posexplode(
             F.expr(
                 f"slice(otoks, 1, size(otoks) "
                 f"- div({t_num} * size(otoks) + {t_den - 1}, {t_den}) + 1)"
             )
-        ).alias("shingle"),
+        ).alias("pos", "shingle"),
+    )
+    pa = prefix.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"), "shingle",
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"), "shingle",
+    )
+    # Jaccard ≥ t ⇔ overlap ≥ α = ceil(t·(|A|+|B|)/(1+t)); two PPJoin
+    # prunes make the surviving candidate set ~output-sized BEFORE any
+    # array is shipped (without them the docs100 rung OOMed carrying two
+    # full shingle arrays across ~10^7 spurious candidates):
+    # - length filter: t·|B| ≤ |A| ≤ |B|/t (size-incompatible pairs out)
+    # - positional filter: a pair's FIRST shared prefix token at
+    #   positions (i, j) bounds overlap by 1 + min(szA−i−1, szB−j−1);
+    #   the first-match occurrence of any true pair always passes, so
+    #   distinct-after-filter is lossless
+    alpha = F.expr(
+        f"div({t_num} * (sz_a + sz_b) + {t_num + t_den} - 1, "
+        f"{t_num + t_den})"
     )
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "shingle")
-        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        pa.join(pb, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("sz_a") * t_den >= F.lit(t_num) * F.col("sz_b"))
+            & (F.col("sz_b") * t_den >= F.lit(t_num) * F.col("sz_a"))
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("pos_a") - 1,
+                F.col("sz_b") - F.col("pos_b") - 1,
+            )
+            >= alpha
+        )
         .select("id_a", "id_b")
         .distinct()
     )

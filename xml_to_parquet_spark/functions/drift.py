@@ -53,6 +53,16 @@ def frequency_drift(
     counts = keyed.groupBy("key").agg(
         F.sum("is_a").alias("cnt_a"), F.sum("is_b").alias("cnt_b")
     )
+    return drift_report_from_counts(counts, top_k)
+
+
+def drift_report_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
+    """The report half of :func:`frequency_drift`, factored so MERGED
+    partial counts feed the same arithmetic — per-key (cnt_a, cnt_b)
+    sums are associative, so micro-batch partials published by the
+    streaming monitor (streaming.file_stream.stream_docs_drift) fold
+    into the bit-identical report the one-pass batch monitor produces.
+    Input: ``(key, cnt_a, cnt_b)``."""
     totals = counts.agg(
         F.greatest(F.sum("cnt_a"), F.lit(1)).alias("tot_a"),
         F.greatest(F.sum("cnt_b"), F.lit(1)).alias("tot_b"),

@@ -654,6 +654,100 @@ def stream_events_kmv(
         _shutil.rmtree(base, ignore_errors=True)
 
 
+def stream_docs_drift(
+    spark: SparkSession, sf_dir: str, n_splits: int = 4, top_k: int = 20
+) -> DataFrame:
+    """Continuous distribution-drift maintenance (r8): each micro-batch
+    folds its slice of the document stream into per-token conditional
+    (cnt_a, cnt_b) partial counts and append-publishes THOSE through the
+    exactly-once commit sink; the reader sums the published partials per
+    token and feeds the same report arithmetic as the one-pass batch
+    monitor (drift.drift_report_from_counts).
+
+    Same design point as stream_events_kmv: published state grows by
+    O(vocabulary) per batch, never raw tokens, and per-key sums are
+    associative — ANY batching (independent executors, crash replays
+    deduped by batch id) folds to the identical report. That identity IS
+    the oracle: the streamed report must equal q98's whole-table static
+    report bit-for-bit; ``multi_batch`` pins that ≥2 real commits
+    happened."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xml_to_parquet_spark.functions.drift import (
+        drift_report_from_counts,
+    )
+    from xml_to_parquet_spark.functions.text import norm_text
+    from xml_to_parquet_spark.sinks.publish import (
+        foreach_batch_publisher,
+        history,
+        read_published,
+    )
+
+    static = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("source", "text")
+        .filter(F.col("source").isin(["src0", "src1"]))
+    )
+    base = _tempfile.mkdtemp(
+        prefix="drift_stream_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = os.path.join(base, "src")
+        static.repartition(n_splits).write.parquet(src)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        root = os.path.join(base, "drift_pub")
+        publish = foreach_batch_publisher(root)
+
+        def _count_batch(bdf: DataFrame, batch_id: int) -> None:
+            toks = bdf.select(
+                F.explode(F.split(norm_text(F.col("text")), " ")).alias(
+                    "key"
+                ),
+                (F.col("source") == "src0").cast("long").alias("is_a"),
+                (F.col("source") == "src1").cast("long").alias("is_b"),
+            )
+            publish(
+                toks.groupBy("key").agg(
+                    F.sum("is_a").alias("cnt_a"),
+                    F.sum("is_b").alias("cnt_b"),
+                ),
+                batch_id,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_count_batch)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_commits = len(history(root))
+        merged = (
+            read_published(spark, root)
+            .groupBy("key")
+            .agg(F.sum("cnt_a").alias("cnt_a"), F.sum("cnt_b").alias("cnt_b"))
+        )
+        out = drift_report_from_counts(merged, top_k).withColumn(
+            "multi_batch", F.lit(n_commits >= 2)
+        )
+        # the published root is ephemeral: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def stream_xml_dir(
     spark: SparkSession,
     input_dir: str,

@@ -4776,6 +4776,35 @@ def _q_setsim_prefix_sql() -> str:
     return setsim_bruteforce_sql("documents", t_num=1, t_den=2)
 
 
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift maintenance (q107,
+    file_stream.stream_docs_drift, r8): per-micro-batch conditional
+    token counts append-published exactly-once; the reader folds the
+    partials into the SAME report as the one-pass batch monitor — the
+    associative-merge identity is the oracle (streamed report ==
+    q98's whole-table report), with multi_batch pinning ≥2 commits."""
+    from xml_to_parquet_spark.streaming.file_stream import stream_docs_drift
+
+    return stream_docs_drift(spark, sf_dir)
+
+
+def _q_stream_drift_sql() -> str:
+    from xml_to_parquet_spark.functions.drift import frequency_drift_sql
+
+    toks = (
+        "SELECT source, unnest(string_split(" + _NORM_SQL + ", ' ')) "
+        "AS token FROM documents"
+    )
+    inner = frequency_drift_sql(
+        "tok_t", "source", "src0", "src1", "token",
+        with_ctes=f"tok_t AS ({toks})",
+    )
+    return (
+        f"SELECT key, cnt_a, cnt_b, ppm_a, ppm_b, dppm, TRUE AS multi_batch"
+        f" FROM ({inner})"
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5872,6 +5901,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_setsim_prefix,
         _q_setsim_prefix_sql(),
         "AllPairs/PPJoin prefix-filtered exact Jaccard join vs brute oracle",
+    ),
+    "q107_stream_drift": QuerySpec(
+        q_stream_drift,
+        _q_stream_drift_sql(),
+        "streaming drift monitor: published partial counts == batch report",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
