@@ -184,3 +184,32 @@ def test_stream_events_kmv_merge_identity(spark, sf_dir):
     # sketches estimate: within the KMV error envelope on every group
     for est, exact, _ in got.values():
         assert abs(est - exact) <= max(3, exact * 0.5)
+
+
+def test_stream_docs_drift_merge_identity(spark, sf_dir):
+    """Streaming drift maintenance (r8): per-batch conditional partial
+    counts published exactly-once fold into the bit-identical report the
+    one-pass batch monitor produces on the whole static table, and
+    multiple micro-batches really committed."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.drift import frequency_drift
+    from xml_to_parquet_spark.functions.text import norm_text
+    from xml_to_parquet_spark.streaming.file_stream import stream_docs_drift
+
+    streamed = stream_docs_drift(spark, sf_dir).collect()
+    assert all(r.multi_batch for r in streamed)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("token"),
+    )
+    batch = frequency_drift(
+        toks, label_col="source", label_a="src0", label_b="src1",
+        key_col="token",
+    ).collect()
+    assert [
+        (r.key, r.cnt_a, r.cnt_b, r.ppm_a, r.ppm_b, r.dppm) for r in streamed
+    ] == [
+        (r.key, r.cnt_a, r.cnt_b, r.ppm_a, r.ppm_b, r.dppm) for r in batch
+    ]
