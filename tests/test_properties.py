@@ -634,3 +634,63 @@ def test_pagerank_reference_conserves_bounded_mass(edge_list, iters):
     ranks = _pagerank_py(edges, iterations=iters)
     assert all(r >= 0 for r in ranks.values())
     assert sum(ranks.values()) <= 10**9
+
+
+# ---------------------------------------------------------------------------
+# spark: AllPairs/PPJoin prefix+length+positional filter stack is lossless
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=9
+        ).map(lambda cs: " ".join(cs)),
+        min_size=2,
+        max_size=18,
+    ),
+    st.sampled_from([(1, 4), (1, 2), (4, 5), (1, 1)]),
+)
+def test_setsim_prefix_lossless_property(spark, texts, t):
+    """Hypothesis fuzz of the three PPJoin prunes: for ANY small corpus
+    (1-char 'words' over a tiny alphabet maximize shingle collisions,
+    duplicate docs, sub-n docs, empties) and ANY threshold, the filtered
+    join equals brute-force all-pairs Jaccard over word_shingles
+    semantics — no pair lost to the prefix, length, or positional cut."""
+    import re
+
+    from xml_to_parquet_spark.functions.dedup import setsim_prefix_pairs
+
+    t_num, t_den = t
+    n = 3
+
+    def shingles(s):
+        toks = re.sub(r"\s+", " ", s.strip().lower()).split(" ")
+        if len(toks) >= n:
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+        return {" ".join(toks)}
+
+    rows = list(enumerate(texts))
+    sets = {i: shingles(s) for i, s in rows}
+    expected = set()
+    for x in range(len(rows)):
+        for y in range(x + 1, len(rows)):
+            inter = len(sets[x] & sets[y])
+            union = len(sets[x] | sets[y])
+            if union and inter * t_den >= t_num * union:
+                expected.add((x, y, inter, union))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.inter_sz, r.union_sz)
+        for r in setsim_prefix_pairs(
+            df, t_num=t_num, t_den=t_den
+        ).collect()
+    }
+    assert got == expected
