@@ -159,3 +159,33 @@ def test_cli_table_management(spark, tmp_path, capsys):
 
     with pytest.raises(FileNotFoundError, match="committed history"):
         main(["table", "diff", root, "1"])
+
+
+def test_cli_corpus_monitors(spark, capsys):
+    import json
+
+    # reuses the live session via get_spark's getOrCreate
+    sf = "/root/testdata/sf0.001"
+    assert main([
+        "corpus", "drift", f"{sf}/documents.parquet", "src0", "src1",
+    ]) == 0
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(lines) == 20 and {"key", "dppm"} <= set(lines[0])
+
+    assert main(["corpus", "diversity", f"{sf}/documents.parquet"]) == 0
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert all(0 < r["ttr_ppm"] <= 10**6 for r in lines) and lines
+
+    assert main([
+        "corpus", "anomalies", f"{sf}/events.parquet", "--top-k", "5",
+    ]) == 0
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(lines) == 5 and {"grp", "z2_ppm", "is_anomaly"} <= set(
+        lines[0]
+    )

@@ -245,6 +245,46 @@ def _build_parser() -> argparse.ArgumentParser:
         help="rows to print (default 20; counts are always full)",
     )
     td.add_argument("--master", default=None)
+
+    # corpus QA monitors over a parquet table — the operational surface
+    # of functions/drift.py (r8): the checks a refresh cycle runs before
+    # training sees the data
+    q = sub.add_parser(
+        "corpus",
+        help="corpus QA monitors over a parquet table "
+        "(drift/diversity/anomalies)",
+    )
+    qsub = q.add_subparsers(dest="corpus_command", required=True)
+    qd = qsub.add_parser(
+        "drift",
+        help="top token frequency movers between two label slices (ppm)",
+    )
+    qd.add_argument("path", help="parquet path with text + label columns")
+    qd.add_argument("label_a")
+    qd.add_argument("label_b")
+    qd.add_argument("--label-col", default="source")
+    qd.add_argument("--text-col", default="text")
+    qd.add_argument("--top-k", type=int, default=20)
+    qd.add_argument("--master", default=None)
+    qv = qsub.add_parser(
+        "diversity",
+        help="per-slice word-n-gram type/token ratio (ppm)",
+    )
+    qv.add_argument("path")
+    qv.add_argument("--label-col", default="source")
+    qv.add_argument("--text-col", default="text")
+    qv.add_argument("-n", type=int, default=2)
+    qv.add_argument("--master", default=None)
+    qa = qsub.add_parser(
+        "anomalies",
+        help="time-bucket volume outliers per stream (integer z-test)",
+    )
+    qa.add_argument("path", help="parquet path with ts + group columns")
+    qa.add_argument("--ts-col", default="ts")
+    qa.add_argument("--group-col", default="event_type")
+    qa.add_argument("--bucket", default="1 hour")
+    qa.add_argument("--top-k", type=int, default=20)
+    qa.add_argument("--master", default=None)
     return p
 
 
@@ -432,10 +472,55 @@ def cmd_table(args: argparse.Namespace) -> int:
     return 1
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = spark.read.parquet(args.path)
+    if args.corpus_command == "drift":
+        from xml_to_parquet_spark.functions.drift import frequency_drift
+        from xml_to_parquet_spark.functions.text import norm_text
+
+        toks = df.select(
+            F.col(args.label_col),
+            F.explode(
+                F.split(norm_text(F.col(args.text_col)), " ")
+            ).alias("token"),
+        )
+        out = frequency_drift(
+            toks, args.label_col, args.label_a, args.label_b,
+            key_col="token", top_k=args.top_k,
+        )
+    elif args.corpus_command == "diversity":
+        from xml_to_parquet_spark.functions.drift import ngram_diversity
+
+        out = ngram_diversity(
+            df, text_col=args.text_col, label_col=args.label_col, n=args.n
+        )
+    elif args.corpus_command == "anomalies":
+        from xml_to_parquet_spark.functions.drift import bucket_anomalies
+
+        out = bucket_anomalies(
+            df, ts_col=args.ts_col, group_col=args.group_col,
+            bucket=args.bucket, top_k=args.top_k,
+        )
+    else:
+        return 1
+    for r in out.collect():
+        print(_json.dumps(r.asDict(), separators=(",", ":"), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # bare form: python -m xml_to_parquet_spark <in> <out> [flags] = convert
-    if argv and argv[0] not in ("convert", "setup", "table", "-h", "--help"):
+    if argv and argv[0] not in (
+        "convert", "setup", "table", "corpus", "-h", "--help"
+    ):
         argv.insert(0, "convert")
     args = _build_parser().parse_args(argv)
     if args.command == "convert":
@@ -444,6 +529,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_setup(args)
     if args.command == "table":
         return cmd_table(args)
+    if args.command == "corpus":
+        return cmd_corpus(args)
     _build_parser().print_help()
     return 1
 
