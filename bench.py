@@ -143,6 +143,9 @@ def main() -> None:
         "a50_rare_gram_lm", "a34_mojibake_deep",
         # sketches / selection
         "a31_hll_distinct", "a25_dsir_select",
+        # corpus QA / association / graph (r8)
+        "q98_token_drift", "q99_gopher_rules", "q100_pmi_pairs",
+        "q101_triangles", "q106_setsim_prefix",
         # streaming
         "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
         "a48_stream_publish",

@@ -199,3 +199,56 @@ def test_skew_report_finds_hot_key_and_salt(spark):
     assert out[0]["salt_factor"] == 4  # ceil(1000/300)
     assert out[0]["share_ppm"] == 1000 * 1_000_000 // 1050
     assert all(r["cnt"] == 1 and r["salt_factor"] == 1 for r in out[1:])
+
+
+def test_refresh_grouped_agg_insert_delete_identity(spark, tmp_path):
+    """Incremental maintenance == full recompute, including the DELETE
+    path (overwrite diff) and group birth/death across refreshes."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.scale import (
+        materialize_grouped_agg,
+        refresh_grouped_agg,
+    )
+    from xml_to_parquet_spark.sinks.publish import publish_parquet
+
+    root = str(tmp_path / "mv")
+    rows_v1 = [(1, "a", 10.0), (2, "a", 5.5), (3, "b", 2.25)]
+    # v2 drops row 2, changes row 3's value, births group c, kills no one
+    rows_v2 = [(1, "a", 10.0), (3, "b", 9.75), (4, "c", 1.0)]
+    schema = "id long, grp string, val double"
+    publish_parquet(spark.createDataFrame(rows_v1, schema), root)
+    publish_parquet(spark.createDataFrame(rows_v2, schema), root)
+
+    prev = materialize_grouped_agg(
+        spark.createDataFrame(rows_v1, schema), ["grp"], "val"
+    )
+    got = {
+        r.grp: (r.n, float(r.m_sum))
+        for r in refresh_grouped_agg(
+            spark, root, prev, ["grp"], "val", v_from=1
+        ).collect()
+    }
+    full = {
+        r.grp: (r.n, float(r.m_sum))
+        for r in materialize_grouped_agg(
+            spark.createDataFrame(rows_v2, schema), ["grp"], "val"
+        ).collect()
+    }
+    assert got == full
+    assert got["a"] == (1, 10.0)  # delete path shrank the group
+    assert got["c"] == (1, 1.0)   # group born in the delta
+
+    # group death: v3 removes every 'c' row -> the group must vanish
+    rows_v3 = [(1, "a", 10.0), (3, "b", 9.75)]
+    publish_parquet(spark.createDataFrame(rows_v3, schema), root)
+    prev2 = materialize_grouped_agg(
+        spark.createDataFrame(rows_v2, schema), ["grp"], "val"
+    )
+    got3 = {
+        r.grp: (r.n, float(r.m_sum))
+        for r in refresh_grouped_agg(
+            spark, root, prev2, ["grp"], "val", v_from=2, v_to=3
+        ).collect()
+    }
+    assert "c" not in got3 and got3["b"] == (1, 9.75)

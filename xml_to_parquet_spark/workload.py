@@ -4805,6 +4805,70 @@ def _q_stream_drift_sql() -> str:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (q108,
+    scale.refresh_grouped_agg, r8): publish a lineitem slice, append a
+    second slice, then refresh the per-returnflag (count, sum) state
+    from the CHANGE FEED only — the q94 append fast path reads just the
+    new data dirs, so the refresh is O(delta) with zero base rescans.
+    The oracle recomputes the aggregate over the FULL union in DuckDB:
+    a match proves the textbook self-maintainable count/sum algebra
+    (exact DECIMAL sums — associative, so incremental == full)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from xml_to_parquet_spark.operators.scale import (
+        materialize_grouped_agg,
+        refresh_grouped_agg,
+    )
+    from xml_to_parquet_spark.sinks.publish import (
+        publish_parquet,
+        read_published,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+    )
+    part_a = li.filter((F.col("l_orderkey") / 10).cast("long") % 3 != 0)
+    part_b = li.filter((F.col("l_orderkey") / 10).cast("long") % 3 == 0)
+    root = tempfile.mkdtemp(
+        prefix="q108_mv_",
+        dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+    )
+    try:
+        publish_parquet(part_a, root)                    # v1 snapshot
+        publish_parquet(part_b, root, mode="append")     # v2 append
+        prev = materialize_grouped_agg(
+            read_published(spark, root, version=1),
+            ["l_returnflag"],
+            "l_quantity",
+        )
+        refreshed = refresh_grouped_agg(
+            spark, root, prev, ["l_returnflag"], "l_quantity", v_from=1
+        )
+        out = refreshed.select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            F.col("m_sum").cast("double").alias("qty_sum"),
+        ).orderBy("l_returnflag")
+        # the published root is ephemeral: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+_Q_INCREMENTAL_AGG_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS qty_sum
+FROM lineitem WHERE l_orderkey % 10 = 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5906,6 +5970,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_drift,
         _q_stream_drift_sql(),
         "streaming drift monitor: published partial counts == batch report",
+    ),
+    "q108_incremental_agg": QuerySpec(
+        q_incremental_agg,
+        _Q_INCREMENTAL_AGG_SQL,
+        "O(delta) materialized-view refresh from the publish change feed",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
