@@ -4758,22 +4758,26 @@ def _q_ngram_diversity_sql() -> str:
 
 def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact set-similarity join (q106,
-    dedup.setsim_prefix_pairs, r8): all shingle-Jaccard >= 0.5 pairs via
+    dedup.setsim_prefix_pairs, r8): all shingle-Jaccard >= 0.8 pairs via
     the published AllPairs/PPJoin prefix filter — LOSSLESS (the oracle
     is the brute-force all-pairs join, so a driver match proves no pair
     was missed) while the candidate join touches only each doc's
-    rarest ~50% of shingles; hot shingles never enter the join."""
+    rarest ~20% of shingles; hot shingles never enter the join. 0.8 is
+    the canonical near-dup threshold (same operating point as the
+    minhash family); at 0.5 the same corpus yields the same pairs but
+    ~10x the candidates (125k vs ~12k at sf0.1) — the threshold IS the
+    prefix filter's selectivity knob."""
     from xml_to_parquet_spark.functions.dedup import setsim_prefix_pairs
 
     return setsim_prefix_pairs(
-        _t(spark, sf_dir, "documents"), t_num=1, t_den=2
+        _t(spark, sf_dir, "documents"), t_num=4, t_den=5
     )
 
 
 def _q_setsim_prefix_sql() -> str:
     from xml_to_parquet_spark.functions.dedup import setsim_bruteforce_sql
 
-    return setsim_bruteforce_sql("documents", t_num=1, t_den=2)
+    return setsim_bruteforce_sql("documents", t_num=4, t_den=5)
 
 
 def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
