@@ -280,3 +280,50 @@ def test_k_anonymize_guarantee_holds(spark):
     # and suppression actually triggered on this corpus
     assert out.filter(F.col("suppressed") == 1).count() > 0
     assert out.count() == docs.count()
+
+
+def test_poisson_bootstrap_python_replay_and_invariance(spark):
+    import hashlib
+
+    from xml_to_parquet_spark.functions.sampling import (
+        POISSON1_T52,
+        poisson_bootstrap_means,
+    )
+
+    rows = [(i, float(10 + i % 7)) for i in range(300)]
+    rows.append((999, None))  # NULL measure must not bias anything
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+
+    def weight(key, r):
+        h = int(hashlib.md5(f"{key}:boot:{r}".encode()).hexdigest()[:13], 16)
+        return sum(h >= t for t in POISSON1_T52)
+
+    # exact python replay of replicate 0 and 3
+    for rep in (0, 3):
+        n = s = 0
+        for k, v in rows:
+            if v is None:
+                continue
+            w = weight(k, rep)
+            n += w
+            s += w * v
+        got = {
+            r.replicate: r for r in poisson_bootstrap_means(
+                df, "val", "doc_id", replicates=4
+            ).collect()
+        }
+        assert got[rep].n_eff == n
+        assert abs(got[rep].est_mean - s / n) < 1e-12
+        assert got[-1].n_eff == 300  # NULL row excluded from the base too
+    # partition invariance: deterministic draws, any layout
+    a = poisson_bootstrap_means(df.repartition(1), "val", "doc_id").collect()
+    b = poisson_bootstrap_means(df.repartition(7), "val", "doc_id").collect()
+    assert [(r.replicate, r.n_eff, r.est_mean) for r in a] == [
+        (r.replicate, r.n_eff, r.est_mean) for r in b
+    ]
+    # bootstrap sanity: replicate draws are Poisson(1) -> n_eff near n,
+    # means spread AROUND the point estimate (not all equal, none absurd)
+    means = [r.est_mean for r in a if r.replicate >= 0]
+    point = [r.est_mean for r in a if r.replicate == -1][0]
+    assert len(set(means)) > 1
+    assert all(abs(m - point) < 1.0 for m in means)

@@ -461,3 +461,141 @@ SELECT t.{id_col},
 FROM {table} t LEFT JOIN g ON {on}
 ORDER BY t.{id_col}
 """
+
+
+# Poisson(1) CDF thresholds in the 52-bit md5 hash space:
+# T_k = floor(2^52 * P(X <= k)), X ~ Poisson(1), k = 0..8. A uniform
+# 52-bit hash h draws the bootstrap weight w = #{k : h >= T_k} (inverse
+# CDF; capped at 9 — P(X > 8) ~ 1.1e-7, one row in ten million loses a
+# vanishing tail weight). Integer constants, so any engine replays the
+# identical draw.
+POISSON1_T52: tuple[int, ...] = (
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+    4503224742561580,
+    4503553469092171,
+    4503594559908495,
+)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    replicates: int = 16,
+    salt: str = "boot",
+) -> DataFrame:
+    """One-pass Poisson bootstrap of the mean (Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams" — the published
+    way to bootstrap at cluster scale): instead of resampling n rows B
+    times (impossible at 100 TB), each row independently draws a
+    Poisson(1) weight per replicate — the large-n limit of the
+    multinomial bootstrap — so ALL B replicate estimates come from ONE
+    corpus pass.
+
+    Deterministic integer rendition: the weight for (row, replicate r)
+    is the Poisson(1) inverse CDF evaluated at ``md5_hash52(key:salt:r)``
+    against precomputed integer thresholds (:data:`POISSON1_T52`);
+    weighted sums run in exact DECIMAL. No row explosion: the B
+    replicates are B agg columns (map-side combined — the shuffle
+    carries B partials per partition, not B× rows).
+
+    Returns ``(replicate, n_eff, est_mean)`` for r = 0..B-1 plus row
+    ``replicate = -1`` with the plain point estimate — feed the spread
+    of ``est_mean`` to whatever CI rule you use (the replicate table IS
+    the bootstrap distribution)."""
+    from xml_to_parquet_spark.functions.sketches import md5_hash52
+
+    # a NULL measure contributes neither weight nor mass (otherwise it
+    # would inflate n_eff but not the sum and bias every replicate)
+    df = df.filter(F.col(value_col).isNotNull())
+
+    def w(r: int):
+        h = md5_hash52(
+            F.concat_ws(":", F.col(key_col).cast("string"),
+                        F.lit(salt), F.lit(str(r)))
+        )
+        x = None
+        for t in POISSON1_T52:
+            ind = (h >= F.lit(t)).cast("long")
+            x = ind if x is None else (x + ind)
+        return x
+
+    dec = F.col(value_col).cast("decimal(18,2)")
+    aggs = [
+        F.count(F.lit(1)).alias("n_0"),
+        F.sum(dec).cast("decimal(38,2)").alias("s_0"),
+    ]
+    for r in range(replicates):
+        wr = w(r)
+        aggs.append(F.sum(wr).alias(f"n_{r + 1}"))
+        aggs.append(
+            F.sum(wr.cast("decimal(18,2)") * dec)
+            .cast("decimal(38,2)")
+            .alias(f"s_{r + 1}")
+        )
+    wide = df.agg(*aggs)
+    pairs = ", ".join(
+        f"named_struct('r', {r - 1}L, 'n', n_{r}, 's', s_{r})"
+        for r in range(replicates + 1)
+    )
+    return (
+        wide.select(F.explode(F.expr(f"array({pairs})")).alias("rep"))
+        .select(
+            F.col("rep.r").alias("replicate"),
+            F.col("rep.n").cast("long").alias("n_eff"),
+            (F.col("rep.s").cast("double") / F.col("rep.n"))
+            .alias("est_mean"),
+        )
+        .orderBy("replicate")
+    )
+
+
+def poisson_bootstrap_means_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    replicates: int = 16,
+    salt: str = "boot",
+) -> str:
+    """Oracle twin of :func:`poisson_bootstrap_means` — same hash draw,
+    same thresholds, same decimal sums, same final division."""
+    def w(r: int) -> str:
+        h = (
+            f"CAST('0x' || substr(md5({key_col} || ':{salt}:{r}'), 1, 13) "
+            "AS BIGINT)"
+        )
+        return " + ".join(
+            f"CAST({h} >= {t} AS BIGINT)" for t in POISSON1_T52
+        )
+
+    cols = [
+        "CAST(COUNT(*) AS BIGINT) AS n_0",
+        f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+        " AS s_0",
+    ]
+    for r in range(replicates):
+        cols.append(f"CAST(SUM({w(r)}) AS BIGINT) AS n_{r + 1}")
+        cols.append(
+            f"CAST(SUM(CAST(({w(r)}) AS DECIMAL(18,2)) * "
+            f"CAST({value_col} AS DECIMAL(18,2))) AS DECIMAL(38,2)) "
+            f"AS s_{r + 1}"
+        )
+    sel = ",\n  ".join(cols)
+    rows = ",\n  ".join(
+        f"({r - 1}, n_{r}, s_{r})" for r in range(replicates + 1)
+    )
+    return f"""
+WITH wide AS (SELECT {sel} FROM {table} WHERE {value_col} IS NOT NULL),
+reps(replicate, n_eff, s) AS (
+  SELECT u.* FROM wide, (VALUES {rows}) u
+)
+SELECT CAST(replicate AS BIGINT) AS replicate,
+       CAST(n_eff AS BIGINT) AS n_eff,
+       CAST(s AS DOUBLE) / n_eff AS est_mean
+FROM reps ORDER BY replicate
+"""

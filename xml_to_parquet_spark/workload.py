@@ -4873,6 +4873,32 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap (q109,
+    sampling.poisson_bootstrap_means, r8): 16 bootstrap replicate
+    estimates of mean document length from ONE corpus scan — each row
+    draws a deterministic Poisson(1) weight per replicate from integer
+    CDF thresholds over its md5 hash (the published large-n multinomial
+    limit), weighted sums in exact DECIMAL, B agg columns instead of B×
+    row explosion. The replicate spread IS the uncertainty estimate a
+    100 TB metric pipeline can actually afford."""
+    from xml_to_parquet_spark.functions.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    return poisson_bootstrap_means(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id"
+    )
+
+
+def _q_poisson_bootstrap_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import (
+        poisson_bootstrap_means_sql,
+    )
+
+    return poisson_bootstrap_means_sql("documents", "n_chars", "doc_id")
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -5979,6 +6005,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_incremental_agg,
         _Q_INCREMENTAL_AGG_SQL,
         "O(delta) materialized-view refresh from the publish change feed",
+    ),
+    "q109_poisson_bootstrap": QuerySpec(
+        q_poisson_bootstrap,
+        _q_poisson_bootstrap_sql(),
+        "one-pass Poisson bootstrap: 16 deterministic replicate means",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
