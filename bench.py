@@ -145,7 +145,8 @@ def main() -> None:
         "a31_hll_distinct", "a25_dsir_select",
         # corpus QA / association / graph (r8)
         "q98_token_drift", "q99_gopher_rules", "q100_pmi_pairs",
-        "q101_triangles", "q106_setsim_prefix",
+        "q101_triangles", "q106_setsim_prefix", "q108_incremental_agg",
+        "q109_poisson_bootstrap",
         # streaming
         "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
         "a48_stream_publish",
