@@ -177,3 +177,38 @@ def test_run_tws_append_rejects_multipart_directory(spark, tmp_path):
     single = tmp_path / "single.parquet"
     spark.range(5).coalesce(1).write.parquet(str(single))
     assert len(_expand_data_files([str(single)])) == 1
+
+
+def test_pbshim_shipping_preserves_package_imports():
+    """Regression (r8, found by driver_sim): ensure_protobuf's worker
+    PYTHONPATH injection must keep the REPO importable — on a bare
+    driver session (no get_spark defaults), running the TWS path and
+    THEN a mapInPandas operator that unpickles a by-reference module
+    function used to die with ModuleNotFoundError in the worker."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2").getOrCreate())
+from xml_to_parquet_spark.streaming.stateful import ensure_protobuf
+ensure_protobuf(spark)  # the PYTHONPATH-injecting step
+from xml_to_parquet_spark.functions.text import fix_mojibake_deep
+df = spark.createDataFrame([(1, "cafÃ©")], "doc_id long, text string")
+out = fix_mojibake_deep(df).collect()
+assert out[0].fixed == "café", out
+print("SHIP_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/",
+    )
+    assert "SHIP_OK" in r.stdout, r.stderr[-2000:]

@@ -70,10 +70,20 @@ def ensure_protobuf(spark=None) -> bool:
     if spark is not None and not real:
         sc = spark.sparkContext
         env_pp = sc.environment.get("PYTHONPATH", "")
-        if _PBSHIM_DIR not in env_pp.split(os.pathsep):
-            sc.environment["PYTHONPATH"] = os.pathsep.join(
-                [p for p in [env_pp] if p] + [_PBSHIM_DIR]
-            )
+        # CAUTION (r8, found by driver_sim): when sc.environment carries
+        # no PYTHONPATH, workers inherit a default that keeps this REPO
+        # importable; setting the entry REPLACES that default, so a
+        # pbshim-only value breaks every LATER UDF that unpickles a
+        # by-reference module function (a46 ran → a34's mapInPandas died
+        # with ModuleNotFoundError on a bare driver session). Always
+        # carry the package root alongside the shim.
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        have = env_pp.split(os.pathsep) if env_pp else []
+        add = [p for p in (pkg_root, _PBSHIM_DIR) if p not in have]
+        if add:
+            sc.environment["PYTHONPATH"] = os.pathsep.join(have + add)
         import hashlib
         import tempfile
         import zipfile
