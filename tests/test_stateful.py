@@ -196,10 +196,16 @@ spark = (SparkSession.builder.master("local[2]")
          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.shuffle.partitions", "2").getOrCreate())
-from xml_to_parquet_spark.streaming.stateful import ensure_protobuf
-ensure_protobuf(spark)  # the PYTHONPATH-injecting step
 from xml_to_parquet_spark.functions.text import fix_mojibake_deep
 df = spark.createDataFrame([(1, "cafÃ©")], "doc_id long, text string")
+# failure mode 1 (r8): the VERY FIRST worker use unpickles a
+# by-reference module function — the operator itself must ship the pkg
+out = fix_mojibake_deep(df).collect()
+assert out[0].fixed == "café", out
+# failure mode 2 (r8): ensure_protobuf's PYTHONPATH injection must not
+# REPLACE the path that keeps the repo importable for later UDFs
+from xml_to_parquet_spark.streaming.stateful import ensure_protobuf
+ensure_protobuf(spark)
 out = fix_mojibake_deep(df).collect()
 assert out[0].fixed == "café", out
 print("SHIP_OK")

@@ -1040,6 +1040,14 @@ def fix_mojibake_deep(
     shuffle."""
     from pyspark.sql import types as T
 
+    from xml_to_parquet_spark.session import _ship_package
+
+    # the kernel is a by-reference module function: the WORKER must be
+    # able to import this package (every mapInPandas site ships it; this
+    # one forgot until r8 — driver_sim caught a34 as the first failure
+    # of a worker-side unpickle on a bare session)
+    _ship_package(df.sparkSession)
+
     # fresh StructType: StructType.add MUTATES, which would poison the
     # input DataFrame's cached schema (mapInPandas reads df.columns)
     out_schema = T.StructType(
