@@ -100,3 +100,50 @@ def test_funnel_stages_strict_first_occurrence_order(spark):
     assert got["view"] == (5, 1_000_000)      # u1..u4, u6
     assert got["click"] == (3, 600_000)       # u1, u4, u6
     assert got["purchase"] == (1, 200_000)    # u1 only
+
+
+def test_cohort_retention_known_matrix(spark):
+    from datetime import datetime
+
+    from xml_to_parquet_spark.operators.aggregation import cohort_retention
+
+    # cohort day 0: users 1,2,3 (user 3 returns day 1; user 1 returns
+    # day 2); cohort day 1: user 4 (never returns). Multiple events in
+    # one bucket count once (distinct activity).
+    rows = [
+        (1, datetime(2024, 1, 1, 9)), (2, datetime(2024, 1, 1, 10)),
+        (3, datetime(2024, 1, 1, 11)), (3, datetime(2024, 1, 1, 12)),
+        (3, datetime(2024, 1, 2, 9)),
+        (1, datetime(2024, 1, 3, 9)), (1, datetime(2024, 1, 3, 10)),
+        (4, datetime(2024, 1, 2, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_start[:10], r.bucket_offset): (
+            r.cohort_n, r.active_n, r.retention_ppm
+        )
+        for r in cohort_retention(df, bucket="1 day").collect()
+    }
+    assert out[("2024-01-01", 0)] == (3, 3, 10**6)  # offset-0 sanity row
+    assert out[("2024-01-01", 1)] == (3, 1, 10**6 // 3)
+    assert out[("2024-01-01", 2)] == (3, 1, 10**6 // 3)
+    assert out[("2024-01-02", 0)] == (1, 1, 10**6)
+    assert ("2024-01-02", 1) not in out  # user 4 never returned
+    assert len(out) == 4
+
+
+def test_cohort_retention_partition_invariant(spark):
+    from xml_to_parquet_spark.operators.aggregation import cohort_retention
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    res = [
+        [
+            (r.cohort_start, r.bucket_offset, r.cohort_n, r.active_n,
+             r.retention_ppm)
+            for r in cohort_retention(
+                ev.repartition(p), bucket="1 hour", max_offset=6
+            ).collect()
+        ]
+        for p in (1, 7)
+    ]
+    assert res[0] == res[1] and len(res[0]) > 3

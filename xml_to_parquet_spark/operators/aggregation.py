@@ -221,3 +221,98 @@ def funnel_stages(
     return spark.createDataFrame(
         rows, "stage_idx int, stage string, n_users long, conv_ppm long"
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "1 week",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics complement of
+    :func:`funnel_stages`: group users by their FIRST-seen time bucket
+    (the cohort) and report, for each later bucket offset, how many of
+    that cohort were active again, as exact integer ppm of cohort size.
+
+    Shape: one min-agg per user (map-side combined, shuffle keyed on
+    user) finds cohorts; distinct (user, bucket) activity pairs join
+    user→cohort (user-keyed equi-join, AQE-splittable); one
+    map-side-combined groupBy over (cohort, offset) — shuffle ∝
+    cohorts × offsets, corpus-independent. Offsets beyond ``max_offset`` are
+    filtered (a report window, not a histogram tail); offset 0 is the
+    cohort itself (retention_ppm = 1e6 by construction — kept as the
+    sanity row).
+
+    Returns ``(cohort_start, bucket_offset, cohort_n, active_n,
+    retention_ppm)`` ordered by cohort then offset. Bucket arithmetic is
+    epoch-second integer division by the bucket length, so the oracle
+    replays it without timezone/calendar ambiguity."""
+    secs = {"1 week": 604800, "1 day": 86400, "1 hour": 3600}[bucket]
+    b = F.expr(f"div(unix_timestamp({ts_col}), {secs}L)")
+    firsts = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(b.cast("long")).alias("cohort_b"))
+    )
+    activity = df.select(
+        F.col(user_col).alias("u"), b.cast("long").alias("act_b")
+    ).distinct()
+    cohort_sizes = firsts.groupBy("cohort_b").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    joined = (
+        activity.join(firsts, "u")
+        .withColumn("bucket_offset", F.col("act_b") - F.col("cohort_b"))
+        .filter(F.col("bucket_offset") <= max_offset)
+        .groupBy("cohort_b", "bucket_offset")
+        .agg(F.count(F.lit(1)).alias("active_n"))
+    )
+    return (
+        joined.join(cohort_sizes, "cohort_b")
+        .select(
+            F.from_unixtime(F.col("cohort_b") * secs).alias("cohort_start"),
+            F.col("bucket_offset"),
+            F.col("cohort_n"),
+            F.col("active_n"),
+            F.expr("div(active_n * 1000000L, cohort_n)").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_start", "bucket_offset")
+    )
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "1 week",
+    max_offset: int = 8,
+) -> str:
+    """Oracle twin of :func:`cohort_retention` — same epoch-bucket
+    integer arithmetic, same distinct-activity semantics."""
+    secs = {"1 week": 604800, "1 day": 86400, "1 hour": 3600}[bucket]
+    b = f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) // {secs}"
+    return f"""
+WITH firsts AS (
+  SELECT {user_col} AS u, MIN({b}) AS cohort_b FROM {table} GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT {user_col} AS u, {b} AS act_b FROM {table}
+),
+sizes AS (SELECT cohort_b, COUNT(*) AS cohort_n FROM firsts GROUP BY 1),
+cells AS (
+  SELECT f.cohort_b, a.act_b - f.cohort_b AS boff, COUNT(*) AS active_n
+  FROM activity a JOIN firsts f USING (u)
+  WHERE a.act_b - f.cohort_b <= {max_offset}
+  GROUP BY 1, 2
+)
+SELECT strftime(to_timestamp(cohort_b * {secs}), '%Y-%m-%d %H:%M:%S')
+         AS cohort_start,
+       CAST(boff AS BIGINT) AS bucket_offset,
+       CAST(cohort_n AS BIGINT) AS cohort_n,
+       CAST(active_n AS BIGINT) AS active_n,
+       CAST(active_n * 1000000 // cohort_n AS BIGINT) AS retention_ppm
+FROM cells JOIN sizes USING (cohort_b)
+ORDER BY cohort_start, bucket_offset
+"""

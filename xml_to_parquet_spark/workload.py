@@ -4899,6 +4899,29 @@ def _q_poisson_bootstrap_sql() -> str:
     return poisson_bootstrap_means_sql("documents", "n_chars", "doc_id")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (q110, aggregation.cohort_retention, r8):
+    users grouped by first-seen day, per-offset return rates in exact
+    integer ppm — the product-analytics complement of the q97 funnel.
+    One min-agg per user + distinct activity pairs + a (cohort, offset)
+    groupBy; final shuffle ∝ cohorts × offsets, corpus-independent.
+    Epoch-integer bucket arithmetic, so both engines replay it without
+    calendar ambiguity."""
+    from xml_to_parquet_spark.operators.aggregation import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), bucket="1 day", max_offset=5
+    )
+
+
+def _q_cohort_retention_sql() -> str:
+    from xml_to_parquet_spark.operators.aggregation import (
+        cohort_retention_sql,
+    )
+
+    return cohort_retention_sql("events", bucket="1 day", max_offset=5)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -6010,6 +6033,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_poisson_bootstrap,
         _q_poisson_bootstrap_sql(),
         "one-pass Poisson bootstrap: 16 deterministic replicate means",
+    ),
+    "q110_cohort_retention": QuerySpec(
+        q_cohort_retention,
+        _q_cohort_retention_sql(),
+        "cohort retention matrix: first-seen buckets x offset, integer ppm",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
