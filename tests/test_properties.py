@@ -694,3 +694,49 @@ def test_setsim_prefix_lossless_property(spark, texts, t):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# spark: degree-ordered triangle counting equals brute force on any graph
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_counts_match_bruteforce_property(spark, raw_edges):
+    """Hypothesis fuzz of the orientation pigeonhole: for ANY small
+    multigraph (duplicates, self-loops, both directions, isolated nodes)
+    per-node triangle counts equal the brute-force enumeration."""
+    from itertools import combinations
+
+    from xml_to_parquet_spark.functions.graph import triangle_counts
+
+    adj: dict[int, set[int]] = {}
+    for a, b in raw_edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(
+        raw_edges or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r.node: r.triangles
+        for r in triangle_counts(df, top_k=1000).collect()
+    }
+    assert got == want
