@@ -327,3 +327,47 @@ def test_poisson_bootstrap_python_replay_and_invariance(spark):
     point = [r.est_mean for r in a if r.replicate == -1][0]
     assert len(set(means)) > 1
     assert all(abs(m - point) < 1.0 for m in means)
+
+
+def test_percentile_rank_normalize_semantics(spark):
+    from xml_to_parquet_spark.functions.sampling import (
+        percentile_rank_normalize,
+    )
+
+    rows = [
+        (0, "a", 10.0), (1, "a", 20.0), (2, "a", 20.0), (3, "a", 40.0),
+        (4, "b", 99.0),                      # single-row slice
+        (5, "c", 1.0), (6, "c", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {
+        r.doc_id: r.pr_ppm
+        for r in percentile_rank_normalize(df, "score", "source").collect()
+    }
+    # slice a (n=4): ranks 0..3 over (n-1)=3
+    assert out[0] == 0 and out[3] == 10**6
+    # tie at 20.0 broken by id: doc 1 rank 2 -> 333333, doc 2 rank 3 -> 666666
+    assert out[1] == 10**6 // 3 and out[2] == 2 * 10**6 // 3
+    # single-row slice: no evidence -> 0 (not div-by-zero)
+    assert out[4] == 0
+    assert out[5] == 0 and out[6] == 10**6
+    # the calibration property: every slice's max is 1e6 regardless of
+    # raw score magnitude (99.0 in b vs 2.0 in c)
+
+
+def test_percentile_rank_normalize_partition_invariant(spark):
+    from xml_to_parquet_spark.functions.sampling import (
+        percentile_rank_normalize,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = [
+        sorted(
+            (r.doc_id, r.pr_ppm)
+            for r in percentile_rank_normalize(
+                docs.repartition(p), "n_chars", "source"
+            ).collect()
+        )
+        for p in (1, 7)
+    ]
+    assert res[0] == res[1] and len(res[0]) > 0

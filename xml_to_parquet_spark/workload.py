@@ -4922,6 +4922,32 @@ def _q_cohort_retention_sql() -> str:
     return cohort_retention_sql("events", bucket="1 day", max_offset=5)
 
 
+def q_pr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice percentile-rank score normalization (q111,
+    sampling.percentile_rank_normalize, r8): each document's length
+    score becomes its rank within its OWN source in integer ppm — the
+    calibration step that lets one global threshold drop the same
+    FRACTION from every source instead of whole low-scoring domains.
+    Two windows per slice; the 100 TB mega-slice alternative (quantile
+    sketch through a broadcast CDF) is documented in the operator."""
+    from xml_to_parquet_spark.functions.sampling import (
+        percentile_rank_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return percentile_rank_normalize(
+        docs, "n_chars", "source"
+    ).orderBy("doc_id")
+
+
+def _q_pr_normalize_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import (
+        percentile_rank_normalize_sql,
+    )
+
+    return percentile_rank_normalize_sql("documents", "n_chars", "source")
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (q97, aggregation.funnel_stages, r8): users whose
     first click follows their first view, and whose first purchase
@@ -6038,6 +6064,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_cohort_retention,
         _q_cohort_retention_sql(),
         "cohort retention matrix: first-seen buckets x offset, integer ppm",
+    ),
+    "q111_pr_normalize": QuerySpec(
+        q_pr_normalize,
+        _q_pr_normalize_sql(),
+        "per-slice percentile-rank score normalization (integer ppm)",
     ),
     "a31_hll_distinct": QuerySpec(
         q_hll_distinct,
