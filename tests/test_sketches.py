@@ -576,6 +576,61 @@ def test_bucket_anomalies_partition_invariant(spark):
     assert res[0] == res[1] and len(res[0]) == 20
 
 
+def test_bucket_anomalies_week_matches_oracle(spark):
+    """The r8 ADVICE item: F.window (epoch-aligned) vs DuckDB
+    time_bucket (2000-01-03 origin) diverged for '1 week'. Both sides
+    now share one epoch-division rule — assert the full report matches
+    for a week bucket spanning an epoch-Thursday/Monday boundary."""
+    import duckdb
+
+    from xml_to_parquet_spark.functions.drift import (
+        bucket_anomalies,
+        bucket_anomalies_sql,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = [
+        tuple(r)
+        for r in bucket_anomalies(ev, bucket="1 week", top_k=30).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bucket_anomalies_sql(bucket_interval="1 week", top_k=30)
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_bucket_anomalies_rejects_unknown_bucket(spark):
+    import pytest as _pytest
+
+    from xml_to_parquet_spark.functions.drift import bucket_anomalies
+
+    ev = spark.range(1).selectExpr(
+        "timestamp'2024-01-01' AS ts", "'a' AS event_type"
+    )
+    with _pytest.raises(ValueError, match="1 week"):
+        bucket_anomalies(ev, bucket="2 fortnights")
+
+
+def test_cohort_retention_rejects_unknown_bucket(spark):
+    import pytest as _pytest
+
+    from xml_to_parquet_spark.operators.aggregation import cohort_retention
+
+    ev = spark.range(1).selectExpr(
+        "'u' AS user_id", "timestamp'2024-01-01' AS ts"
+    )
+    with _pytest.raises(ValueError, match="supported"):
+        cohort_retention(ev, bucket="1 month")
+
+
 def test_ngram_diversity_known_values(spark):
     from xml_to_parquet_spark.functions.drift import ngram_diversity
 

@@ -118,8 +118,19 @@ def pmi_pairs(
         pairs.join(cx, "t1")
         .join(cy, "t2")
         .crossJoin(F.broadcast(n_docs))
+        # Overflow contract ENFORCED, not just documented: the lift
+        # numerator must fit int64 (c_xy ≤ n_docs ⇒ bound is roughly
+        # n_docs ≲ 3e6 presence rows per token pair). try_multiply
+        # nulls on overflow and raise_error turns that null into a loud
+        # failure instead of a silently wrapped lift_ppm.
         .withColumn(
-            "lift_ppm", F.expr(f"div(c_xy * n_docs * {PPM}L, c_x * c_y)")
+            "lift_ppm",
+            F.expr(
+                f"div(ifnull(try_multiply(try_multiply(c_xy, n_docs), "
+                f"{PPM}L), raise_error('pmi_pairs: c_xy * n_docs * 1e6 "
+                f"overflows int64 (n_docs beyond ~3e6); shard the corpus "
+                f"or pre-aggregate before pmi_pairs')), c_x * c_y)"
+            ),
         )
         .orderBy(F.col("lift_ppm").desc(), F.col("t1").asc(), F.col("t2").asc())
         .limit(top_k)

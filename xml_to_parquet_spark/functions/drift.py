@@ -25,6 +25,29 @@ from pyspark.sql import functions as F
 
 PPM = 1_000_000
 
+#: Buckets both engines can align identically via epoch-second integer
+#: division (no calendar units — months/quarters have no fixed width).
+BUCKET_SECONDS = {
+    "1 hour": 3_600,
+    "1 day": 86_400,
+    "1 week": 604_800,
+}
+
+
+def bucket_seconds(bucket: str) -> int:
+    """Width of ``bucket`` in seconds, or ValueError naming the allowed
+    values. Shared by the Spark plan and the SQL oracle so a single
+    alignment rule (truncating epoch-second division, 1970-01-01 origin)
+    governs both — F.window and DuckDB time_bucket disagree on week
+    origins (Thursday epoch vs 2000-01-03 Monday), so neither is used."""
+    try:
+        return BUCKET_SECONDS[bucket]
+    except KeyError:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; supported: "
+            f"{sorted(BUCKET_SECONDS)}"
+        ) from None
+
 
 def frequency_drift(
     df: DataFrame,
@@ -158,15 +181,18 @@ def bucket_anomalies(
 
     Returns ``(grp, bucket_start, cnt, z2_ppm, is_anomaly)`` — top
     ``top_k`` by z2_ppm desc, then grp/bucket asc (deterministic)."""
+    secs = bucket_seconds(bucket)
     buckets = (
         df.groupBy(
             F.col(group_col).alias("grp"),
-            F.window(ts_col, bucket).alias("w"),
+            F.expr(
+                f"div(unix_timestamp({ts_col}), {secs}L) * {secs}L"
+            ).alias("bsec"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "grp",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            F.from_unixtime("bsec", "yyyy-MM-dd HH:mm:ss").alias(
                 "bucket_start"
             ),
             "cnt",
@@ -216,12 +242,16 @@ def bucket_anomalies_sql(
     top_k: int = 20,
 ) -> str:
     """Oracle twin of :func:`bucket_anomalies` — same bucket table, same
-    integer moment algebra, same ordering."""
+    integer moment algebra, same ordering. Buckets via the same
+    epoch-second truncating division as the Spark plan (make_timestamp
+    keeps it tz-independent), so hour/day/week all align identically."""
+    secs = bucket_seconds(bucket_interval)
     return f"""
 WITH buckets AS (
   SELECT {group_col} AS grp,
-         strftime(time_bucket(INTERVAL '{bucket_interval}',
-                              CAST({ts_col} AS TIMESTAMP)),
+         strftime(make_timestamp(
+             (epoch_ms(CAST({ts_col} AS TIMESTAMP)) // 1000
+              // {secs}) * {secs}::BIGINT * 1000000),
                   '%Y-%m-%d %H:%M:%S') AS bucket_start,
          COUNT(*) AS cnt
   FROM {table} GROUP BY 1, 2

@@ -548,7 +548,11 @@ def poisson_bootstrap_means(
         .select(
             F.col("rep.r").alias("replicate"),
             F.col("rep.n").cast("long").alias("n_eff"),
-            (F.col("rep.s").cast("double") / F.col("rep.n"))
+            # nullif guard: a zero-total-weight replicate (tiny corpora
+            # only) must be NULL in BOTH engines — DuckDB's default
+            # ieee_floating_point_ops would otherwise render x/0 as inf
+            (F.col("rep.s").cast("double")
+             / F.expr("nullif(rep.n, 0)"))
             .alias("est_mean"),
         )
         .orderBy("replicate")
@@ -596,7 +600,7 @@ reps(replicate, n_eff, s) AS (
 )
 SELECT CAST(replicate AS BIGINT) AS replicate,
        CAST(n_eff AS BIGINT) AS n_eff,
-       CAST(s AS DOUBLE) / n_eff AS est_mean
+       CAST(s AS DOUBLE) / NULLIF(n_eff, 0) AS est_mean
 FROM reps ORDER BY replicate
 """
 

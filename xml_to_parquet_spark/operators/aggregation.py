@@ -247,8 +247,12 @@ def cohort_retention(
     Returns ``(cohort_start, bucket_offset, cohort_n, active_n,
     retention_ppm)`` ordered by cohort then offset. Bucket arithmetic is
     epoch-second integer division by the bucket length, so the oracle
-    replays it without timezone/calendar ambiguity."""
-    secs = {"1 week": 604800, "1 day": 86400, "1 hour": 3600}[bucket]
+    replays it without timezone/calendar ambiguity. Unsupported bucket
+    strings raise ValueError naming the allowed values (shared rule with
+    drift.bucket_anomalies)."""
+    from xml_to_parquet_spark.functions.drift import bucket_seconds
+
+    secs = bucket_seconds(bucket)
     b = F.expr(f"div(unix_timestamp({ts_col}), {secs}L)")
     firsts = (
         df.groupBy(F.col(user_col).alias("u"))
@@ -291,7 +295,9 @@ def cohort_retention_sql(
 ) -> str:
     """Oracle twin of :func:`cohort_retention` — same epoch-bucket
     integer arithmetic, same distinct-activity semantics."""
-    secs = {"1 week": 604800, "1 day": 86400, "1 hour": 3600}[bucket]
+    from xml_to_parquet_spark.functions.drift import bucket_seconds
+
+    secs = bucket_seconds(bucket)
     b = f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) // {secs}"
     return f"""
 WITH firsts AS (
