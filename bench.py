@@ -140,25 +140,25 @@ def main() -> None:
         "a42_substring_dedup", "a49_semantic_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
-        "a71_kmeans_cells", "a81_pq_codes", "a44_ivf_pq_adc",
+        "q115_kmeans_cells", "q119_pq_codes", "a44_ivf_pq_adc",
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
-        "q93_repetition_features", "a68_quality_gate", "a43_bpe_tokens",
+        "q93_repetition_features", "a68_quality_gate", "q112_bpe_tokens",
         "a50_rare_gram_lm", "a34_mojibake_deep",
         # sketches / selection
         "a31_hll_distinct", "a25_dsir_select",
         # corpus QA / association / graph (r8)
-        "q98_token_drift", "q99_gopher_rules", "q100_pmi_pairs",
-        "q101_triangles", "q106_setsim_prefix", "q108_incremental_agg",
-        "q109_poisson_bootstrap",
+        "a66_token_drift", "a56_gopher_rules", "a58_pmi_pairs",
+        "a53_triangles", "a36_setsim_prefix", "a59_incremental_agg",
+        "a55_poisson_bootstrap",
         # streaming
         "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
         "a48_stream_publish",
         # scale ops
         "q87_zorder_key", "q89_scd2", "q50_salted_agg",
         # multimodal / scoring
-        "a92_multimodal_decode", "a93_multimodal_resize", "a91_batch_score",
-        "a45_netpbm_real",
+        "q29_multimodal_decode", "q121_multimodal_resize", "q120_batch_score",
+        "q113_netpbm_real",
     ]
     line = json.dumps(
         {

@@ -24,7 +24,7 @@ SF_DIR = "/root/testdata/sf0.01"
 BROADCAST_ONLY = {
     "q01_star_revenue",
     "q09_star_dim_keys",
-    "a39_star_build",
+    "q15_star_build",
     "q26_knn_brute",
     "q32_semi_join",
     "q33_anti_join",
@@ -43,17 +43,17 @@ PRUNING = {
     "q57_hash_sample": ("documents", 4),
     "q65_grouped_topk": ("documents", 3),
     "q93_repetition_features": ("documents", 2),
-    "a73_dedup_incremental": ("documents", 2),
+    "q116_dedup_incremental": ("documents", 2),
     "q86_assign_split": ("documents", 1),
     # URL ops build from (doc_id, source) only — the wide text column
     # must never reach the scan
-    "a97_url_normalize": ("documents", 2),
-    "a98_domain_cap": ("documents", 2),
+    "q124_url_normalize": ("documents", 2),
+    "q125_domain_cap": ("documents", 2),
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {
     "q65_grouped_topk": "WindowGroupLimit",  # pre-shuffle per-group top-k
-    "a98_domain_cap": "WindowGroupLimit",  # cap ≤ k rows/domain/map task
+    "q125_domain_cap": "WindowGroupLimit",  # cap ≤ k rows/domain/map task
     "q83_tfidf_terms": "WindowGroupLimit",
     "q82_contamination": "BroadcastHashJoin",  # eval shingles broadcast
     # tiled all-pairs gemm runs as grouped pandas — NOT a driver collect
@@ -91,7 +91,7 @@ def main() -> int:
     hard_fail = []
 
     for name, spec in QUERIES.items():
-        if name in ("a41_streaming_window", "a92_multimodal_decode"):
+        if name in ("a41_streaming_window", "q29_multimodal_decode"):
             continue  # streaming/pandas plans don't expose these nodes
         try:
             df = spec.fn(spark, SF_DIR)

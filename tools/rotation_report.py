@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Driver-window rotation dashboard (VERDICT-r8 item 7).
+
+The external driver verifies only the first 50 catalog keys in sorted
+order (all a-names sort before q-names), so which entries get a fresh
+CORRECTNESS row each round is decided purely by naming. Rotation used to
+be hand-tracked in CHANGES notes; this report makes it mechanical and
+auditable:
+
+  entry | slug | in window? | last driver round | green rounds | depth
+
+* identity across renames is the SLUG (the part after the first '_') —
+  every rename in repo history preserved it (a40 <- q21, a38 <- q14, ...);
+* "depth" is the measured full-catalog bench seconds from the newest
+  BENCH_r*.json that carries the slug (a streaming/iterative entry costs
+  seconds, a single groupBy costs tenths) — a proxy the judge can re-run,
+  not a hand-assigned opinion;
+* the suggested swap pairs NEVER-driver-checked entries (deepest first)
+  with the stalest, shallowest, longest-green window residents.
+
+Usage: python tools/rotation_report.py [--json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def catalog_keys() -> list[str]:
+    """Current catalog keys without importing pyspark (regex over the
+    QUERIES literal keeps this runnable in a bare venv)."""
+    src = open(os.path.join(REPO, "xml_to_parquet_spark/workload.py")).read()
+    block = src[src.index("QUERIES: dict[str, QuerySpec] = {"):]
+    keys = re.findall(r'^    "([aq]\d+_[a-z0-9_]+)": QuerySpec', block, re.M)
+    return sorted(set(keys))
+
+
+def slug(key: str) -> str:
+    return key.split("_", 1)[1]
+
+
+def driver_history() -> dict[str, list[tuple[int, bool]]]:
+    out: dict[str, list[tuple[int, bool]]] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for k, v in json.load(open(f)).items():
+            ok = bool(
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            ) and not v.get("err")
+            out.setdefault(slug(k), []).append((rnd, ok))
+    return out
+
+
+def bench_depth() -> dict[str, float]:
+    depth: dict[str, float] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) + [
+        os.path.join(REPO, "BENCH_LOCAL_FULL.json")
+    ]:
+        if not os.path.exists(f):
+            continue
+        try:
+            d = json.load(open(f))
+        except ValueError:
+            # driver bench files wrap the JSON line in a "tail" blob
+            txt = open(f).read()
+            m = re.search(r'\{"metric".*\}', txt)
+            if not m:
+                continue
+            d = json.loads(m.group(0))
+        tail = d.get("tail", "")
+        m = re.search(r'\{"metric".*\}', tail) if tail else None
+        q = (json.loads(m.group(0)) if m else d).get("queries", {})
+        for k, v in q.items():
+            if isinstance(v, (int, float)):
+                depth[slug(k)] = float(v)  # newest file wins
+    return depth
+
+
+def build_rows():
+    keys = catalog_keys()
+    hist = driver_history()
+    depth = bench_depth()
+    window = set(keys[:WINDOW])
+    rows = []
+    for k in keys:
+        s = slug(k)
+        h = hist.get(s, [])
+        greens = [r for r, ok in h if ok]
+        rows.append(
+            {
+                "entry": k,
+                "slug": s,
+                "in_window": k in window,
+                "last_driver_round": max((r for r, _ in h), default=None),
+                "green_rounds": len(greens),
+                "depth_sec": depth.get(s),
+            }
+        )
+    return rows
+
+
+def suggest(rows, n_pairs=17):
+    never = sorted(
+        (
+            r
+            for r in rows
+            if r["last_driver_round"] is None and not r["in_window"]
+        ),
+        key=lambda r: -(r["depth_sec"] or 0.0),
+    )
+    # retire: in-window, >=3 green driver rounds, shallowest+stalest first
+    retire = sorted(
+        (
+            r
+            for r in rows
+            if r["in_window"]
+            and r["green_rounds"] >= 3
+            and r["entry"] != "q01_star_revenue"  # flagship stays
+        ),
+        key=lambda r: (r["depth_sec"] or 0.0, -(r["green_rounds"])),
+    )
+    return list(zip(never[:n_pairs], retire[: len(never[:n_pairs])]))
+
+
+def main() -> int:
+    rows = build_rows()
+    pairs = suggest(rows)
+    if "--json" in sys.argv:
+        print(json.dumps({"rows": rows, "suggest": [
+            {"promote": a["entry"], "retire": b["entry"]} for a, b in pairs
+        ]}, indent=1))
+        return 0
+    hdr = f"{'entry':34} {'win':3} {'last_r':6} {'greens':6} {'depth_s':7}"
+    print(hdr)
+    print("-" * len(hdr))
+    for r in sorted(
+        rows, key=lambda r: (r["last_driver_round"] or 0, -(r["depth_sec"] or 0))
+    ):
+        print(
+            f"{r['entry']:34} {'*' if r['in_window'] else ' ':3} "
+            f"{r['last_driver_round'] or '-':>6} {r['green_rounds']:>6} "
+            f"{'' if r['depth_sec'] is None else f'{r_depth(r):.2f}':>7}"
+        )
+    print()
+    print("suggested swaps (promote <- retire):")
+    for a, b in pairs:
+        print(
+            f"  {a['entry']:34} (depth {a['depth_sec'] or 0:.2f}s)  <-  "
+            f"{b['entry']} (green x{b['green_rounds']}, "
+            f"{b['depth_sec'] or 0:.2f}s)"
+        )
+    return 0
+
+
+def r_depth(r) -> float:
+    return r["depth_sec"] or 0.0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,14 +58,14 @@ RUNGS = {
         10,
         ["documents", "embeddings", "customer", "lineitem"],
         [
-            "a81_pq_codes",
+            "q119_pq_codes",
             "a77_dedup_clusters_star",
             "q90_fuzzy_pairs",
             "a60_simhash_blocked",
             "a40_dedup_ngram_jaccard",
             "a75_dedup_apply",
             "a70_dedup_clusters",
-            "a71_kmeans_cells",
+            "q115_kmeans_cells",
             "q42_percentile",
             "q23_dedup_minhash_lsh",
         ],
@@ -91,7 +91,7 @@ RUNGS = {
             "q23_dedup_minhash_lsh",
             "a60_simhash_blocked",
             "q17_text_quality",
-            "a91_batch_score",
+            "q120_batch_score",
         ],
     ),
     "events25": (
@@ -102,7 +102,7 @@ RUNGS = {
             "a41_streaming_window",
             "a76_stream_dedup",
             "a90_stream_join",
-            "a95_stream_enrich",
+            "q122_stream_enrich",
         ],
     ),
     # r6 (VERDICT r5 item 6): the next decade-ish rung above events25,
@@ -116,7 +116,7 @@ RUNGS = {
             "a41_streaming_window",
             "a76_stream_dedup",
             "a90_stream_join",
-            "a95_stream_enrich",
+            "q122_stream_enrich",
         ],
     ),
     # r7 (VERDICT r6 item 5): CHURN-mode streaming-dedup rungs. The plain

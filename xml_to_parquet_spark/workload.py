@@ -5511,10 +5511,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q13_json_extract": QuerySpec(
         q_json_extract, _Q_JSON_EXTRACT_SQL, "JSON path extraction"
     ),
-    "a38_profile_classify": QuerySpec(
+    "q14_profile_classify": QuerySpec(
         q_profile_classify, _profile_oracle(), "A1/A4 schema profiling"
     ),
-    "a39_star_build": QuerySpec(
+    "q15_star_build": QuerySpec(
         q_star_build, _Q_STAR_BUILD_SQL, "catalog-driven star transform"
     ),
     "q16_token_count": QuerySpec(
@@ -5563,7 +5563,7 @@ QUERIES: dict[str, QuerySpec] = {
     # entry with zero driver validation across rounds 1-3; its exact
     # md5-arithmetic oracle landed in r3).  q09 (driver-green in r3)
     # rotates out to make room.
-    "a92_multimodal_decode": QuerySpec(
+    "q29_multimodal_decode": QuerySpec(
         q_multimodal_decode,
         _Q_MULTIMODAL_DECODE_SQL,
         "mapInPandas decode plumbing (deterministic stand-in kernel)",
@@ -5600,7 +5600,7 @@ QUERIES: dict[str, QuerySpec] = {
     # TRIVIAL golden sentinels rotate OUT of the a-window (a63-a66 ->
     # q51-q54: driver-green in r4 AND r5, 1-3 rows each; still covered by
     # pytest + tools/verify_local.py full-catalog runs every round).
-    "a37_xml_star_golden": QuerySpec(
+    "q37_xml_star_golden": QuerySpec(
         q_xml_star_golden,
         _Q_XML_STAR_GOLDEN_SQL,
         "XML ingest -> star transform vs fully-determined golden values",
@@ -5655,7 +5655,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SUBSTRING_DEDUP_SQL,
         "repeated-k-gram span detection (substring-level dedup)",
     ),
-    "a43_bpe_tokens": QuerySpec(
+    "q112_bpe_tokens": QuerySpec(
         q_bpe_tokens,
         _Q_BPE_TOKENS_SQL,
         "real BPE merge-loop token counts (broadcast merges table)",
@@ -5665,7 +5665,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_IVF_PQ_ADC_SQL,
         "IVF-PQ asymmetric-distance ANN with exact integer re-rank",
     ),
-    "a45_netpbm_real": QuerySpec(
+    "q113_netpbm_real": QuerySpec(
         q_netpbm_real_kernel,
         _Q_NETPBM_REAL_SQL,
         "REAL netpbm decode + raster resample (md5-matched output bytes)",
@@ -5742,7 +5742,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_BUSINESS_KEYS_SQL,
         "S6 comment business keys attached per file (golden fixture)",
     ),
-    "a62_validation_gate": QuerySpec(
+    "q114_validation_gate": QuerySpec(
         q_validation_gate,
         _Q_VALIDATION_GATE_SQL,
         "P4 validation gate excludes malformed files (golden fixture)",
@@ -5787,7 +5787,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_dedup_clusters_sql(),
         "near-dup clustering: LSH pairs -> connected components",
     ),
-    "a71_kmeans_cells": QuerySpec(
+    "q115_kmeans_cells": QuerySpec(
         q_kmeans_cells,
         _q_kmeans_sql(),
         "Lloyd k-means cell assignment in exact integer arithmetic",
@@ -5797,7 +5797,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SCRUB_PII_SQL,
         "PII scrubbing with typed placeholders (golden fixture)",
     ),
-    "a73_dedup_incremental": QuerySpec(
+    "q116_dedup_incremental": QuerySpec(
         q_dedup_incremental,
         _Q_DEDUP_INCREMENTAL_SQL,
         "incremental dedup against an existing corpus (anti-join)",
@@ -5822,12 +5822,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_dedup_clusters_star_sql(),
         "connected components via alternating star contraction",
     ),
-    "a78_sliding_window": QuerySpec(
+    "q117_sliding_window": QuerySpec(
         q_sliding_window,
         _Q_SLIDING_WINDOW_SQL,
         "sliding/hopping event-time windows (2h size, 1h hop)",
     ),
-    "a79_session_window": QuerySpec(
+    "q118_session_window": QuerySpec(
         q_session_window_native,
         _Q_SESSION_WINDOW_SQL,
         "native session_window gap-merged sessions",
@@ -5837,7 +5837,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_VARIANT_JSON_SQL,
         "VariantType JSON: parse once, typed binary field access",
     ),
-    "a81_pq_codes": QuerySpec(
+    "q119_pq_codes": QuerySpec(
         q_pq_codes,
         _q_pq_codes_sql(),
         "product-quantization codes (per-subspace integer kmeans)",
@@ -5870,12 +5870,12 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_ATOMIC_PUBLISH_SQL,
         "manifest-pointer commit: killed writer, reader sees last snapshot",
     ),
-    "q94_diff_published": QuerySpec(
+    "a54_diff_published": QuerySpec(
         q_diff_published,
         _Q_DIFF_PUBLISHED_SQL,
         "version change feed: append fast path + exceptAll general path",
     ),
-    "q95_stream_kmv": QuerySpec(
+    "a35_stream_kmv": QuerySpec(
         q_stream_kmv,
         _q_stream_kmv_sql(),
         "streaming KMV maintenance: per-batch sketches published "
@@ -5938,7 +5938,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_STREAM_JOIN_SQL,
         "stream-stream interval join (funnel attribution, bounded state)",
     ),
-    "a91_batch_score": QuerySpec(
+    "q120_batch_score": QuerySpec(
         q_batch_score,
         _Q_BATCH_SCORE_SQL,
         "REAL quantized-logreg batch inference (int64 matmul, exact oracle)",
@@ -5949,7 +5949,7 @@ QUERIES: dict[str, QuerySpec] = {
     # Under the sorted 50-slot correctness window the four r4 additions
     # (a93-a96) evicted q05-q08 (all driver-green r3; still covered by
     # pytest + tools/verify_local.py full-catalog runs each round).
-    "a93_multimodal_resize": QuerySpec(
+    "q121_multimodal_resize": QuerySpec(
         q_multimodal_resize,
         _Q_MULTIMODAL_RESIZE_SQL,
         "mapInPandas resize plumbing (aspect-fit, stand-in kernel)",
@@ -5959,12 +5959,12 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_BYTE_FEATURES_SQL,
         "binary feature-extract (numpy byte statistics over Arrow batches)",
     ),
-    "a95_stream_enrich": QuerySpec(
+    "q122_stream_enrich": QuerySpec(
         q_stream_enrich,
         _Q_STREAM_ENRICH_SQL,
         "stream-static enrichment join (stateless, per-micro-batch dim)",
     ),
-    "a96_dedup_keep_best": QuerySpec(
+    "q123_dedup_keep_best": QuerySpec(
         q_dedup_keep_best,
         _Q_DEDUP_KEEP_BEST_SQL,
         "quality-aware dedup retention (best member per cluster)",
@@ -5972,12 +5972,12 @@ QUERIES: dict[str, QuerySpec] = {
     # r5: URL/domain curation pair. Under the sorted 50-slot correctness
     # window a97/a98 evict q03/q04 (driver-green since r1; still covered
     # by pytest + tools/verify_local.py full-catalog runs each round).
-    "a97_url_normalize": QuerySpec(
+    "q124_url_normalize": QuerySpec(
         q_url_normalize,
         _Q_URL_NORMALIZE_SQL,
         "canonical URL dedup keys + registrable domains",
     ),
-    "a98_domain_cap": QuerySpec(
+    "q125_domain_cap": QuerySpec(
         q_domain_cap,
         _Q_DOMAIN_CAP_SQL,
         "per-domain anti-domination cap (deterministic survivors)",
@@ -5989,83 +5989,83 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
     ),
-    "q96_kmv_set_algebra": QuerySpec(
+    "a61_kmv_set_algebra": QuerySpec(
         q_kmv_set_algebra,
         _q_kmv_set_algebra_sql(),
         "sketch set algebra: union/intersection/Jaccard from two KMV "
         "sketches",
     ),
-    "q97_funnel": QuerySpec(
+    "a57_funnel": QuerySpec(
         q_funnel,
         _Q_FUNNEL_SQL,
         "ordered funnel: strict first-occurrence stage sequencing",
     ),
-    "q98_token_drift": QuerySpec(
+    "a66_token_drift": QuerySpec(
         q_token_drift,
         _q_token_drift_sql(),
         "distribution-drift monitor: top token frequency movers in ppm",
     ),
-    "q99_gopher_rules": QuerySpec(
+    "a56_gopher_rules": QuerySpec(
         q_gopher_rules,
         _q_gopher_rules_sql(),
         "Gopher-style composite quality rules, integer-exact map-only gate",
     ),
-    "q100_pmi_pairs": QuerySpec(
+    "a58_pmi_pairs": QuerySpec(
         q_pmi_pairs,
         _q_pmi_pairs_sql(),
         "token-pair PMI via exact integer lift, a-priori-bounded self-join",
     ),
-    "q101_triangles": QuerySpec(
+    "a53_triangles": QuerySpec(
         q_triangles,
         _q_triangles_sql(),
         "triangle counting by degree-ordered orientation (O(m^1.5) wedges)",
     ),
-    "q102_bucket_anomalies": QuerySpec(
+    "a65_bucket_anomalies": QuerySpec(
         q_bucket_anomalies,
         _q_bucket_anomalies_sql(),
         "time-bucket volume anomalies: integer z-score test, no floats",
     ),
-    "q103_k_anonymize": QuerySpec(
+    "a67_k_anonymize": QuerySpec(
         q_k_anonymize,
         _q_k_anonymize_sql(),
         "k-anonymity suppression of small quasi-identifier classes",
     ),
-    "q104_bfs_khop": QuerySpec(
+    "a52_bfs_khop": QuerySpec(
         q_bfs_khop,
         _q_bfs_khop_sql(),
         "multi-source BFS hop levels: frontier expansion + visited anti-join",
     ),
-    "q105_ngram_diversity": QuerySpec(
+    "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
         _q_ngram_diversity_sql(),
         "per-source bigram type/token ratio (ppm) — diversity monitor",
     ),
-    "q106_setsim_prefix": QuerySpec(
+    "a36_setsim_prefix": QuerySpec(
         q_setsim_prefix,
         _q_setsim_prefix_sql(),
         "AllPairs/PPJoin prefix-filtered exact Jaccard join vs brute oracle",
     ),
-    "q107_stream_drift": QuerySpec(
+    "a51_stream_drift": QuerySpec(
         q_stream_drift,
         _q_stream_drift_sql(),
         "streaming drift monitor: published partial counts == batch report",
     ),
-    "q108_incremental_agg": QuerySpec(
+    "a59_incremental_agg": QuerySpec(
         q_incremental_agg,
         _Q_INCREMENTAL_AGG_SQL,
         "O(delta) materialized-view refresh from the publish change feed",
     ),
-    "q109_poisson_bootstrap": QuerySpec(
+    "a55_poisson_bootstrap": QuerySpec(
         q_poisson_bootstrap,
         _q_poisson_bootstrap_sql(),
         "one-pass Poisson bootstrap: 16 deterministic replicate means",
     ),
-    "q110_cohort_retention": QuerySpec(
+    "a64_cohort_retention": QuerySpec(
         q_cohort_retention,
         _q_cohort_retention_sql(),
         "cohort retention matrix: first-seen buckets x offset, integer ppm",
     ),
-    "q111_pr_normalize": QuerySpec(
+    "a69_pr_normalize": QuerySpec(
         q_pr_normalize,
         _q_pr_normalize_sql(),
         "per-slice percentile-rank score normalization (integer ppm)",
