@@ -778,3 +778,82 @@ def test_semantic_dedup_kernels_identical(spark):
     ]
     assert res[0] == res[1]
     assert any(not r[2] for r in res[0])
+
+
+def test_kmeans_probe_rank0_is_single_assignment(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = {
+        r.vec_id: r.cell
+        for r in similarity.kmeans_assign_quantized(
+            emb, k=4, iterations=2, quant=512
+        ).collect()
+    }
+    probes = similarity.kmeans_probe_quantized(
+        emb, k=4, iterations=2, n_probe=3, quant=512
+    ).collect()
+    primary = {r.vec_id: r.cell for r in probes if r.probe_rank == 0}
+    assert primary == single
+    per_id = {}
+    for r in probes:
+        per_id.setdefault(r.vec_id, set()).add(r.cell)
+    assert all(len(cells) == 3 for cells in per_id.values())
+
+
+def test_semantic_dedup_multiprobe_monotone_and_no_false_drop(spark):
+    # more probes can only grow the candidate set (drops are monotone in
+    # n_probe) and never exceed the exact all-pairs drop set
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    drops = {}
+    cells_out = {}
+    for np_ in (1, 2, 4):
+        out = similarity.semantic_dedup(
+            emb, k=4, iterations=2, quant=512, n_probe=np_
+        ).collect()
+        drops[np_] = {(r.vec_id, r.dup_of) for r in out if not r.keep}
+        cells_out[np_] = sorted((r.vec_id, r.cell) for r in out)
+        assert len(out) == len({r.vec_id for r in out})  # one row per id
+    assert {p[0] for p in drops[1]} <= {p[0] for p in drops[2]}
+    assert {p[0] for p in drops[2]} <= {p[0] for p in drops[4]}
+    # reported cell is the primary cell regardless of n_probe
+    assert cells_out[1] == cells_out[2] == cells_out[4]
+    # exact all-pairs keep-min-id drop set (numpy replay) bounds them all
+    import numpy as np
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 512.0
+        + 0.5
+    ).astype(np.int64)
+    G = V @ V.T
+    nn = np.diagonal(G).copy()
+    ok = (
+        (G > 0)
+        & (nn[:, None] > 0)
+        & (nn[None, :] > 0)
+        & (G * G * 25 >= 4 * nn[:, None] * nn[None, :])
+    )
+    tri = np.triu(ok, 1)
+    exact_drops = {int(ids[j]) for j in range(len(ids)) if tri[:, j].any()}
+    for np_ in (1, 2, 4):
+        assert {p[0] for p in drops[np_]} <= exact_drops
+
+
+def test_semantic_dedup_multiprobe_kernels_identical(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = [
+        sorted(
+            (r.vec_id, r.cell, r.keep, r.dup_of)
+            for r in similarity.semantic_dedup(
+                emb, k=4, iterations=2, quant=512, kernel=kern, n_probe=3
+            ).collect()
+        )
+        for kern in ("gemm", "expr")
+    ]
+    assert res[0] == res[1]
+
+
+def test_semantic_dedup_rejects_bad_n_probe(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="n_probe"):
+        similarity.semantic_dedup(emb, k=4, n_probe=0)

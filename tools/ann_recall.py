@@ -151,11 +151,14 @@ def semdedup_recall() -> None:
     """
     sf_dir = "/root/testdata/sf0.1"
     ks = (1, 2, 4, 8, 16, 32)
+    probes = (1,)
     for a in sys.argv[1:]:
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
         elif a.startswith("--ks="):
             ks = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+        elif a.startswith("--probes="):
+            probes = tuple(int(x) for x in a.split("=", 1)[1].split(","))
     import pyarrow.parquet as pq
 
     from xml_to_parquet_spark.functions.similarity import semantic_dedup
@@ -193,17 +196,34 @@ def semdedup_recall() -> None:
     df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     df = df.cache()
     df.count()
-    print(f"{'k':>4} {'pair_recall':>12} {'drop_recall':>12} "
+    print(f"{'k':>4} {'probe':>5} {'pair_recall':>12} {'drop_recall':>12} "
           f"{'drops':>6} {'sec':>6}")
     rows = []
-    for k in ks:
+    for k, n_probe in ((k, p) for k in ks for p in probes):
+        from xml_to_parquet_spark.functions.similarity import (
+            kmeans_probe_quantized,
+        )
+
         t0 = time.time()
-        out = semantic_dedup(df, k=k, iterations=2, quant=quant).collect()
+        out = semantic_dedup(
+            df, k=k, iterations=2, quant=quant, n_probe=n_probe
+        ).collect()
         sec = time.time() - t0
-        cell = {int(r["vec_id"]): r["cell"] for r in out}
         drops = {int(r["vec_id"]) for r in out if not r["keep"]}
+        if n_probe == 1:
+            cell1 = {int(r["vec_id"]): {r["cell"]} for r in out}
+        else:
+            cell1 = {}
+            for r in kmeans_probe_quantized(
+                df, k=k, iterations=2, n_probe=n_probe, quant=quant
+            ).collect():
+                cell1.setdefault(int(r["vec_id"]), set()).add(r["cell"])
         pr = (
-            sum(1 for i, j in true_pairs if cell[int(i)] == cell[int(j)])
+            sum(
+                1
+                for i, j in true_pairs
+                if cell1[int(i)] & cell1[int(j)]
+            )
             / len(true_pairs)
             if true_pairs
             else 1.0
@@ -212,11 +232,12 @@ def semdedup_recall() -> None:
             len(drops & drop_true) / len(drop_true) if drop_true else 1.0
         )
         rows.append(
-            {"k": k, "pair_recall": round(pr, 4),
+            {"k": k, "n_probe": n_probe, "pair_recall": round(pr, 4),
              "drop_recall": round(dr, 4), "drops": len(drops),
              "sec": round(sec, 2)}
         )
-        print(f"{k:>4} {pr:>12.4f} {dr:>12.4f} {len(drops):>6} {sec:>6.2f}")
+        print(f"{k:>4} {n_probe:>5} {pr:>12.4f} {dr:>12.4f} "
+              f"{len(drops):>6} {sec:>6.2f}")
         # the operator never drops a row the exact pass keeps: within-cell
         # pairs are a subset of all pairs, keep-min-id is monotone
         assert drops <= drop_true, "false drop — operator bug"

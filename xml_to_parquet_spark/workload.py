@@ -2854,6 +2854,7 @@ def _q_kmeans_sql(
     iterations: int = 2,
     quant: int = 1_000_000,
     vec_sql: str = "embedding",
+    n_probe: int = 1,
 ) -> str:
     parts = [
         f"""vpos AS (
@@ -2899,6 +2900,20 @@ def _q_kmeans_sql(
 )"""
             )
             prev_c = f"c{i}"
+    if n_probe > 1:
+        # multi-probe final assignment: top-n_probe centroids per point
+        # by (distance, cid) — probe_rank 0 is the single-assign cell
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + f"""
+SELECT vec_id, CAST(cid AS INT) AS cell, CAST(rn - 1 AS INT) AS probe_rank
+FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM d{iterations}) WHERE rn <= {n_probe}
+ORDER BY vec_id, probe_rank"""
+        )
     return (
         "WITH "
         + ",\n".join(parts)
@@ -2912,11 +2927,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer k-means cells, then within-cell int64-exact cosine pruning
     (keep-min-id). The oracle replays the identical clustering rounds and
     the identical threshold algebra, so every keep/drop decision is
-    bit-reproduced. `keep` is cast to INT (0/1) for the comparator."""
+    bit-reproduced. `keep` is cast to INT (0/1) for the comparator.
+
+    r9: n_probe=3 multi-probe candidate generation (the SemDeDup
+    boundary fix — measured pair-recall 0.33 -> 0.95 at k=8 on the
+    near-isotropic worst case, tools/ann_recall.py --semdedup); the
+    oracle replays the same top-3-cells probing, so the exactness story
+    is unchanged — recall is a property of the candidate set, and BOTH
+    engines now build the same larger one."""
     from xml_to_parquet_spark.functions.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, k=8, iterations=2, quant=1024)
+    out = semantic_dedup(emb, k=8, iterations=2, quant=1024, n_probe=3)
     return out.select(
         "vec_id",
         "cell",
@@ -2931,7 +2953,58 @@ def _q_semantic_dedup_sql(
     quant: int = 1024,
     tau_num: int = 2,
     tau_den: int = 5,
+    n_probe: int = 1,
 ) -> str:
+    if n_probe > 1:
+        # multi-probe twin: candidates = DISTINCT pairs sharing ANY
+        # probed cell; dots are computed per candidate pair (never
+        # summed across shared cells); reported cell = probe_rank 0
+        probes = _q_kmeans_sql(
+            k=k, iterations=iterations, quant=quant, n_probe=n_probe
+        )
+        return f"""
+WITH probes AS (SELECT * FROM ({probes})),
+assign AS (SELECT vec_id, cell FROM probes WHERE probe_rank = 0),
+vq AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {float(quant)} + 0.5) AS BIGINT)
+         ) AS vq
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM probes a JOIN probes b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+vp AS (
+  SELECT vec_id, generate_subscripts(vq, 1) - 1 AS pos, unnest(vq) AS qv
+  FROM vq
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nn FROM vp GROUP BY vec_id
+),
+dots AS (
+  SELECT c.ia, c.ib, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dab
+  FROM cand c
+  JOIN vp a ON a.vec_id = c.ia
+  JOIN vp b ON b.vec_id = c.ib AND b.pos = a.pos
+  GROUP BY c.ia, c.ib
+),
+dups AS (
+  SELECT d.ib AS vec_id, MIN(d.ia) AS dup_of
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.ia
+  JOIN norms nb ON nb.vec_id = d.ib
+  WHERE na.nn > 0 AND nb.nn > 0 AND d.dab > 0
+    AND d.dab * d.dab * {tau_den * tau_den}
+        >= {tau_num * tau_num} * na.nn * nb.nn
+  GROUP BY d.ib
+)
+SELECT a.vec_id, a.cell, CAST(p.vec_id IS NULL AS INT) AS keep, p.dup_of
+FROM assign a LEFT JOIN dups p USING (vec_id)
+ORDER BY a.vec_id
+"""
     kmeans = _q_kmeans_sql(k=k, iterations=iterations, quant=quant)
     return f"""
 WITH assign AS (SELECT * FROM ({kmeans})),
@@ -5895,8 +5968,9 @@ QUERIES: dict[str, QuerySpec] = {
     # (a57_mixture, driver-green since r4, retires to q66).
     "a49_semantic_dedup": QuerySpec(
         q_semantic_dedup,
-        _q_semantic_dedup_sql(),
-        "semantic dedup: k-means cells + in-cell exact-cosine keep-min-id",
+        _q_semantic_dedup_sql(n_probe=3),
+        "semantic dedup: multi-probe k-means cells + exact-cosine "
+        "keep-min-id",
     ),
     "a20_html_extract": QuerySpec(
         q_html_extract,
