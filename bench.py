@@ -144,7 +144,7 @@ def main() -> None:
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
         "q93_repetition_features", "a68_quality_gate", "q112_bpe_tokens",
-        "a50_rare_gram_lm", "a34_mojibake_deep",
+        "a72_bpe_learn", "a50_rare_gram_lm", "a34_mojibake_deep",
         # sketches / selection
         "a31_hll_distinct", "a25_dsir_select",
         # corpus QA / association / graph (r8)
@@ -152,7 +152,7 @@ def main() -> None:
         "a53_triangles", "a36_setsim_prefix", "a59_incremental_agg",
         "a55_poisson_bootstrap",
         # streaming
-        "a41_streaming_window", "a76_stream_dedup", "a90_stream_join",
+        "q36_streaming_window", "a76_stream_dedup", "a90_stream_join",
         "a48_stream_publish",
         # scale ops
         "q87_zorder_key", "q89_scd2", "q50_salted_agg",

@@ -104,3 +104,71 @@ def test_bpe_kernel_equals_sql_replay_randomized():
         f"SELECT {expr} FROM t ORDER BY i"
     ).fetchall()]
     assert kernel == sql
+
+
+def test_bpe_learn_merges_known_corpus(spark):
+    # hand-checkable corpus: "ab" dominates, then the learned "ab" symbol
+    # itself pairs with "c" — a cascading merge the trainer must find
+    rows = [(i, "abc abc abc abd ab") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from xml_to_parquet_spark.functions.tokenizer import bpe_learn_merges
+
+    merges = bpe_learn_merges(df, num_merges=3)
+    assert merges[0][:2] == ("a", "b")  # 20 occurrences
+    assert merges[0][2] == 20
+    assert merges[1][:2] == ("ab", "c")  # cascade onto the round-1 output
+    assert merges[1][2] == 12
+    assert merges[2][:2] == ("ab", "d")
+
+
+def test_bpe_learn_merges_matches_duckdb_replay(spark):
+    import duckdb
+
+    from xml_to_parquet_spark.functions.tokenizer import (
+        bpe_learn_merges,
+        bpe_learn_sql,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (i, l, r, c)
+        for i, (l, r, c) in enumerate(bpe_learn_merges(df, num_merges=6))
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(bpe_learn_sql(6)).fetchall()]
+    assert got == want and len(got) == 6
+
+
+def test_bpe_learn_merges_partition_invariant(spark):
+    from xml_to_parquet_spark.functions.tokenizer import bpe_learn_merges
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = bpe_learn_merges(df.repartition(1), num_merges=4)
+    b = bpe_learn_merges(df.repartition(9), num_merges=4)
+    assert a == b
+
+
+def test_bpe_learned_table_feeds_token_counts(spark):
+    # the learned-table path plugs into a43's counting stage unchanged
+    # and strictly compresses vs the unmerged baseline
+    from xml_to_parquet_spark.functions.tokenizer import (
+        bpe_learn_merges,
+        bpe_token_counts,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    learned = tuple(
+        (l, r) for l, r, _ in bpe_learn_merges(df, num_merges=8)
+    )
+    counted = bpe_token_counts(df, merges=learned).collect()
+    assert len(counted) == df.count()
+    base = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_token_counts(df, merges=()).collect()
+    }
+    assert all(r.bpe_tokens <= base[r.doc_id] for r in counted)
+    assert sum(r.bpe_tokens for r in counted) < sum(base.values())

@@ -91,7 +91,7 @@ def main() -> int:
     hard_fail = []
 
     for name, spec in QUERIES.items():
-        if name in ("a41_streaming_window", "q29_multimodal_decode"):
+        if name in ("q36_streaming_window", "q29_multimodal_decode"):
             continue  # streaming/pandas plans don't expose these nodes
         try:
             df = spec.fn(spark, SF_DIR)

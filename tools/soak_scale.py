@@ -99,7 +99,7 @@ RUNGS = {
         25,
         ["events", "customer"],
         [
-            "a41_streaming_window",
+            "q36_streaming_window",
             "a76_stream_dedup",
             "a90_stream_join",
             "q122_stream_enrich",
@@ -113,7 +113,7 @@ RUNGS = {
         250,
         ["events", "customer"],
         [
-            "a41_streaming_window",
+            "q36_streaming_window",
             "a76_stream_dedup",
             "a90_stream_join",
             "q122_stream_enrich",

@@ -156,6 +156,169 @@ def bpe_token_counts(
     )
 
 
+#: Symbol-boundary sentinel for the learned-merge representation: every
+#: symbol in a word's current segmentation is PREFIXED with this char
+#: (stripped from input defensively), so "merge (l, r)" is the plain
+#: string replace  SENT+l+SENT+r -> SENT+l+r  with no shared-delimiter
+#: ambiguity — replacements are left-to-right non-overlapping in both
+#: engines, which is exactly classic BPE's apply-one-round semantics.
+SENT = "\x01"
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE merge TRAINING (VERDICT-r8 #3): learn the
+    ``num_merges`` highest-count byte-pair merges from the corpus — the
+    step a real 100 TB pipeline runs before :func:`bpe_token_counts`
+    applies the table.
+
+    Algorithm (Sennrich et al. 2016, the standard greedy loop), rendered
+    Spark-first:
+
+    - ONE corpus pass builds the word-frequency table (explode + map-side
+      combined groupBy — shuffle ∝ vocabulary, not corpus), each word
+      marked as ``SENT+c`` per character. Training is restricted to
+      ASCII-printable words (``^[!-~]+$``) so the char-split is
+      codepoint-exact in both engines (Java regex '.' splits surrogate
+      pairs where RE2 does not; byte-level BPE sidesteps the issue the
+      same way by training on bytes).
+    - each round: adjacent-pair counts from the CURRENT segmentation
+      (codegen array transform + one groupBy — shuffle ∝ distinct pairs),
+      argmax by (count desc, l asc, r asc) collected as ONE driver row
+      (model-sized action, the k-means pattern), then one map-only
+      ``replace`` re-segments the word table. num_merges rounds = 2
+      model-sized jobs per round over a vocabulary-sized table.
+
+    Tie rule and overlap-counting follow the classic implementation:
+    pair counts include overlapping positions ("aaa" counts (a,a)
+    twice); the apply step merges left-to-right non-overlapping. The
+    DuckDB oracle (``bpe_learn_sql``) replays the identical rounds as
+    chained CTEs, so the learned table is bit-reproducible.
+
+    Returns ``[(left, right, pair_count), ...]`` in rank order; the
+    tuple list feeds :func:`bpe_token_counts` unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    words = (
+        df.select(
+            F.explode(
+                F.split(norm_text(F.col(text_col)), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[!-~]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", SENT + "$1").alias("marked"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    cur = words
+    for _ in range(num_merges):
+        best = (
+            cur.select(
+                "freq",
+                F.expr(f"slice(split(marked, '{SENT}'), 2, 2147483647)")
+                .alias("syms"),
+            )
+            # adjacent pairs via the 2-arg transform lambda: element i of
+            # the head-slice pairs with syms[i+2] (1-based); a 1-symbol
+            # word yields an empty slice, so no CASE/sequence guards
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(x, i) -> struct(x AS l, "
+                        "element_at(syms, i + 2) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((l, r, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("marked"),
+                F.lit(SENT + l + SENT + r),
+                F.lit(SENT + l + r),
+            ).alias("marked"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_learn_sql(
+    num_merges: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    norm_sql: str | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`bpe_learn_merges`: the same greedy
+    rounds as chained CTEs — same marked-string representation, same
+    overlap-counted pair sums, same (cnt desc, l, r) argmax, same
+    left-to-right replace — emitting ``(rank, l, r, cnt)``."""
+    norm = (
+        norm_sql
+        or f"lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')))"
+    )
+    parts = [
+        f"""w0 AS (
+  SELECT regexp_replace(tok, '(.)', chr(1) || '\\1', 'g') AS marked,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS tok FROM {table})
+  WHERE regexp_matches(tok, '^[!-~]+$')
+  GROUP BY 1
+)"""
+    ]
+    for i in range(num_merges):
+        parts.append(
+            f"""p{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt
+  FROM (SELECT string_split(marked, chr(1)) AS syms, freq FROM w{i}) t,
+       LATERAL (SELECT unnest(generate_series(2, len(syms) - 1)) AS i) g
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"b{i} AS (SELECT l, r, cnt FROM p{i} "
+            "ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < num_merges - 1:
+            parts.append(
+                f"""w{i + 1} AS (
+  SELECT replace(marked, chr(1) || l || chr(1) || r,
+                 chr(1) || l || r) AS marked, freq
+  FROM w{i}, b{i}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l, r, CAST(cnt AS BIGINT) AS cnt FROM b{i}"
+        for i in range(num_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
 def bpe_replay_sql(
     norm_sql: str, merges: tuple[tuple[str, str], ...] = TOY_MERGES
 ) -> str:

