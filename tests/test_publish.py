@@ -798,6 +798,39 @@ def test_diff_published_append_fast_path_and_general(spark, tmp_path):
     assert diff_published(spark, root, 4, 5).count() == 0
 
 
+def test_diff_published_prunes_shared_dirs(spark, tmp_path):
+    """General-path file pruning (r9): a forked history (rollback then
+    divergent appends) shares the base dirs between the two versions —
+    the diff must skip them entirely (asserted via inputFiles) while
+    the row-level answer stays exact."""
+    from xml_to_parquet_spark.sinks.publish import (
+        diff_published,
+        history,
+        publish_parquet,
+        rollback_published,
+    )
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 30, "base"), root)  # v1
+    publish_parquet(_snapshot(spark, 10, "left"), root, mode="append")  # v2
+    rollback_published(root, 1)  # v3 == v1's dirs
+    publish_parquet(_snapshot(spark, 7, "right"), root, mode="append")  # v4
+    d = diff_published(spark, root, 2, 4)
+    by = {t: n for t, n in d.groupBy("_change_type").count().collect()}
+    assert by == {"insert": 7, "delete": 10}
+    # the shared base dir (30 rows, by far the largest) is never read
+    hs = {h["version"]: h for h in history(root)}
+    shared = set(hs[2]["data_dirs"]) & set(hs[4]["data_dirs"])
+    assert shared  # the fork really does share the base dirs
+    files = d.inputFiles()
+    assert files and all(
+        not any(s in f for s in shared) for f in files
+    )
+    # degenerate prune: fork where one side added nothing -> empty side
+    d34 = diff_published(spark, root, 1, 3)
+    assert d34.count() == 0
+
+
 def test_diff_published_schema_evolution_alignment(spark, tmp_path):
     """Diff across an evolved schema aligns through the TARGET schema:
     pre-evolution rows surface the added column as NULL."""

