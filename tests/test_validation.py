@@ -575,3 +575,158 @@ def test_dtd_subset_ignores_doctype_in_comment():
         b"<r><b/></r>"
     )
     assert dtd_subset.validate(doc3)
+
+
+def test_xsd_subset_choice_with_sequence_alternative(tmp_path):
+    """r9 (VERDICT r8 #6): an inline (1,1) xs:sequence as a choice
+    alternative — dispatched on its required first element — validates
+    exactly instead of degrading the whole model to lenient."""
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType>
+    <xs:choice>
+      <xs:element name="a" type="xs:string"/>
+      <xs:sequence>
+        <xs:element name="b" type="xs:integer"/>
+        <xs:element name="c" type="xs:string" minOccurs="0"/>
+      </xs:sequence>
+    </xs:choice>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    assert xsd_subset.validate(b"<r><a>x</a></r>", xsd) == []
+    assert xsd_subset.validate(b"<r><b>3</b><c>t</c></r>", xsd) == []
+    assert xsd_subset.validate(b"<r><b>3</b></r>", xsd) == []  # c optional
+    assert xsd_subset.validate(b"<r><c>t</c></r>", xsd)  # head b missing
+    assert xsd_subset.validate(b"<r><b>no</b></r>", xsd)  # b not integer
+    assert xsd_subset.validate(b"<r><b>3</b><d/></r>", xsd)  # stray child
+
+
+def test_xsd_subset_nested_choice_flattens(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType>
+    <xs:choice>
+      <xs:element name="a" type="xs:string"/>
+      <xs:choice>
+        <xs:element name="b" type="xs:integer"/>
+        <xs:element name="c" type="xs:string"/>
+      </xs:choice>
+    </xs:choice>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    for ok in (b"<r><a>x</a></r>", b"<r><b>1</b></r>", b"<r><c>y</c></r>"):
+        assert xsd_subset.validate(ok, xsd) == []
+    assert xsd_subset.validate(b"<r><d/></r>", xsd)  # no alternative
+    assert xsd_subset.validate(b"<r><b>x</b></r>", xsd)  # type check holds
+
+
+def test_xsd_subset_choice_ambiguous_shapes_stay_lenient(tmp_path):
+    """Repeated compound choices and duplicate heads are ambiguous for
+    greedy matching — they must degrade to lenient (accept anything),
+    never false-'invalid'."""
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "amb1.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType>
+    <xs:choice maxOccurs="unbounded">
+      <xs:element name="a" type="xs:string"/>
+      <xs:sequence><xs:element name="b" type="xs:string"/></xs:sequence>
+    </xs:choice>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    # lenient: even a stray child passes (false-valid allowed by contract)
+    assert xsd_subset.validate(b"<r><zz/></r>", xsd) == []
+    xsd2 = _write(
+        str(tmp_path),
+        "amb2.xsd",
+        _XS_HEAD
+        + """
+  <xs:element name="r"><xs:complexType>
+    <xs:choice>
+      <xs:element name="a" type="xs:string"/>
+      <xs:sequence>
+        <xs:element name="a" type="xs:string"/>
+        <xs:element name="b" type="xs:string"/>
+      </xs:sequence>
+    </xs:choice>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    assert xsd_subset.validate(b"<r><zz/></r>", xsd2) == []  # dup heads
+
+
+def test_xsd_subset_attribute_group(tmp_path):
+    """r9 (VERDICT r8 #6): xs:attributeGroup refs — including a nested
+    group ref — validate exactly like inline attributes."""
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "s.xsd",
+        _XS_HEAD
+        + """
+  <xs:attributeGroup name="inner">
+    <xs:attribute name="n" type="xs:integer" use="required"/>
+  </xs:attributeGroup>
+  <xs:attributeGroup name="outer">
+    <xs:attribute name="tag" type="xs:string"/>
+    <xs:attributeGroup ref="inner"/>
+  </xs:attributeGroup>
+  <xs:element name="r"><xs:complexType>
+    <xs:sequence>
+      <xs:element name="a" type="xs:string" minOccurs="0"/>
+    </xs:sequence>
+    <xs:attribute name="id" type="xs:integer" use="required"/>
+    <xs:attributeGroup ref="outer"/>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    assert xsd_subset.validate(b'<r id="1" n="2" tag="t"/>', xsd) == []
+    assert xsd_subset.validate(b'<r id="1" n="2"/>', xsd) == []  # tag opt
+    assert xsd_subset.validate(b'<r id="1"/>', xsd)  # n required via group
+    assert xsd_subset.validate(b'<r id="1" n="xx"/>', xsd)  # n not integer
+    assert xsd_subset.validate(b'<r n="2"/>', xsd)  # id still required
+
+
+def test_xsd_subset_attribute_group_cycle_is_safe(tmp_path):
+    from xml_to_parquet_spark.validation import xsd_subset
+
+    xsd = _write(
+        str(tmp_path),
+        "cyc.xsd",
+        _XS_HEAD
+        + """
+  <xs:attributeGroup name="g1">
+    <xs:attribute name="x" type="xs:integer" use="required"/>
+    <xs:attributeGroup ref="g2"/>
+  </xs:attributeGroup>
+  <xs:attributeGroup name="g2">
+    <xs:attributeGroup ref="g1"/>
+    <xs:attribute name="y" type="xs:integer"/>
+  </xs:attributeGroup>
+  <xs:element name="r"><xs:complexType>
+    <xs:attributeGroup ref="g1"/>
+  </xs:complexType></xs:element>
+</xs:schema>""",
+    )
+    # no infinite loop; both reachable attributes enforced
+    assert xsd_subset.validate(b'<r x="1" y="2"/>', xsd) == []
+    assert xsd_subset.validate(b'<r y="2"/>', xsd)  # x required
+    assert xsd_subset.validate(b'<r x="1" y="zz"/>', xsd)  # y typed

@@ -10,6 +10,13 @@ Covers the constructs the reference's schemas actually use
   model, with its own occurrence bounds), and ``xs:all`` content models
 - ``xs:element ref="..."`` references to global element declarations
 - ``minOccurs`` / ``maxOccurs`` (including ``unbounded``) on particles
+- nested ``xs:choice`` alternatives (r9): an inline (1,1) ``xs:sequence``
+  of plain elements as an alternative (dispatched on its required first
+  element) and (1,1) choice-of-choices (flattened union) — with
+  ambiguity guards (duplicate heads, repeated compound choices) that
+  degrade to lenient instead of risking a false "invalid"
+- ``xs:attributeGroup`` named groups and (possibly nested) ``ref``s
+  (r9): referenced attributes validate exactly like inline ones
 - named simple types on leaf elements: ``xs:string``, ``xs:decimal``,
   ``xs:integer``, ``xs:int``, ``xs:long``, ``xs:boolean``, ``xs:date``,
   ``xs:dateTime`` (value-parsed; string accepts anything)
@@ -81,6 +88,10 @@ class _Schema:
             ct.get("name", ""): ct
             for ct in root.findall(f"{_XS}complexType")
         }
+        self.attr_groups = {
+            ag.get("name", ""): ag
+            for ag in root.findall(f"{_XS}attributeGroup")
+        }
         self._stack: set[str] = set()
 
 
@@ -104,31 +115,38 @@ def _parse_particles(
             )
         elif tag == f"{_XS}choice":
             lo, hi = _occurs(item)
-            alts = [
-                (_parse_element(c, schema), *_occurs(c))
-                for c in item.findall(f"{_XS}element")
-            ]
-            other = [c for c in item if c.tag != f"{_XS}element"]
-            if other or not alts:  # nested groups in a choice: lenient
+            alts = _parse_choice_alts(item, schema)
+            if alts is None:  # outside the (extended) subset: lenient
                 decl.particles.clear()
                 decl.has_complex = False
                 return
             # Greedy matching is exact when the counting is unambiguous:
             # either the choice instantiates once, or every alternative
             # contributes exactly one element per instantiation.  A
-            # repeated choice OVER repeatable alternatives (e.g. (a+|b){2})
-            # admits multiple decompositions — greedy could false-
-            # 'invalid' there, which the contract forbids → lenient.
+            # repeated choice OVER repeatable/compound alternatives
+            # (e.g. (a+|b){2}, ((b c)|a)*) admits multiple
+            # decompositions — greedy could false-'invalid' there, which
+            # the contract forbids → lenient.
             if (lo, hi) != (1, 1) and any(
-                (alo, ahi) != (1, 1) for _, alo, ahi in alts
+                kind != "elem" or (alo, ahi) != (1, 1)
+                for kind, _, alo, ahi in alts
             ):
+                decl.particles.clear()
+                decl.has_complex = False
+                return
+            # dispatch is by the next child's name = an alternative's
+            # head; duplicate heads (UPA violations) are ambiguous
+            heads = [_alt_head(a) for a in alts]
+            if len(set(heads)) != len(heads):
                 decl.particles.clear()
                 decl.has_complex = False
                 return
             # an alternative with minOccurs=0 matches the empty sequence,
             # so every required instantiation is satisfiable emptily —
             # the choice as a whole imposes no minimum (exact, not lenient)
-            if any(alo == 0 for _, alo, _ in alts):
+            if any(
+                kind == "elem" and alo == 0 for kind, _, alo, _ in alts
+            ):
                 lo = 0
             decl.particles.append(("choice", alts, lo, hi))
         elif tag == f"{_XS}sequence":
@@ -148,6 +166,55 @@ def _parse_particles(
             return
 
 
+def _alt_head(alt: tuple) -> str:
+    """Dispatch name of a choice alternative: the element's name, or a
+    sequence alternative's first (required) element's name."""
+    kind, payload = alt[0], alt[1]
+    return payload.name if kind == "elem" else payload[0][0].name
+
+
+def _parse_choice_alts(item: ET.Element, schema: _Schema):
+    """Alternatives of an ``xs:choice`` as tagged tuples (r9 extension,
+    VERDICT r8 #6 — the two most-used out-of-subset shapes):
+
+    - ``("elem", decl, lo, hi)`` — a plain element alternative;
+    - ``("seq", [(decl, lo, hi), ...], 1, 1)`` — an inline (1,1)
+      ``xs:sequence`` alternative whose FIRST element is required (the
+      dispatch head) and whose members are all plain elements;
+    - a nested (1,1) ``xs:choice`` flattens into its own alternatives
+      (choice-of-choices is a union of alternatives).
+
+    Returns None when any alternative falls outside this shape — the
+    caller degrades the whole content model to lenient (the contract:
+    false-valid possible, false-invalid never)."""
+    alts: list[tuple] = []
+    for c in item:
+        if c.tag == f"{_XS}element":
+            alts.append(("elem", _parse_element(c, schema), *_occurs(c)))
+        elif c.tag == f"{_XS}choice" and _occurs(c) == (1, 1):
+            inner = _parse_choice_alts(c, schema)
+            if inner is None:
+                return None
+            alts.extend(inner)
+        elif c.tag == f"{_XS}sequence" and _occurs(c) == (1, 1):
+            items: list[tuple] = []
+            for cc in c:
+                if cc.tag == f"{_XS}element":
+                    items.append((_parse_element(cc, schema), *_occurs(cc)))
+                elif cc.tag == f"{_XS}annotation":
+                    continue
+                else:
+                    return None
+            if not items or items[0][1] < 1:
+                return None  # no required head to dispatch on
+            alts.append(("seq", items, 1, 1))
+        elif c.tag == f"{_XS}annotation":
+            continue
+        else:
+            return None
+    return alts or None
+
+
 def _parse_complex_type(
     ct: ET.Element, schema: _Schema, decl: _ElementDecl
 ) -> None:
@@ -165,7 +232,12 @@ def _parse_complex_type(
         other = [
             c
             for c in ct
-            if c.tag not in (f"{_XS}attribute", f"{_XS}annotation")
+            if c.tag
+            not in (
+                f"{_XS}attribute",
+                f"{_XS}annotation",
+                f"{_XS}attributeGroup",
+            )
         ]
         if other:
             decl.has_complex = False
@@ -180,13 +252,30 @@ def _parse_complex_type(
             decl.particles.append(
                 ("elem", _parse_element(child, schema), min(lo, 1), 1)
             )
-    for attr in ct.findall(f"{_XS}attribute"):
+    _collect_attrs(ct, schema, decl, set())
+
+
+def _collect_attrs(
+    holder: ET.Element, schema: _Schema, decl: _ElementDecl, seen: set[str]
+) -> None:
+    """Attributes declared directly plus through ``xs:attributeGroup``
+    refs (r9, VERDICT r8 #6) — groups may nest other group refs, so a
+    per-call seen-set breaks cycles (a cyclic ref degrades to whatever
+    was collected before the repeat, never an infinite loop). An
+    unresolvable ref contributes nothing (lenient for those attributes;
+    the directly declared ones still validate)."""
+    for attr in holder.findall(f"{_XS}attribute"):
         name = attr.get("name", "")
         if attr.get("use") == "required":
             decl.required_attrs.append(name)
         at = _local_type(attr.get("type"))
         if at:
             decl.attr_types[name] = at
+    for ref in holder.findall(f"{_XS}attributeGroup"):
+        gname = _local_type(ref.get("ref")) or ""
+        grp = schema.attr_groups.get(gname)
+        if grp is not None and gname not in seen:
+            _collect_attrs(grp, schema, decl, seen | {gname})
 
 
 def _parse_element(el: ET.Element, schema: _Schema) -> _ElementDecl:
@@ -308,35 +397,53 @@ def _validate_element(node: ET.Element, decl: _ElementDecl) -> list[str]:
                 i += 1
                 count += 1
                 continue
-            # choice: one instantiation picks the alternative the next
-            # child names and consumes per that alternative's OWN bounds
-            # (parse-time guard ensures this greedy consume is exact)
-            alt = next((a for a in payload if a[0].name == kt), None)
+            # choice: one instantiation picks the alternative whose HEAD
+            # the next child names and consumes per that alternative's
+            # OWN bounds (parse-time guards ensure greedy is exact)
+            alt = next((a for a in payload if _alt_head(a) == kt), None)
             if alt is None:
                 break
-            alt_decl, alo, ahi = alt
-            sub = 0
-            while (
-                i < len(kids)
-                and (ahi is None or sub < ahi)
-                and _strip_ns(kids[i].tag) == alt_decl.name
-            ):
-                errors.extend(_validate_element(kids[i], alt_decl))
-                i += 1
-                sub += 1
-            if sub == 0:  # maxOccurs=0 alternative: no progress possible
-                break
-            if sub < alo:
-                errors.append(
-                    f"element '{tag}': expected at least {alo} "
-                    f"'{alt_decl.name}' (got {sub})"
-                )
+            akind, apayload, alo, ahi = alt
+            if akind == "elem":
+                alt_decl = apayload
+                sub = 0
+                while (
+                    i < len(kids)
+                    and (ahi is None or sub < ahi)
+                    and _strip_ns(kids[i].tag) == alt_decl.name
+                ):
+                    errors.extend(_validate_element(kids[i], alt_decl))
+                    i += 1
+                    sub += 1
+                if sub == 0:  # maxOccurs=0 alt: no progress possible
+                    break
+                if sub < alo:
+                    errors.append(
+                        f"element '{tag}': expected at least {alo} "
+                        f"'{alt_decl.name}' (got {sub})"
+                    )
+            else:  # "seq": one pass over the inline sequence's members
+                for m_decl, mlo, mhi in apayload:
+                    sub = 0
+                    while (
+                        i < len(kids)
+                        and (mhi is None or sub < mhi)
+                        and _strip_ns(kids[i].tag) == m_decl.name
+                    ):
+                        errors.extend(_validate_element(kids[i], m_decl))
+                        i += 1
+                        sub += 1
+                    if sub < mlo:
+                        errors.append(
+                            f"element '{tag}': expected at least {mlo} "
+                            f"'{m_decl.name}' (got {sub})"
+                        )
             count += 1
         if count < lo:
             want = (
                 payload.name
                 if kind == "elem"
-                else " | ".join(a[0].name for a in payload)
+                else " | ".join(_alt_head(a) for a in payload)
             )
             errors.append(
                 f"element '{tag}': expected at least {lo} "
