@@ -173,3 +173,62 @@ def test_bfs_levels_exhausted_frontier_and_directed(spark):
     # directed mode on a one-way edge: seed 2 reaches nothing
     d = bfs_levels(_edges(spark, [(1, 2)]), [2], undirected=False).collect()
     assert d == []
+
+
+def test_k_core_known_graph(spark):
+    from xml_to_parquet_spark.functions.graph import k_core
+
+    # K4 on {0,1,2,3} (a true 3-core) + a pendant chain 3-4-5 and a
+    # triangle {6,7,8} (2-core only) — peeling must keep exactly the K4
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 4), (4, 5), (6, 7), (7, 8), (6, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = k_core(df, k=3, rounds=5).collect()
+    assert {r.node for r in out} == {0, 1, 2, 3}
+    assert all(r.deg == 3 for r in out)
+    assert all(r.converged == 1 for r in out)
+
+
+def test_k_core_not_converged_flag(spark):
+    from xml_to_parquet_spark.functions.graph import k_core
+
+    # a long chain peels one node per round from each end: 1 round on a
+    # k=2 chain of 8 nodes cannot reach the (empty) 2-core -> flag 0
+    chain = [(i, i + 1) for i in range(7)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    early = k_core(df, k=2, rounds=1).collect()
+    assert early and all(r.converged == 0 for r in early)
+    late = k_core(df, k=2, rounds=4).collect()
+    assert late == []  # chain has no 2-core; empty result IS converged
+
+
+def test_k_core_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from xml_to_parquet_spark.functions.graph import k_core, k_core_sql
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [
+        (3, 4), (4, 5), (0, 9), (9, 10), (10, 0), (5, 6), (6, 3),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [tuple(r) for r in k_core(df, k=2, rounds=4).collect()]
+    rows = ", ".join(f"({a}, {b})" for a, b in edges)
+    want = [
+        tuple(r)
+        for r in duckdb.sql(
+            k_core_sql(
+                f"SELECT * FROM (VALUES {rows}) t(src, dst)", k=2, rounds=4
+            )
+        ).fetchall()
+    ]
+    assert got == want and got
+
+
+def test_k_core_partition_invariant(spark):
+    from xml_to_parquet_spark.functions.graph import k_core
+    from xml_to_parquet_spark.workload import _coorder_edges
+
+    e = _coorder_edges(spark, "/root/testdata/sf0.001")
+    a = [tuple(r) for r in k_core(e.repartition(1), k=3, rounds=3).collect()]
+    b = [tuple(r) for r in k_core(e.repartition(7), k=3, rounds=3).collect()]
+    assert a == b and a

@@ -4840,6 +4840,24 @@ def _q_bfs_khop_sql() -> str:
     return bfs_levels_sql(_COORDER_EDGES_SQL, seeds=[1, 2, 3])
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (q126, graph.k_core, r9): iterative peeling
+    of the co-purchase graph — the link-farm/orphan-chain curation gate.
+    Fixed 6 peels keep the oracle a finite unrolled CTE chain; the
+    in-band converged flag (sound certificate: survivor counts equal ⇔
+    the next peel would remove nothing) proves the true 3-core was
+    reached rather than an arbitrary prefix of the peel sequence."""
+    from xml_to_parquet_spark.functions.graph import k_core
+
+    return k_core(_coorder_edges(spark, sf_dir), k=3, rounds=6)
+
+
+def _q_k_core_sql() -> str:
+    from xml_to_parquet_spark.functions.graph import k_core_sql
+
+    return k_core_sql(_COORDER_EDGES_SQL, k=3, rounds=6)
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus diversity monitor (q105, drift.ngram_diversity, r8):
     per-source word-bigram type/token ratio in integer ppm — the
@@ -6141,6 +6159,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_bfs_khop,
         _q_bfs_khop_sql(),
         "multi-source BFS hop levels: frontier expansion + visited anti-join",
+    ),
+    "q126_k_core": QuerySpec(
+        q_k_core,
+        _q_k_core_sql(),
+        "k-core peeling with in-band convergence certificate",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
