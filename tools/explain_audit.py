@@ -79,6 +79,10 @@ FORBIDDEN_NODES = {
     # r7: rare-gram postings⋈freq is an equi-join on the gram; the only
     # cross join is the broadcast 1-row total (BroadcastNestedLoopJoin)
     "a50_rare_gram_lm": "CartesianProduct",
+    # r9: k-core peels restrict edges through keep-set equi-joins —
+    # never a cross product — and the multi-probe semantic-dedup
+    # candidate join stays an equi-join on the probed cell
+    "q126_k_core": "CartesianProduct",
 }
 
 
