@@ -10,6 +10,9 @@ Runs, in order, and FAILS LOUDLY on any red:
    properties (broadcast joins, pushed filters, column pruning)
 4. bench-line size check                    — worst-case-rendered bench
    JSON line stays under the driver's 2000-byte stdout window
+5. ``tools/driver_sim.py`` (full catalog)   — every entry re-run on a
+   BARE SparkSession (the external driver's exact shape; the r8 lesson:
+   get_spark-only testing hides worker env/import defects)
 
 Usage::
 
@@ -55,7 +58,7 @@ def check_bench_line() -> tuple[str, float, str]:
     from xml_to_parquet_spark.workload import QUERIES
 
     src = open(os.path.join(REPO, "bench.py")).read()
-    keys = re.findall(r'"((?:q|a)\d\d_[a-z_0-9]+)"', src)
+    keys = re.findall(r'"((?:q|a)\d{2,3}_[a-z_0-9]+)"', src)
     missing = [k for k in keys if k not in QUERIES]
     line = json.dumps(
         {
@@ -105,6 +108,10 @@ def main() -> int:
         "explain_audit", [py, os.path.join(REPO, "tools", "explain_audit.py")]
     )
     results["bench_line"], _, _ = check_bench_line()
+    results["driver_sim"], _, _ = _run(
+        "driver_sim (bare session)",
+        [py, os.path.join(REPO, "tools", "driver_sim.py")],
+    )
 
     reds = [k for k, v in results.items() if v != "PASS"]
     verdict = "GREEN" if not reds else f"RED ({', '.join(reds)})"
