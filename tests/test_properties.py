@@ -740,3 +740,51 @@ def test_triangle_counts_match_bruteforce_property(spark, raw_edges):
         for r in triangle_counts(df, top_k=1000).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# spark: k-core peeling equals the brute-force fixpoint on any graph
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(2, 4),
+)
+def test_k_core_matches_bruteforce_property(spark, raw_edges, k):
+    """Hypothesis fuzz: with enough rounds, k_core's surviving nodes,
+    their degrees, and converged=1 must equal the brute-force peel
+    fixpoint for ANY small multigraph (dups, self-loops, isolates)."""
+    from xml_to_parquet_spark.functions.graph import k_core
+
+    adj: dict[int, set[int]] = {}
+    for a, b in raw_edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # brute-force fixpoint peel
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive if adj[v] & alive}
+    df = spark.createDataFrame(
+        raw_edges or [(0, 0)], "src long, dst long"
+    )
+    # 13 nodes: <=13 peels always reach the fixpoint
+    out = k_core(df, k=k, rounds=13).collect()
+    got = {r.node: r.deg for r in out}
+    assert got == want
+    assert all(r.converged == 1 for r in out)

@@ -408,11 +408,12 @@ def k_core(
 
     Returns ``(node, deg, converged)`` for nodes with >= 1 edge in the
     final restricted graph, ``deg`` = degree within it (all >= k iff
-    converged), ordered by node."""
-    e = edges.select("src", "dst")
+    converged), ordered by node. Self-loops are dropped (k-core is a
+    simple-graph notion — a loop would let a node vouch for itself)."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if undirected:
         e = e.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct().localCheckpoint(eager=False)
     prev_nodes = None
@@ -459,12 +460,14 @@ def k_core_sql(
     undirected: bool = True,
 ) -> str:
     """Oracle twin of :func:`k_core` — identical peels unrolled as a
-    finite CTE chain, identical convergence certificate."""
+    finite CTE chain, identical convergence certificate, identical
+    self-loop drop."""
+    loopless = "SELECT src, dst FROM raw_e WHERE src <> dst"
     und = (
-        "SELECT src, dst FROM raw_e UNION SELECT dst AS src, src AS dst "
-        "FROM raw_e"
+        f"SELECT src, dst FROM ({loopless}) "
+        f"UNION SELECT dst AS src, src AS dst FROM ({loopless})"
         if undirected
-        else "SELECT DISTINCT src, dst FROM raw_e"
+        else f"SELECT DISTINCT src, dst FROM ({loopless})"
     )
     # AS MATERIALIZED: each e{i}/k{i} is referenced by the next two
     # CTEs — DuckDB's default inlining would expand the chain
