@@ -857,3 +857,103 @@ def test_semantic_dedup_rejects_bad_n_probe(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="n_probe"):
         similarity.semantic_dedup(emb, k=4, n_probe=0)
+
+
+def test_linear_probe_fit_recovers_separable_signal(spark):
+    """On a genuinely separable synthetic set (y=Q iff x1 high), fixed-
+    point batch GD must learn a probe with high training accuracy and
+    the right weight signs — the mechanism test the documents fixture
+    cannot provide (its languages share one text generator, so shape
+    features carry no class signal; the catalog entry q127 fits that
+    corpus honestly to its base rate, bit-exact against the oracle)."""
+    from xml_to_parquet_spark.functions.inference import linear_probe_fit
+
+    Q = 1_000_000
+    rows = []
+    for i in range(400):
+        hi = i % 2 == 1
+        x1 = 800_000 + (i % 97) * 1000 if hi else 100_000 + (i % 97) * 1000
+        x2 = (i * 37) % 500_000  # noise
+        rows.append((Q if hi else 0, x1, x2))
+    feats = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    model = linear_probe_fit(
+        feats, ["x1", "x2"], rounds=12, lr_num=1, lr_den=1
+    )
+    w = {r.pos: r.w for r in model.collect()}
+    import pyspark.sql.functions as F
+
+    pred = feats.select(
+        "y",
+        F.expr(
+            f"div({Q}L * {w[0]}L + x1 * {w[1]}L + x2 * {w[2]}L, {Q}L)"
+        ).alias("p"),
+    )
+    acc = pred.select(
+        (
+            (F.col("p") > Q // 2).cast("int")
+            == (F.col("y") > 0).cast("int")
+        ).cast("int").alias("ok")
+    ).agg(F.avg("ok")).first()[0]
+    assert acc >= 0.95
+    assert w[1] > 0  # the separating feature got positive weight
+
+
+def test_linear_probe_fit_matches_python_replay(spark):
+    from xml_to_parquet_spark.functions.inference import linear_probe_fit
+
+    Q = 1_000_000
+    rows = [
+        (Q, 700_000, 12_000), (0, 150_000, 900_000),
+        (Q, 650_000, 44_000), (0, 200_000, 100_000),
+        (Q, 900_000, 0), (0, 0, 0),
+    ]
+    feats = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    got = {
+        r.pos: r.w
+        for r in linear_probe_fit(
+            feats, ["x1", "x2"], rounds=4, lr_num=1, lr_den=3
+        ).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    w = [0, 0, 0]
+    n = len(rows)
+    for _ in range(4):
+        g = [0, 0, 0]
+        for y, x1, x2 in rows:
+            p = tdiv(Q * w[0] + x1 * w[1] + x2 * w[2], Q)
+            e = y - p
+            g[0] += e * Q
+            g[1] += e * x1
+            g[2] += e * x2
+        for j in range(3):
+            w[j] += tdiv(1 * g[j], 3 * n * Q)
+    assert got == {0: w[0], 1: w[1], 2: w[2]}
+
+
+def test_linear_probe_fit_partition_invariant(spark):
+    from xml_to_parquet_spark.functions.inference import linear_probe_fit
+
+    Q = 1_000_000
+    rows = [(Q * (i % 2), (i * 7919) % Q, (i * 104729) % Q)
+            for i in range(300)]
+    a = [
+        tuple(r)
+        for r in linear_probe_fit(
+            spark.createDataFrame(rows, "y long, x1 long, x2 long")
+            .repartition(1),
+            ["x1", "x2"], rounds=3,
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in linear_probe_fit(
+            spark.createDataFrame(rows, "y long, x1 long, x2 long")
+            .repartition(13),
+            ["x1", "x2"], rounds=3,
+        ).collect()
+    ]
+    assert a == b

@@ -196,3 +196,137 @@ def score_documents(
     return df.select(id_col, text_col).mapInPandas(
         _score, scored_schema(id_col)
     )
+
+
+def linear_probe_fit(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    rounds: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 10,
+    scale: int = 1_000_000,
+):
+    """Distributed TRAINING of a linear quality probe by exact
+    fixed-point batch gradient descent (r9) — the learn-side complement
+    of :func:`score_documents`: real pipelines fit cheap linear probes
+    over corpus features (the fastText/quality-classifier shape) before
+    spending model inference on 100 TB.
+
+    Inputs are ppm-scaled integer features (``x_j`` in [0, scale]) and
+    an integer label in the same units; the bias is an implicit feature
+    with constant value ``scale``. One GD round is ONE corpus scan:
+
+        p      = div(scale*w_b + sum_j x_j*w_j, scale)        per row
+        G_j    = SUM(e * x_j),  e = y - p                     one agg
+        w_j   += div(lr_num * G_j, lr_den * n * scale)        driver
+
+    — a map-side-combined aggregation producing d+1 sums, with the
+    weights broadcast back as PLAN LITERALS each round (the k-means /
+    BPE-training action pattern: the driver touches one model-sized row
+    per round, never data). All arithmetic is int64 with truncating
+    division, so the DuckDB oracle replays every weight bit-for-bit.
+
+    Overflow contract: ``lr_num * |e|_max * scale * n`` must fit int64 —
+    with ppm features, labels in [0, scale], and |w| staying in the
+    lr-bounded band this holds for n up to ~1e6 rows per fit (fit on a
+    sample beyond that, the published practice for linear probes).
+
+    Returns a model-sized DataFrame ``(pos, w)`` — pos 0 is the bias,
+    pos j is ``feature_cols[j-1]`` — after exactly ``rounds`` rounds.
+    """
+    from pyspark.sql import functions as F
+
+    d = len(feature_cols)
+    w = [0] * (d + 1)
+    base = feats.select(
+        F.col(label_col).cast("long").alias("y"),
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+    ).localCheckpoint(eager=False)
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    n = None
+    for _ in range(rounds):
+        dot = " + ".join(
+            [f"{scale}L * {w[0]}L"]
+            + [f"{c} * {w[j + 1]}L" for j, c in enumerate(feature_cols)]
+        )
+        e = f"(y - div({dot}, {scale}L))"
+        aggs = [F.count(F.lit(1)).alias("n"),
+                F.expr(f"sum({e} * {scale}L)").alias("g0")]
+        aggs += [
+            F.expr(f"sum({e} * {c})").alias(f"g{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ]
+        row = base.agg(*aggs).collect()[0]
+        n = int(row["n"])
+        if n == 0:
+            break
+        for j in range(d + 1):
+            w[j] += _tdiv(lr_num * int(row[f"g{j}"]), lr_den * n * scale)
+    spark = feats.sparkSession
+    return spark.createDataFrame(
+        [(j, int(wj)) for j, wj in enumerate(w)], "pos int, w long"
+    )
+
+
+def _tdiv_sql(a: str, b: str) -> str:
+    """Truncation-toward-zero integer division for DuckDB (`//` floors,
+    Spark's div truncates — they differ on negative numerators)."""
+    return f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) " \
+           f"ELSE -((-({a})) // ({b})) END)"
+
+
+def linear_probe_fit_sql(
+    feats_cte: str,
+    feature_names: list[str],
+    rounds: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 10,
+    scale: int = 1_000_000,
+) -> str:
+    """Oracle twin of :func:`linear_probe_fit`: the same GD rounds
+    unrolled as chained CTEs over a 1-row weight table (materialized —
+    each round references the corpus CTE and the previous weights), with
+    sign-aware truncating division matching Spark's ``div``. The
+    ``feats_cte`` must select ``y`` plus ``feature_names`` columns in
+    the same ppm units the Spark side uses."""
+    d = len(feature_names)
+    wcols = ["wb"] + [f"w{j + 1}" for j in range(d)]
+    parts = [
+        f"feats AS MATERIALIZED ({feats_cte})",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS {c}" for c in wcols)
+        + ")",
+    ]
+    for i in range(1, rounds + 1):
+        dot = " + ".join(
+            [f"{scale} * wb"]
+            + [f"{c} * w{j + 1}" for j, c in enumerate(feature_names)]
+        )
+        e = f"(y - {_tdiv_sql(dot, str(scale))})"
+        gsel = ", ".join(
+            [f"COUNT(*) AS n", f"SUM({e} * {scale}) AS g0"]
+            + [
+                f"SUM({e} * {c}) AS g{j + 1}"
+                for j, c in enumerate(feature_names)
+            ]
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT {gsel} FROM feats, w{i - 1})"
+        )
+        upd = ", ".join(
+            f"{wc} + {_tdiv_sql(f'{lr_num} * g{j}', f'{lr_den} * n * {scale}')} AS {wc}"
+            for j, wc in enumerate(wcols)
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT {upd} FROM w{i - 1}, g{i})"
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {j} AS pos, CAST({wc} AS BIGINT) AS w FROM w{rounds}"
+        for j, wc in enumerate(wcols)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({finals}) ORDER BY pos"

@@ -4858,6 +4858,58 @@ def _q_k_core_sql() -> str:
     return k_core_sql(_COORDER_EDGES_SQL, k=3, rounds=6)
 
 
+_PROBE_FEATURES = ["space_ppm", "digit_ppm", "e_ppm"]
+
+
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-probe TRAINING (q127, inference.linear_probe_fit,
+    r9): fit is-English from three shape features (space/digit/'e'
+    density in ppm) by exact fixed-point batch GD — one corpus scan per
+    round producing d+1 gradient sums, weights as plan literals (the
+    k-means/BPE action pattern). The oracle replays the identical
+    rounds, so every learned weight is bit-reproduced."""
+    from xml_to_parquet_spark.functions.inference import linear_probe_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    q = 1_000_000
+    den = "greatest(length(text), 1)"
+    feats = docs.select(
+        F.when(F.col("lang") == "en", q).otherwise(0)
+        .cast("long").alias("y"),
+        F.expr(
+            f"div((length(text) - length(replace(text, ' ', ''))) "
+            f"* {q}L, {den})"
+        ).alias("space_ppm"),
+        F.expr(
+            f"div(length(regexp_replace(text, '[^0-9]', '')) "
+            f"* {q}L, {den})"
+        ).alias("digit_ppm"),
+        F.expr(
+            f"div((length(text) - length(replace(text, 'e', ''))) "
+            f"* {q}L, {den})"
+        ).alias("e_ppm"),
+    )
+    return linear_probe_fit(feats, _PROBE_FEATURES).orderBy("pos")
+
+
+def _q_linear_probe_sql() -> str:
+    from xml_to_parquet_spark.functions.inference import linear_probe_fit_sql
+
+    q = 1_000_000
+    den = "greatest(length(text), 1)"
+    feats = f"""
+SELECT CAST(CASE WHEN lang = 'en' THEN {q} ELSE 0 END AS BIGINT) AS y,
+       (length(text) - length(replace(text, ' ', ''))) * {q} // {den}
+         AS space_ppm,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) * {q} // {den}
+         AS digit_ppm,
+       (length(text) - length(replace(text, 'e', ''))) * {q} // {den}
+         AS e_ppm
+FROM documents
+"""
+    return linear_probe_fit_sql(feats, _PROBE_FEATURES)
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus diversity monitor (q105, drift.ngram_diversity, r8):
     per-source word-bigram type/token ratio in integer ppm — the
@@ -6164,6 +6216,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_k_core,
         _q_k_core_sql(),
         "k-core peeling with in-band convergence certificate",
+    ),
+    "q127_linear_probe": QuerySpec(
+        q_linear_probe,
+        _q_linear_probe_sql(),
+        "linear probe training: exact fixed-point batch GD rounds",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
