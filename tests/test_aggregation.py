@@ -147,3 +147,56 @@ def test_cohort_retention_partition_invariant(spark):
         for p in (1, 7)
     ]
     assert res[0] == res[1] and len(res[0]) > 3
+
+
+def test_event_transitions_known_matrix(spark):
+    from datetime import datetime
+
+    from xml_to_parquet_spark.operators.aggregation import event_transitions
+
+    # user 1: A -> B -> A (pairs A->B, B->A); user 2: A -> A (pair A->A);
+    # user 3: single event, no successor, emits nothing. Rows 4 and 5 of
+    # user 1 share a timestamp — event_id breaks the tie, so the order is
+    # B(4) then A(5), not ts-nondeterministic.
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 1, "A"),
+        (2, datetime(2024, 1, 1, 9), 2, "A"),
+        (2, datetime(2024, 1, 1, 10), 3, "A"),
+        (1, datetime(2024, 1, 1, 10), 4, "B"),
+        (1, datetime(2024, 1, 1, 10), 5, "A"),
+        (3, datetime(2024, 1, 1, 9), 6, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r.src, r.dst): (r.n, r.row_total, r.p_ppm)
+        for r in event_transitions(df).collect()
+    }
+    assert out == {
+        ("A", "B"): (1, 2, 500_000),
+        ("A", "A"): (1, 2, 500_000),
+        ("B", "A"): (1, 1, 1_000_000),
+    }
+
+
+def test_event_transitions_partition_invariant(spark):
+    from xml_to_parquet_spark.operators.aggregation import event_transitions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    res = [
+        [
+            (r.src, r.dst, r.n, r.row_total, r.p_ppm)
+            for r in event_transitions(ev.repartition(p)).collect()
+        ]
+        for p in (1, 7)
+    ]
+    assert res[0] == res[1] and len(res[0]) > 0
+    # row-conditional probabilities must sum to <= 1e6 per src (integer
+    # truncation loses at most (n_dst - 1) ppm per row)
+    import collections
+
+    sums = collections.Counter()
+    for src, _dst, _n, _tot, p in res[0]:
+        sums[src] += p
+    assert all(1_000_000 - 30 <= s <= 1_000_000 for s in sums.values())

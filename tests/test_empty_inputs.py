@@ -138,3 +138,12 @@ def test_empty_inputs_r8_additions(spark):
     assert triangle_counts(edges).count() == 0
     # BFS over an empty graph: seeds reach nothing, no level rows
     assert bfs_levels(edges, [1, 2]).count() == 0
+
+
+def test_empty_inputs_r9_additions(spark):
+    from xml_to_parquet_spark.operators.aggregation import event_transitions
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    assert event_transitions(ev).count() == 0

@@ -322,3 +322,94 @@ SELECT strftime(to_timestamp(cohort_b * {secs}), '%Y-%m-%d %H:%M:%S')
 FROM cells JOIN sizes USING (cohort_b)
 ORDER BY cohort_start, bucket_offset
 """
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-transition matrix (r9): for every ordered pair
+    of event types (src, dst), how often a user's event of type src was
+    IMMEDIATELY followed by one of type dst in that user's own timeline
+    — the Markov-chain view of behavior streams (sessionization's
+    complement: q45 cuts timelines into sessions, this summarizes the
+    step dynamics inside them).
+
+    Per-user ordering is (ts, order_col) so timestamp ties are broken
+    deterministically by the unique event id — both engines replay the
+    identical sequence. A user's last event has no successor and emits
+    no row (no END sentinel: absorbing-state rows are derivable as
+    src_n minus outgoing mass, and a sentinel would double the pair
+    space for no information).
+
+    Plan shape: ONE shuffle keyed on the user for the lead() window
+    (Spark sorts within partitions; no per-user collection — window
+    state is one row of lookahead), then a map-side-combined groupBy
+    over (src, dst) — shuffle ∝ distinct type pairs (≤ |types|²,
+    corpus-independent). Source totals and row probabilities come from
+    a window over the PAIR table (|types|²-sized, trivially in-memory),
+    never a second pass over events. Returns
+    ``(src, dst, n, row_total, p_ppm)`` with p_ppm the exact integer
+    row-conditional probability, ordered by (src, dst).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(order_col),
+            F.col(type_col).alias("src"),
+        )
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("src")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wt))
+        .select(
+            "src",
+            "dst",
+            "n",
+            "row_total",
+            F.expr("div(n * 1000000L, row_total)").alias("p_ppm"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> str:
+    """Oracle twin of :func:`event_transitions` — same deterministic
+    (ts, id) ordering, same strict next-event pairing, same integer
+    row-conditional ppm."""
+    return f"""
+WITH seq AS (
+  SELECT {type_col} AS src,
+         LEAD({type_col}) OVER (
+           PARTITION BY {user_col} ORDER BY {ts_col}, {order_col}
+         ) AS dst
+  FROM {table}
+),
+pairs AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq
+  WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT)
+         AS p_ppm
+FROM pairs
+ORDER BY src, dst
+"""

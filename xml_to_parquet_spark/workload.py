@@ -5168,6 +5168,29 @@ ORDER BY stage_idx
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (r9,
+    aggregation.event_transitions): each user's timeline ordered by
+    (ts, event_id), every event paired with its immediate successor,
+    counted by (src, dst) with exact integer row-conditional ppm —
+    the Markov-chain summary of the event stream. One user-keyed
+    window shuffle + one (src,dst) groupBy whose shuffle is bounded by
+    |types|² regardless of corpus size."""
+    from xml_to_parquet_spark.operators.aggregation import (
+        event_transitions,
+    )
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def _q_event_transitions_sql() -> str:
+    from xml_to_parquet_spark.operators.aggregation import (
+        event_transitions_sql,
+    )
+
+    return event_transitions_sql("events")
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate per language (64 registers),
     with the published small-range linear-counting correction as a baked
@@ -6221,6 +6244,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_linear_probe,
         _q_linear_probe_sql(),
         "linear probe training: exact fixed-point batch GD rounds",
+    ),
+    "q128_event_transitions": QuerySpec(
+        q_event_transitions,
+        _q_event_transitions_sql(),
+        "Markov event-transition matrix: lead() pairs, ppm row probs",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
