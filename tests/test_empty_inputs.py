@@ -147,3 +147,8 @@ def test_empty_inputs_r9_additions(spark):
         [], "user_id long, ts timestamp, event_id long, event_type string"
     )
     assert event_transitions(ev).count() == 0
+
+    from xml_to_parquet_spark.functions.sampling import chunk_documents
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_documents(docs).count() == 0

@@ -371,3 +371,75 @@ def test_percentile_rank_normalize_partition_invariant(spark):
         for p in (1, 7)
     ]
     assert res[0] == res[1] and len(res[0]) > 0
+
+
+def test_chunk_documents_boundaries(spark):
+    from xml_to_parquet_spark.functions.sampling import chunk_documents
+
+    # C=10, V=4 => stride 6. Lengths probe every boundary rule:
+    # len<=C one chunk; len=C+1 two chunks; exact-stride end; tail.
+    docs = [
+        (1, "abcdefghij"),          # len 10 == C -> 1 chunk
+        (2, "abcdefghijk"),         # len 11 -> 2 chunks, tail "ghijk"
+        (3, "abcdefghijklmnop"),    # len 16 = C + stride -> 2 chunks
+        (4, "short"),               # len 5 -> 1 chunk
+        (5, ""),                    # empty -> no chunks
+        (6, None),                  # NULL -> no chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=10, overlap=4)
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_text, r.chunk_len)
+        for r in out.collect()
+    }
+    assert rows[(1, 0)] == (0, "abcdefghij", 10)
+    assert (1, 1) not in rows
+    assert rows[(2, 0)] == (0, "abcdefghij", 10)
+    assert rows[(2, 1)] == (6, "ghijk", 5)
+    assert rows[(3, 0)] == (0, "abcdefghij", 10)
+    assert rows[(3, 1)] == (6, "ghijklmnop", 10)
+    assert rows[(4, 0)] == (0, "short", 5)
+    assert all(d not in (5, 6) for d, _ in rows)
+    # every chunk overlaps its predecessor by exactly `overlap` chars
+    assert rows[(2, 0)][1][6:] == rows[(2, 1)][1][:4]
+
+
+def test_chunk_documents_reconstructs_and_covers(spark):
+    from xml_to_parquet_spark.functions.sampling import chunk_documents
+
+    texts = ["x" * n for n in (1, 149, 150, 151, 200, 201, 350, 999)]
+    # use distinct chars so reconstruction is content-checked, not just
+    # length-checked
+    texts = [
+        "".join(chr(97 + (i + 7 * d) % 26) for i in range(len(t)))
+        for d, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_chars=200, overlap=50)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, text in enumerate(texts):
+        chunks = sorted(by_doc[d], key=lambda r: r.chunk_idx)
+        # stitch: first chunk whole, then drop each successor's overlap
+        stitched = chunks[0].chunk_text + "".join(
+            c.chunk_text[50:] for c in chunks[1:]
+        )
+        assert stitched == text, f"doc {d} len {len(text)}"
+        # last chunk reaches the end, none is empty
+        assert chunks[-1].chunk_start + chunks[-1].chunk_len == len(text)
+        assert all(c.chunk_len > 0 for c in chunks)
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest
+
+    from xml_to_parquet_spark.functions.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=10, overlap=10)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=10, overlap=-1)

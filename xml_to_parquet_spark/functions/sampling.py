@@ -667,3 +667,104 @@ SELECT {id_col}, {group_col}, {score_col},
        CAST((rnk - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT) AS pr_ppm
 FROM r ORDER BY {id_col}
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size document chunking (r9) — the RAG/embedding
+    preprocessing step: cut each document into ``chunk_chars``-character
+    windows advancing by ``chunk_chars − overlap``, so consecutive chunks
+    share ``overlap`` characters of context. Boundary rules (all exactly
+    reproducible by any engine, no tokenizer dependence):
+
+    - a document of length ≤ chunk_chars is ONE chunk (itself);
+    - otherwise n = 1 + ceil((len − chunk_chars) / stride) chunks, which
+      is precisely enough that the last chunk reaches the end of the
+      document (it may be shorter than chunk_chars — a tail, never empty,
+      never a duplicate of the previous chunk's span start);
+    - NULL or empty documents emit no chunks.
+
+    Output ``(id, chunk_idx, chunk_start, chunk_text, chunk_len)`` with
+    0-based chunk_start character offsets (ML-convention span offsets).
+
+    Plan shape: map-only — one integer expression computes the chunk
+    count, posexplode(sequence(...)) generates indices, substring slices
+    the text; ZERO shuffles, fully pipelined inside whole-stage codegen's
+    Generate, and the output is partition-local to the input (chunk
+    writers inherit the corpus partitioning). At 100 TB this is the shape
+    you want: chunking is embarrassingly parallel and must never pay an
+    exchange.
+    """
+    if not (0 <= overlap < chunk_chars):
+        raise ValueError(
+            f"need 0 <= overlap < chunk_chars, got overlap={overlap}, "
+            f"chunk_chars={chunk_chars}"
+        )
+    stride = chunk_chars - overlap
+    ln = F.char_length(F.col(text_col))
+    n_chunks = F.when(ln <= chunk_chars, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"div(char_length({text_col}) - {chunk_chars} + {stride - 1},"
+            f" {stride})"
+        )
+    )
+    return (
+        df.filter(ln > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("chunk_idx", "_i"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * stride).alias("chunk_start"),
+            F.expr(
+                f"substring({text_col}, chunk_idx * {stride} + 1,"
+                f" {chunk_chars})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.char_length("chunk_text").cast("long"))
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: bool = True,
+) -> str:
+    """Oracle twin of :func:`chunk_documents` — same chunk-count
+    formula, same 1-based substring slicing (codepoint semantics in
+    both engines)."""
+    stride = chunk_chars - overlap
+    n = (
+        f"CASE WHEN length({text_col}) <= {chunk_chars} THEN 1 "
+        f"ELSE 1 + (length({text_col}) - {chunk_chars} + {stride - 1})"
+        f" // {stride} END"
+    )
+    sql = f"""
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS chunk_start,
+       substring({text_col}, CAST(i * {stride} + 1 AS INTEGER),
+                 {chunk_chars}) AS chunk_text,
+       CAST(length(substring({text_col},
+                 CAST(i * {stride} + 1 AS INTEGER), {chunk_chars}))
+            AS BIGINT) AS chunk_len
+FROM {table}, unnest(generate_series(0, ({n}) - 1)) AS t(i)
+WHERE {text_col} IS NOT NULL AND length({text_col}) > 0
+"""
+    if order:
+        sql += f"ORDER BY {id_col}, chunk_idx"
+    return sql

@@ -5191,6 +5191,27 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (r9, sampling.chunk_documents):
+    200-char windows advancing 150 chars (50 overlap) — the
+    RAG/embedding preprocessing cut. Map-only: chunk count is one
+    integer expression, indices come from posexplode(sequence),
+    substring slices in-place; zero shuffles, output stays partition-
+    local to the corpus. The oracle replays the identical count formula
+    and 1-based substring slicing via generate_series."""
+    from xml_to_parquet_spark.functions.sampling import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _q_chunk_documents_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import chunk_documents_sql
+
+    return chunk_documents_sql("documents", chunk_chars=200, overlap=50)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate per language (64 registers),
     with the published small-range linear-counting correction as a baked
@@ -6249,6 +6270,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_event_transitions,
         _q_event_transitions_sql(),
         "Markov event-transition matrix: lead() pairs, ppm row probs",
+    ),
+    "q129_chunk_documents": QuerySpec(
+        q_chunk_documents,
+        _q_chunk_documents_sql(),
+        "overlapping RAG chunking: map-only sequence+substring, 0 shuffles",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
