@@ -957,3 +957,96 @@ def test_linear_probe_fit_partition_invariant(spark):
         ).collect()
     ]
     assert a == b
+
+
+def _wav_df(spark, rows):
+    """rows: [(id, [samples...])] -> DataFrame(id, payload) via the
+    JVM-side PCM16 builder."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.multimodal import pcm16_wav_expr
+
+    df = spark.createDataFrame(rows, "id long, samples array<int>")
+    return df.select("id", pcm16_wav_expr("samples").alias("payload"))
+
+
+def test_wav_features_known_clips(spark):
+    from xml_to_parquet_spark.functions.multimodal import wav_features_batch
+
+    clips = [
+        (1, [0, 0, 0, 0]),            # silence
+        (2, [100, 100, 100]),         # constant: no crossings
+        (3, [1000, -1000, 1000]),     # alternating: 2 crossings
+        (4, [5, 0, -5]),              # zero breaks a crossing
+        (5, [7]),                     # single sample
+        (6, [-32768, 32767]),         # int16 extremes survive encoding
+        (7, []),                      # empty clip
+    ]
+    out = {
+        r.id: r
+        for r in wav_features_batch(_wav_df(spark, clips)).collect()
+    }
+    assert (out[1].energy, out[1].max_abs, out[1].zero_crossings) == (0, 0, 0)
+    assert (out[2].energy, out[2].zero_crossings) == (3 * 100 * 100, 0)
+    assert (out[3].energy, out[3].zero_crossings) == (3 * 1000 * 1000, 2)
+    assert out[4].zero_crossings == 0
+    assert (out[5].n_samples, out[5].energy, out[5].max_abs) == (1, 49, 7)
+    assert (out[6].max_abs, out[6].zero_crossings) == (32768, 1)
+    assert out[6].energy == 32768 * 32768 + 32767 * 32767
+    assert (out[7].n_samples, out[7].energy, out[7].max_abs,
+            out[7].zero_crossings) == (0, 0, 0, 0)
+    assert all(
+        (r.sample_rate, r.channels) == (8000, 1) for r in out.values()
+    )
+    assert out[1].duration_ms == 4 * 1000 // 8000
+
+
+def test_wav_kernel_parses_stdlib_built_wav(spark):
+    """Cross-construction check: a WAV written by the stdlib wave module
+    (not our JVM builder) must parse to the same features — proves the
+    kernel isn't just inverting the builder's bugs."""
+    import io
+    import wave
+
+    from xml_to_parquet_spark.functions.multimodal import wav_features_batch
+
+    samples = [3, -4, 5, -6, 0, 600]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(
+            b"".join(
+                int(s).to_bytes(2, "little", signed=True) for s in samples
+            )
+        )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "id long, payload binary"
+    )
+    r = wav_features_batch(df).collect()[0]
+    assert (r.n_samples, r.sample_rate, r.channels) == (6, 44100, 1)
+    assert r.energy == sum(s * s for s in samples)
+    assert r.zero_crossings == 3  # 3/-4, -4/5, 5/-6; 0 breaks the last
+    assert r.max_abs == 600
+
+
+def test_wav_features_rejects_non_pcm16(spark):
+    import io
+    import wave
+
+    import pytest
+
+    from xml_to_parquet_spark.functions.multimodal import wav_features_batch
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit, not PCM16
+        w.setframerate(8000)
+        w.writeframes(b"\x80\x7f")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        wav_features_batch(df).collect()

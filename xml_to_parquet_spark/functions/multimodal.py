@@ -422,3 +422,129 @@ def netpbm_decode_resize_batch(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(_run, NETPBM_RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM16 (r9) — the audio-modality twin of the netpbm
+# image path. A genuine WAV container is BUILT with JVM-side expressions
+# (int16-LE hex assembly + unhex — no Python on the construction side)
+# and PARSED back by the stdlib `wave` module + numpy; features are exact
+# integers so the oracle can recompute them from the generative formula.
+# ---------------------------------------------------------------------------
+
+WAV_FEATURES_SCHEMA = (
+    "id long, n_samples long, sample_rate int, channels int, "
+    "duration_ms long, energy long, max_abs long, zero_crossings long"
+)
+
+
+def _hexle_expr(value_sql: str, nbytes: int) -> str:
+    """SQL expression: little-endian hex string of ``value_sql`` in
+    ``nbytes`` bytes (two's complement handled by the caller for int16).
+    Built from lpad(hex(...)) + byte-order swap — pure JVM expressions."""
+    width = nbytes * 2
+    padded = f"lpad(hex(CAST({value_sql} AS BIGINT)), {width}, '0')"
+    pairs = [
+        f"substring({padded}, {2 * i + 1}, 2)"
+        for i in reversed(range(nbytes))
+    ]
+    return "concat(" + ", ".join(pairs) + ")"
+
+
+def pcm16_wav_expr(
+    samples_array_sql: str, sample_rate: int = 8000
+) -> Column:
+    """A Column holding a REAL mono PCM16 RIFF/WAVE binary built from an
+    int array expression — canonical 44-byte header + little-endian
+    two's-complement samples, assembled entirely JVM-side (hex strings
+    + one unhex): no Python touches the construction path, so parsing
+    it back with an independent kernel is a genuine round-trip test.
+
+    Samples must lie in int16 range; values are encoded mod 65536
+    (two's complement via ``(65536 + s) % 65536``)."""
+    body = (
+        f"array_join(transform({samples_array_sql}, s -> "
+        + _hexle_expr("(65536 + s) % 65536", 2)
+        + "), '')"
+    )
+    n = f"size({samples_array_sql})"
+    data_size = f"({n} * 2)"
+    header = "concat(" + ", ".join(
+        [
+            "'52494646'",  # 'RIFF'
+            _hexle_expr(f"36 + {data_size}", 4),
+            "'57415645'",  # 'WAVE'
+            "'666d7420'",  # 'fmt '
+            _hexle_expr("16", 4),
+            _hexle_expr("1", 2),  # PCM
+            _hexle_expr("1", 2),  # mono
+            _hexle_expr(str(sample_rate), 4),
+            _hexle_expr(str(sample_rate * 2), 4),  # byte rate
+            _hexle_expr("2", 2),  # block align
+            _hexle_expr("16", 2),  # bits per sample
+            "'64617461'",  # 'data'
+            _hexle_expr(data_size, 4),
+        ]
+    ) + ")"
+    return F.expr(f"unhex(concat({header}, {body}))")
+
+
+def wav_features_batch(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode in the catalog: parse each RIFF/WAVE payload
+    with the stdlib ``wave`` module (an independent parser — none of the
+    construction code), extract int16 PCM with numpy, and emit exact
+    integer clip features:
+
+    - ``n_samples``, ``sample_rate``, ``channels`` (from the header),
+    - ``duration_ms`` = n_samples·1000 // rate (integer),
+    - ``energy`` = Σ sᵢ² in int64 (samples widened before squaring),
+    - ``max_abs`` = max |sᵢ| (0 for empty clips),
+    - ``zero_crossings`` = #{i : sᵢ·sᵢ₊₁ < 0} (strict sign flips; a
+      zero sample breaks a crossing, matching the oracle's definition).
+
+    Arrow-batched mapInPandas — bytes never enter the JVM row format;
+    one output row per clip, no shuffle. Raises on non-PCM16 payloads
+    (wave module errors propagate: a corrupt container must fail loud,
+    not feature-extract garbage)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"PCM16 expected, got width {w.getsampwidth()}"
+                        )
+                    rate = w.getframerate()
+                    channels = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = int(s.size)
+                energy = int((s * s).sum()) if n else 0
+                max_abs = int(np.abs(s).max()) if n else 0
+                zc = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                out.append((
+                    int(i), n, int(rate), int(channels),
+                    n * 1000 // rate, energy, max_abs, zc,
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id", "n_samples", "sample_rate", "channels",
+                    "duration_ms", "energy", "max_abs", "zero_crossings",
+                ],
+            )
+
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_run, WAV_FEATURES_SCHEMA)

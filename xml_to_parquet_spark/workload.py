@@ -5191,6 +5191,57 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the catalog (r9, the a45-netpbm pattern for
+    the AUDIO modality): deterministic mono PCM16 RIFF/WAVE payloads are
+    BUILT from doc ids entirely with JVM expressions (int16-LE hex
+    assembly + unhex — multimodal.pcm16_wav_expr), then PARSED BACK by
+    the stdlib `wave` module + numpy (an independent code path) into
+    exact integer clip features. The oracle recomputes the features from
+    the generative sample formula, so a driver match proves the real
+    container round-trips bit-exactly."""
+    from xml_to_parquet_spark.functions.multimodal import (
+        pcm16_wav_expr,
+        wav_features_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "transform(sequence(0, CAST(15 + doc_id % 33 AS INT)), i -> "
+            "CAST(((doc_id * 7919 + i * 104729) % 2001) - 1000 AS INT))"
+        ).alias("samples"),
+    )
+    clips = docs.select(
+        "id", pcm16_wav_expr("samples", sample_rate=8000).alias("payload")
+    )
+    return wav_features_batch(clips).orderBy("id")
+
+
+_Q_WAV_FEATURES_SQL = """
+WITH d AS (SELECT doc_id AS id, 16 + doc_id % 33 AS n FROM documents),
+s AS (
+  SELECT id, n, i, ((id * 7919 + i * 104729) % 2001) - 1000 AS v
+  FROM d, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(i)
+),
+sx AS (
+  SELECT id, n, v,
+         LEAD(v) OVER (PARTITION BY id ORDER BY i) AS nv
+  FROM s
+)
+SELECT id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(abs(v)) AS BIGINT) AS max_abs,
+       CAST(COALESCE(SUM(CASE WHEN v * nv < 0 THEN 1 END), 0) AS BIGINT)
+         AS zero_crossings
+FROM sx GROUP BY id, n ORDER BY id
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping document chunking (r9, sampling.chunk_documents):
     200-char windows advancing 150 chars (50 overlap) — the
@@ -6275,6 +6326,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_chunk_documents,
         _q_chunk_documents_sql(),
         "overlapping RAG chunking: map-only sequence+substring, 0 shuffles",
+    ),
+    "q130_wav_features": QuerySpec(
+        q_wav_features,
+        _Q_WAV_FEATURES_SQL,
+        "REAL WAV audio round-trip: JVM-built PCM16, stdlib-wave parse",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
