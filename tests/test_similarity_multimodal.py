@@ -1050,3 +1050,87 @@ def test_wav_features_rejects_non_pcm16(spark):
     )
     with pytest.raises(Exception):
         wav_features_batch(df).collect()
+
+
+def test_jl_project_matches_python_reference(spark):
+    from xml_to_parquet_spark.functions.similarity import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    vecs = [
+        (1, [0.5, -0.25, 0.125, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.5, 2.5, -3.5, 4.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r.id: [r[f"p{k}"] for k in range(3)]
+        for r in jl_project(df, in_dim=4, out_dim=3).collect()
+    }
+    import math
+
+    mat = jl_sign_matrix(4, 3)
+    for vid, v in vecs:
+        q = [math.floor(float(x) * 1_000_000 + 0.5) for x in v]
+        expect = [sum(qj * s for qj, s in zip(q, mat[k])) for k in range(3)]
+        assert out[vid] == expect, (vid, out[vid], expect)
+
+
+def test_jl_project_preserves_cluster_separation(spark):
+    """JL quality: two tight, well-separated clusters stay separated
+    after projection — every projected intra-cluster distance is
+    smaller than every inter-cluster one."""
+    import random
+
+    from xml_to_parquet_spark.functions.similarity import jl_project
+
+    rng = random.Random(7)
+    dim, k = 32, 8
+    a = [10.0] * 16 + [0.0] * 16
+    b = [0.0] * 16 + [10.0] * 16
+    rows = []
+    for i in range(20):
+        base = a if i < 10 else b
+        rows.append(
+            (i, [x + rng.uniform(-0.1, 0.1) for x in base])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pts = {
+        r.id: [r[f"p{j}"] for j in range(k)]
+        for r in jl_project(df, in_dim=dim, out_dim=k).collect()
+    }
+
+    def d2(u, v):
+        return sum((x - y) ** 2 for x, y in zip(u, v))
+
+    intra = [
+        d2(pts[i], pts[j])
+        for grp in (range(10), range(10, 20))
+        for i in grp for j in grp if i < j
+    ]
+    inter = [d2(pts[i], pts[j]) for i in range(10) for j in range(10, 20)]
+    assert max(intra) < min(inter)
+
+
+def test_jl_project_rejects_wrong_dim(spark):
+    import pytest
+
+    from xml_to_parquet_spark.functions.similarity import jl_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception):
+        jl_project(df, in_dim=4, out_dim=2).collect()
+
+
+def test_jl_sign_matrix_deterministic_golden(spark):
+    from xml_to_parquet_spark.functions.similarity import jl_sign_matrix
+
+    m1 = jl_sign_matrix(6, 2)
+    m2 = jl_sign_matrix(6, 2)
+    assert m1 == m2
+    assert all(s in (-1, 1) for row in m1 for s in row)
+    # seed changes the matrix
+    assert jl_sign_matrix(6, 2, seed="other") != m1

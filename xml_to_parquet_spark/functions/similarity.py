@@ -1125,3 +1125,125 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign projection (r9): reduce array<float>
+# embeddings to a few integer components with a deterministic ±1 matrix.
+# ---------------------------------------------------------------------------
+
+def jl_sign_matrix(
+    in_dim: int, out_dim: int, seed: str = "jl-v1"
+) -> list[list[int]]:
+    """Deterministic ±1 projection matrix, one row per OUTPUT component:
+    sign(j, k) = +1 iff the first hex nibble of md5('{seed}:{j}:{k}') is
+    even. md5 is engine-independent, so any engine (or the SQL oracle)
+    regenerates the identical matrix; Achlioptas (2001/2003) showed
+    ±1-Rademacher entries satisfy the JL lemma with the same guarantees
+    as Gaussian matrices."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(
+                f"{seed}:{j}:{k}".encode()
+            ).hexdigest()[0] in "02468ace"
+            else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+    seed: str = "jl-v1",
+) -> DataFrame:
+    """Project quantized embeddings onto ``out_dim`` ±1 JL directions —
+    the dimensionality-reduction front end for ANN/dedup at scale
+    (distance-preserving to (1±ε) with out_dim = O(log n / ε²);
+    downstream cosine is scale-invariant, so the raw integer sums are
+    kept un-normalized and EXACT).
+
+    Plan shape: the matrix is a plan literal (model-sized, like k-means
+    centroids / BPE merges), each output component one
+    aggregate(zip_with(...)) expression over the quantized vector —
+    MAP-ONLY, zero shuffles, zero joins, whole-stage codegen; at 100 TB
+    the projection runs at scan speed and the result is 8 BIGINTs/row
+    instead of 64 floats (the IVF/LSH build then operates on 1/8 the
+    bytes). Quantization is the shared floor(v·quant + 0.5) rule, so
+    sums are exact integers any engine reproduces bit-for-bit.
+
+    Returns ``(id, p0 .. p{out_dim-1})`` BIGINT columns. ``in_dim`` must
+    match the array length (zip_with would silently zero-pad a mismatch,
+    so it is asserted per row instead)."""
+    mat = jl_sign_matrix(in_dim, out_dim, seed)
+    qv = (
+        f"transform({vec_col}, v -> "
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {float(quant)} + 0.5d) AS BIGINT))"
+    )
+    cols = [F.col(id_col).alias("id")]
+    for k in range(out_dim):
+        signs = "array(" + ",".join(f"{s}L" for s in mat[k]) + ")"
+        cols.append(
+            F.expr(
+                f"aggregate(zip_with({qv}, {signs}, (x, s) -> x * s), "
+                f"0L, (acc, x) -> acc + x)"
+            ).alias(f"p{k}")
+        )
+    guarded = df.filter(
+        F.assert_true(
+            F.size(vec_col) == in_dim,
+            f"jl_project: expected {vec_col} of length {in_dim}",
+        ).isNull()
+    )
+    return guarded.select(*cols)
+
+
+def jl_project_sql(
+    table: str = "embeddings",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+    seed: str = "jl-v1",
+    order: bool = True,
+) -> str:
+    """Oracle twin of :func:`jl_project` — same quantization, the same
+    python-generated literal matrix as an inline VALUES table."""
+    mat = jl_sign_matrix(in_dim, out_dim, seed)
+    values = ",".join(
+        f"({j},{k},{mat[k][j]})"
+        for k in range(out_dim)
+        for j in range(in_dim)
+    )
+    pcols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN k = {k} THEN val END) AS BIGINT) AS p{k}"
+        for k in range(out_dim)
+    )
+    sql = f"""
+WITH q AS (
+  SELECT {id_col} AS id,
+         generate_subscripts({vec_col}, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest({vec_col}) AS DOUBLE) * {float(quant)}
+              + 0.5) AS BIGINT) AS vq
+  FROM {table}
+),
+m(pos, k, sgn) AS (SELECT * FROM (VALUES {values})),
+p AS (
+  SELECT id, k, SUM(vq * sgn) AS val
+  FROM q JOIN m USING (pos) GROUP BY id, k
+)
+SELECT id, {pcols}
+FROM p GROUP BY id
+"""
+    if order:
+        sql += "ORDER BY id"
+    return sql

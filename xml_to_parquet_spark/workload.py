@@ -5191,6 +5191,26 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 sign projection (r9, similarity.jl_project): 64-dim float
+    embeddings → 8 exact integer components under a deterministic
+    md5-seeded Rademacher matrix held as a plan literal. Map-only, zero
+    shuffles — the dimensionality-reduction front end that lets
+    ANN/dedup stages downstream operate on 1/8 of the bytes. The oracle
+    regenerates the identical matrix from the same seed and replays the
+    quantized sums."""
+    from xml_to_parquet_spark.functions.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return jl_project(emb, in_dim=64, out_dim=8).orderBy("id")
+
+
+def _q_jl_project_sql() -> str:
+    from xml_to_parquet_spark.functions.similarity import jl_project_sql
+
+    return jl_project_sql("embeddings", in_dim=64, out_dim=8)
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode in the catalog (r9, the a45-netpbm pattern for
     the AUDIO modality): deterministic mono PCM16 RIFF/WAVE payloads are
@@ -6331,6 +6351,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_wav_features,
         _Q_WAV_FEATURES_SQL,
         "REAL WAV audio round-trip: JVM-built PCM16, stdlib-wave parse",
+    ),
+    "q131_jl_project": QuerySpec(
+        q_jl_project,
+        _q_jl_project_sql(),
+        "JL sign projection: literal Rademacher matrix, map-only, exact",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
