@@ -49,6 +49,12 @@ PRUNING = {
     # must never reach the scan
     "q124_url_normalize": ("documents", 2),
     "q125_domain_cap": ("documents", 2),
+    # r9: chunking reads exactly (doc_id, text); the WAV entry builds
+    # payloads from ids alone, so the text column must be pruned; the
+    # JL projection reads exactly (vec_id, embedding)
+    "q129_chunk_documents": ("documents", 2),
+    "q130_wav_features": ("documents", 1),
+    "q131_jl_project": ("embeddings", 2),
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {
