@@ -1202,3 +1202,83 @@ def test_setsim_prefix_known_pair_and_partition_invariance(spark):
     # 9 tokens -> 7 trigrams each; docs 1/2 share 6 (all but the last):
     # union 8, jaccard 6/8 >= 0.5; doc 3 pairs with nothing
     assert res[0] == res[1] == [(1, 2, 6, 8)]
+
+
+def _winnow_py(t, k, w):
+    import hashlib
+
+    hs = [
+        int(hashlib.md5(t[p:p + k].encode()).hexdigest()[:8], 16)
+        for p in range(len(t) - k + 1)
+    ]
+    n = len(hs)
+    out = set()
+    for q in range(max(n - w, 0) + 1):
+        win = hs[q:q + min(w, n)]
+        m = min(win)
+        out.add((q + max(i for i, v in enumerate(win) if v == m), m))
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        (1, "abcdefghijabcdefghij"),   # self-repeating
+        (2, "abcdefg"),                # fewer grams than window
+        (3, "abcd"),                   # exactly one gram
+        (4, "abc"),                    # shorter than k -> nothing
+        (5, None),                     # NULL -> nothing
+        (6, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=4, w=3).collect():
+        got.setdefault(r.id, set()).add((r.pos, r.fp))
+    for did, t in texts:
+        if t is None or len(t) < 4:
+            assert did not in got
+        else:
+            assert got[did] == _winnow_py(t, 4, 3), did
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The MOSS guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint HASH."""
+    import random
+
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints
+
+    rng = random.Random(11)
+    k, w = 5, 4
+    shared = "PLAGIARIZEDSPANOFTEXT"  # len 21 >= k + w - 1 = 8
+    rows = []
+    for i in range(6):
+        pre = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(0, 30)))
+        post = "".join(rng.choice("stuvwxyz") for _ in range(rng.randint(0, 30)))
+        rows.append((i, pre + shared + post))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        fps.setdefault(r.id, set()).add(r.fp)
+    common = set.intersection(*(fps[i] for i in range(6)))
+    assert common, "shared substring must yield a shared fingerprint"
+
+
+def test_winnow_density_and_validation(spark):
+    import pytest
+
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = winnow_fingerprints(df, k=8, w=4)
+    per_doc = {r.id: r.cnt for r in out.groupBy("id").count()
+               .withColumnRenamed("count", "cnt").collect()}
+    lens = {r.doc_id: r.n_chars for r in df.select("doc_id", "n_chars").collect()}
+    for did, c in per_doc.items():
+        n_windows = max(lens[did] - 8 + 1 - 4, 0) + 1
+        assert 1 <= c <= n_windows
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, w=0)

@@ -55,6 +55,7 @@ PRUNING = {
     "q129_chunk_documents": ("documents", 2),
     "q130_wav_features": ("documents", 1),
     "q131_jl_project": ("embeddings", 2),
+    "q132_winnow_fingerprints": ("documents", 2),
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {

@@ -1315,3 +1315,115 @@ SELECT {id_col}, n_words, r_words, r_mwl, r_symbol, r_bullet, r_ellipsis,
             * r_stop AS INTEGER) AS passes_gopher
 FROM r ORDER BY {id_col}
 """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (r9) — the Schleimer/Wilkerson/
+    Aiken MOSS algorithm: hash every k-gram, slide a w-hash window, and
+    select each window's RIGHTMOST minimal hash. Guarantees: any shared
+    substring of length ≥ k + w − 1 between two documents yields at
+    least one shared selected (position-independent) fingerprint, and
+    fingerprint density is ~2/(w+1) — the local, position-robust
+    near-dup/plagiarism signature (complements q19's whole-document
+    hash and a42's repeated-k-gram spans).
+
+    Degenerate case: a document with fewer than w k-grams is one window
+    (its global min is the single fingerprint); documents shorter than
+    k (or NULL) emit nothing.
+
+    Plan shape: ENTIRELY row-local — the gram-hash array is one
+    transform() per row, window minima one aggregate() per window
+    (scan left→right with ≤ keeps the rightmost tie), dedup via
+    array_distinct BEFORE the explode — ZERO shuffles at any corpus
+    size; the fingerprint table inherits the corpus partitioning, and a
+    downstream self-join on fp is the standard winnowing dedup join.
+    Gram hashes use the shared portable md5-prefix rule
+    (conv(substr(md5(gram),1,8)) ↔ DuckDB '0x'||substr cast), so the
+    oracle replays bit-for-bit.
+
+    Returns ``(id, pos, fp)`` — distinct selected (0-based gram
+    position, 32-bit hash) pairs per document."""
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
+    hashes_expr = (
+        f"transform(sequence(0, char_length({text_col}) - {k}), p -> "
+        f"CAST(conv(substring(md5(substring({text_col}, p + 1, {k})),"
+        f" 1, 8), 16, 10) AS BIGINT))"
+    )
+    sel_expr = (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size(hs) - {w}, 0)), q -> "
+        f"aggregate(sequence(q, q + least({w}, size(hs)) - 1), "
+        f"named_struct('p', CAST(-1 AS INT), "
+        f"'h', CAST(9223372036854775807 AS BIGINT)), "
+        f"(acc, i) -> IF(hs[i] <= acc.h, "
+        f"named_struct('p', i, 'h', hs[i]), acc))))"
+    )
+    return (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.char_length(F.col(text_col)) >= k)
+        )
+        .select(F.col(id_col).alias("id"), F.expr(hashes_expr).alias("hs"))
+        .select("id", F.explode(F.expr(sel_expr)).alias("s"))
+        .select(
+            "id",
+            F.col("s.p").cast("long").alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where: str = "TRUE",
+    order: bool = True,
+) -> str:
+    """Oracle twin of :func:`winnow_fingerprints` — same gram hashing,
+    same rightmost-min tie-break (ORDER BY h ASC, p DESC pick), same
+    degenerate single-window rule."""
+    sql = f"""
+WITH grams AS (
+  SELECT {id_col} AS id, p,
+         CAST('0x' || substr(md5(substring({text_col},
+              CAST(p + 1 AS INTEGER), {k})), 1, 8) AS BIGINT) AS h
+  FROM {table},
+       unnest(generate_series(0,
+              CAST(length({text_col}) - {k} AS BIGINT))) AS t(p)
+  WHERE {text_col} IS NOT NULL AND length({text_col}) >= {k}
+        AND ({where})
+),
+nh AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
+wins AS (
+  SELECT id, q
+  FROM nh, unnest(generate_series(0,
+           CAST(greatest(n - {w}, 0) AS BIGINT))) AS t(q)
+),
+cand AS (
+  SELECT wi.id, wi.q, g.p, g.h
+  FROM wins wi JOIN grams g
+    ON g.id = wi.id AND g.p >= wi.q AND g.p < wi.q + {w}
+),
+sel AS (
+  SELECT id, q, p, h,
+         row_number() OVER (
+           PARTITION BY id, q ORDER BY h ASC, p DESC
+         ) AS rn
+  FROM cand
+)
+SELECT DISTINCT id, CAST(p AS BIGINT) AS pos, h AS fp
+FROM sel WHERE rn = 1
+"""
+    if order:
+        sql += "ORDER BY id, pos, fp"
+    return sql

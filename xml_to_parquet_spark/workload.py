@@ -5191,6 +5191,27 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints (r9, text.winnow_fingerprints):
+    k-gram md5-prefix hashes, w-window rightmost-min selection —
+    entirely row-local HOFs, zero shuffles; any shared substring of
+    length ≥ k+w−1 across documents shares a fingerprint. Every 7th
+    document (pushed-down filter) keeps the driver compare bounded; the
+    oracle replays the same windows with an ORDER BY h, p DESC pick."""
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
+    return winnow_fingerprints(docs, k=8, w=4).orderBy("id", "pos", "fp")
+
+
+def _q_winnow_sql() -> str:
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql(
+        "documents", k=8, w=4, where="doc_id % 7 = 0"
+    )
+
+
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL ±1 sign projection (r9, similarity.jl_project): 64-dim float
     embeddings → 8 exact integer components under a deterministic
@@ -6356,6 +6377,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_jl_project,
         _q_jl_project_sql(),
         "JL sign projection: literal Rademacher matrix, map-only, exact",
+    ),
+    "q132_winnow_fingerprints": QuerySpec(
+        q_winnow_fingerprints,
+        _q_winnow_sql(),
+        "winnowing (MOSS) fingerprints: row-local HOFs, rightmost-min",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
