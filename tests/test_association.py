@@ -76,3 +76,56 @@ def test_pmi_partition_invariant(spark):
         for p in (1, 7)
     ]
     assert res[0] == res[1] and len(res[0]) > 0
+
+
+def test_skipgram_known_counts(spark):
+    from xml_to_parquet_spark.functions.association import (
+        skipgram_cooccurrence,
+    )
+
+    docs = [
+        (1, "a b a"),        # d1: (a,b)x2; d2: (a,a)x1
+        (2, "a b"),          # (a,b)x1
+        (3, "c"),            # single token -> nothing
+        (4, None),           # NULL -> nothing
+        (5, "  b   a  "),    # normalization collapses spaces -> (a,b)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.t1, r.t2): r.n
+        for r in skipgram_cooccurrence(
+            df, window=2, min_count=1, top_k=100
+        ).collect()
+    }
+    assert out == {("a", "b"): 4, ("a", "a"): 1}
+
+
+def test_skipgram_window_and_ordering(spark):
+    import pytest
+
+    from xml_to_parquet_spark.functions.association import (
+        skipgram_cooccurrence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y z w")], "doc_id long, text string"
+    )
+    # window=1: adjacent only
+    out1 = {
+        (r.t1, r.t2): r.n
+        for r in skipgram_cooccurrence(
+            df, window=1, min_count=1, top_k=100
+        ).collect()
+    }
+    assert out1 == {("x", "y"): 1, ("y", "z"): 1, ("w", "z"): 1}
+    # window bigger than the doc: all C(4,2) ordered-position pairs
+    out9 = skipgram_cooccurrence(df, window=9, min_count=1, top_k=100)
+    assert sum(r.n for r in out9.collect()) == 6
+    # deterministic ordering: n desc then lexicographic
+    rows = skipgram_cooccurrence(
+        df, window=9, min_count=1, top_k=100
+    ).collect()
+    keys = [(-r.n, r.t1, r.t2) for r in rows]
+    assert keys == sorted(keys)
+    with pytest.raises(ValueError):
+        skipgram_cooccurrence(df, window=0)

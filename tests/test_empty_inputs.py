@@ -152,3 +152,11 @@ def test_empty_inputs_r9_additions(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert chunk_documents(docs).count() == 0
+
+    from xml_to_parquet_spark.functions.association import (
+        skipgram_cooccurrence,
+    )
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints
+
+    assert skipgram_cooccurrence(docs).count() == 0
+    assert winnow_fingerprints(docs).count() == 0

@@ -180,3 +180,88 @@ SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
 FROM pairs, nd
 ORDER BY lift_ppm DESC, t1 ASC, t2 ASC LIMIT {top_k}
 """
+
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Skip-gram window co-occurrence counts (r9) — the word2vec/GloVe
+    training primitive: for every token position, count the unordered
+    pair it forms with each token at most ``window`` positions to its
+    right (canonical (least, greatest) keys; repeated-token self-pairs
+    are real co-occurrences and counted). Complements
+    :func:`pmi_pairs`, which counts document-level PRESENCE pairs —
+    this is positional TOKEN-frequency co-occurrence, the matrix
+    embedding trainers factorize.
+
+    Plan shape: pair generation is ENTIRELY row-local — the token array
+    is zipped with itself shifted by each offset 1..window
+    (zip_with(slice, slice)), flattened, exploded; no self-join, no
+    per-doc window function. Pair volume is corpus_tokens × window
+    (LINEAR, never quadratic in document length), and the single
+    shuffle is the map-side-combined (t1, t2) count — ∝ distinct
+    pairs, Zipf-bounded in natural corpora and cut by ``min_count``
+    before the deterministic top-k sort (n desc, t1, t2).
+    """
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    if window < 1:
+        raise ValueError(f"need window >= 1, got {window}")
+    toks = F.filter(
+        F.split(norm_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    pair_expr = (
+        f"flatten(transform(sequence(1, {window}), d -> "
+        f"zip_with(slice(tk, 1, greatest(size(tk) - d, 0)), "
+        f"slice(tk, d + 1, greatest(size(tk) - d, 0)), "
+        f"(a, b) -> named_struct('t1', least(a, b), "
+        f"'t2', greatest(a, b)))))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(top_k)
+    )
+
+
+def skipgram_cooccurrence_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 2,
+    top_k: int = 50,
+) -> str:
+    """Oracle twin of :func:`skipgram_cooccurrence` — same
+    normalization, same shifted-pair generation via lateral
+    generate_series, same canonical keys and deterministic top-k."""
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(
+           lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))), ' '),
+         x -> x <> '') AS tk
+  FROM {table}
+),
+pairs AS (
+  SELECT least(tk[CAST(i AS INTEGER)], tk[CAST(i + d AS INTEGER)]) AS t1,
+         greatest(tk[CAST(i AS INTEGER)],
+                  tk[CAST(i + d AS INTEGER)]) AS t2
+  FROM toks,
+       unnest(generate_series(1, {window})) AS u1(d),
+       unnest(generate_series(1,
+              CAST(greatest(len(tk) - d, 0) AS BIGINT))) AS u2(i)
+)
+SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY t1, t2
+HAVING COUNT(*) >= {min_count}
+ORDER BY n DESC, t1 ASC, t2 ASC LIMIT {top_k}
+"""

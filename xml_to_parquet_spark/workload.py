@@ -5191,6 +5191,31 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram window co-occurrence (r9,
+    association.skipgram_cooccurrence): positional token pairs within
+    ±3 — the word2vec/GloVe count matrix, row-local shifted-array zips
+    (no self-join), one map-side-combined pair count. PMI's q100/a58
+    counts document presence; this counts token positions."""
+    from xml_to_parquet_spark.functions.association import (
+        skipgram_cooccurrence,
+    )
+
+    return skipgram_cooccurrence(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5, top_k=50
+    )
+
+
+def _q_skipgram_sql() -> str:
+    from xml_to_parquet_spark.functions.association import (
+        skipgram_cooccurrence_sql,
+    )
+
+    return skipgram_cooccurrence_sql(
+        "documents", window=3, min_count=5, top_k=50
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints (r9, text.winnow_fingerprints):
     k-gram md5-prefix hashes, w-window rightmost-min selection —
@@ -6382,6 +6407,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_winnow_fingerprints,
         _q_winnow_sql(),
         "winnowing (MOSS) fingerprints: row-local HOFs, rightmost-min",
+    ),
+    "q133_skipgram_cooc": QuerySpec(
+        q_skipgram_cooc,
+        _q_skipgram_sql(),
+        "skip-gram window co-occurrence: shifted-array zips, no self-join",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
