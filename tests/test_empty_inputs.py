@@ -160,3 +160,10 @@ def test_empty_inputs_r9_additions(spark):
 
     assert skipgram_cooccurrence(docs).count() == 0
     assert winnow_fingerprints(docs).count() == 0
+
+    from xml_to_parquet_spark.functions.retrieval import (
+        phrase_query,
+        positional_postings,
+    )
+
+    assert phrase_query(positional_postings(docs), ["a", "b"]).count() == 0

@@ -107,3 +107,52 @@ def test_bm25_partition_invariant(spark, sf_dir):
     a = bm25_topk(docs.repartition(1), terms, k=10).collect()
     b = bm25_topk(docs.repartition(7, "lang"), terms, k=10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_phrase_query_known_matches(spark):
+    from xml_to_parquet_spark.functions.retrieval import (
+        phrase_query,
+        positional_postings,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat stood on the mat"),      # no "cat sat"
+        (3, "cat sat cat sat on the cat sat"),  # 3 matches, overlapping ok
+        (4, "SAT the CAT sat"),               # normalization lowercases
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = positional_postings(df)
+    out = {
+        r.id: (r.n_matches, r.first_pos)
+        for r in phrase_query(idx, ["cat", "sat"]).collect()
+    }
+    assert out == {1: (1, 1), 3: (3, 0), 4: (1, 2)}
+    # single-word phrase degenerates to token occurrence counts
+    one = {
+        r.id: r.n_matches
+        for r in phrase_query(idx, ["the"]).collect()
+    }
+    assert one == {1: 2, 2: 2, 3: 1, 4: 1}
+    # absent phrase -> empty
+    assert phrase_query(idx, ["cat", "flew"]).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_query(idx, [])
+
+
+def test_positional_postings_positions(spark):
+    from xml_to_parquet_spark.functions.retrieval import (
+        positional_postings,
+    )
+
+    df = spark.createDataFrame(
+        [(9, "  a  b a ")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.token, r.pos)
+        for r in positional_postings(df).collect()
+    )
+    assert got == [("a", 0), ("a", 2), ("b", 1)]

@@ -190,3 +190,101 @@ SELECT {id_col},
 FROM scored GROUP BY {id_col}
 ORDER BY bm25_fp DESC, {id_col} LIMIT {k}
 """
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings (r9): one row per token
+    OCCURRENCE — ``(token, id, pos)`` with 0-based positions in the
+    normalized token stream. The index BM25 (a33) doesn't keep:
+    positions, which is what phrase and proximity queries need.
+
+    Map-only (posexplode of the split array, no shuffle); at scale the
+    postings table is written bucketed by token so phrase-query joins
+    co-locate without an exchange."""
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.filter(
+                    F.split(norm_text(F.col(text_col)), " "),
+                    lambda x: x != "",
+                )
+            ).alias("pos", "token"),
+        )
+        .select("token", "id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def phrase_query(
+    postings: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase matching over a positional index — the classic
+    n-way postings intersection: word k of the phrase must appear at
+    ``pos + k`` in the same document. Each phrase word contributes one
+    token-filtered postings slice (a pushable equality filter — at
+    scale each slice is one bucket of the token-bucketed index), and
+    the slices chain through (id, offset-aligned pos) equi-joins —
+    selectivity collapses after the first join, and AQE broadcasts the
+    shrinking side. Returns ``(id, n_matches, first_pos)`` per matching
+    document — exact counts, deterministic."""
+    if not phrase:
+        raise ValueError("phrase must have at least one word")
+    phrase = [w.lower() for w in phrase]
+    cur = (
+        postings.filter(F.col("token") == phrase[0])
+        .select("id", F.col("pos").alias("p0"))
+    )
+    for k, w in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("token") == w).select(
+            "id", (F.col("pos") - k).alias("p0")
+        )
+        cur = cur.join(nxt, ["id", "p0"])
+    return (
+        cur.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("p0").alias("first_pos"),
+        )
+        .orderBy("id")
+    )
+
+
+def phrase_query_sql(
+    table: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of postings build + :func:`phrase_query` over a raw
+    document table."""
+    words = [w.lower().replace("'", "''") for w in phrase]
+    joins = "\n".join(
+        f"JOIN p AS p{k} ON p{k}.id = p0.id AND p{k}.token = '{w}' "
+        f"AND p{k}.pos = p0.pos + {k}"
+        for k, w in enumerate(words[1:], start=1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split(
+           lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))), ' '),
+         x -> x <> '') AS tk
+  FROM {table}
+),
+p AS (
+  SELECT id, i - 1 AS pos, tk[CAST(i AS INTEGER)] AS token
+  FROM toks,
+       unnest(generate_series(1, CAST(len(tk) AS BIGINT))) AS t(i)
+)
+SELECT p0.id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+FROM p AS p0
+{joins}
+WHERE p0.token = '{words[0]}'
+GROUP BY p0.id ORDER BY p0.id
+"""

@@ -5191,6 +5191,29 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase matching (r9, retrieval.phrase_query):
+    build (token, doc, pos) postings map-only, intersect three
+    token-filtered slices offset-aligned on (id, pos) — the classic
+    inverted-index phrase query BM25 (a33) can't answer. The bigram
+    'part filter' occurs ≥40× in the fixture corpus at every SF
+    (measured sf0.001/0.01/0.1), so the entry returns matches at the
+    smoke, correctness AND bench scales."""
+    from xml_to_parquet_spark.functions.retrieval import (
+        phrase_query,
+        positional_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_query(positional_postings(docs), ["part", "filter"])
+
+
+def _q_phrase_query_sql() -> str:
+    from xml_to_parquet_spark.functions.retrieval import phrase_query_sql
+
+    return phrase_query_sql("documents", ["part", "filter"])
+
+
 def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram window co-occurrence (r9,
     association.skipgram_cooccurrence): positional token pairs within
@@ -6412,6 +6435,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_skipgram_cooc,
         _q_skipgram_sql(),
         "skip-gram window co-occurrence: shifted-array zips, no self-join",
+    ),
+    "q134_phrase_query": QuerySpec(
+        q_phrase_query,
+        _q_phrase_query_sql(),
+        "positional-index phrase query: offset-aligned postings joins",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
