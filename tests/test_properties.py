@@ -788,3 +788,138 @@ def test_k_core_matches_bruteforce_property(spark, raw_edges, k):
     got = {r.node: r.deg for r in out}
     assert got == want
     assert all(r.converged == 1 for r in out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(0, 700), min_size=1, max_size=8),
+    chunk=st.integers(2, 60),
+    overlap_frac=st.integers(0, 99),
+)
+def test_chunk_documents_stitchback_property(
+    spark, lengths, chunk, overlap_frac
+):
+    """For ANY (chunk, overlap) and any doc lengths: chunks stitch back
+    to the original text, the last chunk ends exactly at the doc end,
+    and no chunk is empty."""
+    from xml_to_parquet_spark.functions.sampling import chunk_documents
+
+    overlap = min(overlap_frac * chunk // 100, chunk - 1)
+    stride = chunk - overlap
+    texts = [
+        "".join(chr(97 + (i * 7 + d) % 26) for i in range(n))
+        for d, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    by_doc = {}
+    for r in chunk_documents(df, chunk_chars=chunk, overlap=overlap).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, t in enumerate(texts):
+        if not t:
+            assert d not in by_doc
+            continue
+        cs = sorted(by_doc[d], key=lambda r: r.chunk_idx)
+        assert cs[0].chunk_text + "".join(
+            c.chunk_text[overlap:] for c in cs[1:]
+        ) == t
+        assert cs[-1].chunk_start + cs[-1].chunk_len == len(t)
+        assert all(c.chunk_len > 0 for c in cs)
+        assert [c.chunk_start for c in cs] == [
+            i * stride for i in range(len(cs))
+        ]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 5),
+    w=st.integers(1, 6),
+)
+def test_winnow_matches_reference_property(spark, texts, k, w):
+    """Winnowing equals the direct python reference for ANY text/k/w —
+    including tie-heavy low-alphabet grams where the rightmost-min rule
+    is load-bearing."""
+    import hashlib
+
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints
+
+    def ref(t):
+        hs = [
+            int(hashlib.md5(t[p:p + k].encode()).hexdigest()[:8], 16)
+            for p in range(len(t) - k + 1)
+        ]
+        n = len(hs)
+        out = set()
+        for q in range(max(n - w, 0) + 1):
+            win = hs[q:q + min(w, n)]
+            m = min(win)
+            out.add((q + max(i for i, v in enumerate(win) if v == m), m))
+        return out
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.id, set()).add((r.pos, r.fp))
+    for d, t in enumerate(texts):
+        if len(t) < k:
+            assert d not in got
+        else:
+            assert got[d] == ref(t), (d, t, k, w)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    ),
+    window=st.integers(1, 4),
+)
+def test_skipgram_matches_reference_property(spark, texts, window):
+    from xml_to_parquet_spark.functions.association import (
+        skipgram_cooccurrence,
+    )
+
+    import collections
+    import re
+
+    ref = collections.Counter()
+    for t in texts:
+        toks = [x for x in re.sub(r"\s+", " ", t).strip().lower().split(" ")
+                if x != ""]
+        for i in range(len(toks)):
+            for d in range(1, window + 1):
+                if i + d < len(toks):
+                    a, b = toks[i], toks[i + d]
+                    ref[(min(a, b), max(a, b))] += 1
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.t1, r.t2): r.n
+        for r in skipgram_cooccurrence(
+            df, window=window, min_count=1, top_k=10_000
+        ).collect()
+    }
+    assert got == dict(ref)
