@@ -56,6 +56,8 @@ PRUNING = {
     "q130_wav_features": ("documents", 1),
     "q131_jl_project": ("embeddings", 2),
     "q132_winnow_fingerprints": ("documents", 2),
+    "q133_skipgram_cooc": ("documents", 1),
+    "q134_phrase_query": ("documents", 2),
 }
 # query → physical node that MUST appear (scale-critical plan property)
 REQUIRED_NODES = {
@@ -90,6 +92,8 @@ FORBIDDEN_NODES = {
     # never a cross product — and the multi-probe semantic-dedup
     # candidate join stays an equi-join on the probed cell
     "q126_k_core": "CartesianProduct",
+    # r9: phrase postings intersect through (id, pos) equi-joins only
+    "q134_phrase_query": "CartesianProduct",
 }
 
 
