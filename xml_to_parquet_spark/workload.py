@@ -5249,14 +5249,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
-    return winnow_fingerprints(docs, k=8, w=4).orderBy("id", "pos", "fp")
+    # order-insensitive compare: no presentation sort — at docs100 the
+    # global sort of 14.3M fingerprints dominated the soak wall
+    return winnow_fingerprints(docs, k=8, w=4)
 
 
 def _q_winnow_sql() -> str:
     from xml_to_parquet_spark.functions.text import winnow_fingerprints_sql
 
     return winnow_fingerprints_sql(
-        "documents", k=8, w=4, where="doc_id % 7 = 0"
+        "documents", k=8, w=4, where="doc_id % 7 = 0", order=False
     )
 
 
@@ -5304,7 +5306,7 @@ def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = docs.select(
         "id", pcm16_wav_expr("samples", sample_rate=8000).alias("payload")
     )
-    return wav_features_batch(clips).orderBy("id")
+    return wav_features_batch(clips)
 
 
 _Q_WAV_FEATURES_SQL = """
@@ -5341,15 +5343,18 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 1-based substring slicing via generate_series."""
     from xml_to_parquet_spark.functions.sampling import chunk_documents
 
+    # no presentation sort: the driver/verify compare is
+    # order-insensitive and the exact row set needs no LIMIT — at the
+    # docs100 soak the orderBy WAS the wall (1.77M-row range exchange)
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 def _q_chunk_documents_sql() -> str:
     from xml_to_parquet_spark.functions.sampling import chunk_documents_sql
 
-    return chunk_documents_sql("documents", chunk_chars=200, overlap=50)
+    return chunk_documents_sql("documents", chunk_chars=200, overlap=50, order=False)
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
