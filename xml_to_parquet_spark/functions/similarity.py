@@ -1247,3 +1247,150 @@ FROM p GROUP BY id
     if order:
         sql += "ORDER BY id"
     return sql
+
+
+def jl_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_candidates: int = 40,
+    in_dim: int = 64,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+    seed: str = "jl-v1",
+) -> DataFrame:
+    """Two-stage ANN: JL-projected integer L2 prefilter → exact
+    quantized-L2 re-rank — what :func:`jl_project` is FOR. Stage 1
+    scores every corpus point against each query in the 8-component
+    projected space (8× fewer multiply-adds than the raw dimension, and
+    at scale the projected table is what you index/bucket); the top
+    ``n_candidates`` per query (deterministic ties: distance, then id)
+    go to stage 2, which re-ranks them by exact quantized L2 on the
+    original vectors. Both stages are pure int64, so the SQL oracle is
+    bit-exact; recall vs the exact top-k is a measured property (see
+    tests/SCALING), governed by n_candidates — the JL lemma bounds the
+    distortion, more candidates buy back the tail.
+
+    Plan shape: queries are a broadcast side (|Q| rows); stage 1 is a
+    broadcast nested-loop over the projected corpus with a
+    WindowGroupLimit top-C; stage 2 joins the C·|Q| candidate ids back
+    to the corpus (equi-join on id) for exact vectors. Corpus is
+    scanned twice but never self-joined; the heavy side never
+    shuffles more than C·|Q| rows."""
+    proj = jl_project(
+        df, in_dim=in_dim, out_dim=out_dim, vec_col=vec_col,
+        id_col=id_col, quant=quant, seed=seed,
+    )
+    pcols = [f"p{i}" for i in range(out_dim)]
+    qproj = proj.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        *[F.col(c).alias(f"q_{c}") for c in pcols],
+    )
+    jl_dist = sum(
+        (F.col(f"q_{c}") - F.col(c)) * (F.col(f"q_{c}") - F.col(c))
+        for c in pcols
+    ).alias("jl_dist")
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("jl_dist").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        proj.join(F.broadcast(qproj), F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), jl_dist)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= n_candidates)
+        .drop("rn", "jl_dist")
+    )
+    qv = F.expr(
+        f"transform({vec_col}, v -> "
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {float(quant)} + 0.5d) AS BIGINT))"
+    )
+    quantized = df.select(F.col(id_col).alias("nid"), qv.alias("vq"))
+    qvec = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), qv.alias("qq")
+    )
+    exact = F.expr(
+        "aggregate(zip_with(qq, vq, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, x) -> acc + x)"
+    ).alias("dist")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(quantized, F.col("neighbor_id") == F.col("nid"))
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", exact)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def jl_ann_topk_sql(
+    table: str = "embeddings",
+    query_max: int = 10,
+    k: int = 5,
+    n_candidates: int = 40,
+    in_dim: int = 64,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+    seed: str = "jl-v1",
+) -> str:
+    """Oracle twin of :func:`jl_ann_topk` for query_ids=range(query_max)
+    — same matrix, same two-stage integer distances, same tie-breaks."""
+    mat = jl_sign_matrix(in_dim, out_dim, seed)
+    values = ",".join(
+        f"({j},{kk},{mat[kk][j]})"
+        for kk in range(out_dim)
+        for j in range(in_dim)
+    )
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS id,
+         generate_subscripts({vec_col}, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest({vec_col}) AS DOUBLE) * {float(quant)}
+              + 0.5) AS BIGINT) AS vq
+  FROM {table}
+),
+m(pos, kk, sgn) AS (SELECT * FROM (VALUES {values})),
+proj AS (
+  SELECT id, kk, SUM(vq * sgn) AS val
+  FROM q JOIN m USING (pos) GROUP BY id, kk
+),
+jl AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         SUM((a.val - b.val) * (a.val - b.val)) AS jl_dist
+  FROM proj a JOIN proj b ON a.kk = b.kk AND a.id != b.id
+  WHERE a.id < {query_max}
+  GROUP BY a.id, b.id
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY jl_dist ASC, neighbor_id ASC) AS rn
+  FROM jl
+),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         SUM((qa.vq - qb.vq) * (qa.vq - qb.vq)) AS dist
+  FROM cand c
+  JOIN q qa ON qa.id = c.query_id
+  JOIN q qb ON qb.id = c.neighbor_id AND qb.pos = qa.pos
+  WHERE c.rn <= {n_candidates}
+  GROUP BY c.query_id, c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, dist, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

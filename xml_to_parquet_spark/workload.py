@@ -5191,6 +5191,26 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_jl_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage JL ANN (r9, similarity.jl_ann_topk): integer L2 in the
+    8-component projected space prefilters 40 candidates per query,
+    exact quantized L2 re-ranks to top-5 — the ANN pipeline q131's
+    projection exists to feed. Both stages int64, bit-exact oracle;
+    recall vs exact top-k is measured in tests/SCALING."""
+    from xml_to_parquet_spark.functions.similarity import jl_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return jl_ann_topk(emb, query_ids=list(range(10)), k=5,
+                       n_candidates=40)
+
+
+def _q_jl_ann_sql() -> str:
+    from xml_to_parquet_spark.functions.similarity import jl_ann_topk_sql
+
+    return jl_ann_topk_sql("embeddings", query_max=10, k=5,
+                           n_candidates=40)
+
+
 def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase matching (r9, retrieval.phrase_query):
     build (token, doc, pos) postings map-only, intersect three
@@ -6445,6 +6465,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_phrase_query,
         _q_phrase_query_sql(),
         "positional-index phrase query: offset-aligned postings joins",
+    ),
+    "q135_jl_ann": QuerySpec(
+        q_jl_ann,
+        _q_jl_ann_sql(),
+        "two-stage ANN: JL integer prefilter, exact quantized re-rank",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
