@@ -94,6 +94,10 @@ FORBIDDEN_NODES = {
     "q126_k_core": "CartesianProduct",
     # r9: phrase postings intersect through (id, pos) equi-joins only
     "q134_phrase_query": "CartesianProduct",
+    # r9: JL-ANN stage 1 is a BROADCAST nested loop (|Q| rows), stage 2
+    # an id equi-join — an unbroadcast cross product would mean the
+    # corpus self-joined
+    "q135_jl_ann": "CartesianProduct",
 }
 
 
