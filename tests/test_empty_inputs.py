@@ -167,3 +167,11 @@ def test_empty_inputs_r9_additions(spark):
     )
 
     assert phrase_query(positional_postings(docs), ["a", "b"]).count() == 0
+
+    from xml_to_parquet_spark.functions.retrieval import (
+        more_like_this,
+        near_query,
+    )
+
+    assert near_query(positional_postings(docs), "a", "b").count() == 0
+    assert more_like_this(docs, query_ids=[0]).count() == 0

@@ -156,3 +156,82 @@ def test_positional_postings_positions(spark):
         for r in positional_postings(df).collect()
     )
     assert got == [("a", 0), ("a", 2), ("b", 1)]
+
+
+def test_near_query_known_matches(spark):
+    from xml_to_parquet_spark.functions.retrieval import (
+        near_query,
+        positional_postings,
+    )
+
+    docs = [
+        (1, "alpha x x beta"),        # gap 3
+        (2, "alpha x x x beta"),      # gap 4 > slop
+        (3, "beta alpha"),            # reversed order, gap 1
+        (4, "alpha beta alpha"),      # two pairs, min gap 1
+        (5, "alpha alpha"),           # w2 absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = positional_postings(df)
+    out = {
+        r.id: (r.n_pairs, r.min_gap)
+        for r in near_query(idx, "alpha", "beta", slop=3).collect()
+    }
+    assert out == {1: (1, 3), 3: (1, 1), 4: (2, 1)}
+    # same-word proximity: repeated occurrences pair, self-pairs don't
+    same = {
+        r.id: (r.n_pairs, r.min_gap)
+        for r in near_query(idx, "alpha", "alpha", slop=3).collect()
+    }
+    assert same[5] == (2, 1)     # (0,1) and (1,0)
+    assert same[4] == (2, 2)     # positions 0 and 2, both directions
+    import pytest
+
+    with pytest.raises(ValueError):
+        near_query(idx, "a", "b", slop=0)
+
+
+def test_more_like_this_known_ranking(spark):
+    from xml_to_parquet_spark.functions.retrieval import more_like_this
+
+    # doc 0 shares the rare token "zebra" (df=2) with doc 1 only, and
+    # the common token "the" (df=4) with everyone: doc 1 must rank
+    # first on the idf weighting. doc 3 shares nothing -> absent.
+    docs = [
+        (0, "the zebra runs"),
+        (1, "the zebra sleeps"),
+        (2, "the fox sleeps"),
+        (3, "quiet empty prose"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [
+        (r.neighbor_id, r.rank)
+        for r in more_like_this(
+            df, query_ids=[0], k=3, max_df_ppm=1_000_000
+        ).collect()
+    ]
+    assert out[0] == (1, 1)
+    assert {n for n, _ in out} == {1, 2}
+    # stopword prune: at 50% the everywhere-token "the" drops, leaving
+    # only the zebra link
+    pruned = [
+        (r.neighbor_id, r.rank)
+        for r in more_like_this(
+            df, query_ids=[0], k=3, max_df_ppm=500_000
+        ).collect()
+    ]
+    assert pruned == [(1, 1)]
+
+
+def test_more_like_this_symmetry_and_determinism(spark):
+    from xml_to_parquet_spark.functions.retrieval import more_like_this
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = more_like_this(
+        docs, query_ids=[0, 1], k=4, max_df_ppm=850_000
+    ).collect()
+    b = more_like_this(
+        docs.repartition(7), query_ids=[0, 1], k=4, max_df_ppm=850_000
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 8

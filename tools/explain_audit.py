@@ -92,8 +92,10 @@ FORBIDDEN_NODES = {
     # never a cross product — and the multi-probe semantic-dedup
     # candidate join stays an equi-join on the probed cell
     "q126_k_core": "CartesianProduct",
-    # r9: phrase postings intersect through (id, pos) equi-joins only
+    # r9: phrase/proximity postings intersect through equi-joins only
     "q134_phrase_query": "CartesianProduct",
+    "q136_near_query": "CartesianProduct",
+    "q137_more_like_this": "CartesianProduct",
     # r9: JL-ANN stage 1 is a BROADCAST nested loop (|Q| rows), stage 2
     # an id equi-join — an unbroadcast cross product would mean the
     # corpus self-joined

@@ -288,3 +288,210 @@ FROM p AS p0
 WHERE p0.token = '{words[0]}'
 GROUP BY p0.id ORDER BY p0.id
 """
+
+
+def near_query(
+    postings: DataFrame, w1: str, w2: str, slop: int = 3
+) -> DataFrame:
+    """Proximity (NEAR/slop) query over the positional index: documents
+    where ``w1`` and ``w2`` occur within ``slop`` positions of each
+    other, in either order — Lucene's sloppy phrase, the recall-side
+    companion of :func:`phrase_query`'s exact matching.
+
+    Plan shape: |pos1 − pos2| ≤ slop is not an equi-join key, so the
+    bounded offset is ENUMERATED — the w1 slice explodes into its
+    2·slop+1 acceptable partner positions (sequence(pos−slop,
+    pos+slop)) and joins the w2 slice on (id, exact pos) — the
+    established bounded-range-join shape: pure equi-join, AQE-sizable,
+    never a cross product, cost ∝ occurrences·slop. Self-pairs (same
+    position, only possible when w1 == w2) are excluded. Returns
+    ``(id, n_pairs, min_gap)`` per matching document."""
+    if slop < 1:
+        raise ValueError(f"need slop >= 1, got {slop}")
+    a = (
+        postings.filter(F.col("token") == w1.lower())
+        .select(
+            "id",
+            F.col("pos").alias("pos_a"),
+            F.explode(
+                F.sequence(
+                    F.col("pos") - slop, F.col("pos") + slop
+                )
+            ).alias("pos_b"),
+        )
+    )
+    b = postings.filter(F.col("token") == w2.lower()).select(
+        "id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, ["id", "pos_b"])
+        .filter(F.col("pos_a") != F.col("pos_b"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("min_gap"),
+        )
+        .orderBy("id")
+    )
+
+
+def near_query_sql(
+    table: str,
+    w1: str,
+    w2: str,
+    slop: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of postings build + :func:`near_query`."""
+    w1 = w1.lower().replace("'", "''")
+    w2 = w2.lower().replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split(
+           lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))), ' '),
+         x -> x <> '') AS tk
+  FROM {table}
+),
+p AS (
+  SELECT id, i - 1 AS pos, tk[CAST(i AS INTEGER)] AS token
+  FROM toks,
+       unnest(generate_series(1, CAST(len(tk) AS BIGINT))) AS t(i)
+)
+SELECT a.id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(abs(a.pos - b.pos)) AS BIGINT) AS min_gap
+FROM p a JOIN p b
+  ON a.id = b.id AND b.pos BETWEEN a.pos - {slop} AND a.pos + {slop}
+ AND a.pos <> b.pos
+WHERE a.token = '{w1}' AND b.token = '{w2}'
+GROUP BY a.id ORDER BY a.id
+"""
+
+
+def more_like_this(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    max_df_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse lexical "more-like-this": for each query document, the
+    top-``k`` most similar documents by an integer tf·idf dot product
+    over shared tokens — the inverted-index complement of the dense
+    (embedding) ANN family: no model, exact, and the shuffle rides the
+    same token-keyed index BM25 uses.
+
+    Score(q, d) = Σ_t tf_q(t) · tf_d(t) · w(t) with the integer
+    inverse-df weight w(t) = n_docs·1e6 // df(t). Tokens appearing in
+    more than ``max_df_ppm`` of documents are DROPPED before the join —
+    the scale-critical prune: a stopword shared by every document would
+    otherwise make candidate volume quadratic in the corpus; after the
+    prune it is Σ_t df(t)·|Q∩t| with df bounded. The weight product is
+    guarded with try_multiply + raise_error (the PMI overflow
+    contract): past n_docs ≈ 3e6 switch to the BM25 ilog2 fixed-point
+    weighting instead of silently wrapping.
+
+    Plan: one tf aggregation (token,doc-keyed), one |vocab| df
+    aggregation, the query slice broadcast, candidates from a
+    token-keyed equi-join, one (query, cand) sum, WindowGroupLimit
+    top-k with deterministic ties (score DESC, neighbor ASC). Returns
+    ``(query_id, neighbor_id, score, rank)``."""
+    from xml_to_parquet_spark.functions.text import norm_text
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(norm_text(F.col(text_col)), " "),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dft = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 1_000_000 <= F.col("n_docs") * max_df_ppm)
+        .withColumn(
+            "w",
+            F.expr(
+                "div(ifnull(try_multiply(n_docs, 1000000L), "
+                "raise_error('more_like_this: n_docs * 1e6 overflows "
+                "int64; use the BM25 ilog2 weighting at this scale')), "
+                "df)"
+            ),
+        )
+        .select("token", "w")
+    )
+    qtf = tf.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        "token",
+        F.col("tf").alias("tf_q"),
+    )
+    from pyspark.sql import Window
+
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        tf.join(F.broadcast(qtf), "token")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(dft, "token")
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum(F.col("tf") * F.col("tf_q") * F.col("w")).alias("score"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def more_like_this_sql(
+    table: str = "documents",
+    query_max: int = 5,
+    k: int = 5,
+    max_df_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of :func:`more_like_this` for
+    query_ids=range(query_max)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(string_split(
+           lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))), ' '),
+         x -> x <> '')) AS token
+  FROM {table}
+),
+tf AS (SELECT id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM {table}),
+dft AS (
+  SELECT token, CAST(n_docs * 1000000 // COUNT(*) AS BIGINT) AS w
+  FROM tf, nd GROUP BY token, n_docs
+  HAVING COUNT(*) * 1000000 <= n_docs * {max_df_ppm}
+),
+scored AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         SUM(c.tf * q.tf * dft.w) AS score
+  FROM tf q
+  JOIN tf c ON c.token = q.token AND c.id != q.id
+  JOIN dft ON dft.token = q.token
+  WHERE q.id < {query_max}
+  GROUP BY q.id, c.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

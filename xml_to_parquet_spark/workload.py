@@ -5191,6 +5191,52 @@ def _q_event_transitions_sql() -> str:
     return event_transitions_sql("events")
 
 
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical more-like-this (r9, retrieval.more_like_this):
+    top-5 similar docs per query doc by integer tf·idf dot product over
+    shared tokens, stopword-df prune before the token join (the
+    scale-critical bound), WindowGroupLimit top-k. The inverted-index
+    complement of the embedding ANN family."""
+    from xml_to_parquet_spark.functions.retrieval import more_like_this
+
+    # The fixture's 31-token shared vocabulary sits at df ~75-80%
+    # (measured), so the entry prunes at 85%; on a natural corpus the
+    # 50% default drops genuine stopwords instead.
+    docs = _t(spark, sf_dir, "documents")
+    return more_like_this(
+        docs, query_ids=list(range(5)), k=5, max_df_ppm=850_000
+    )
+
+
+def _q_more_like_this_sql() -> str:
+    from xml_to_parquet_spark.functions.retrieval import more_like_this_sql
+
+    return more_like_this_sql(
+        "documents", query_max=5, k=5, max_df_ppm=850_000
+    )
+
+
+def q_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity query (r9, retrieval.near_query): 'part' NEAR/3
+    'filter' over the positional index — the |Δpos| ≤ slop predicate
+    enumerated into 2·slop+1 equi-join keys (the bounded-range-join
+    shape), never a cross product. Both words are corpus-vocabulary
+    tokens present at every SF."""
+    from xml_to_parquet_spark.functions.retrieval import (
+        near_query,
+        positional_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_query(positional_postings(docs), "part", "filter", slop=3)
+
+
+def _q_near_query_sql() -> str:
+    from xml_to_parquet_spark.functions.retrieval import near_query_sql
+
+    return near_query_sql("documents", "part", "filter", slop=3)
+
+
 def q_jl_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage JL ANN (r9, similarity.jl_ann_topk): integer L2 in the
     8-component projected space prefilters 40 candidates per query,
@@ -6470,6 +6516,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_jl_ann,
         _q_jl_ann_sql(),
         "two-stage ANN: JL integer prefilter, exact quantized re-rank",
+    ),
+    "q136_near_query": QuerySpec(
+        q_near_query,
+        _q_near_query_sql(),
+        "proximity NEAR/slop query: offset-enumerated bounded range join",
+    ),
+    "q137_more_like_this": QuerySpec(
+        q_more_like_this,
+        _q_more_like_this_sql(),
+        "sparse tf-idf more-like-this: df-pruned token join, integer dot",
     ),
     "a63_ngram_diversity": QuerySpec(
         q_ngram_diversity,
