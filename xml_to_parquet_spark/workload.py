@@ -5958,7 +5958,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q20_dedup_exact": QuerySpec(
         q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
     ),
-    "a40_dedup_ngram_jaccard": QuerySpec(
+    "q130_dedup_ngram_jaccard": QuerySpec(
         q_dedup_ngram_jaccard,
         _ngram_jaccard_sql(),
         "LSH candidates + exact 3-gram Jaccard verify",
@@ -6076,7 +6076,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r6 additions (a42-a45 sort into the driver window; q02-q05 rotate
     # out — driver-green since r1, still in pytest + full verify sweeps)
-    "a42_substring_dedup": QuerySpec(
+    "q131_substring_dedup": QuerySpec(
         q_substring_dedup,
         _Q_SUBSTRING_DEDUP_SQL,
         "repeated-k-gram span detection (substring-level dedup)",
@@ -6091,7 +6091,7 @@ QUERIES: dict[str, QuerySpec] = {
         _BPE_LEARN_SQL,
         "distributed BPE merge training (greedy pair-count rounds)",
     ),
-    "a44_ivf_pq_adc": QuerySpec(
+    "q129_ivf_pq_adc": QuerySpec(
         q_ivf_pq_adc,
         _Q_IVF_PQ_ADC_SQL,
         "IVF-PQ asymmetric-distance ANN with exact integer re-rank",
@@ -6138,7 +6138,7 @@ QUERIES: dict[str, QuerySpec] = {
         "doc-length width_bucket histogram",
     ),
     # r7 rotation #3: driver-green r4-r7 under a57; slot ceded to
-    # a49_semantic_dedup.
+    # q134_semantic_dedup.
     "q66_mixture": QuerySpec(
         q_mixture,
         _mixture_sql(),
@@ -6150,7 +6150,7 @@ QUERIES: dict[str, QuerySpec] = {
         "top distinctive terms per doc (integer tf/df ranking)",
     ),
     # r7 rotation #4: driver-green r4-r7 under a59; slot ceded to
-    # a50_rare_gram_lm.
+    # q136_rare_gram_lm.
     "q67_label_centroids": QuerySpec(
         q_label_centroids,
         _Q_LABEL_CENTROIDS_SQL,
@@ -6158,7 +6158,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r7 addition: char-n-gram LM quality gate (the CCNet/KenLM
     # perplexity-filter shape, integer-exact). Takes a59's window slot.
-    "a50_rare_gram_lm": QuerySpec(
+    "q136_rare_gram_lm": QuerySpec(
         q_rare_gram_lm,
         _q_rare_gram_sql(),
         "char-trigram rare-fraction LM gate (relative-frequency rarity)",
@@ -6203,7 +6203,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_REPETITION_INT_SQL,
         "Gopher-style within-doc repetition signals",
     ),
-    "a68_quality_gate": QuerySpec(
+    "q137_quality_gate": QuerySpec(
         q_quality_gate,
         _q_quality_gate_sql(),
         "composite quality gate with named drop reasons",
@@ -6213,7 +6213,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_PACK_SEQUENCES_SQL,
         "concat-and-chunk sequence packing planner (sharded windows)",
     ),
-    "a70_dedup_clusters": QuerySpec(
+    "q128_dedup_clusters": QuerySpec(
         q_dedup_clusters,
         _q_dedup_clusters_sql(),
         "near-dup clustering: LSH pairs -> connected components",
@@ -6243,7 +6243,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_dedup_apply_sql(),
         "end-to-end dedup: LSH -> clusters -> keep one per cluster",
     ),
-    "a76_stream_dedup": QuerySpec(
+    "q135_stream_dedup": QuerySpec(
         q_stream_dedup,
         _Q_STREAM_DEDUP_SQL,
         "streaming dedup with watermark-bounded state",
@@ -6296,7 +6296,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_WINDOW_BATTERY_SQL,
         "analytic window battery (lag/lead/rank/ntile/cume_dist)",
     ),
-    "a47_atomic_publish": QuerySpec(
+    "q132_atomic_publish": QuerySpec(
         q_atomic_publish,
         _Q_ATOMIC_PUBLISH_SQL,
         "manifest-pointer commit: killed writer, reader sees last snapshot",
@@ -6316,7 +6316,7 @@ QUERIES: dict[str, QuerySpec] = {
     # end-to-end (q-name: outside the 50-slot driver window, judge-run)
     # r7 rotation (takes a54's window slot): the commit-protocol
     # streaming twin of a47 goes under the driver gate.
-    "a48_stream_publish": QuerySpec(
+    "q133_stream_publish": QuerySpec(
         q_stream_publish,
         _Q_STREAM_PUBLISH_SQL,
         "exactly-once streaming publish: batch-id dedup through the pointer",
@@ -6324,7 +6324,7 @@ QUERIES: dict[str, QuerySpec] = {
     # r7 addition: SemDeDup-shape semantic dedup (k-means cells +
     # within-cell integer-exact cosine pruning). Takes a57's window slot
     # (a57_mixture, driver-green since r4, retires to q66).
-    "a49_semantic_dedup": QuerySpec(
+    "q134_semantic_dedup": QuerySpec(
         q_semantic_dedup,
         _q_semantic_dedup_sql(n_probe=3),
         "semantic dedup: multi-probe k-means cells + exact-cosine "
@@ -6467,62 +6467,62 @@ QUERIES: dict[str, QuerySpec] = {
         _q_bfs_khop_sql(),
         "multi-source BFS hop levels: frontier expansion + visited anti-join",
     ),
-    "q126_k_core": QuerySpec(
+    "a33_k_core": QuerySpec(
         q_k_core,
         _q_k_core_sql(),
         "k-core peeling with in-band convergence certificate",
     ),
-    "q127_linear_probe": QuerySpec(
+    "a31_linear_probe": QuerySpec(
         q_linear_probe,
         _q_linear_probe_sql(),
         "linear probe training: exact fixed-point batch GD rounds",
     ),
-    "q128_event_transitions": QuerySpec(
+    "a70_event_transitions": QuerySpec(
         q_event_transitions,
         _q_event_transitions_sql(),
         "Markov event-transition matrix: lead() pairs, ppm row probs",
     ),
-    "q129_chunk_documents": QuerySpec(
+    "a44_chunk_documents": QuerySpec(
         q_chunk_documents,
         _q_chunk_documents_sql(),
         "overlapping RAG chunking: map-only sequence+substring, 0 shuffles",
     ),
-    "q130_wav_features": QuerySpec(
+    "a40_wav_features": QuerySpec(
         q_wav_features,
         _Q_WAV_FEATURES_SQL,
         "REAL WAV audio round-trip: JVM-built PCM16, stdlib-wave parse",
     ),
-    "q131_jl_project": QuerySpec(
+    "a42_jl_project": QuerySpec(
         q_jl_project,
         _q_jl_project_sql(),
         "JL sign projection: literal Rademacher matrix, map-only, exact",
     ),
-    "q132_winnow_fingerprints": QuerySpec(
+    "a47_winnow_fingerprints": QuerySpec(
         q_winnow_fingerprints,
         _q_winnow_sql(),
         "winnowing (MOSS) fingerprints: row-local HOFs, rightmost-min",
     ),
-    "q133_skipgram_cooc": QuerySpec(
+    "a48_skipgram_cooc": QuerySpec(
         q_skipgram_cooc,
         _q_skipgram_sql(),
         "skip-gram window co-occurrence: shifted-array zips, no self-join",
     ),
-    "q134_phrase_query": QuerySpec(
+    "a49_phrase_query": QuerySpec(
         q_phrase_query,
         _q_phrase_query_sql(),
         "positional-index phrase query: offset-aligned postings joins",
     ),
-    "q135_jl_ann": QuerySpec(
+    "a76_jl_ann": QuerySpec(
         q_jl_ann,
         _q_jl_ann_sql(),
         "two-stage ANN: JL integer prefilter, exact quantized re-rank",
     ),
-    "q136_near_query": QuerySpec(
+    "a50_near_query": QuerySpec(
         q_near_query,
         _q_near_query_sql(),
         "proximity NEAR/slop query: offset-enumerated bounded range join",
     ),
-    "q137_more_like_this": QuerySpec(
+    "a68_more_like_this": QuerySpec(
         q_more_like_this,
         _q_more_like_this_sql(),
         "sparse tf-idf more-like-this: df-pruned token join, integer dot",
@@ -6562,7 +6562,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_pr_normalize_sql(),
         "per-slice percentile-rank score normalization (integer ppm)",
     ),
-    "a31_hll_distinct": QuerySpec(
+    "q127_hll_distinct": QuerySpec(
         q_hll_distinct,
         _q_hll_sql(),
         "HyperLogLog (64 registers, integer harmonic + linear counting)",
@@ -6587,7 +6587,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_bloom_sql(),
         "Bloom-filter join pruning (row-local probe vs exact semi-join)",
     ),
-    "a33_bm25_topk": QuerySpec(
+    "q126_bm25_topk": QuerySpec(
         q_bm25_topk,
         _q_bm25_sql(),
         "BM25 top-k retrieval (integer fixed-point, hex-MSB ilog2)",
