@@ -232,3 +232,18 @@ def test_k_core_partition_invariant(spark):
     a = [tuple(r) for r in k_core(e.repartition(1), k=3, rounds=3).collect()]
     b = [tuple(r) for r in k_core(e.repartition(7), k=3, rounds=3).collect()]
     assert a == b and a
+
+
+def test_k_core_rejects_zero_rounds(spark):
+    """r9 ADVICE: rounds=0 used to crash with AttributeError (prev_nodes
+    never assigned) deep in the convergence count — both the plan and
+    its oracle twin must refuse it loudly at the boundary instead."""
+    import pytest as _pytest
+
+    from xml_to_parquet_spark.functions.graph import k_core, k_core_sql
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        k_core(df, k=2, rounds=0)
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        k_core_sql("SELECT 0 AS src, 1 AS dst", k=2, rounds=0)

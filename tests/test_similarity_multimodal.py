@@ -1201,3 +1201,19 @@ def test_jl_ann_candidates_monotone_and_bounded(spark):
     assert len(d1) == 9 and len(d2_) == 9
     for key in d1:
         assert d2_[key] <= d1[key]
+
+
+def test_linear_probe_fit_overflow_fails_loud(spark):
+    """r9 ADVICE: the int64 overflow contract was documentation-only —
+    gradient sums could wrap silently into plausible-but-wrong weights.
+    Now try_multiply/try_sum + raise_error make a violating fit error
+    loudly (same hardening as pmi_pairs / more_like_this): a label far
+    outside the ppm band overflows e*scale on the very first round."""
+    import pytest as _pytest
+
+    from xml_to_parquet_spark.functions.inference import linear_probe_fit
+
+    rows = [(10**13, 500_000), (10**13, 400_000)]
+    feats = spark.createDataFrame(rows, "y long, x1 long")
+    with _pytest.raises(Exception, match="linear_probe_fit"):
+        linear_probe_fit(feats, ["x1"], rounds=1)

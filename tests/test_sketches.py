@@ -662,3 +662,38 @@ def test_ngram_diversity_partition_invariant_and_trigram(spark):
         for p in (1, 7)
     ]
     assert res[0] == res[1] and len(res[0]) > 0
+
+
+def test_bucket_anomalies_pre1970_floor_alignment(spark):
+    """r9 ADVICE: Spark div truncates toward zero while DuckDB // floors
+    — negative epoch seconds (pre-1970 timestamps) landed one bucket
+    apart, silently breaking bit-exact parity. Both sides now share the
+    FLOOR rule (epoch_bucket_sql); assert (a) the pre-epoch spike sits
+    in its floor-aligned 22:00 bucket (truncation would report 23:00)
+    and (b) full-report parity with the oracle across the epoch."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from xml_to_parquet_spark.functions.drift import (
+        bucket_anomalies,
+        bucket_anomalies_sql,
+    )
+
+    rows = []
+    for h in range(-5, 5):  # hour buckets straddling 1970-01-01
+        n = 30 if h == -2 else 3
+        for i in range(n):
+            ts = datetime(1970, 1, 1) + timedelta(hours=h, minutes=i % 60)
+            rows.append((ts, "a"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = [tuple(r) for r in bucket_anomalies(df, top_k=50).collect()]
+    spike = [r for r in got if r[2] == 30]
+    assert spike and spike[0][1] == "1969-12-31 22:00:00"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (ts TIMESTAMP, event_type VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    want = [
+        tuple(r) for r in con.execute(bucket_anomalies_sql(top_k=50)).fetchall()
+    ]
+    assert got == want and len(got) == 10

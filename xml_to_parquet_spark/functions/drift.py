@@ -37,7 +37,7 @@ BUCKET_SECONDS = {
 def bucket_seconds(bucket: str) -> int:
     """Width of ``bucket`` in seconds, or ValueError naming the allowed
     values. Shared by the Spark plan and the SQL oracle so a single
-    alignment rule (truncating epoch-second division, 1970-01-01 origin)
+    alignment rule (FLOOR epoch-second division, 1970-01-01 origin)
     governs both — F.window and DuckDB time_bucket disagree on week
     origins (Thursday epoch vs 2000-01-03 Monday), so neither is used."""
     try:
@@ -47,6 +47,35 @@ def bucket_seconds(bucket: str) -> int:
             f"unsupported bucket {bucket!r}; supported: "
             f"{sorted(BUCKET_SECONDS)}"
         ) from None
+
+
+def epoch_bucket_sql(ts_col: str, secs: int) -> str:
+    """FLOOR-division epoch bucket as a Spark SQL fragment.
+
+    Spark's ``div`` truncates toward zero while the DuckDB oracles use
+    ``//`` (floors) — they disagree exactly on negative epoch seconds
+    (pre-1970 timestamps), which would silently misalign buckets. Since
+    ``secs > 0``, floor(a/secs) = div(a,secs) - 1 when the truncating
+    remainder is negative, which is exact in int64 (no float round
+    trip). Shared by bucket_anomalies and cohort_retention so one
+    alignment rule governs every bucketing operator and its oracle."""
+    a = f"unix_timestamp({ts_col})"
+    return (
+        f"(div({a}, {secs}L) + (CASE WHEN {a} % {secs}L < 0 "
+        f"THEN -1L ELSE 0L END))"
+    )
+
+
+def floor_div_duck(a: str, b: int) -> str:
+    """Oracle twin of the floor rule: FLOOR integer division as a
+    DuckDB SQL fragment. DuckDB's ``//`` TRUNCATES on integers
+    (``-5400 // 3600 = -1``, measured) and is plain ``/`` on doubles,
+    so a bare ``//`` would keep the double-width bucket straddling the
+    epoch. Sign-aware for positive divisors (DuckDB ``%`` follows the
+    dividend sign, same as Spark)."""
+    return (
+        f"(({a}) // {b} + (CASE WHEN ({a}) % {b} < 0 THEN -1 ELSE 0 END))"
+    )
 
 
 def frequency_drift(
@@ -186,7 +215,7 @@ def bucket_anomalies(
         df.groupBy(
             F.col(group_col).alias("grp"),
             F.expr(
-                f"div(unix_timestamp({ts_col}), {secs}L) * {secs}L"
+                f"{epoch_bucket_sql(ts_col, secs)} * {secs}L"
             ).alias("bsec"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -243,15 +272,18 @@ def bucket_anomalies_sql(
 ) -> str:
     """Oracle twin of :func:`bucket_anomalies` — same bucket table, same
     integer moment algebra, same ordering. Buckets via the same
-    epoch-second truncating division as the Spark plan (make_timestamp
-    keeps it tz-independent), so hour/day/week all align identically."""
+    epoch-second FLOOR division as the Spark plan (epoch_bucket_sql;
+    DuckDB ``//`` floors natively, make_timestamp keeps it
+    tz-independent), so hour/day/week align identically even for
+    pre-1970 (negative-epoch) timestamps."""
     secs = bucket_seconds(bucket_interval)
+    epoch_s = floor_div_duck(f"epoch_ms(CAST({ts_col} AS TIMESTAMP))", 1000)
+    bucket_b = floor_div_duck(epoch_s, secs)
     return f"""
 WITH buckets AS (
   SELECT {group_col} AS grp,
          strftime(make_timestamp(
-             (epoch_ms(CAST({ts_col} AS TIMESTAMP)) // 1000
-              // {secs}) * {secs}::BIGINT * 1000000),
+             {bucket_b} * {secs}::BIGINT * 1000000),
                   '%Y-%m-%d %H:%M:%S') AS bucket_start,
          COUNT(*) AS cnt
   FROM {table} GROUP BY 1, 2

@@ -390,6 +390,10 @@ def k_core(
     chains peel away, which is why crawl-quality pipelines run this
     before trusting link-based signals).
 
+    ``rounds`` must be >= 1 — the convergence certificate compares the
+    last peel's survivor count against the final degree table, so a
+    zero-round call has no "last peel" to certify.
+
     ``rounds`` fixed peels: each round keeps nodes with degree >= ``k``
     and restricts the edge set to kept endpoints. Peeling is monotone
     (only removes), so once a round removes nothing the state is the
@@ -410,6 +414,8 @@ def k_core(
     final restricted graph, ``deg`` = degree within it (all >= k iff
     converged), ordered by node. Self-loops are dropped (k-core is a
     simple-graph notion — a loop would let a node vouch for itself)."""
+    if rounds < 1:
+        raise ValueError(f"k_core needs rounds >= 1, got {rounds}")
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if undirected:
         e = e.union(
@@ -462,6 +468,8 @@ def k_core_sql(
     """Oracle twin of :func:`k_core` — identical peels unrolled as a
     finite CTE chain, identical convergence certificate, identical
     self-loop drop."""
+    if rounds < 1:
+        raise ValueError(f"k_core_sql needs rounds >= 1, got {rounds}")
     loopless = "SELECT src, dst FROM raw_e WHERE src <> dst"
     und = (
         f"SELECT src, dst FROM ({loopless}) "

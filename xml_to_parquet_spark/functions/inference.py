@@ -230,7 +230,11 @@ def linear_probe_fit(
     Overflow contract: ``lr_num * |e|_max * scale * n`` must fit int64 —
     with ppm features, labels in [0, scale], and |w| staying in the
     lr-bounded band this holds for n up to ~1e6 rows per fit (fit on a
-    sample beyond that, the published practice for linear probes).
+    sample beyond that, the published practice for linear probes). The
+    contract is ENFORCED, not documentation: gradient products and sums
+    go through try_multiply/try_sum with raise_error on null, so a
+    violating fit errors loudly instead of returning plausible-but-
+    wrong weights (same hardening as pmi_pairs and more_like_this).
 
     Returns a model-sized DataFrame ``(pos, w)`` — pos 0 is the bias,
     pos j is ``feature_cols[j-1]`` — after exactly ``rounds`` rounds.
@@ -255,10 +259,27 @@ def linear_probe_fit(
             + [f"{c} * {w[j + 1]}L" for j, c in enumerate(feature_cols)]
         )
         e = f"(y - div({dot}, {scale}L))"
+
+        # Overflow fails LOUD, not plausible-but-wrong: try_multiply
+        # nulls a wrapping per-row product e*x and try_sum nulls a
+        # wrapping int64 accumulator (the real risk at n ≫ 1e6), and
+        # raise_error turns either null into an error naming the
+        # documented contract — same hardening as pmi_pairs /
+        # more_like_this (association.py:129, retrieval.py:425).
+        def _gsum(x: str) -> str:
+            return (
+                f"ifnull(try_sum(ifnull(try_multiply({e}, {x}), "
+                f"raise_error('linear_probe_fit: per-row gradient "
+                f"product e*x overflows int64'))), "
+                f"raise_error('linear_probe_fit: gradient sum "
+                f"overflows int64 - fit on a sample (contract: "
+                f"lr_num*|e|max*scale*n must fit int64)'))"
+            )
+
         aggs = [F.count(F.lit(1)).alias("n"),
-                F.expr(f"sum({e} * {scale}L)").alias("g0")]
+                F.expr(_gsum(f"{scale}L")).alias("g0")]
         aggs += [
-            F.expr(f"sum({e} * {c})").alias(f"g{j + 1}")
+            F.expr(_gsum(c)).alias(f"g{j + 1}")
             for j, c in enumerate(feature_cols)
         ]
         row = base.agg(*aggs).collect()[0]
@@ -274,8 +295,10 @@ def linear_probe_fit(
 
 
 def _tdiv_sql(a: str, b: str) -> str:
-    """Truncation-toward-zero integer division for DuckDB (`//` floors,
-    Spark's div truncates — they differ on negative numerators)."""
+    """Truncation-toward-zero integer division for DuckDB, written
+    sign-explicitly. (Measured: DuckDB's integer ``//`` also truncates
+    — ``-7 // 2 = -3`` — so this matches Spark ``div`` by construction
+    rather than by relying on that undocumented behavior.)"""
     return f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) " \
            f"ELSE -((-({a})) // ({b})) END)"
 

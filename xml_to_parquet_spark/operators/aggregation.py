@@ -250,10 +250,13 @@ def cohort_retention(
     replays it without timezone/calendar ambiguity. Unsupported bucket
     strings raise ValueError naming the allowed values (shared rule with
     drift.bucket_anomalies)."""
-    from xml_to_parquet_spark.functions.drift import bucket_seconds
+    from xml_to_parquet_spark.functions.drift import (
+        bucket_seconds,
+        epoch_bucket_sql,
+    )
 
     secs = bucket_seconds(bucket)
-    b = F.expr(f"div(unix_timestamp({ts_col}), {secs}L)")
+    b = F.expr(epoch_bucket_sql(ts_col, secs))
     firsts = (
         df.groupBy(F.col(user_col).alias("u"))
         .agg(F.min(b.cast("long")).alias("cohort_b"))
@@ -295,10 +298,15 @@ def cohort_retention_sql(
 ) -> str:
     """Oracle twin of :func:`cohort_retention` — same epoch-bucket
     integer arithmetic, same distinct-activity semantics."""
-    from xml_to_parquet_spark.functions.drift import bucket_seconds
+    from xml_to_parquet_spark.functions.drift import (
+        bucket_seconds,
+        floor_div_duck,
+    )
 
     secs = bucket_seconds(bucket)
-    b = f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) // {secs}"
+    b = floor_div_duck(
+        f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)", secs
+    )
     return f"""
 WITH firsts AS (
   SELECT {user_col} AS u, MIN({b}) AS cohort_b FROM {table} GROUP BY 1
