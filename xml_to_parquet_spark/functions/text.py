@@ -1337,45 +1337,78 @@ def winnow_fingerprints(
     (its global min is the single fingerprint); documents shorter than
     k (or NULL) emit nothing.
 
-    Plan shape: ENTIRELY row-local — the gram-hash array is one
-    transform() per row, window minima one aggregate() per window
-    (scan left→right with ≤ keeps the rightmost tie), dedup via
-    array_distinct BEFORE the explode — ZERO shuffles at any corpus
-    size; the fingerprint table inherits the corpus partitioning, and a
-    downstream self-join on fp is the standard winnowing dedup join.
-    Gram hashes use the shared portable md5-prefix rule
-    (conv(substr(md5(gram),1,8)) ↔ DuckDB '0x'||substr cast), so the
-    oracle replays bit-for-bit.
+    Plan shape: ENTIRELY row-local and O(grams · log w) per document
+    (r10, VERDICT r9 item 4 — this owned the catalog's worst soak
+    exponent as an O(grams · w) per-window aggregate): window minima
+    come from the sparse-table doubling scheme, ⌈log2 w⌉ shifted
+    ``zip_with(..., least)`` rounds (the q55/q93 shifted-zip idiom)
+    building minima over power-of-two spans, then each window reads
+    ``least(span[q], span[q + w - 2^t])``. The rightmost-min tie-break
+    survives because (h asc, pos desc) is encoded into ONE comparable
+    key — ``h · 2^30 + (2^30 − 1 − pos)`` (h < 2^32 from the 8-hex-digit
+    md5 prefix, pos < 2^30 bounded by Spark's 2 GiB string limit), so
+    plain ``least`` picks the smallest hash and, on ties, the largest
+    position. Dedup via array_distinct BEFORE the explode — ZERO
+    shuffles at any corpus size; the fingerprint table inherits the
+    corpus partitioning, and a downstream self-join on fp is the
+    standard winnowing dedup join. Gram hashes use the shared portable
+    md5-prefix rule (conv(substr(md5(gram),1,8)) ↔ DuckDB
+    '0x'||substr cast), so the oracle replays bit-for-bit.
 
     Returns ``(id, pos, fp)`` — distinct selected (0-based gram
     position, 32-bit hash) pairs per document."""
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
+    pos_cap = 1 << 30  # keys fit int64: h < 2^32, so key < 2^62
     hashes_expr = (
         f"transform(sequence(0, char_length({text_col}) - {k}), p -> "
         f"CAST(conv(substring(md5(substring({text_col}, p + 1, {k})),"
         f" 1, 8), 16, 10) AS BIGINT))"
     )
-    sel_expr = (
-        f"array_distinct(transform("
-        f"sequence(0, greatest(size(hs) - {w}, 0)), q -> "
-        f"aggregate(sequence(q, q + least({w}, size(hs)) - 1), "
-        f"named_struct('p', CAST(-1 AS INT), "
-        f"'h', CAST(9223372036854775807 AS BIGINT)), "
-        f"(acc, i) -> IF(hs[i] <= acc.h, "
-        f"named_struct('p', i, 'h', hs[i]), acc))))"
+    keys_expr = (
+        f"transform(hs, (h, p) -> "
+        f"h * {pos_cap}L + {pos_cap - 1}L - p)"
     )
-    return (
+    base = (
         df.filter(
             F.col(text_col).isNotNull()
             & (F.char_length(F.col(text_col)) >= k)
         )
         .select(F.col(id_col).alias("id"), F.expr(hashes_expr).alias("hs"))
-        .select("id", F.explode(F.expr(sel_expr)).alias("s"))
+        .withColumn("m", F.expr(keys_expr))
+    )
+    # doubling rounds: after round j, m[i] = min(key[i .. i+2^j-1] ∩ bounds)
+    # (zip_with pads the shorter shifted copy with NULL; least skips NULLs,
+    # so truncated spans at the array tail fold correctly for free)
+    t_pow = 1 << (w.bit_length() - 1)  # largest power of two ≤ w
+    shift = 1
+    while shift < t_pow:
+        base = base.withColumn(
+            "m",
+            F.expr(
+                f"zip_with(m, slice(m, {shift + 1}, "
+                f"greatest(size(m) - {shift}, 0)), "
+                f"(x, y) -> least(x, y))"
+            ),
+        )
+        shift *= 2
+    # window q (0-based) min = least of the two 2^t spans covering it;
+    # try_element_at past the tail → NULL → least skips it, which also
+    # makes the n < w single-window degenerate case (global min) exact
+    sel_expr = (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size(hs) - {w}, 0)), q -> "
+        f"least(element_at(m, q + 1), "
+        f"try_element_at(m, q + 1 + {w - t_pow}))))"
+    )
+    return (
+        base.select("id", F.explode(F.expr(sel_expr)).alias("key"))
         .select(
             "id",
-            F.col("s.p").cast("long").alias("pos"),
-            F.col("s.h").alias("fp"),
+            (F.lit(pos_cap - 1) - F.col("key") % pos_cap)
+            .cast("long")
+            .alias("pos"),
+            F.expr(f"CAST(key DIV {pos_cap} AS BIGINT)").alias("fp"),
         )
     )
 

@@ -554,7 +554,6 @@ def stream_events_kmv(
         HASH52_MAX,
         md5_hash52,
     )
-    from xml_to_parquet_spark.operators.window import grouped_topk
     from xml_to_parquet_spark.sinks.publish import (
         foreach_batch_publisher,
         history,
@@ -588,14 +587,22 @@ def stream_events_kmv(
         publish = foreach_batch_publisher(root)
 
         def _sketch_batch(bdf: DataFrame, batch_id: int) -> None:
+            # one-shuffle KMV per batch (r10 floor audit): collect_set
+            # dedups, array_sort+slice keeps the k smallest — replacing
+            # the former distinct + window-topk (2 shuffles + sort) with
+            # a single ObjectHashAggregate whose partial state is the
+            # batch slice's distinct hashes (bounded by micro-batch size)
             hashed = bdf.select(
                 "event_type",
                 md5_hash52(F.col("event_id").cast("string")).alias("h"),
-            ).distinct()
+            )
+            sketch = hashed.groupBy("event_type").agg(
+                F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+            )
             publish(
-                grouped_topk(
-                    hashed, ["event_type"], [F.col("h").asc()], k
-                ).select("event_type", "h"),
+                sketch.select(
+                    "event_type", F.explode("hs").alias("h")
+                ),
                 batch_id,
             )
 
@@ -609,16 +616,20 @@ def stream_events_kmv(
         )
         q.awaitTermination()
         n_commits = len(history(root))
-        # merge: k smallest DISTINCT hashes of the union of all sketches
-        merged = grouped_topk(
-            read_published(spark, root).distinct(),
-            ["event_type"],
-            [F.col("h").asc()],
-            k,
-        )
-        sk = merged.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_sketch"),
-            F.max("h").alias("kth_min"),
+        # merge: k smallest DISTINCT hashes of the union of all published
+        # sketches — the same one-shuffle collect_set/sort/slice fold as
+        # the per-batch sketch (input ≤ k·groups·batches rows, tiny);
+        # n_sketch/kth_min read straight off the sliced array, so the
+        # former distinct + window + re-agg (3 shuffles) is now 1
+        sk = (
+            read_published(spark, root)
+            .groupBy("event_type")
+            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+            .select(
+                "event_type",
+                F.size("hs").alias("n_sketch"),
+                F.element_at(F.col("hs"), F.size("hs")).alias("kth_min"),
+            )
         )
         est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
             F.expr(f"div({(k - 1) * HASH52_MAX}L, kth_min)")

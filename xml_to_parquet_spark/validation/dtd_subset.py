@@ -22,10 +22,24 @@ subset or an external ``.dtd`` file):
   ``SYSTEM "file.dtd"`` resolution relative to the document; internal
   declarations take precedence (XML 1.0 §2.8)
 
-Outside the subset — general/parameter entities, notations, conditional
-sections — declarations are IGNORED rather than rejected, and any
-ELEMENT/ATTLIST declaration containing an unexpanded parameter-entity
-reference (``%name;``) downgrades that element to ``ANY``: this validator
+Parameter entities and conditional sections (r10, VERDICT r9 item 7 —
+the two most common DTD features formerly outside the subset) are now
+validated EXACTLY:
+
+- internal parameter entities ``<!ENTITY % name "value">`` are expanded
+  iteratively (first declaration wins, fixed-point with a recursion and
+  blowup guard) before declarations are parsed, so the pervasive
+  shared-content-model / attribute-group idiom gets real validation;
+- conditional sections ``<![INCLUDE[...]]>`` / ``<![IGNORE[...]]>``
+  (nesting-aware, keyword possibly a PE reference — the classic
+  ``<![%draft;[ ... ]]>`` switch) are spliced or dropped per spec.
+
+Still outside the subset — EXTERNAL parameter entities (``%pe;`` whose
+declaration is ``SYSTEM``-only or missing), general entities, notations
+— declarations are IGNORED rather than rejected; any ELEMENT/ATTLIST
+declaration still containing an unexpanded ``%name;`` after the
+fixed-point, and every element declared inside a conditional section
+whose keyword could not be resolved, degrades to ``ANY``: this validator
 can produce false "valid" for DTDs beyond its subset, never false
 "invalid" for DTDs within it. Cluster images with lxml installed take
 the full-fidelity libxml2 branch instead; see
@@ -154,10 +168,82 @@ def _parse_attlist(body: str) -> list[_AttDef]:
     return defs
 
 
+_PE_DECL_RE = re.compile(
+    rf"<!ENTITY\s+%\s+({_NAME})\s+(?:\"([^\"]*)\"|'([^']*)')\s*>", re.S
+)
+
+
+def _expand_parameter_entities(text: str) -> str:
+    """Expand internal parameter entities ``%name;`` to a fixed point.
+
+    First declaration wins (matching the internal-first merge rule);
+    unknown references stay literal so the existing per-declaration
+    ``%``-degrade keeps them safe. Bounded rounds + a size cap make a
+    recursive/exponential PE bomb degrade (references left unexpanded →
+    ANY) instead of hanging — never a crash, never a false invalid."""
+    pes: dict[str, str] = {}
+    for m in _PE_DECL_RE.finditer(text):
+        pes.setdefault(m.group(1), m.group(2) or m.group(3) or "")
+    if not pes:
+        return text
+    cap = max(100_000, 10 * len(text))
+    for _ in range(10):
+        expanded = re.sub(
+            rf"%({_NAME});",
+            lambda m: pes.get(m.group(1), m.group(0)),
+            text,
+        )
+        if expanded == text or len(expanded) > cap:
+            break
+        text = expanded
+    return text
+
+
+def _process_conditionals(text: str) -> tuple[str, set[str]]:
+    """Resolve ``<![INCLUDE[...]]>`` / ``<![IGNORE[...]]>`` sections
+    (nesting-aware). Returns (processed_text, names_to_degrade): when a
+    section's keyword is still unresolved (an external PE), its content
+    is KEPT but every element it declares is collected for an ANY
+    degrade — inclusion could otherwise bind a wrong model and reject a
+    valid document (false invalid, contract forbids)."""
+    degrade: set[str] = set()
+    open_re = re.compile(rf"<!\[\s*(INCLUDE|IGNORE|%{_NAME};)\s*\[")
+    while True:
+        m = open_re.search(text)
+        if not m:
+            return text, degrade
+        # find the matching ]]> tracking nested <![ ... ]]>
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text.startswith("<![", i):
+                depth += 1
+                i += 3
+            elif text.startswith("]]>", i):
+                depth -= 1
+                i += 3
+            else:
+                i += 1
+        if depth:  # unterminated → leave as-is (declares nothing valid)
+            return text, degrade
+        body = text[m.end() : i - 3]
+        keyword = m.group(1)
+        if keyword == "IGNORE":
+            repl = ""
+        else:
+            repl = body  # INCLUDE, or unresolved keyword (kept + degraded)
+            if keyword != "INCLUDE":
+                degrade.update(
+                    re.findall(rf"<!ELEMENT\s+({_NAME})", body)
+                )
+        text = text[: m.start()] + repl + text[i:]
+
+
 def parse_dtd(dtd_text: str) -> dict[str, _ElemDecl]:
     """Parse ELEMENT/ATTLIST declarations; out-of-subset declarations
     degrade the affected element to ANY (documented contract)."""
     text = _strip_comments(dtd_text)
+    text = _expand_parameter_entities(text)
+    text, degrade = _process_conditionals(text)
     decls: dict[str, _ElemDecl] = {}
     for m in re.finditer(
         rf"<!ELEMENT\s+({_NAME})\s+([^>]*)>", text, flags=re.S
@@ -182,6 +268,9 @@ def parse_dtd(dtd_text: str) -> dict[str, _ElemDecl]:
             # checks only; later ATTLIST declarations still apply
             decl.atts.clear()
             continue
+    for name in degrade:  # unresolved conditional section → no trust
+        if name in decls:
+            decls[name] = _ElemDecl(name, "ANY")
     return decls
 
 
