@@ -161,8 +161,8 @@ def main() -> None:
         "q42_percentile", "q91_grouping_sets",
         # dedup family
         "q20_dedup_exact", "a40_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
-        "a60_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
-        "a75_dedup_apply", "q90_fuzzy_pairs", "q92_fuzzy_qgram",
+        "q139_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
+        "q138_dedup_apply", "q90_fuzzy_pairs", "q92_fuzzy_qgram",
         "a42_substring_dedup", "a49_semantic_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
@@ -184,7 +184,7 @@ def main() -> None:
         "q87_zorder_key", "q89_scd2", "q50_salted_agg",
         # multimodal / scoring
         "q29_multimodal_decode", "q121_multimodal_resize", "q120_batch_score",
-        "q113_netpbm_real",
+        "q113_netpbm_real", "a75_image_phash_dedup", "a60_audio_fp_dedup",
     ]
     line = json.dumps(
         {

@@ -1357,3 +1357,76 @@ def test_ann_topk_auto_dispatch(spark):
     )
     assert auto_big == direct_ivf
     assert len({r[0] for r in auto_big}) == len(big_q)
+
+
+def _wav(samples: list[int], rate: int = 8000) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint64_known_envelope_and_gain_invariance():
+    # 4 frames of 2 samples: energies 2*a^2 rising, falling, rising
+    samples = [10, 10, 20, 20, 5, 5, 30, 30]
+    fp, n = multimodal.audio_fingerprint64(_wav(samples), n_frames=4)
+    assert n == 8
+    assert fp == 0b101  # up, down, up
+    # uniform gain preserves every energy comparison → same fingerprint
+    fp2, _ = multimodal.audio_fingerprint64(
+        _wav([s * 3 for s in samples]), n_frames=4
+    )
+    assert fp2 == fp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="clip too short"):
+        multimodal.audio_fingerprint64(_wav([1, 2]), n_frames=4)
+    with _pytest.raises(ValueError, match="n_frames"):
+        multimodal.audio_fingerprint64(_wav(samples), n_frames=1)
+
+
+def test_audio_neardup_pairs_blocked_exact(spark):
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    base = [rng.randint(-200, 200) for _ in range(130)]
+    variant = base[:]
+    variant[7] += 400  # perturb one frame's energy
+    other = [rng.randint(-200, 200) for _ in range(130)]
+    payloads = [_wav(base), _wav(variant), _wav(base), _wav(other)]
+    fps = [
+        multimodal.audio_fingerprint64(p)[0] for p in payloads
+    ]
+    expect = sorted(
+        (a, b, bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1"))
+        for a, b in itertools.combinations(range(4), 2)
+        if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 3
+    )
+    assert (0, 2, 0) in expect  # exact-duplicate clip pair present
+    df = spark.createDataFrame(
+        list(zip(range(4), payloads)), "id long, payload binary"
+    )
+    got = sorted(
+        tuple(r)
+        for r in multimodal.audio_neardup_pairs(df, max_hamming=3).collect()
+    )
+    assert got == expect
+    # partition invariance of the fingerprint stage
+    one = sorted(
+        tuple(r) for r in multimodal.audio_fingerprint_batch(df).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in multimodal.audio_fingerprint_batch(
+            df.repartition(3)
+        ).collect()
+    )
+    assert one == many

@@ -78,7 +78,7 @@ FORBIDDEN_NODES = {
     # blocked pair searches must never plan an all-pairs cross product
     "q90_fuzzy_pairs": "CartesianProduct",
     "q92_fuzzy_qgram": "CartesianProduct",
-    "a60_simhash_blocked": "CartesianProduct",
+    "q139_simhash_blocked": "CartesianProduct",
     # r6: repeated-k-gram spans must join postings↔repeated-hash set on
     # the gram hash, never cross-product; ADC must never go all-pairs
     "a42_substring_dedup": "CartesianProduct",

@@ -61,9 +61,9 @@ RUNGS = {
             "q119_pq_codes",
             "a77_dedup_clusters_star",
             "q90_fuzzy_pairs",
-            "a60_simhash_blocked",
+            "q139_simhash_blocked",
             "a40_dedup_ngram_jaccard",
-            "a75_dedup_apply",
+            "q138_dedup_apply",
             "a70_dedup_clusters",
             "q115_kmeans_cells",
             "q42_percentile",
@@ -89,7 +89,7 @@ RUNGS = {
             "q20_dedup_exact",
             "q22_dedup_minhash_sig",
             "q23_dedup_minhash_lsh",
-            "a60_simhash_blocked",
+            "q139_simhash_blocked",
             "q17_text_quality",
             "q120_batch_score",
         ],

@@ -624,6 +624,95 @@ def pcm16_wav_expr(
     return F.expr(f"unhex(concat({header}, {body}))")
 
 
+AUDIO_FP_SCHEMA = "id long, afp long, n_samples long"
+
+
+def audio_fingerprint64(payload: bytes, n_frames: int = 65) -> tuple[int, int]:
+    """REAL audio perceptual fingerprint of a RIFF/WAVE PCM16 clip (r10 —
+    the audio twin of :func:`dhash64`, completing the modality matrix:
+    text fingerprints, image dHash, audio energy-delta). Parse with the
+    stdlib ``wave`` module, frame the PCM into ``n_frames`` equal spans
+    with the floor-index rule, compute each frame's int64 energy Σ s²,
+    then bit i = energy[i+1] > energy[i] — the sign-of-energy-difference
+    scheme of the Haitsma-Kalker audio fingerprint collapsed to one band
+    (robust to volume scaling direction and codec noise the way exact
+    byte hashing is not). n_frames=65 → the classical 64-bit signature,
+    packed little-endian, uint64 reinterpreted as int64. Returns
+    (fingerprint, n_samples); raises for clips shorter than n_frames
+    (no meaningful envelope) and non-PCM16 payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not (2 <= n_frames <= 65):
+        raise ValueError(f"n_frames must be in [2, 65], got {n_frames}")
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"PCM16 expected, got width {w.getsampwidth()}")
+        raw = w.readframes(w.getnframes())
+    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    n = int(s.size)
+    if n < n_frames:
+        raise ValueError(f"clip too short: {n} samples < {n_frames} frames")
+    bounds = (np.arange(n_frames + 1) * n) // n_frames
+    sq = np.concatenate(([0], np.cumsum(s * s)))
+    energies = sq[bounds[1:]] - sq[bounds[:-1]]
+    bits = (energies[1:] > energies[:-1]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(n_frames - 1, dtype=np.uint64)
+    fp = int((bits * weights).sum(dtype=np.uint64).view(np.int64))
+    return fp, n
+
+
+def audio_fingerprint_batch(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    n_frames: int = 65,
+) -> DataFrame:
+    """Arrow-batched audio-fingerprint stage over (id, payload) →
+    AUDIO_FP_SCHEMA — one int64 out per clip; the audio bytes die inside
+    the Python worker (the dhash_batch contract for the audio modality)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                fp, n = audio_fingerprint64(bytes(payload), n_frames)
+                out.append((int(i), fp, n))
+            yield pd.DataFrame(out, columns=["id", "afp", "n_samples"])
+
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_run, AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    n_frames: int = 65,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: energy-delta fingerprint each clip
+    (Arrow kernel), then every pair within ``max_hamming`` via the same
+    pigeonhole chunk blocker as image/text SimHash
+    (``dedup.simhash_blocked_pairs`` at bits=64) — candidate volume ∝
+    clips sharing a 16-bit fingerprint chunk, never all-pairs. Output
+    (id_a, id_b, hamming), id_a < id_b, exact."""
+    from xml_to_parquet_spark.functions.dedup import simhash_blocked_pairs
+
+    sig = audio_fingerprint_batch(
+        df, id_col=id_col, payload_col=payload_col, n_frames=n_frames
+    ).select(F.col("id").alias("doc_id"), F.col("afp").alias("simhash"))
+    return simhash_blocked_pairs(
+        sig, id_col="doc_id", max_hamming=max_hamming, bits=64
+    )
+
+
 def wav_features_batch(
     df: DataFrame, id_col: str = "id", payload_col: str = "payload"
 ) -> DataFrame:

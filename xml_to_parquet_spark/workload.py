@@ -5433,6 +5433,85 @@ def _q_jl_project_sql() -> str:
     return jl_project_sql("embeddings", in_dim=64, out_dim=8)
 
 
+def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup via perceptual fingerprint (r10 — the audio
+    twin of q138's image dHash, completing the dedup modality matrix).
+    Deterministic 260-sample mono PCM16 WAV clips are BUILT JVM-side
+    (multimodal.pcm16_wav_expr over a 65-frame amplitude walk that
+    encodes a per-group bit pattern plus a per-doc one-bit flip), then
+    the REAL pipeline runs: stdlib `wave` parse → numpy frame energies →
+    64-bit energy-delta fingerprint (audio_fingerprint64, Arrow kernel)
+    → pigeonhole Hamming blocking (simhash_blocked_pairs at bits=64).
+    Clips in the same group of 4 differ by ≤1 fingerprint bit; the
+    oracle replays the generative bit formula and the exact Hamming
+    join — a driver match proves a real audio container was decoded and
+    its envelope fingerprinted bit-exactly."""
+    from xml_to_parquet_spark.functions.multimodal import (
+        audio_neardup_pairs,
+        pcm16_wav_expr,
+    )
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("doc_id DIV 4")
+    did = F.col("doc_id")
+
+    def _bit(i):
+        # per-group 63-bit envelope pattern + per-doc flip (bit 63
+        # structurally 0 → fingerprint stays BIGINT-safe for the oracle)
+        base = ((g + 1) * (i + 23) * F.lit(1103515245)) % 1000000007 % 2
+        flip = F.when(
+            (did % 4 == 1) & (i == did % 63), F.lit(1)
+        ).otherwise(F.lit(0))
+        return F.when(i >= 63, F.lit(0)).otherwise((base + flip) % 2)
+
+    # amp[f+1] − amp[f] = 2·bit(f) − 1, so frame-energy comparison f
+    # (4 equal samples per frame, amplitudes positive) IS bit f
+    def _amp(f):
+        walk = F.aggregate(
+            F.sequence(F.lit(0), (f - 1).cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + 2 * _bit(j) - 1,
+        )
+        return F.lit(100) + F.when(f == 0, F.lit(0)).otherwise(walk)
+
+    samples = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(64)),
+            lambda f: F.array_repeat(_amp(f).cast("int"), 4),
+        )
+    )
+    clips = docs.select(did.alias("id"), samples.alias("samples")).select(
+        "id", pcm16_wav_expr("samples", sample_rate=8000).alias("payload")
+    )
+    return audio_neardup_pairs(clips, max_hamming=3)
+
+
+# Exact replay: fingerprint bit i of clip = group base bit XOR per-doc
+# flip (bit 63 structurally 0), hash = Σ bit·2^i, pairs = exact
+# Hamming-≤-3 join — q138's oracle shape with the audio constants.
+_Q_AUDIO_FP_SQL = """
+WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents),
+b AS (
+  SELECT d.doc_id, i.i,
+         ((((d.g + 1) * (i.i + 23) * 1103515245) % 1000000007) % 2
+          + CASE WHEN d.doc_id % 4 = 1 AND i.i = d.doc_id % 63
+                 THEN 1 ELSE 0 END) % 2 AS bit
+  FROM d CROSS JOIN (SELECT unnest(range(0, 63)) AS i) i
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS h
+  FROM b GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b2.h)) AS INT) AS hamming
+FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.h, b2.h)) <= 3
+"""
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode in the catalog (r9, the a45-netpbm pattern for
     the AUDIO modality): deterministic mono PCM16 RIFF/WAVE payloads are
@@ -6181,7 +6260,12 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_IVF_PQ_ADC_SQL,
         "IVF-PQ asymmetric-distance ANN with exact integer re-rank",
     ),
-    "q138_image_phash_dedup": QuerySpec(
+    "a60_audio_fp_dedup": QuerySpec(
+        q_audio_fp_dedup,
+        _Q_AUDIO_FP_SQL,
+        "audio near-dup dedup: WAV decode → energy-delta fp → Hamming",
+    ),
+    "a75_image_phash_dedup": QuerySpec(
         q_image_phash_dedup,
         _Q_IMAGE_PHASH_SQL,
         "image near-dup dedup: netpbm decode → dHash → Hamming blocking",
@@ -6253,7 +6337,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_rare_gram_sql(),
         "char-trigram rare-fraction LM gate (relative-frequency rarity)",
     ),
-    "a60_simhash_blocked": QuerySpec(
+    "q139_simhash_blocked": QuerySpec(
         q_simhash_blocked,
         _simhash_blocked_sql(),
         "SimHash Hamming pairs via pigeonhole chunk blocking",
@@ -6328,7 +6412,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_assign_split_sql(),
         "deterministic train/val/test split assignment",
     ),
-    "a75_dedup_apply": QuerySpec(
+    "q138_dedup_apply": QuerySpec(
         q_dedup_apply,
         _q_dedup_apply_sql(),
         "end-to-end dedup: LSH -> clusters -> keep one per cluster",
