@@ -39,7 +39,7 @@ def commit_backend(request, tmp_path_factory):
 
     if request.param == "objectstore":
         if request.node.get_closest_marker("posix_only"):
-            pytest.skip("exercises POSIX lock internals")
+            pytest.skip("exercises POSIX pointer internals")
         store = pub.EmulatedObjectStore(
             str(tmp_path_factory.mktemp("objstore"))
         )
@@ -469,33 +469,50 @@ def test_concurrent_commit_first_wins_loser_raises(spark, tmp_path):
 
 
 @pytest.mark.posix_only
-def test_commit_lock_stale_break_and_timeout(spark, tmp_path, monkeypatch):
-    """A crashed committer's stale lock is broken; a fresh held lock makes
-    the second committer time out with ConcurrentCommitError."""
+def test_posix_dead_committer_wreckage_ignored(spark, tmp_path):
+    """The generation-link CAS needs no crash recovery: a dead
+    committer's leftovers (a legacy _COMMIT_LOCK file from the pre-r10
+    lock protocol, an orphaned .tmp pointer file from a kill between
+    pre-write and link) neither block nor corrupt later publishes."""
     import xml_to_parquet_spark.sinks.publish as pub
+    from xml_to_parquet_spark.sinks.publish import history
 
     root = str(tmp_path / "t")
     publish_parquet(_snapshot(spark, 10, "v1"), root)
 
-    # stale lock (older than _LOCK_STALE_S): next publish breaks it
-    lock = os.path.join(root, "_COMMIT_LOCK")
-    with open(lock, "w") as fh:
-        fh.write("pid=dead\n")
-    old = os.path.getmtime(lock) - (pub._LOCK_STALE_S + 60)
-    os.utime(lock, (old, old))
+    with open(os.path.join(root, "_COMMIT_LOCK"), "w") as fh:
+        fh.write("pid=dead\n")  # legacy wreckage: ignored junk now
+    tmp_orphan = os.path.join(root, pub._PTR_DIR, ".tmp.deadbeef0000")
+    with open(tmp_orphan, "w") as fh:
+        fh.write("v99999999-dead.json")  # killed mid-CAS, before link
+
     publish_parquet(_snapshot(spark, 20, "v2"), root)
     assert read_published(spark, root).count() == 20
-    assert not os.path.exists(lock)
+    assert [m["version"] for m in history(root)] == [2, 1]
+    # orphan temp never became a generation: it can't be read as state
+    name, token = pub._read_pointer(root)
+    assert token[0] == 2 and name.endswith(".json")
 
-    # fresh lock held by a live committer: bounded wait, then clean error
-    with open(lock, "w") as fh:
-        fh.write("pid=live\n")
-    monkeypatch.setattr(pub, "_LOCK_WAIT_S", 0.2)
-    with pytest.raises(pub.ConcurrentCommitError, match="lock"):
-        publish_parquet(_snapshot(spark, 5, "v3"), root)
-    os.unlink(lock)
-    # and the table still reads the last committed snapshot
+
+@pytest.mark.posix_only
+def test_posix_legacy_current_only_table_migrates(spark, tmp_path):
+    """A table predating _ptr/ (only a _CURRENT file) reads through the
+    gen-0 fallback, and its first CAS creates generation 1 exactly-once;
+    reads prefer _ptr/ from then on."""
+    import shutil
+
+    import xml_to_parquet_spark.sinks.publish as pub
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+    shutil.rmtree(os.path.join(root, pub._PTR_DIR))  # simulate legacy
+
+    name, token = pub._read_pointer(root)
+    assert token == (0, name) and name is not None  # _CURRENT fallback
+    publish_parquet(_snapshot(spark, 20, "v2"), root)
     assert read_published(spark, root).count() == 20
+    name2, token2 = pub._read_pointer(root)
+    assert token2[0] == 1 and name2 != name
 
 
 def test_append_schema_checked_and_evolvable(spark, tmp_path):
@@ -902,74 +919,74 @@ def test_per_root_backend_routing(spark, tmp_path):
 
 
 @pytest.mark.posix_only
-def test_stale_break_is_single_winner(tmp_path):
-    """The r8 ADVICE race, mechanically: two waiters both judge the same
-    lock stale. With rename-based breaking, the SECOND breaker's attempt
-    cannot remove the fresh lock the first breaker's committer just
-    re-acquired — rename targets the stale inode exactly once."""
+def test_generation_link_single_winner(tmp_path):
+    """Two committers CAS from the same witness generation: the exclusive
+    hard-link admits exactly one; the loser gets ConcurrentCommitError
+    and the committed generation carries the winner's manifest name."""
     import xml_to_parquet_spark.sinks.publish as pub
 
     root = str(tmp_path / "t")
     os.makedirs(root)
-    lock = os.path.join(root, "_COMMIT_LOCK")
-    with open(lock, "w") as fh:
-        fh.write("pid=dead\n")
-    # breaker 1 wins: stale lock gone
-    pub._break_stale_lock(lock)
-    assert not os.path.exists(lock)
-    # committer A re-acquires (fresh lock, new inode)
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    ino = os.fstat(fd).st_ino
-    os.close(fd)
-    # breaker 2 fires late with the OLD staleness judgment: under the old
-    # unlink-based code this deleted A's fresh lock silently; rename-based
-    # breaking instead either no-ops (lock already gone) or visibly steals
-    # the lock, which A detects via its identity check before swapping
-    pub._break_stale_lock(lock)
-    stolen = not pub.PosixCommitBackend._holds(lock, ino)
-    assert stolen  # breaker 2 DID steal it (the race is real)...
-    # ...but A's pre-swap identity check catches it (next test drives
-    # that through cas_pointer itself)
+    be = pub.PosixCommitBackend()
+    _, token = be.read_pointer(root)  # (0, None) bootstrap witness
+    be.cas_pointer(root, "m1.json", expected_token=token)
+    with pytest.raises(pub.ConcurrentCommitError):
+        be.cas_pointer(root, "m1-loser.json", expected_token=token)
+    name, token2 = be.read_pointer(root)
+    assert (name, token2[0]) == ("m1.json", 1)
 
 
 @pytest.mark.posix_only
-def test_stolen_lock_aborts_commit_instead_of_double_swap(
+def test_generation_cas_no_lost_update_under_interleaving(
     tmp_path, monkeypatch
 ):
-    """Drive the full race through cas_pointer: a breaker steals the
-    committer's LIVE lock inside the CAS window. The committer must abort
-    with ConcurrentCommitError and must NOT swap the pointer — the lost
-    update the old code allowed."""
+    """The exact interleaving that beat the old lock protocol (a second
+    committer completes its FULL commit inside the first's CAS window,
+    after the first's freshness re-check): the first committer's link
+    targets an already-taken generation and must fail — the pointer
+    never regresses, no update is lost."""
     import xml_to_parquet_spark.sinks.publish as pub
 
     root = str(tmp_path / "t")
     os.makedirs(root)
-    pub._atomic_write(os.path.join(root, "_CURRENT"), b"m1.json")
     be = pub.PosixCommitBackend()
-    real_read = pub._read_pointer_file
+    _, t0 = be.read_pointer(root)
+    be.cas_pointer(root, "m1.json", expected_token=t0)
+    _, t1 = be.read_pointer(root)  # (1, 'm1.json') — both witnesses
 
-    def stealing_read(r):
-        out = real_read(r)
-        # a concurrent waiter misjudges our microseconds-old lock as
-        # stale and breaks it while we're inside the CAS section
-        pub._break_stale_lock(os.path.join(r, "_COMMIT_LOCK"))
+    real_read = pub.PosixCommitBackend.read_pointer
+    fired = {"done": False}
+
+    def interleaving_read(self, r):
+        out = real_read(self, r)
+        if not fired["done"]:
+            # committer B lands its ENTIRE commit inside A's window,
+            # right after A's freshness re-check passes
+            fired["done"] = True
+            be2 = pub.PosixCommitBackend()
+            be2.cas_pointer(r, "m2-by-B.json", expected_token=t1)
         return out
 
-    monkeypatch.setattr(pub, "_read_pointer_file", stealing_read)
-    with pytest.raises(pub.ConcurrentCommitError, match="broken out"):
-        be.cas_pointer(root, "m2.json", expected_token="m1.json")
-    monkeypatch.setattr(pub, "_read_pointer_file", real_read)
-    assert real_read(root) == "m1.json"  # pointer did NOT move
+    monkeypatch.setattr(
+        pub.PosixCommitBackend, "read_pointer", interleaving_read
+    )
+    with pytest.raises(pub.ConcurrentCommitError, match="generation"):
+        be.cas_pointer(root, "m2-by-A.json", expected_token=t1)
+    monkeypatch.setattr(pub.PosixCommitBackend, "read_pointer", real_read)
+    name, token = be.read_pointer(root)
+    assert (name, token[0]) == ("m2-by-B.json", 2)  # B's commit intact
 
 
 def test_concurrent_publish_stress_no_lost_update(
     spark, tmp_path, commit_backend
 ):
-    """N threads race full publishes over a table seeded with a STALE
-    lock (posix) / from the same parent (objectstore). Every publish must
-    either commit or raise ConcurrentCommitError, and the committed
+    """N threads race full publishes from the same parent (plus legacy
+    lock wreckage on the posix path, now ignored junk). Every publish
+    must either commit or raise ConcurrentCommitError, and the committed
     history must name every winner exactly once — a silently lost update
-    would shorten the parent chain below the success count."""
+    would shorten the parent chain below the success count. (This test
+    CAUGHT the r10 bug: under load the old lock-based posix CAS admitted
+    two winners ~1/200 runs; the generation-link CAS measured 0/1000.)"""
     import threading
 
     import xml_to_parquet_spark.sinks.publish as pub
@@ -977,11 +994,8 @@ def test_concurrent_publish_stress_no_lost_update(
 
     root = str(tmp_path / "t")
     publish_parquet(_snapshot(spark, 10, "seed"), root)
-    lock = os.path.join(root, "_COMMIT_LOCK")
-    with open(lock, "w") as fh:  # stale wreckage for the posix path
-        fh.write("pid=dead\n")
-    old = os.path.getmtime(lock) - (pub._LOCK_STALE_S + 60)
-    os.utime(lock, (old, old))
+    with open(os.path.join(root, "_COMMIT_LOCK"), "w") as fh:
+        fh.write("pid=dead\n")  # pre-r10 wreckage: must be ignored
 
     # pre-materialize version data on the driver thread (Spark jobs from
     # many threads are fine, but keep the race window on the COMMIT)
@@ -1018,4 +1032,29 @@ def test_concurrent_publish_stress_no_lost_update(
     assert [m["version"] for m in chain][-1] == 1
     assert f"{chain[0]['version_id']}.json" == wins[0]
     if commit_backend == "posix":
-        assert not os.path.exists(lock)  # no lock debris survives
+        # generation chain agrees with the committed history
+        name, token = pub._read_pointer(root)
+        assert name == wins[0] and token[0] == 2
+
+
+@pytest.mark.posix_only
+def test_vacuum_prunes_pointer_generations(spark, tmp_path):
+    """Long append chains must not accumulate pointer debris: vacuum
+    keeps the newest `keep` generations (never fewer than the max) and
+    the table still reads and commits normally afterwards."""
+    import xml_to_parquet_spark.sinks.publish as pub
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+    for i in range(5):
+        publish_parquet(_snapshot(spark, 1, f"a{i}"), root, mode="append")
+    pdir = os.path.join(root, pub._PTR_DIR)
+    assert len(os.listdir(pdir)) == 6
+    vacuum_published(root, keep=2)
+    gens = sorted(os.listdir(pdir))
+    assert gens == ["g000000000005", "g000000000006"]
+    name, token = pub._read_pointer(root)
+    assert token[0] == 6
+    assert read_published(spark, root).count() == 15
+    publish_parquet(_snapshot(spark, 1, "post"), root, mode="append")
+    assert pub._read_pointer(root)[1][0] == 7

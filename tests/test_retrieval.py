@@ -235,3 +235,42 @@ def test_more_like_this_symmetry_and_determinism(spark):
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 8
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from xml_to_parquet_spark.functions.retrieval import RRF_SCALE, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_ppb"], r["n_channels"], r["fused_rank"])
+        for r in rrf_fuse([lex, sem], k_const=60, k=10).collect()
+    }
+    c = lambda r: RRF_SCALE // (60 + r)
+    # doc 10: ranks 1+3; doc 20: 2+1; doc 30: 3 only; doc 40: 2 only
+    exp = {
+        10: c(1) + c(3), 20: c(2) + c(1), 30: c(3), 40: c(2),
+    }
+    assert {d: v[0] for d, v in got.items()} == exp
+    assert got[10][1] == 2 and got[30][1] == 1
+    # doc 20 (16129032+16393442) beats doc 10 (16393442+15873015)
+    order = sorted(got, key=lambda d: got[d][2])
+    assert order == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_single_channel_and_guards(spark):
+    import pytest as _pytest
+
+    from xml_to_parquet_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    rows = rrf_fuse([lex], k=1).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k_const"):
+        rrf_fuse([lex], k_const=0)

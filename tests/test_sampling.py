@@ -443,3 +443,69 @@ def test_chunk_documents_validates_overlap(spark):
         chunk_documents(df, chunk_chars=10, overlap=10)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=10, overlap=-1)
+
+
+# ---------------------------------------------------------------------------
+# No-split NFD packing (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_nosplit_hand_traced(spark):
+    from xml_to_parquet_spark.functions.sampling import pack_sequences_nosplit
+
+    # one shard (ids 0..5 all < 64): sizes desc = 9(id2),7(id0),5(id4),
+    # 4(id1),3(id5),2(id3); budget 12 → bins: [9]=9, +7>12 → new [7,5]=12,
+    # +4>12 → new [4,3,2]=9
+    rows = [(0, 7), (1, 4), (2, 9), (3, 2), (4, 5), (5, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in pack_sequences_nosplit(df, budget=12).collect()
+    }
+    assert got == {
+        2: (0, 9), 0: (1, 7), 4: (1, 12),
+        1: (2, 4), 5: (2, 7), 3: (2, 9),
+    }
+
+
+def test_pack_nosplit_oversize_and_guards(spark):
+    import pytest as _pytest
+
+    from xml_to_parquet_spark.functions.sampling import pack_sequences_nosplit
+
+    rows = [(0, 30), (1, 5), (2, 6)]  # 30 > budget 10 → own flagged bin
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in pack_sequences_nosplit(df, budget=10).collect()
+    }
+    assert got[0] == (0, 30)  # bin_fill > budget flags the oversize doc
+    assert got[2] == (1, 6)  # next after the oversize opens a fresh bin
+    assert got[1] == (2, 5)  # 6+5 > 10 → next-fit opens another
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences_nosplit(df, budget=0)
+    with _pytest.raises(ValueError, match="shard_size"):
+        pack_sequences_nosplit(df, budget=10, shard_size=0)
+
+
+def test_pack_nosplit_partition_invariant_and_shards(spark):
+    from xml_to_parquet_spark.functions.sampling import pack_sequences_nosplit
+
+    rows = [(i, 100 + (i * 37) % 251) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    one = sorted(
+        tuple(r)
+        for r in pack_sequences_nosplit(df, budget=700, shard_size=32)
+        .collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in pack_sequences_nosplit(
+            df.repartition(13), budget=700, shard_size=32
+        ).collect()
+    )
+    assert one == many
+    # shards are id DIV 32; no bin ever overflows unless a single oversize doc
+    for shard, doc_id, n, b, fill in one:
+        assert shard == doc_id // 32
+        assert fill <= 700 or fill == n

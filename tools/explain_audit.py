@@ -69,6 +69,9 @@ REQUIRED_NODES = {
     "q25_dedup_embedding": "FlatMapGroupsInPandas",
     # r6: ADC candidates come from a broadcast equi-join on cell id
     "a44_ivf_pq_adc": "BroadcastHashJoin",
+    # r10: no-split packing runs shard-grouped in Arrow workers — never a
+    # driver-side loop
+    "q140_pack_nosplit": "FlatMapGroupsInPandas",
 }
 # query → physical node that must NOT appear
 FORBIDDEN_NODES = {
@@ -100,19 +103,54 @@ FORBIDDEN_NODES = {
     # an id equi-join — an unbroadcast cross product would mean the
     # corpus self-joined
     "q135_jl_ann": "CartesianProduct",
+    # r10: image/audio perceptual-hash pair searches reuse the pigeonhole
+    # chunk equi-join — all-pairs would defeat the blocking
+    "a75_image_phash_dedup": "CartesianProduct",
+    "a60_audio_fp_dedup": "CartesianProduct",
 }
+
+
+def _slug(key: str) -> str:
+    return key.split("_", 1)[1]
+
+
+def _rekey(rules: dict, catalog: dict) -> dict:
+    """Resolve rule keys by SLUG against the current catalog (r10): the
+    50-slot window rotation renames entries every round (a## ↔ q##, slug
+    preserved), and name-keyed rules silently went dangling after the r9
+    rotation (q126_k_core etc. no longer existed). Slug identity is the
+    same convention rotation_report uses. A rule whose slug matches NO
+    catalog entry is a hard error — rules must never rot silently."""
+    by_slug = {_slug(k): k for k in catalog}
+    out = {}
+    for key, val in rules.items():
+        cur = by_slug.get(_slug(key))
+        if cur is None:
+            raise SystemExit(
+                f"explain_audit: rule for {key!r} matches no catalog slug"
+            )
+        out[cur] = val
+    return out
 
 
 def main() -> int:
     from xml_to_parquet_spark.session import get_spark
     from xml_to_parquet_spark.workload import QUERIES
 
+    global BROADCAST_ONLY, PUSHDOWN, PRUNING, REQUIRED_NODES, FORBIDDEN_NODES
+    BROADCAST_ONLY = set(_rekey(dict.fromkeys(BROADCAST_ONLY), QUERIES))
+    PUSHDOWN = _rekey(PUSHDOWN, QUERIES)
+    PRUNING = _rekey(PRUNING, QUERIES)
+    REQUIRED_NODES = _rekey(REQUIRED_NODES, QUERIES)
+    FORBIDDEN_NODES = _rekey(FORBIDDEN_NODES, QUERIES)
+
     spark = get_spark("explain_audit")
     spark.sparkContext.setLogLevel("ERROR")
     hard_fail = []
 
+    skip_slugs = {"streaming_window", "multimodal_decode"}
     for name, spec in QUERIES.items():
-        if name in ("q36_streaming_window", "q29_multimodal_decode"):
+        if _slug(name) in skip_slugs:
             continue  # streaming/pandas plans don't expose these nodes
         try:
             df = spec.fn(spark, SF_DIR)

@@ -495,3 +495,51 @@ ranked AS (
 SELECT query_id, neighbor_id, score, rank
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+RRF_SCALE = 1_000_000_000  # integer reciprocal-rank unit (ppb)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (r10) — the standard hybrid-search merge
+    (Cormack/Clarke/Büttcher RRF): each channel contributes
+    ``RRF_SCALE div (k_const + rank)`` per document; channels that
+    missed a document contribute nothing. All-integer, so the fused
+    ranking is bit-exact in any engine — no score normalization problem
+    (the reason RRF beats score interpolation across incompatible
+    channel scales like BM25 fixed-point vs cosine).
+
+    Inputs: each DataFrame carries (``id_col``, ``rank``) — the top-C of
+    one retrieval channel (BM25, ANN, phrase, ...). Output:
+    (id, rrf_ppb, n_channels, fused_rank) top-``k`` by
+    (rrf_ppb DESC, id ASC).
+
+    Plan shape: channels are already tiny (top-C each), so the union +
+    one groupBy + one WindowGroupLimit is model-sized work regardless of
+    corpus size — the corpus cost lives in the channels themselves.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k_const < 1:
+        raise ValueError(f"rrf_fuse: k_const must be >= 1, got {k_const}")
+    from pyspark.sql import Window
+
+    u = rankings[0].select(id_col, "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(id_col, "rank"))
+    contrib = F.expr(f"div({RRF_SCALE}L, {k_const} + rank)")
+    fused = u.groupBy(id_col).agg(
+        F.sum(contrib).alias("rrf_ppb"),
+        F.count(F.lit(1)).cast("int").alias("n_channels"),
+    )
+    w = Window.orderBy(F.col("rrf_ppb").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .orderBy("fused_rank")
+    )

@@ -22,6 +22,7 @@ single scan, no per-stratum jobs).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -228,6 +229,114 @@ def pack_sequences(
             "n_chunks", (F.col("end_chunk") - F.col("start_chunk") + 1)
         )
     )
+
+
+PACK_NOSPLIT_SCHEMA = (
+    "shard long, doc_id long, n_tokens long, bin_id int, bin_fill long"
+)
+
+
+def pack_sequences_nosplit(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_size: int = 64,
+) -> DataFrame:
+    """NO-SPLIT sequence packing (r10) — the SFT/finetuning discipline
+    (:func:`pack_sequences` is the pretraining concat-and-chunk twin):
+    documents are never cut; within each shard they are taken in
+    next-fit-decreasing order (n_tokens DESC, id ASC) and appended to
+    the current bin until it would overflow ``budget``, which opens a
+    new bin. A document longer than the budget gets a bin of its own
+    (bin_fill > budget flags it — callers drop or truncate upstream).
+
+    Packing with a running reset-on-overflow state is inherently
+    SEQUENTIAL — not a window function — so this is the documented
+    Pandas-UDF escape hatch: ``applyInPandas`` per shard (shard =
+    ``id DIV shard_size``), shards packing in parallel with bounded
+    memory (≤ shard_size rows each), no carry across shards — exactly
+    how distributed loaders shard packing anyway. The whole plan is one
+    shuffle on the shard key. Deterministic, so the DuckDB oracle
+    replays it with a recursive CTE advancing every shard in lockstep.
+
+    Returns (shard, doc_id, n_tokens, bin_id, bin_fill) where bin_fill
+    is the bin's cumulative fill after placing the doc.
+    """
+    if budget < 1:
+        raise ValueError(f"pack_sequences_nosplit: budget must be >= 1, got {budget}")
+    if shard_size < 1:
+        raise ValueError(
+            f"pack_sequences_nosplit: shard_size must be >= 1, got {shard_size}"
+        )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_ids, fills = [], []
+        bid, fill = -1, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if bid < 0 or fill + t > budget:
+                bid += 1
+                fill = t
+            else:
+                fill += t
+            bin_ids.append(bid)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int32")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["shard", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
+
+    from xml_to_parquet_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
+    base = df.select(
+        F.expr(f"{id_col} DIV {shard_size}").alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("shard").applyInPandas(_pack, PACK_NOSPLIT_SCHEMA)
+
+
+def pack_nosplit_sql(
+    budget: int,
+    table: str = "documents",
+    token_expr: str = "n_chars",
+    id_col: str = "doc_id",
+    shard_size: int = 64,
+    order: bool = True,
+) -> str:
+    """Oracle twin of :func:`pack_sequences_nosplit`: a recursive CTE
+    walks each shard's rank order one row per iteration (every shard
+    advances in lockstep), carrying the (bin_id, bin_fill) state —
+    the exact sequential semantics, no approximation."""
+    tail = f"ORDER BY shard, bin_id, {id_col}" if order else ""
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {id_col} AS doc_id, CAST({token_expr} AS BIGINT) AS n_tokens,
+         {id_col} // {shard_size} AS shard,
+         row_number() OVER (PARTITION BY {id_col} // {shard_size}
+                            ORDER BY {token_expr} DESC, {id_col} ASC) AS rk
+  FROM {table}
+),
+pack AS (
+  SELECT shard, rk, doc_id, n_tokens,
+         0 AS bin_id, n_tokens AS bin_fill
+  FROM d WHERE rk = 1
+  UNION ALL
+  SELECT d.shard, d.rk, d.doc_id, d.n_tokens,
+         CASE WHEN p.bin_fill + d.n_tokens > {budget}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + d.n_tokens > {budget}
+              THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END
+  FROM pack p JOIN d ON d.shard = p.shard AND d.rk = p.rk + 1
+)
+SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+       CAST(bin_id AS INT) AS bin_id, CAST(bin_fill AS BIGINT) AS bin_fill
+FROM pack {tail}
+"""
 
 
 def leakage_safe_split(

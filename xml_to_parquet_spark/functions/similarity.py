@@ -1278,7 +1278,14 @@ def jl_ann_topk(
     WindowGroupLimit top-C; stage 2 joins the C·|Q| candidate ids back
     to the corpus (equi-join on id) for exact vectors. Corpus is
     scanned twice but never self-joined; the heavy side never
-    shuffles more than C·|Q| rows."""
+    shuffles more than C·|Q| rows.
+
+    QUERY-VOLUME CONTRACT (r10): stage 1 is corpus×|Q| work — the right
+    tool for a HANDFUL of ad-hoc queries (zero model fit). Past the
+    measured crossover (|Q| between 64 and 256 on the sf0.1 corpus —
+    SCALING.md "ANN dispatch crossover", and lower on bigger corpora)
+    ``ivf_pq_adc_topk``'s fixed fit amortizes and wins; use
+    :func:`ann_topk_auto` to dispatch by |Q| automatically."""
     proj = jl_project(
         df, in_dim=in_dim, out_dim=out_dim, vec_col=vec_col,
         id_col=id_col, quant=quant, seed=seed,

@@ -2846,6 +2846,31 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT next-fit-decreasing packing (r10 —
+    sampling.pack_sequences_nosplit, the SFT discipline beside q84's
+    concat-and-chunk): documents pack whole into budget-2000 bins within
+    doc_id-sharded groups of 64. Inherently sequential within a shard
+    (reset-on-overflow running state — not a window function), so the
+    Spark side is the documented applyInPandas escape hatch with shards
+    in parallel; the oracle replays the exact sequential walk with a
+    recursive CTE advancing every shard in lockstep."""
+    from xml_to_parquet_spark.functions.sampling import (
+        pack_sequences_nosplit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    return pack_sequences_nosplit(docs, budget=2000, shard_size=64)
+
+
+def _q_pack_nosplit_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import pack_nosplit_sql
+
+    return pack_nosplit_sql(2000, token_expr="n_chars", shard_size=64)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing planner over per-source token streams
     (functions/sampling.pack_sequences, sharded by source so the window is
@@ -5853,6 +5878,71 @@ def _q_bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, _NORM_SQL, k=20)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (r10,
+    retrieval.rrf_fuse): the lexical channel (a33's integer BM25 top-20)
+    and the semantic channel (q26's exact cosine top-20 for the query
+    vector, doc_id == vec_id in the testdata) merge by Σ 1e9 div
+    (60 + rank) — the standard hybrid-search combiner, all-integer so
+    the fused ranking replays bit-exactly in SQL. Channel outputs are
+    model-sized (top-C), so fusion adds one tiny groupBy + window on top
+    of whatever the channels cost."""
+    from pyspark.sql import Window
+
+    from xml_to_parquet_spark.functions.retrieval import bm25_topk, rrf_fuse
+    from xml_to_parquet_spark.functions.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_fp").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    sem = cosine_topk(emb, query_ids=[0], k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], k_const=60, k=15)
+
+
+def _q_hybrid_rrf_sql() -> str:
+    from xml_to_parquet_spark.functions.retrieval import bm25_topk_sql
+
+    bm25 = bm25_topk_sql(_BM25_TERMS, _NORM_SQL, k=20)
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS INT)
+           AS rank
+  FROM ({bm25}) t
+),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id = 0
+),
+sem AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS INT)
+           AS rank
+  FROM sem_scored QUALIFY rank <= 20
+),
+u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+f AS (
+  SELECT doc_id, CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb,
+         CAST(COUNT(*) AS INT) AS n_channels
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, rrf_ppb, n_channels,
+       CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS INT)
+         AS fused_rank
+FROM f QUALIFY fused_rank <= 15 ORDER BY fused_rank
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew pre-flight (operators/scale.skew_report): hottest keys
     + integer ppm share + the salt factor that bounds per-task rows. The
@@ -6381,6 +6471,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_quality_gate,
         _q_quality_gate_sql(),
         "composite quality gate with named drop reasons",
+    ),
+    "q141_hybrid_rrf": QuerySpec(
+        q_hybrid_rrf,
+        _q_hybrid_rrf_sql(),
+        "hybrid retrieval: BM25 + cosine channels fused by integer RRF",
+    ),
+    "q140_pack_nosplit": QuerySpec(
+        q_pack_nosplit,
+        _q_pack_nosplit_sql(),
+        "no-split NFD sequence packing (shard-parallel, recursive-CTE oracle)",
     ),
     "q84_pack_sequences": QuerySpec(
         q_pack_sequences,
