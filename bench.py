@@ -160,32 +160,38 @@ def main() -> None:
         "q01_star_revenue", "q02_grouped_multi_agg", "q35_sql_frontend",
         "q42_percentile", "q91_grouping_sets",
         # dedup family
-        "q20_dedup_exact", "a40_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
-        "q139_simhash_blocked", "a70_dedup_clusters", "a77_dedup_clusters_star",
+        "q20_dedup_exact", "q130_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
+        "q139_simhash_blocked", "q128_dedup_clusters", "a77_dedup_clusters_star",
         "q138_dedup_apply", "q90_fuzzy_pairs", "q92_fuzzy_qgram",
-        "a42_substring_dedup", "a49_semantic_dedup",
+        "q131_substring_dedup", "q134_semantic_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
-        "q115_kmeans_cells", "q119_pq_codes", "a44_ivf_pq_adc",
+        "q115_kmeans_cells", "q119_pq_codes", "q129_ivf_pq_adc",
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
-        "q93_repetition_features", "a68_quality_gate", "q112_bpe_tokens",
-        "a72_bpe_learn", "a50_rare_gram_lm", "a34_mojibake_deep",
+        "q93_repetition_features", "q137_quality_gate", "q112_bpe_tokens",
+        "a72_bpe_learn", "q136_rare_gram_lm", "a34_mojibake_deep",
         # sketches / selection
-        "a31_hll_distinct", "a25_dsir_select",
+        "q127_hll_distinct", "a25_dsir_select",
         # corpus QA / association / graph (r8)
         "a66_token_drift", "a56_gopher_rules", "a58_pmi_pairs",
         "a53_triangles", "a36_setsim_prefix", "a59_incremental_agg",
         "a55_poisson_bootstrap",
         # streaming
-        "q36_streaming_window", "a76_stream_dedup", "a90_stream_join",
-        "a48_stream_publish",
+        "q36_streaming_window", "q135_stream_dedup", "a90_stream_join",
+        "q133_stream_publish",
         # scale ops
         "q87_zorder_key", "q89_scd2", "q50_salted_agg",
         # multimodal / scoring
         "q29_multimodal_decode", "q121_multimodal_resize", "q120_batch_score",
         "q113_netpbm_real", "a75_image_phash_dedup", "a60_audio_fp_dedup",
     ]
+    # resolve headline entries by SLUG (r10): the 50-slot window rotation
+    # renames keys every round (slug preserved) and stale headline names
+    # silently dropped 10 queries from the would-be r10 line — caught by
+    # test_bench_line_fits_driver_window, same fix as explain_audit
+    by_slug = {k.split("_", 1)[1]: k for k in timings}
+    headline = [by_slug[h.split("_", 1)[1]] for h in headline]
     line = json.dumps(
         {
             "metric": "workload_total_wall",

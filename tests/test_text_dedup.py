@@ -1282,3 +1282,34 @@ def test_winnow_density_and_validation(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, w=0)
+
+
+def test_winnow_doubling_matches_reference_across_widths(spark):
+    """r10 sliding-min rewrite: the sparse-table doubling scheme must
+    reproduce the Python reference for EVERY window-width shape — w=1
+    (zero rounds, degenerate same-index fold), powers of two (offset 0),
+    and non-powers (nonzero tail offset) — on random strings including
+    heavy tie density (small alphabet repeats the same gram hashes)."""
+    import random
+
+    from xml_to_parquet_spark.functions.text import winnow_fingerprints
+
+    rng = random.Random(20260816)
+    texts = []
+    did = 0
+    for alpha in ("ab", "abcde", "abcdefghijklmnop"):
+        for n in (5, 9, 17, 40, 113):
+            did += 1
+            texts.append(
+                (did, "".join(rng.choice(alpha) for _ in range(n)))
+            )
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for k, w in [(3, 1), (3, 2), (4, 3), (4, 4), (5, 5), (4, 6), (3, 7)]:
+        got = {}
+        for r in winnow_fingerprints(df, k=k, w=w).collect():
+            got.setdefault(r.id, set()).add((r.pos, r.fp))
+        for d, t in texts:
+            if len(t) < k:
+                assert d not in got, (k, w, d)
+            else:
+                assert got.get(d, set()) == _winnow_py(t, k, w), (k, w, d)
