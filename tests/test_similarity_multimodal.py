@@ -527,7 +527,7 @@ def test_bench_line_fits_driver_window():
     # replicate the headline construction against the live catalog
     import re
 
-    keys = re.findall(r'"((?:q|a)\d\d_[a-z_0-9]+)"', src)
+    keys = re.findall(r'"((?:q|a)\d{2,3}_[a-z_0-9]+)"', src)
     missing = [k for k in keys if k not in QUERIES]
     assert not missing, f"bench headline keys not in QUERIES: {missing}"
     headline = keys
@@ -550,6 +550,13 @@ def test_bench_line_fits_driver_window():
                 "cores": 128,
                 "ref_8core_mb_per_s": 4.2,
                 "speedup": 999.99,
+            },
+            # r10 era marker rides on the printed line too
+            "era": {
+                "cal_ms_start": 99999.9,
+                "load1_start": 99.99,
+                "cal_ms_end": 99999.9,
+                "load1_end": 99.99,
             },
         },
         separators=(",", ":"),

@@ -79,6 +79,13 @@ def check_bench_line() -> tuple[str, float, str]:
                 "ref_8core_mb_per_s": 4.2,
                 "speedup": 999.99,
             },
+            # r10 era marker rides on the printed line too
+            "era": {
+                "cal_ms_start": 99999.9,
+                "load1_start": 99.99,
+                "cal_ms_end": 99999.9,
+                "load1_end": 99.99,
+            },
         },
         separators=(",", ":"),
     )

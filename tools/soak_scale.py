@@ -62,9 +62,9 @@ RUNGS = {
             "a77_dedup_clusters_star",
             "q90_fuzzy_pairs",
             "q139_simhash_blocked",
-            "a40_dedup_ngram_jaccard",
+            "q130_dedup_ngram_jaccard",
             "q138_dedup_apply",
-            "a70_dedup_clusters",
+            "q128_dedup_clusters",
             "q115_kmeans_cells",
             "q42_percentile",
             "q23_dedup_minhash_lsh",
@@ -100,7 +100,7 @@ RUNGS = {
         ["events", "customer"],
         [
             "q36_streaming_window",
-            "a76_stream_dedup",
+            "q135_stream_dedup",
             "a90_stream_join",
             "q122_stream_enrich",
         ],
@@ -114,7 +114,7 @@ RUNGS = {
         ["events", "customer"],
         [
             "q36_streaming_window",
-            "a76_stream_dedup",
+            "q135_stream_dedup",
             "a90_stream_join",
             "q122_stream_enrich",
         ],
@@ -134,13 +134,13 @@ RUNGS = {
         "/tmp/soak_events1churn",
         1,
         ["events_churn"],
-        ["a76_stream_dedup"],
+        ["q135_stream_dedup"],
     ),
     "events25churn": (
         "/tmp/soak_events25churn",
         25,
         ["events_churn"],
-        ["a76_stream_dedup"],
+        ["q135_stream_dedup"],
     ),
 }
 
@@ -241,6 +241,12 @@ def generate(dst: str, replicas: int, replicate: list[str]) -> None:
 def run(queries: list[str], dst: str, decades: float) -> dict:
     from xml_to_parquet_spark.session import get_spark
     from xml_to_parquet_spark.workload import QUERIES
+
+    # resolve names by SLUG against the live catalog (r10): window
+    # rotation renames keys every round; a stale name must remap, an
+    # unknown slug must fail loud (the explain_audit/bench fix)
+    by_slug = {k.split("_", 1)[1]: k for k in QUERIES}
+    queries = [by_slug[q.split("_", 1)[1]] for q in queries]
 
     spark = get_spark()
     # warmup
