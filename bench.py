@@ -178,7 +178,7 @@ def main() -> None:
         "a53_triangles", "a36_setsim_prefix", "a59_incremental_agg",
         "a55_poisson_bootstrap",
         # streaming
-        "q36_streaming_window", "q135_stream_dedup", "a90_stream_join",
+        "q36_streaming_window", "q135_stream_dedup", "q142_stream_join",
         "q133_stream_publish",
         # scale ops
         "q87_zorder_key", "q89_scd2", "q50_salted_agg",

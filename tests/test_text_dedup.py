@@ -1313,3 +1313,53 @@ def test_winnow_doubling_matches_reference_across_widths(spark):
                 assert d not in got, (k, w, d)
             else:
                 assert got.get(d, set()) == _winnow_py(t, k, w), (k, w, d)
+
+
+def test_strip_corpus_duplicate_lines(spark):
+    from xml_to_parquet_spark.functions.text import (
+        strip_corpus_duplicate_lines,
+    )
+
+    hdr = "SHARED HEADER"
+    rows = [
+        (1, f"{hdr}\nunique one\n\nbody A"),
+        (2, f"{hdr}\nunique two\n\nbody B"),
+        (3, f"{hdr}\nbody A\nunique three"),  # body A in 2 docs only
+        (4, None),
+        (5, hdr),  # fully boilerplate → ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cleaned"]
+        for r in strip_corpus_duplicate_lines(df, min_df=3).collect()
+    }
+    # header df=4 >= 3 → dropped everywhere; empty lines exempt (kept);
+    # 'body A' df=2 < 3 → kept
+    assert got[1] == "unique one\n\nbody A"
+    assert got[2] == "unique two\n\nbody B"
+    assert got[3] == "body A\nunique three"
+    assert got[4] is None
+    assert got[5] == ""
+    # min_df boundary: at 2, 'body A' goes too
+    got2 = {
+        r["doc_id"]: r["cleaned"]
+        for r in strip_corpus_duplicate_lines(df, min_df=2).collect()
+    }
+    assert got2[3] == "unique three"
+    # within-doc repetition does not inflate document frequency
+    df3 = spark.createDataFrame(
+        [(1, "x\nx\nx\nkeep"), (2, "other")], "doc_id long, text string"
+    )
+    got3 = {
+        r["doc_id"]: r["cleaned"]
+        for r in strip_corpus_duplicate_lines(df3, min_df=2).collect()
+    }
+    assert got3[1] == "x\nx\nx\nkeep"  # df('x') = 1 document
+    # partition invariance
+    many = {
+        r["doc_id"]: r["cleaned"]
+        for r in strip_corpus_duplicate_lines(
+            df.repartition(4), min_df=3
+        ).collect()
+    }
+    assert many == got

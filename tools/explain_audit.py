@@ -71,7 +71,7 @@ REQUIRED_NODES = {
     "a44_ivf_pq_adc": "BroadcastHashJoin",
     # r10: no-split packing runs shard-grouped in Arrow workers — never a
     # driver-side loop
-    "q140_pack_nosplit": "FlatMapGroupsInPandas",
+    "a46_pack_nosplit": "FlatMapGroupsInPandas",
 }
 # query → physical node that must NOT appear
 FORBIDDEN_NODES = {

@@ -101,7 +101,7 @@ RUNGS = {
         [
             "q36_streaming_window",
             "q135_stream_dedup",
-            "a90_stream_join",
+            "q142_stream_join",
             "q122_stream_enrich",
         ],
     ),
@@ -115,7 +115,7 @@ RUNGS = {
         [
             "q36_streaming_window",
             "q135_stream_dedup",
-            "a90_stream_join",
+            "q142_stream_join",
             "q122_stream_enrich",
         ],
     ),

@@ -1460,3 +1460,56 @@ FROM sel WHERE rn = 1
     if order:
         sql += "ORDER BY id, pos, fp"
     return sql
+
+
+def strip_corpus_duplicate_lines(
+    df: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """CORPUS-level repeated-line removal (r10) — the cross-document
+    boilerplate rule from C4/RefinedWeb that :func:`clean_lines` (which
+    is within-document) cannot express: drop every line that occurs in
+    at least ``min_df`` DISTINCT documents (navigation bars, cookie
+    banners, copyright footers repeated by templating across a site).
+    Empty lines are exempt (they are structure, not content) and
+    documents keep their remaining lines in original order; NULL text
+    stays NULL and a fully-boilerplate document becomes ``''`` (the
+    clean_lines_exploded convention, shared join-back code shape).
+
+    Plan shape: posexplode lines → document-frequency agg keyed by the
+    line (map-side-combinable count-distinct) → anti-join lines against
+    the hot set → positional reassembly. Shuffle ∝ line count; the hot
+    set is boilerplate-sized in practice (AQE broadcasts the anti-join
+    side when it measures small). Exactly replayable in SQL: raw-line
+    equality, no normalization."""
+    lines = df.select(
+        id_col,
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    hot = (
+        lines.filter(F.col("__line") != "")
+        .groupBy("__line")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__line")
+    )
+    kept = lines.join(hot, on="__line", how="left_anti")
+    joined = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__line"))
+            ).getField("__line"),
+            "\n",
+        ).alias(out_col)
+    )
+    return df.join(joined, on=id_col, how="left").withColumn(
+        out_col,
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.coalesce(F.col(out_col), F.lit(""))),
+    )

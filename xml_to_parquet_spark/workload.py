@@ -1095,19 +1095,98 @@ FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY id
 """
 
 
-def _envelope_bits_expr(mul: int, add: int, flip_mod: int):
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level repeated-line removal (r10,
+    text.strip_corpus_duplicate_lines — the C4/RefinedWeb cross-document
+    boilerplate rule; a21's clean_lines is within-document only). The
+    testdata's single-line docs are wrapped JVM-side with the exact
+    failure mode the rule exists for: a sitewide header line (df =
+    corpus) and a per-source copyright footer (df = docs-per-source);
+    at min_df=3 both boilerplate lines vanish and every body line
+    survives — replayed exactly in SQL with raw-line equality."""
+    from xml_to_parquet_spark.functions.text import (
+        strip_corpus_duplicate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return strip_corpus_duplicate_lines(docs, min_df=3).select(
+        "doc_id", "cleaned"
+    )
+
+
+_Q_CORPUS_LINE_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'Subscribe to our newsletter' || chr(10) || text || chr(10)
+           || 'Copyright ' || source AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d
+),
+hot AS (
+  SELECT line FROM l WHERE line <> ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+),
+kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
+asm AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(asm.cleaned, '') AS cleaned
+FROM d LEFT JOIN asm USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def _envelope_bits_expr(salt: str, flip_mod: int):
     """Shared generative 63-bit pattern for the perceptual-hash dedup
-    entries (a75 image / a60 audio): per-group base bit
-    ((g+1)·(i+add)·mul % 1000000007) % 2 with a per-doc one-bit flip at
+    entries (a75 image / a60 audio): per-group base bit = parity of the
+    first md5 nibble of ``g:i:salt``, with a per-doc one-bit flip at
     i = doc_id % 63 for docs with doc_id % 4 == flip_mod. One flat
-    transform — evaluated once per row."""
+    transform — evaluated once per row.
+
+    Why md5 (r10 soak finds, twice): the first cut's multiplicative
+    parity ((g+1)·(i+k)·M mod p) % 2 both OVERFLOWED int64 at the soak
+    rung's offset doc_ids and — after the stepwise-mod fix — turned out
+    heavily STRUCTURED across groups (measured P(Hamming≤3) ≈ 2.6e-4
+    between unrelated groups vs ~5e-15 for random bits → 158M accidental
+    pairs at 500k docs). md5-nibble parity is overflow-free at any
+    doc_id, portably bit-exact (Spark md5 ↔ DuckDB md5), and actually
+    mixing — cross-group matches vanish and pair volume is exactly
+    6·groups at every scale."""
     g = F.expr("doc_id DIV 4")
     did = F.col("doc_id")
     return F.transform(
         F.sequence(F.lit(0), F.lit(62)),
         lambda i: (
             (
-                ((g + 1) * (i + add) * F.lit(mul)) % 1000000007 % 2
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                g.cast("string"),
+                                F.lit(":"),
+                                i.cast("string"),
+                                F.lit(":" + salt),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
                 + F.when(
                     (did % 4 == flip_mod) & (i == did % 63), F.lit(1)
                 ).otherwise(F.lit(0))
@@ -1172,7 +1251,7 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brightness walk (grid[r,c+1] > grid[r,c] IS bit r·8+c) without
     # per-pixel aggregates. ~1s/plan vs 6s for the slice/aggregate forms.
     d = docs.withColumn(
-        "bits", _envelope_bits_expr(2654435761, 17, flip_mod=0)
+        "bits", _envelope_bits_expr("img", flip_mod=0)
     )
     d, prefix_col = _prefix_doubling(d, "bits")
 
@@ -1228,7 +1307,8 @@ _Q_IMAGE_PHASH_SQL = """
 WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents),
 b AS (
   SELECT d.doc_id, i.i,
-         ((((d.g + 1) * (i.i + 17) * 2654435761) % 1000000007) % 2
+         (CAST('0x' || substr(md5(d.g || ':' || i.i || ':img'), 1, 1)
+               AS BIGINT) % 2
           + CASE WHEN d.doc_id % 4 = 0 AND i.i = d.doc_id % 63
                  THEN 1 ELSE 0 END) % 2 AS bit
   FROM d CROSS JOIN (SELECT unnest(range(0, 63)) AS i) i
@@ -5557,7 +5637,7 @@ def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a75 image entry: amp[f] = 100 + 2·P[min(f,63)] − f (min handles
     # the structural-zero bit 63 — P caps at 63 ones while f reaches 64).
     d = docs.withColumn(
-        "bits", _envelope_bits_expr(1103515245, 23, flip_mod=1)
+        "bits", _envelope_bits_expr("aud", flip_mod=1)
     )
     d, prefix_col = _prefix_doubling(d, "bits")
     amps = F.transform(
@@ -5597,7 +5677,8 @@ _Q_AUDIO_FP_SQL = """
 WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents),
 b AS (
   SELECT d.doc_id, i.i,
-         ((((d.g + 1) * (i.i + 23) * 1103515245) % 1000000007) % 2
+         (CAST('0x' || substr(md5(d.g || ':' || i.i || ':aud'), 1, 1)
+               AS BIGINT) % 2
           + CASE WHEN d.doc_id % 4 = 1 AND i.i = d.doc_id % 63
                  THEN 1 ELSE 0 END) % 2 AS bit
   FROM d CROSS JOIN (SELECT unnest(range(0, 63)) AS i) i
@@ -6442,7 +6523,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_NETPBM_REAL_SQL,
         "REAL netpbm decode + raster resample (md5-matched output bytes)",
     ),
-    "a46_sessionize_tws": QuerySpec(
+    "q140_sessionize_tws": QuerySpec(
         q_sessionize_tws,
         _Q_SESSIONIZE_TWS_SQL,
         "transformWithStateInPandas sessions (real state protocol)",
@@ -6549,12 +6630,17 @@ QUERIES: dict[str, QuerySpec] = {
         _q_quality_gate_sql(),
         "composite quality gate with named drop reasons",
     ),
-    "q141_hybrid_rrf": QuerySpec(
+    "a90_corpus_line_dedup": QuerySpec(
+        q_corpus_line_dedup,
+        _Q_CORPUS_LINE_DEDUP_SQL,
+        "corpus-level repeated-line removal (C4 boilerplate rule)",
+    ),
+    "a32_hybrid_rrf": QuerySpec(
         q_hybrid_rrf,
         _q_hybrid_rrf_sql(),
         "hybrid retrieval: BM25 + cosine channels fused by integer RRF",
     ),
-    "q140_pack_nosplit": QuerySpec(
+    "a46_pack_nosplit": QuerySpec(
         q_pack_nosplit,
         _q_pack_nosplit_sql(),
         "no-split NFD sequence packing (shard-parallel, recursive-CTE oracle)",
@@ -6716,7 +6802,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_FUZZY_QGRAM_SQL,
         "q-gram prefix-filtered levenshtein fuzzy matching (general path)",
     ),
-    "a90_stream_join": QuerySpec(
+    "q142_stream_join": QuerySpec(
         q_stream_interval_join,
         _Q_STREAM_JOIN_SQL,
         "stream-stream interval join (funnel attribution, bounded state)",
@@ -6928,7 +7014,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_dsir_sql(),
         "DSIR importance selection (hashed-ngram integer LLR ranking)",
     ),
-    "a32_leakage_split": QuerySpec(
+    "q141_leakage_split": QuerySpec(
         q_leakage_split,
         _q_leakage_split_sql(),
         "leakage-safe split (near-dup clusters move between splits whole)",
