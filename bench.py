@@ -166,10 +166,10 @@ def main() -> None:
         "q131_substring_dedup", "q134_semantic_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
-        "q115_kmeans_cells", "q119_pq_codes", "q129_ivf_pq_adc",
+        "q119_pq_codes", "q129_ivf_pq_adc",
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
-        "q93_repetition_features", "q137_quality_gate", "q112_bpe_tokens",
+        "q137_quality_gate", "q112_bpe_tokens",
         "a72_bpe_learn", "q136_rare_gram_lm", "a34_mojibake_deep",
         # sketches / selection
         "q127_hll_distinct", "a25_dsir_select",
