@@ -105,7 +105,7 @@ def test_killed_write_leaves_previous_snapshot_intact(spark, tmp_path):
     publish_parquet(_snapshot(spark, 60, "retry"), root)
     assert read_published(spark, root).count() == 60
     # vacuum removes the orphaned half-written version dir
-    removed = vacuum_published(root, keep=2)
+    removed = vacuum_published(root, keep=2, grace_s=0)
     assert any(r.startswith("v00000002") for r in removed)
     assert read_published(spark, root).count() == 60
 
@@ -261,7 +261,7 @@ def test_vacuum_keeps_append_ancestors(spark, tmp_path):
     publish_parquet(_snapshot(spark, 10, "a"), root)
     publish_parquet(_snapshot(spark, 1, "b"), root, mode="append")
     publish_parquet(_snapshot(spark, 1, "c"), root, mode="append")
-    removed = vacuum_published(root, keep=1)
+    removed = vacuum_published(root, keep=1, grace_s=0)
     # v1's data dir is an ancestor of the current append chain: must live
     assert removed == []
     assert read_published(spark, root).count() == 12
@@ -364,7 +364,7 @@ def test_history_stops_at_vacuumed_ancestor(spark, tmp_path):
     publish_parquet(_snapshot(spark, 10, "v1"), root)
     publish_parquet(_snapshot(spark, 20, "v2"), root)
     publish_parquet(_snapshot(spark, 30, "v3"), root)
-    removed = vacuum_published(root, keep=2)
+    removed = vacuum_published(root, keep=2, grace_s=0)
     assert removed  # v1's data went away
     assert [m["version"] for m in history(root)] == [3, 2]
     with pytest.raises(FileNotFoundError):
@@ -574,7 +574,7 @@ def test_rollback_restores_snapshot_as_new_version(spark, tmp_path):
     # metadata-only: the restored version names v1's data dir, no copy
     assert h[0]["data_dirs"] == h[3]["data_dirs"]
     # vacuum keeps the restored data alive (named by a kept manifest)
-    vacuum_published(root, keep=2)
+    vacuum_published(root, keep=2, grace_s=0)
     assert _collect_sorted(read_published(spark, root)) == v1_rows
     # the bad middle versions' data went away
     with pytest.raises(FileNotFoundError):
@@ -1050,7 +1050,7 @@ def test_vacuum_prunes_pointer_generations(spark, tmp_path):
         publish_parquet(_snapshot(spark, 1, f"a{i}"), root, mode="append")
     pdir = os.path.join(root, pub._PTR_DIR)
     assert len(os.listdir(pdir)) == 6
-    vacuum_published(root, keep=2)
+    vacuum_published(root, keep=2, grace_s=0)
     gens = sorted(os.listdir(pdir))
     assert gens == ["g000000000005", "g000000000006"]
     name, token = pub._read_pointer(root)
@@ -1058,3 +1058,44 @@ def test_vacuum_prunes_pointer_generations(spark, tmp_path):
     assert read_published(spark, root).count() == 15
     publish_parquet(_snapshot(spark, 1, "post"), root, mode="append")
     assert pub._read_pointer(root)[1][0] == 7
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    """The retention-window hazard: a writer's data dir exists BEFORE its
+    manifest, so an ungraced vacuum would reclaim it and the writer would
+    commit a manifest pointing at vanished data. With the default grace,
+    the young dir survives, the in-flight publish completes, and a later
+    (aged) vacuum still reclaims genuine orphans."""
+    import xml_to_parquet_spark.sinks.publish as pub
+
+    root = str(tmp_path / "t")
+    publish_parquet(_snapshot(spark, 10, "v1"), root)
+
+    # simulate an in-flight publish: data written, manifest NOT yet
+    df = _snapshot(spark, 20, "inflight")
+    vid = "v00000002-1nf1igh7"
+    data_dir = _write_version_data(df, root, vid, None, False)
+
+    removed = vacuum_published(root, keep=2)  # default grace
+    assert removed == []  # young dir protected
+    assert os.path.isdir(data_dir)
+
+    # the writer completes its commit over the surviving data
+    name = _write_manifest(df, root, vid, [data_dir])
+    parent, token = pub._read_pointer(root)
+    pub._commit_pointer(root, name, parent, token=token)
+    got = read_published(spark, root)
+    assert got.count() == 20 and {r["tag"] for r in got.collect()} == {
+        "inflight"
+    }
+
+    # a genuinely dead writer's dir ages out and is reclaimed
+    dead = _write_version_data(_snapshot(spark, 5, "dead"), root,
+                               "v00000003-deadd34d", None, False)
+    old = os.path.getmtime(dead) - 7200
+    for dp, _dirs, fs in os.walk(dead):
+        os.utime(dp, (old, old))
+        for f in fs:
+            os.utime(os.path.join(dp, f), (old, old))
+    removed = vacuum_published(root, keep=2, grace_s=3600)
+    assert any(r.startswith("v00000003") for r in removed)

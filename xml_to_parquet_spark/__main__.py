@@ -216,6 +216,12 @@ def _build_parser() -> argparse.ArgumentParser:
     tv.add_argument(
         "--keep", type=int, default=2, help="manifests to keep (default 2)"
     )
+    tv.add_argument(
+        "--grace", type=float, default=600.0,
+        help="retention window in seconds: version dirs younger than this "
+        "are never reclaimed (an in-flight publish writes data before its "
+        "manifest exists); 0 only when no writer can be concurrent",
+    )
     tc = tsub.add_parser(
         "compact",
         help="rewrite the current version into ~target-size files as a "
@@ -434,7 +440,9 @@ def cmd_table(args: argparse.Namespace) -> int:
         print(f"restored {args.version} as {vid}")
         return 0
     if args.table_command == "vacuum":
-        removed = pub.vacuum_published(args.root, keep=args.keep)
+        removed = pub.vacuum_published(
+            args.root, keep=args.keep, grace_s=args.grace
+        )
         print(f"removed {len(removed)} version dir(s)")
         for vid in removed:
             print(f"  {vid}")

@@ -764,11 +764,24 @@ def diff_published(
     return ins.unionByName(dels)
 
 
-def vacuum_published(root: str, keep: int = 2) -> list[str]:
+def vacuum_published(
+    root: str, keep: int = 2, grace_s: float = 600.0
+) -> list[str]:
     """Delete version dirs unreachable from the newest ``keep`` committed
     manifests — failed/orphaned writes and superseded snapshots. Returns
     the removed version ids. Never touches a dir a kept manifest names
-    (append chains keep their ancestors alive by reference)."""
+    (append chains keep their ancestors alive by reference).
+
+    ``grace_s`` (r10): an IN-FLIGHT publish writes its data dir BEFORE
+    its manifest exists, so to a concurrent vacuum it is indistinguishable
+    from an orphan — deleting it would let the writer commit a manifest
+    pointing at vanished data (the Delta/Iceberg retention-window hazard,
+    same found-by-reasoning class as this round's CAS race). Dirs whose
+    newest file is younger than ``grace_s`` seconds are therefore left
+    alone; pass ``grace_s=0`` only when no writer can be concurrent
+    (tests, single-process maintenance windows)."""
+    import time as _time
+
     mdir = os.path.join(root, _MANIFESTS)
     vdir = os.path.join(root, _VERSIONS)
     if not os.path.isdir(vdir):
@@ -783,10 +796,27 @@ def vacuum_published(root: str, keep: int = 2) -> list[str]:
     if cur:  # the committed version is live no matter how old
         for d in cur["data_dirs"]:
             live.add(os.path.basename(d))
+    now = _time.time()
+
+    def _young(path: str) -> bool:
+        if grace_s <= 0:
+            return False
+        newest = os.path.getmtime(path)
+        for dp, _dirs, fs in os.walk(path):
+            for f in fs:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dp, f)))
+                except FileNotFoundError:  # pragma: no cover
+                    pass
+        return (now - newest) < grace_s
+
     removed = []
     for vid in sorted(os.listdir(vdir)):
         if vid not in live:
-            shutil.rmtree(os.path.join(vdir, vid))
+            path = os.path.join(vdir, vid)
+            if _young(path):
+                continue  # possibly an in-flight writer — retention window
+            shutil.rmtree(path)
             removed.append(vid)
     for name in manifests[:-keep]:
         if cur and name == f"{cur['version_id']}.json":
