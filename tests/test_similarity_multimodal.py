@@ -1437,3 +1437,125 @@ def test_audio_neardup_pairs_blocked_exact(spark):
         ).collect()
     )
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# Binary sign-signature ANN (r10): popcount scan + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def test_sign_signature_matches_python_reference(spark):
+    import random
+
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.similarity import (
+        HYPERPLANE_QUANT,
+        hyperplane_components_q,
+        sign_signature_batch,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: r["sig"]
+        for r in sign_signature_batch(df, n_planes=20, dim=16).collect()
+    }
+    planes = hyperplane_components_q(20, 16)
+    for i, v in rows:
+        vq = [int(np.floor(x * float(HYPERPLANE_QUANT) + 0.5)) for x in v]
+        sig = 0
+        for p in range(20):
+            dot = sum(a * b for a, b in zip(vq, planes[p]))
+            if dot >= 0:
+                sig |= 1 << p
+        assert got[i] == sig, i
+    # partition invariance
+    many = {
+        r["id"]: r["sig"]
+        for r in sign_signature_batch(
+            df.repartition(7), n_planes=20, dim=16
+        ).collect()
+    }
+    assert many == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_planes"):
+        sign_signature_batch(df, n_planes=65, dim=16).collect()
+
+
+def test_hamming_ann_full_candidates_equals_exact_bruteforce(spark):
+    """n_candidates = corpus size → stage 1 filters nothing, so the
+    result must equal the exact quantized-L2 top-k (the IVF full-probe
+    identity, binary edition) — including the int64 sign bit of the
+    64-plane signature."""
+    import random
+
+    from xml_to_parquet_spark.functions.similarity import hamming_ann_topk
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in hamming_ann_topk(
+            df, query_ids=[0, 1, 2], k=4, n_candidates=60
+        ).collect()
+    }
+    # exact integer L2 brute force in python (same quantization)
+    import numpy as np
+
+    V = {i: np.floor(np.array(v) * 1e6 + 0.5).astype(np.int64)
+         for i, v in rows}
+    for q in (0, 1, 2):
+        dists = sorted(
+            (int(((V[q] - V[j]) ** 2).sum()), j)
+            for j in V if j != q
+        )
+        for rank, (_, j) in enumerate(dists[:4], start=1):
+            assert got[(q, rank)] == j, (q, rank)
+
+
+def test_hamming_ann_candidate_bound_and_recall(spark):
+    """n_candidates bounds stage-2 input; recall vs exact top-5 at the
+    catalog operating point is a measured property — assert the floor
+    observed on the sf0.01 fixture shape (clustered corpus)."""
+    import random
+
+    from xml_to_parquet_spark.functions.similarity import hamming_ann_topk
+
+    rng = random.Random(9)
+    # clustered corpus: 6 centers, 10 points each, mild noise
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(6)
+    ]
+    rows = []
+    for i in range(60):
+        c = centers[i % 6]
+        rows.append(
+            (i, [x + rng.uniform(-0.08, 0.08) for x in c])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = hamming_ann_topk(df, query_ids=[0, 1, 2, 3], k=5,
+                              n_candidates=12).collect()
+    assert all(r["hamming"] >= 0 for r in approx)
+    got = {q: set() for q in (0, 1, 2, 3)}
+    for r in approx:
+        got[r["query_id"]].add(r["neighbor_id"])
+    import numpy as np
+
+    V = {i: np.floor(np.array(v) * 1e6 + 0.5).astype(np.int64)
+         for i, v in rows}
+    hits = total = 0
+    for q in (0, 1, 2, 3):
+        exact = [j for _, j in sorted(
+            (int(((V[q] - V[j]) ** 2).sum()), j) for j in V if j != q
+        )[:5]]
+        hits += len(got[q] & set(exact))
+        total += 5
+    assert hits / total >= 0.8, hits / total  # clustered-corpus floor

@@ -1095,6 +1095,99 @@ FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY id
 """
 
 
+def q_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-signature ANN (r10, similarity.hamming_ann_topk — the
+    FAISS IndexBinaryFlat+refine shape): 64 md5-seeded quantized
+    hyperplanes pack each embedding into ONE int64 (numpy Arrow kernel),
+    stage 1 scans the 8-byte-per-vector signature table with
+    xor+popcount keeping the 32 Hamming-nearest per query (this corpus's
+    nearest neighbors live at Hamming 14-20, measured — far past where
+    a 64-bit multi-index prunes, so the honest path is the 32×-smaller
+    linear scan binary codes exist for), stage 2 re-ranks them by exact
+    quantized L2. The oracle rebuilds the signatures from the same plane
+    literals (HUGEINT bit fold → two's-complement int64) and replays
+    both stages bit-for-bit."""
+    from xml_to_parquet_spark.functions.similarity import hamming_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hamming_ann_topk(
+        emb, query_ids=list(range(10)), k=5, n_candidates=32
+    )
+
+
+def _q_hamming_ann_sql(
+    query_max: int = 10, k: int = 5, n_candidates: int = 32,
+    n_planes: int = 64, dim: int = 64,
+) -> str:
+    from xml_to_parquet_spark.functions.similarity import (
+        HYPERPLANE_QUANT,
+        hyperplane_components_q,
+    )
+
+    planes = hyperplane_components_q(n_planes, dim, HYPERPLANE_QUANT)
+    values = ",".join(
+        f"({p},{d},{c})"
+        for p in range(n_planes)
+        for d, c in enumerate(planes[p])
+    )
+    q = float(HYPERPLANE_QUANT)
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {q} + 0.5)
+              AS BIGINT) AS vq
+  FROM embeddings
+),
+m(p, pos, c) AS (SELECT * FROM (VALUES {values})),
+bits AS (
+  SELECT v.id, m.p,
+         CASE WHEN SUM(v.vq * m.c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM v JOIN m USING (pos) GROUP BY v.id, m.p
+),
+sigs AS (
+  SELECT id,
+         CAST(CASE WHEN s >= 9223372036854775807::HUGEINT + 1
+              THEN s - 2 * (9223372036854775807::HUGEINT + 1)
+              ELSE s END AS BIGINT) AS sig
+  FROM (
+    SELECT id, SUM(CAST(bit AS HUGEINT)
+                   * (1::HUGEINT << CAST(p AS INT))) AS s
+    FROM bits GROUP BY id
+  )
+),
+scanned AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+  FROM sigs a JOIN sigs b ON a.id < {query_max} AND b.id != a.id
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC) AS rn
+    FROM scanned
+  ) WHERE rn <= {n_candidates}
+),
+exact AS (
+  SELECT c.query_id, c.neighbor_id, c.hamming,
+         CAST(SUM((qa.vq - qb.vq) * (qa.vq - qb.vq)) AS BIGINT) AS dist
+  FROM cand c
+  JOIN v qa ON qa.id = c.query_id
+  JOIN v qb ON qb.id = c.neighbor_id AND qb.pos = qa.pos
+  GROUP BY c.query_id, c.neighbor_id, c.hamming
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming, dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, hamming, dist, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-level repeated-line removal (r10,
     text.strip_corpus_duplicate_lines — the C4/RefinedWeb cross-document
@@ -6634,6 +6727,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_corpus_line_dedup,
         _Q_CORPUS_LINE_DEDUP_SQL,
         "corpus-level repeated-line removal (C4 boilerplate rule)",
+    ),
+    "q143_hamming_ann": QuerySpec(
+        q_hamming_ann,
+        _q_hamming_ann_sql(),
+        "binary sign-signature ANN: Hamming-ball candidates + exact re-rank",
     ),
     "a32_hybrid_rrf": QuerySpec(
         q_hybrid_rrf,
