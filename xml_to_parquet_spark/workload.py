@@ -6728,7 +6728,10 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_CORPUS_LINE_DEDUP_SQL,
         "corpus-level repeated-line removal (C4 boilerplate rule)",
     ),
-    "q143_hamming_ann": QuerySpec(
+    # r11 rotation (rotation_report): promoted q143 -> a27 slot so the
+    # driver window finally touches the one never-driver-checked entry;
+    # slug "hamming_ann" preserved for lineage.
+    "a27_hamming_ann": QuerySpec(
         q_hamming_ann,
         _q_hamming_ann_sql(),
         "binary sign-signature ANN: Hamming-ball candidates + exact re-rank",
@@ -7127,7 +7130,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_bm25_sql(),
         "BM25 top-k retrieval (integer fixed-point, hex-MSB ilog2)",
     ),
-    "a27_skew_report": QuerySpec(
+    # r11 rotation: retired from the window (green x3, shallowest eligible
+    # resident per rotation_report); slug "skew_report" preserved.
+    "q143_skew_report": QuerySpec(
         q_skew_report,
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
