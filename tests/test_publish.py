@@ -977,6 +977,44 @@ def test_generation_cas_no_lost_update_under_interleaving(
     assert (name, token[0]) == ("m2-by-B.json", 2)  # B's commit intact
 
 
+@pytest.mark.posix_only
+def test_scan_retries_when_vacuum_prunes_listed_max(tmp_path, monkeypatch):
+    """ADVICE r10: between a reader's listdir and its open, >=2 commits
+    can land and vacuum can prune the generation it listed as max.
+    _scan must re-list and return the NEW max, not crash. Simulated by
+    feeding _scan one stale listing (g1) after g1 has been pruned and
+    g2/g3 committed."""
+    import xml_to_parquet_spark.sinks.publish as pub
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    be = pub.PosixCommitBackend()
+    _, t0 = be.read_pointer(root)
+    be.cas_pointer(root, "m1.json", expected_token=t0)
+    _, t1 = be.read_pointer(root)
+    be.cas_pointer(root, "m2.json", expected_token=t1)
+    _, t2 = be.read_pointer(root)
+    be.cas_pointer(root, "m3.json", expected_token=t2)
+    pdir = os.path.join(root, "_ptr")
+    os.unlink(os.path.join(pdir, "g000000000001"))  # vacuum pruned g1
+
+    real_listdir = os.listdir
+    stale = {"fired": False}
+
+    def stale_then_real(path):
+        if os.path.abspath(path) == os.path.abspath(pdir) and not stale[
+            "fired"
+        ]:
+            stale["fired"] = True
+            return ["g000000000001"]  # listing taken before the prune
+        return real_listdir(path)
+
+    monkeypatch.setattr(pub.os, "listdir", stale_then_real)
+    name, token = be.read_pointer(root)
+    assert (name, token[0]) == ("m3.json", 3)
+    assert stale["fired"]
+
+
 def test_concurrent_publish_stress_no_lost_update(
     spark, tmp_path, commit_backend
 ):

@@ -1364,6 +1364,29 @@ def test_ann_topk_auto_dispatch(spark):
     )
     assert auto_big == direct_ivf
     assert len({r[0] for r in auto_big}) == len(big_q)
+    # ADVICE r10: engine-specific options must survive a dispatch flip —
+    # a JL-only option (out_dim) with a big |Q| routes to IVF-PQ without
+    # TypeError, and vice versa (m/pq_k with a small |Q|)
+    mixed_big = sorted(
+        tuple(r)
+        for r in similarity.ann_topk_auto(
+            df, big_q, k=3, jl_max_queries=8, dim=16,
+            out_dim=4, m=4, pq_k=16,
+        ).collect()
+    )
+    assert mixed_big == direct_ivf
+    mixed_small = sorted(
+        tuple(r)
+        for r in similarity.ann_topk_auto(
+            df, small_q, k=3, jl_max_queries=8, dim=16,
+            out_dim=4, m=4, pq_k=16,
+        ).collect()
+    )
+    assert mixed_small == direct_jl
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="neither"):
+        similarity.ann_topk_auto(df, small_q, k=3, dim=16, nprobee=2)
 
 
 def _wav(samples: list[int], rate: int = 8000) -> bytes:
@@ -1397,6 +1420,42 @@ def test_audio_fingerprint64_known_envelope_and_gain_invariance():
         multimodal.audio_fingerprint64(_wav([1, 2]), n_frames=4)
     with _pytest.raises(ValueError, match="n_frames"):
         multimodal.audio_fingerprint64(_wav(samples), n_frames=1)
+
+
+def _wav_stereo(frames: list[tuple[int, int]], rate: int = 8000) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        flat = [v for fr in frames for v in fr]
+        w.writeframes(struct.pack(f"<{len(flat)}h", *flat))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint64_stereo_downmix(monkeypatch):
+    """ADVICE r10: stereo clips used to be fingerprinted as interleaved
+    mono (misaligned frame energies). Now they downmix to a mono
+    envelope first: duplicated-channel stereo must match the mono
+    fingerprint exactly, and the mono frame count must halve."""
+    import wave
+
+    samples = [10, 10, 20, 20, 5, 5, 30, 30]
+    fp_mono, n_mono = multimodal.audio_fingerprint64(
+        _wav(samples), n_frames=4
+    )
+    stereo = _wav_stereo([(s, s) for s in samples])
+    fp_st, n_st = multimodal.audio_fingerprint64(stereo, n_frames=4)
+    assert (fp_st, n_st) == (fp_mono, n_mono)
+    # asymmetric channels: floor-mean downmix, not channel interleave —
+    # L=+v, R=-v-1 floor-averages to -1 per frame (flat envelope)
+    anti = _wav_stereo([(s, -s - 2) for s in samples])
+    fp_anti, _ = multimodal.audio_fingerprint64(anti, n_frames=4)
+    assert fp_anti == 0  # every frame energy equal -> no rising deltas
 
 
 def test_audio_neardup_pairs_blocked_exact(spark):

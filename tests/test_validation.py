@@ -842,3 +842,34 @@ def test_dtd_conditional_unresolved_keyword_degrades(tmp_path):
         "<![%ext;[ <!ELEMENT r (a)> ]]>\n<!ELEMENT a EMPTY>",
     )
     assert dtd_subset.validate(b"<r><a/><a/></r>", dtd_file=dtd) == []
+
+
+def test_dtd_conditional_unresolved_attlist_degrades(tmp_path):
+    """ADVICE r10: an <!ATTLIST> inside an unresolved conditional section
+    targeting an element declared OUTSIDE it must be dropped along with
+    the section's content models — if the section is really IGNORE, its
+    #REQUIRED/#FIXED/enum checks would produce a false 'invalid'."""
+    from xml_to_parquet_spark.validation import dtd_subset
+
+    dtd = _write(
+        str(tmp_path),
+        "extatt.dtd",
+        "<!ELEMENT r (a)*>\n<!ELEMENT a EMPTY>\n"
+        '<![%ext;[ <!ATTLIST a id CDATA #REQUIRED '
+        'kind (x|y) #REQUIRED> ]]>',
+    )
+    # no attributes at all: must validate (the ATTLIST is untrusted)
+    assert dtd_subset.validate(b"<r><a/></r>", dtd_file=dtd) == []
+    # value outside the untrusted enum: must also validate
+    assert dtd_subset.validate(b'<r><a kind="z"/></r>', dtd_file=dtd) == []
+    # a RESOLVED section's ATTLIST still applies (no over-degrade)
+    dtd2 = _write(
+        str(tmp_path),
+        "incatt.dtd",
+        "<!ELEMENT r (a)*>\n<!ELEMENT a EMPTY>\n"
+        "<![INCLUDE[ <!ATTLIST a id CDATA #REQUIRED> ]]>",
+    )
+    assert any(
+        "missing required attribute id" in e
+        for e in dtd_subset.validate(b"<r><a/></r>", dtd_file=dtd2)
+    )

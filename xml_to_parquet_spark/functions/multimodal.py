@@ -639,7 +639,11 @@ def audio_fingerprint64(payload: bytes, n_frames: int = 65) -> tuple[int, int]:
     byte hashing is not). n_frames=65 → the classical 64-bit signature,
     packed little-endian, uint64 reinterpreted as int64. Returns
     (fingerprint, n_samples); raises for clips shorter than n_frames
-    (no meaningful envelope) and non-PCM16 payloads."""
+    (no meaningful envelope) and non-PCM16 payloads. Multi-channel
+    clips are downmixed to mono FIRST (ADVICE r10: interleaved stereo
+    fingerprinted as mono misaligns frame energies) — integer
+    floor-mean across channels, so the documented mono-envelope
+    semantics hold for any channel count; n_samples counts mono frames."""
     import io
     import wave
 
@@ -650,8 +654,14 @@ def audio_fingerprint64(payload: bytes, n_frames: int = 65) -> tuple[int, int]:
     with wave.open(io.BytesIO(payload)) as w:
         if w.getsampwidth() != 2:
             raise ValueError(f"PCM16 expected, got width {w.getsampwidth()}")
+        nch = w.getnchannels()
         raw = w.readframes(w.getnframes())
     s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    if nch > 1:
+        # deterministic integer downmix: floor-mean over the channel
+        # axis keeps the PCM16 scale (Python-style floor division, so
+        # negative frames round the same way everywhere)
+        s = s[: (s.size // nch) * nch].reshape(-1, nch).sum(axis=1) // nch
     n = int(s.size)
     if n < n_frames:
         raise ValueError(f"clip too short: {n} samples < {n_frames} frames")

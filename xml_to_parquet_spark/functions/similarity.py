@@ -1434,16 +1434,34 @@ def ann_topk_auto(
     PQ quantization), so the recall tail can differ; both end in an
     exact integer re-rank of their candidates. Output is normalized to
     the common contract (query_id, neighbor_id, rank).
-    """
+
+    Engine-specific options (ADVICE r10: forwarding the same ``**kwargs``
+    to whichever engine |Q| picked made e.g. ``out_dim=...`` raise
+    TypeError the moment the query count crossed ``jl_max_queries``) are
+    routed by signature: each key goes only to the engine(s) that accept
+    it, so dispatch never changes which arguments are legal. A key
+    neither engine accepts raises ValueError up front (typos don't get
+    silently dropped)."""
+    import inspect
+
+    jl_params = set(inspect.signature(jl_ann_topk).parameters)
+    ivf_params = set(inspect.signature(ivf_pq_adc_topk).parameters)
+    unknown = set(kwargs) - jl_params - ivf_params
+    if unknown:
+        raise ValueError(
+            f"ann_topk_auto: options {sorted(unknown)} are accepted by "
+            f"neither jl_ann_topk nor ivf_pq_adc_topk"
+        )
     if len(query_ids) <= jl_max_queries:
         out = jl_ann_topk(
             df, query_ids, k=k, id_col=id_col, vec_col=vec_col,
-            in_dim=dim, **kwargs,
+            in_dim=dim,
+            **{k_: v for k_, v in kwargs.items() if k_ in jl_params},
         )
         return out.select("query_id", "neighbor_id", "rank")
     return ivf_pq_adc_topk(
         df, query_ids, k=k, id_col=id_col, vec_col=vec_col, dim=dim,
-        **kwargs,
+        **{k_: v for k_, v in kwargs.items() if k_ in ivf_params},
     ).select("query_id", "neighbor_id", "rank")
 
 

@@ -300,19 +300,34 @@ class PosixCommitBackend(CommitBackend):
     @staticmethod
     def _scan(root: str) -> tuple[int, str | None] | None:
         d = os.path.join(root, _PTR_DIR)
-        try:
-            gens = [
-                int(n[1:])
-                for n in os.listdir(d)
-                if n.startswith("g") and n[1:].isdigit()
-            ]
-        except FileNotFoundError:
-            return None
-        if not gens:
-            return None
-        top = max(gens)
-        with open(os.path.join(d, f"g{top:012d}")) as fh:
-            return top, fh.read().strip() or None
+        # ADVICE r10: between our listdir and our open, >=2 commits can
+        # land and a concurrent vacuum can prune the generation we
+        # listed as max (vacuum only ever deletes gens BELOW the newest
+        # keep, so a vanished g{top} proves a higher one now exists).
+        # Re-list instead of crashing the reader/committer; the loop
+        # terminates because each retry requires the table to have
+        # advanced, and a bounded fallback guards pathological churn.
+        for _ in range(64):
+            try:
+                gens = [
+                    int(n[1:])
+                    for n in os.listdir(d)
+                    if n.startswith("g") and n[1:].isdigit()
+                ]
+            except FileNotFoundError:
+                return None
+            if not gens:
+                return None
+            top = max(gens)
+            try:
+                with open(os.path.join(d, f"g{top:012d}")) as fh:
+                    return top, fh.read().strip() or None
+            except FileNotFoundError:
+                continue
+        raise ConcurrentCommitError(
+            f"table {root} pointer churned through 64 generations during "
+            f"one scan; retry the read"
+        )
 
     def read_pointer(self, root: str) -> tuple[str | None, object]:
         state = self._scan(root)
@@ -825,9 +840,10 @@ def vacuum_published(
     # prune superseded pointer generations (posix backend): only the MAX
     # generation is state — anything below is debris whose listing cost
     # would otherwise grow with every commit on long append chains. The
-    # newest `keep` generations stay (same retention as manifests);
-    # deleting strictly-below-max files can never race a reader, which
-    # only ever opens the maximum it just listed.
+    # newest `keep` generations stay (same retention as manifests).
+    # A reader CAN still observe a listed max vanish when >=2 commits
+    # land between its listdir and open (ADVICE r10) — _scan re-lists on
+    # FileNotFoundError, so this prune never crashes a reader.
     pdir = os.path.join(root, _PTR_DIR)
     if os.path.isdir(pdir):
         gens = sorted(

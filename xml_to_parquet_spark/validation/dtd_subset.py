@@ -38,8 +38,9 @@ Still outside the subset — EXTERNAL parameter entities (``%pe;`` whose
 declaration is ``SYSTEM``-only or missing), general entities, notations
 — declarations are IGNORED rather than rejected; any ELEMENT/ATTLIST
 declaration still containing an unexpanded ``%name;`` after the
-fixed-point, and every element declared inside a conditional section
-whose keyword could not be resolved, degrades to ``ANY``: this validator
+fixed-point, and every element DECLARED OR ATTLIST-TARGETED inside a
+conditional section whose keyword could not be resolved, degrades to
+``ANY`` (attribute checks dropped with the model): this validator
 can produce false "valid" for DTDs beyond its subset, never false
 "invalid" for DTDs within it. Cluster images with lxml installed take
 the full-fidelity libxml2 branch instead; see
@@ -234,6 +235,16 @@ def _process_conditionals(text: str) -> tuple[str, set[str]]:
             if keyword != "INCLUDE":
                 degrade.update(
                     re.findall(rf"<!ELEMENT\s+({_NAME})", body)
+                )
+                # ADVICE r10: an <!ATTLIST> in an unresolved section can
+                # target an element DECLARED OUTSIDE it — if the section
+                # is really IGNORE, its #REQUIRED/#FIXED/enum checks
+                # would reject valid documents (false invalid, contract
+                # forbids). Degrade those elements too: the post-merge
+                # degrade pass replaces the decl wholesale, dropping the
+                # untrusted attribute checks along with the model.
+                degrade.update(
+                    re.findall(rf"<!ATTLIST\s+({_NAME})", body)
                 )
         text = text[: m.start()] + repl + text[i:]
 
