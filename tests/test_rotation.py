@@ -1,0 +1,71 @@
+"""Window-rotation policy tests (VERDICT r10 item 3): the stalest-first
+driver window must be mechanical, idempotent, and alarmed — coverage
+debt across the 50-slot window cannot accumulate silently."""
+
+import os
+import sys
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+sys.path.insert(0, TOOLS)
+
+import rotation_report as rr  # noqa: E402
+import rotate_window as rw  # noqa: E402
+
+
+def test_window_matches_stalest_first_policy():
+    rows = rr.build_rows()
+    live = {r["entry"] for r in rows if r["in_window"]}
+    assert live == rr.desired_window(rows)
+    assert rr.PINNED in live
+
+
+def test_rotate_window_idempotent_when_policy_holds():
+    # immediately after a rotation the plan must be empty — renames
+    # happen once per round, not on every invocation
+    assert rw.plan_renames() == []
+
+
+def test_staleness_alarm_no_failures_on_current_tree():
+    failures, _warnings = rr.staleness_alarm(rr.build_rows())
+    assert failures == []
+
+
+def test_staleness_alarm_fires_on_stalled_rotation():
+    # synthetic: an entry green under the policy era, now out of the
+    # window and >STALE_BOUND stale -> must be a FAILURE, not a warning
+    rows = rr.build_rows()
+    latest = max(r["last_driver_round"] or 0 for r in rows)
+    victim = next(
+        r for r in rows if not r["in_window"] and r["green_rounds"] > 0
+    )
+    orig = rr.driver_history
+
+    def poisoned():
+        hist = orig()
+        hist[victim["slug"]] = [
+            (latest - rr.STALE_BOUND, True)  # stale by exactly BOUND+1
+        ]
+        return hist
+
+    rr.driver_history = poisoned
+    try:
+        stale_round = latest - rr.STALE_BOUND
+        if stale_round >= rr.ADOPTION_ROUND - rr.STALE_BOUND:
+            failures, _ = rr.staleness_alarm(rows)
+            assert any(victim["entry"] in f for f in failures)
+        else:  # too early in history for the post-adoption branch
+            _, warnings = rr.staleness_alarm(rows)
+            assert any(victim["entry"] in w for w in warnings)
+    finally:
+        rr.driver_history = orig
+
+
+def test_desired_window_prefers_never_checked():
+    rows = rr.build_rows()
+    want = rr.desired_window(rows)
+    for r in rows:
+        if r["last_driver_round"] is None:
+            assert r["entry"] in want, (
+                f"never-driver-checked entry {r['entry']} must be in "
+                f"the window"
+            )

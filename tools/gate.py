@@ -58,8 +58,13 @@ def check_bench_line() -> tuple[str, float, str]:
     from xml_to_parquet_spark.workload import QUERIES
 
     src = open(os.path.join(REPO, "bench.py")).read()
-    keys = re.findall(r'"((?:q|a)\d{2,3}_[a-z_0-9]+)"', src)
-    missing = [k for k in keys if k not in QUERIES]
+    raw = re.findall(r'"((?:q|a)\d{2,3}_[a-z_0-9]+)"', src)
+    # bench resolves its headline entries by SLUG (window rotation
+    # renames key prefixes every round) — mirror that here so the
+    # worst-case line is computed over the keys bench will PRINT
+    by_slug = {k.split("_", 1)[1]: k for k in QUERIES}
+    missing = [k for k in raw if k.split("_", 1)[1] not in by_slug]
+    keys = [by_slug[k.split("_", 1)[1]] for k in raw if k not in missing]
     line = json.dumps(
         {
             "metric": "workload_total_wall",
@@ -98,11 +103,37 @@ def check_bench_line() -> tuple[str, float, str]:
     return status, time.time() - t0, detail
 
 
+def check_rotation_staleness() -> tuple[str, float, str]:
+    """VERDICT r10 item 3: with 158 catalog entries and a 50-slot driver
+    window, rotation debt could accumulate silently. Fails when the live
+    window deviates from the stalest-first policy or when an entry that
+    went green under the policy is >4 rounds stale (rotation stalled);
+    pre-policy debt still draining is a warning."""
+    t0 = time.time()
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import rotation_report as rr
+
+    rows = rr.build_rows()
+    failures, warnings = rr.staleness_alarm(rows)
+    status = "PASS" if not failures else "FAIL"
+    detail = f"{len(failures)} failures, {len(warnings)} pre-policy warnings"
+    print(f"[gate] rotation-staleness: {status} in "
+          f"{time.time()-t0:.1f}s ({detail})")
+    for f_ in failures:
+        print(f"        FAIL {f_}")
+    for w in warnings[:8]:
+        print(f"        warn {w}")
+    if len(warnings) > 8:
+        print(f"        warn ... {len(warnings) - 8} more")
+    return status, time.time() - t0, detail
+
+
 def main() -> int:
     fast = "--fast" in sys.argv
     results: dict[str, str] = {}
     py = sys.executable
 
+    results["rotation_staleness"], _, _ = check_rotation_staleness()
     if not fast:
         results["pytest"], _, _ = _run(
             "pytest", [py, "-m", "pytest", "tests/", "-q"]

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Mechanically realize the stalest-first driver window (VERDICT r10
+item 3).
+
+The external driver verifies the first 50 catalog keys in sorted order,
+so window membership is decided purely by key naming (a-prefix sorts
+before q-prefix; the pinned flagship ``q01_star_revenue`` is the
+smallest q-key). This tool renames ``QUERIES`` keys in
+``xml_to_parquet_spark/workload.py`` so the live window equals
+``rotation_report.desired_window`` — the flagship + the 49 stalest
+entries. Identity across renames is the SLUG (everything after the
+first underscore), which every rename preserves; bench.py and the
+plan-audit tools resolve entries by slug, so workload.py is the only
+file a rotation touches.
+
+Naming rules enforced here (and relied on by the window arithmetic):
+
+* in-window keys get ``a`` + a free 2-digit number (a01..a99);
+* out-of-window keys get ``q`` + a free number >= 02, zero-padded to
+  2-3 digits (every such key sorts after ``q01_...`` because ``q0`` <
+  ``q1``.. holds positionally and q01 is the minimal q-key);
+* keys already on the correct side keep their exact name (minimal diff).
+
+Usage::
+
+    python tools/rotate_window.py            # rewrite workload.py
+    python tools/rotate_window.py --dry-run  # print the rename plan
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import rotation_report as rr  # noqa: E402
+
+WORKLOAD = os.path.join(rr.REPO, "xml_to_parquet_spark/workload.py")
+
+
+def plan_renames() -> list[tuple[str, str]]:
+    rows = rr.build_rows()
+    want = rr.desired_window(rows)
+    keys = [r["entry"] for r in rows]
+    stay_a = {k for k in keys if k in want and k.startswith("a")}
+    stay_q = {
+        k for k in keys if k not in want and k.startswith("q")
+    } | {rr.PINNED}
+    used_a_nums = {int(k[1:].split("_")[0]) for k in stay_a}
+    used_q_nums = {int(k[1:].split("_")[0]) for k in stay_q}
+    renames: list[tuple[str, str]] = []
+    for k in sorted(keys):
+        if k == rr.PINNED:
+            continue
+        slug = k.split("_", 1)[1]
+        if k in want and k.startswith("q"):
+            n = next(i for i in range(1, 100) if i not in used_a_nums)
+            used_a_nums.add(n)
+            renames.append((k, f"a{n:02d}_{slug}"))
+        elif k not in want and k.startswith("a"):
+            # fresh numbers above the historical max: low qNN names are
+            # documented canonical identities (CHANGES_r03) — reusing
+            # them for different slugs would corrupt the paper trail
+            n = max(used_q_nums, default=1) + 1
+            used_q_nums.add(n)
+            renames.append((k, f"q{n:03d}_{slug}"))
+    return renames
+
+
+def apply(renames: list[tuple[str, str]]) -> None:
+    src = open(WORKLOAD).read()
+    for old, new in renames:
+        pat = f'"{old}": QuerySpec('
+        if src.count(pat) != 1:
+            raise SystemExit(
+                f"expected exactly one QuerySpec key {old!r}, "
+                f"found {src.count(pat)}"
+            )
+        src = src.replace(pat, f'"{new}": QuerySpec(')
+    open(WORKLOAD, "w").write(src)
+
+
+def main() -> int:
+    renames = plan_renames()
+    if not renames:
+        print("window already matches the stalest-first policy")
+        return 0
+    for old, new in renames:
+        arrow = "PROMOTE" if new.startswith("a") else "retire "
+        print(f"  {arrow}  {old:36} -> {new}")
+    if "--dry-run" in sys.argv:
+        return 0
+    apply(renames)
+    print(f"rewrote {len(renames)} keys in {WORKLOAD}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -108,6 +108,91 @@ def build_rows():
     return rows
 
 
+PINNED = "q01_star_revenue"  # flagship: always in the window
+
+# Round the stalest-first window policy was adopted (r11, VERDICT r10
+# item 3). Entries last driver-green BEFORE (ADOPTION_ROUND - STALE_BOUND)
+# are pre-policy debt: the policy serves them stalest-first within
+# ceil((N-1)/49) rounds, so the staleness alarm exempts them until their
+# first post-adoption green. Entries green since then that exceed
+# STALE_BOUND mean rotation STALLED -> gate failure.
+ADOPTION_ROUND = 11
+STALE_BOUND = 4
+
+
+def desired_window(rows) -> set[str]:
+    """The debt-minimizing 50-slot window: the flagship + the 49 stalest
+    entries (never-driver-checked first, then oldest last-green round;
+    ties broken by bench depth DESC — deeper entries carry more signal —
+    then slug for determinism). tools/rotate_window.py renames keys to
+    realize this set; tools/gate.py fails if the live window deviates."""
+
+    def staleness_key(r):
+        never = r["last_driver_round"] is None
+        return (
+            0 if never else 1,
+            r["last_driver_round"] or 0,
+            -(r["depth_sec"] or 0.0),
+            r["slug"],
+        )
+
+    rest = sorted(
+        (r for r in rows if r["entry"] != PINNED), key=staleness_key
+    )
+    return {PINNED} | {r["entry"] for r in rest[: WINDOW - 1]}
+
+
+def staleness_alarm(rows) -> tuple[list[str], list[str]]:
+    """Returns (failures, warnings) for the gate's rotation stage.
+
+    Projected staleness at the NEXT driver round R+1: in-window entries
+    get a fresh row then (0); out-of-window entries age to
+    R+1 - last_green. Failures: (a) the live window deviates from
+    desired_window (avoidable debt — rotation not executed), (b) an
+    entry that has gone green since ADOPTION_ROUND - STALE_BOUND is
+    nonetheless >STALE_BOUND stale (rotation stalled). Pre-policy debt
+    still draining under stalest-first is a warning, not a failure."""
+    live = {r["entry"] for r in rows if r["in_window"]}
+    want = desired_window(rows)
+    failures, warnings = [], []
+    if live != want:
+        miss = sorted(want - live)
+        extra = sorted(live - want)
+        failures.append(
+            f"window deviates from stalest-first policy: "
+            f"missing {miss[:6]}{'...' if len(miss) > 6 else ''}, "
+            f"holds {extra[:6]}{'...' if len(extra) > 6 else ''}"
+        )
+    latest = max(
+        (r["last_driver_round"] or 0 for r in rows), default=0
+    )
+    nxt = latest + 1
+    hist_all = driver_history()
+    for r in rows:
+        if r["in_window"]:
+            continue  # goes green at round nxt
+        greens = [rnd for rnd, ok in hist_all.get(r["slug"], []) if ok]
+        last_green = max(greens, default=None)
+        if last_green is None:
+            failures.append(
+                f"{r['entry']}: never driver-green and NOT in the window"
+            )
+            continue
+        stale = nxt - last_green
+        if stale > STALE_BOUND:
+            if last_green >= ADOPTION_ROUND - STALE_BOUND:
+                failures.append(
+                    f"{r['entry']}: {stale} rounds since last driver "
+                    f"green (r{last_green}) — rotation stalled"
+                )
+            else:
+                warnings.append(
+                    f"{r['entry']}: pre-policy debt, {stale} rounds "
+                    f"since r{last_green} (draining stalest-first)"
+                )
+    return failures, warnings
+
+
 def suggest(rows, n_pairs=17):
     never = sorted(
         (

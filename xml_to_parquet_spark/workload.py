@@ -6408,38 +6408,38 @@ QUERIES: dict[str, QuerySpec] = {
     "q01_star_revenue": QuerySpec(
         q_star_revenue, _Q_STAR_REVENUE_SQL, "flagship 5-way star join + agg"
     ),
-    "q02_grouped_multi_agg": QuerySpec(
+    "a01_grouped_multi_agg": QuerySpec(
         q_grouped_multi_agg, _Q_GROUPED_MULTI_AGG_SQL, "A2 {col}_{fn} agg"
     ),
-    "q03_count_by_group": QuerySpec(
+    "a02_count_by_group": QuerySpec(
         q_count_by_group, _Q_COUNT_BY_GROUP_SQL, "A3 count-by-group"
     ),
-    "q04_project_filter": QuerySpec(
+    "a03_project_filter": QuerySpec(
         q_project_filter, _Q_PROJECT_FILTER_SQL, "P1/P3 projection+filter"
     ),
-    "q05_distinct": QuerySpec(q_distinct, _Q_DISTINCT_SQL, "U2 distinct"),
-    "q06_sort_limit": QuerySpec(
+    "a04_distinct": QuerySpec(q_distinct, _Q_DISTINCT_SQL, "U2 distinct"),
+    "a05_sort_limit": QuerySpec(
         q_sort_limit, _Q_SORT_LIMIT_SQL, "O1/O2 sort+limit"
     ),
-    "q07_union_by_name": QuerySpec(
+    "a06_union_by_name": QuerySpec(
         q_union_by_name, _Q_UNION_BY_NAME_SQL, "U1 ragged union"
     ),
-    "q08_surrogate_keys": QuerySpec(
+    "a07_surrogate_keys": QuerySpec(
         q_surrogate_keys, _Q_SURROGATE_KEYS_SQL, "W1 surrogate keys"
     ),
-    "q09_star_dim_keys": QuerySpec(
+    "a08_star_dim_keys": QuerySpec(
         q_star_dim_keys, _Q_STAR_DIM_KEYS_SQL, "J1/J3/W1 star build"
     ),
-    "q10_cast_null_on_fail": QuerySpec(
+    "a09_cast_null_on_fail": QuerySpec(
         q_cast_null_on_fail, _Q_CAST_NULL_SQL, "F1 null-on-fail cast"
     ),
-    "q11_regex_extract": QuerySpec(
+    "a10_regex_extract": QuerySpec(
         q_regex_extract, _Q_REGEX_EXTRACT_SQL, "F4/F5 regex"
     ),
-    "q12_conditional_classify": QuerySpec(
+    "a11_conditional_classify": QuerySpec(
         q_conditional_classify, _Q_CONDITIONAL_SQL, "P7 case ladder"
     ),
-    "q13_json_extract": QuerySpec(
+    "a12_json_extract": QuerySpec(
         q_json_extract, _Q_JSON_EXTRACT_SQL, "JSON path extraction"
     ),
     "q14_profile_classify": QuerySpec(
@@ -6448,19 +6448,19 @@ QUERIES: dict[str, QuerySpec] = {
     "q15_star_build": QuerySpec(
         q_star_build, _Q_STAR_BUILD_SQL, "catalog-driven star transform"
     ),
-    "q16_token_count": QuerySpec(
+    "a13_token_count": QuerySpec(
         q_token_count, _Q_TOKEN_COUNT_SQL, "token + BPE-ish subtoken counts"
     ),
-    "q17_text_quality": QuerySpec(
+    "a14_text_quality": QuerySpec(
         q_text_quality, _Q_TEXT_QUALITY_SQL, "doc quality features"
     ),
-    "q18_lang_id": QuerySpec(
+    "a15_lang_id": QuerySpec(
         q_lang_id, _lang_id_sql(), "heuristic language ID confusion"
     ),
-    "q19_fingerprint": QuerySpec(
+    "a16_fingerprint": QuerySpec(
         q_fingerprint, _Q_FINGERPRINT_SQL, "normalized-text fingerprints"
     ),
-    "q20_dedup_exact": QuerySpec(
+    "a17_dedup_exact": QuerySpec(
         q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
     ),
     "q130_dedup_ngram_jaccard": QuerySpec(
@@ -6468,25 +6468,25 @@ QUERIES: dict[str, QuerySpec] = {
         _ngram_jaccard_sql(),
         "LSH candidates + exact 3-gram Jaccard verify",
     ),
-    "q22_dedup_minhash_sig": QuerySpec(
+    "a18_dedup_minhash_sig": QuerySpec(
         q_dedup_minhash_sig, _minhash_sig_sql(), "MinHash signatures"
     ),
-    "q23_dedup_minhash_lsh": QuerySpec(
+    "a19_dedup_minhash_lsh": QuerySpec(
         q_dedup_minhash_lsh, _minhash_lsh_sql(), "MinHash LSH candidates"
     ),
-    "q24_dedup_simhash": QuerySpec(
+    "a20_dedup_simhash": QuerySpec(
         q_dedup_simhash, _simhash_sql(), "SimHash signatures"
     ),
-    "q25_dedup_embedding": QuerySpec(
+    "a21_dedup_embedding": QuerySpec(
         q_dedup_embedding, _Q_DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups"
     ),
-    "q26_knn_brute": QuerySpec(
+    "a22_knn_brute": QuerySpec(
         q_knn_brute, _Q_KNN_BRUTE_SQL, "brute-force cosine top-k"
     ),
-    "q27_knn_lsh": QuerySpec(
+    "a23_knn_lsh": QuerySpec(
         q_knn_lsh, _q_knn_lsh_sql(), "sign-LSH bucketed top-k"
     ),
-    "q28_multimodal_meta": QuerySpec(
+    "a24_multimodal_meta": QuerySpec(
         q_multimodal_meta, _Q_MULTIMODAL_META_SQL, "binary payload metadata"
     ),
     # r4: renamed q29 -> a92 so the decode path finally lands inside the
@@ -6499,16 +6499,16 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_MULTIMODAL_DECODE_SQL,
         "mapInPandas decode plumbing (deterministic stand-in kernel)",
     ),
-    "q30_window_running_sum": QuerySpec(
+    "a25_window_running_sum": QuerySpec(
         q_window_running_sum, _Q_WINDOW_RUNNING_SQL, "analytic running sum"
     ),
-    "q31_time_bucket": QuerySpec(
+    "a26_time_bucket": QuerySpec(
         q_time_bucket, _Q_TIME_BUCKET_SQL, "tumbling event-time window"
     ),
-    "q32_semi_join": QuerySpec(q_semi_join, _Q_SEMI_JOIN_SQL, "left semi join"),
-    "q33_anti_join": QuerySpec(q_anti_join, _Q_ANTI_JOIN_SQL, "left anti join"),
-    "q34_rollup": QuerySpec(q_rollup, _Q_ROLLUP_SQL, "rollup grouping sets"),
-    "q35_sql_frontend": QuerySpec(
+    "a28_semi_join": QuerySpec(q_semi_join, _Q_SEMI_JOIN_SQL, "left semi join"),
+    "a29_anti_join": QuerySpec(q_anti_join, _Q_ANTI_JOIN_SQL, "left anti join"),
+    "a30_rollup": QuerySpec(q_rollup, _Q_ROLLUP_SQL, "rollup grouping sets"),
+    "a31_sql_frontend": QuerySpec(
         q_sql_frontend, _Q_SQL_FRONTEND_SQL, "spark.sql frontend (TPC-H q6)"
     ),
     "q36_streaming_window": QuerySpec(
@@ -6536,45 +6536,45 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_XML_STAR_GOLDEN_SQL,
         "XML ingest -> star transform vs fully-determined golden values",
     ),
-    "q38_date_arith": QuerySpec(
+    "a32_date_arith": QuerySpec(
         q_date_arith, _Q_DATE_ARITH_SQL, "date extraction/arithmetic/diffs"
     ),
-    "q39_set_ops": QuerySpec(
+    "a33_set_ops": QuerySpec(
         q_set_ops, _Q_SET_OPS_SQL, "row-set intersect / exceptAll"
     ),
-    "q40_pivot": QuerySpec(q_pivot, _Q_PIVOT_SQL, "pivot wide by event type"),
-    "q41_string_funcs": QuerySpec(
+    "a34_pivot": QuerySpec(q_pivot, _Q_PIVOT_SQL, "pivot wide by event type"),
+    "a35_string_funcs": QuerySpec(
         q_string_funcs, _Q_STRING_FUNCS_SQL, "string function battery"
     ),
-    "q42_percentile": QuerySpec(
+    "a36_percentile": QuerySpec(
         q_percentile, _Q_PERCENTILE_SQL, "exact interpolated percentiles"
     ),
-    "q43_cube": QuerySpec(q_cube, _Q_CUBE_SQL, "cube grouping sets"),
-    "q44_asof_join": QuerySpec(
+    "a37_cube": QuerySpec(q_cube, _Q_CUBE_SQL, "cube grouping sets"),
+    "a38_asof_join": QuerySpec(
         q_asof_join, _Q_ASOF_JOIN_SQL, "as-of join composed from window"
     ),
-    "q45_sessionize": QuerySpec(
+    "a39_sessionize": QuerySpec(
         q_sessionize,
         _Q_SESSIONIZE_SQL,
         "session windows (batch twin of the stateful streaming operator)",
     ),
-    "q46_range_join": QuerySpec(
+    "a40_range_join": QuerySpec(
         q_range_join, _Q_RANGE_JOIN_SQL, "binned range join (price bands)"
     ),
-    "q47_knn_ivf": QuerySpec(
+    "a41_knn_ivf": QuerySpec(
         q_knn_ivf, _Q_KNN_IVF_SQL, "IVF approximate nearest neighbors"
     ),
-    "q48_incremental_dim": QuerySpec(
+    "a42_incremental_dim": QuerySpec(
         q_incremental_dim,
         _Q_INCREMENTAL_DIM_SQL,
         "incremental dimension merge with stable keys",
     ),
-    "q49_rollup_cascade": QuerySpec(
+    "a43_rollup_cascade": QuerySpec(
         q_rollup_cascade,
         _Q_ROLLUP_CASCADE_SQL,
         "daily-from-hourly rollup cascade (continuous aggregate)",
     ),
-    "q50_salted_agg": QuerySpec(
+    "a44_salted_agg": QuerySpec(
         q_salted_agg,
         _Q_SALTED_AGG_SQL,
         "skew-salted two-stage aggregation (bit-identical to direct)",
@@ -6591,7 +6591,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_BPE_TOKENS_SQL,
         "real BPE merge-loop token counts (broadcast merges table)",
     ),
-    "a72_bpe_learn": QuerySpec(
+    "q187_bpe_learn": QuerySpec(
         q_bpe_learn,
         _BPE_LEARN_SQL,
         "distributed BPE merge training (greedy pair-count rounds)",
@@ -6601,12 +6601,12 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_IVF_PQ_ADC_SQL,
         "IVF-PQ asymmetric-distance ANN with exact integer re-rank",
     ),
-    "a60_audio_fp_dedup": QuerySpec(
+    "q177_audio_fp_dedup": QuerySpec(
         q_audio_fp_dedup,
         _Q_AUDIO_FP_SQL,
         "audio near-dup dedup: WAV decode → energy-delta fp → Hamming",
     ),
-    "a75_image_phash_dedup": QuerySpec(
+    "q188_image_phash_dedup": QuerySpec(
         q_image_phash_dedup,
         _Q_IMAGE_PHASH_SQL,
         "image near-dup dedup: netpbm decode → dHash → Hamming blocking",
@@ -6693,22 +6693,22 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_VALIDATION_GATE_SQL,
         "P4 validation gate excludes malformed files (golden fixture)",
     ),
-    "q51_default_count_measure": QuerySpec(
+    "a45_default_count_measure": QuerySpec(
         q_default_count_measure,
         _Q_DEFAULT_COUNT_MEASURE_SQL,
         "A6 default record_count measure (golden fixture)",
     ),
-    "q52_generated_ids": QuerySpec(
+    "a46_generated_ids": QuerySpec(
         q_generated_ids,
         _Q_GENERATED_IDS_SQL,
         "F13 generated record ids: non-null + unique invariants",
     ),
-    "q53_make_unique": QuerySpec(
+    "a47_make_unique": QuerySpec(
         q_make_unique,
         _Q_MAKE_UNIQUE_SQL,
         "F14 make.unique repeated-tag columns (golden fixture)",
     ),
-    "q54_report_rates": QuerySpec(
+    "a48_report_rates": QuerySpec(
         q_report_rates,
         _Q_REPORT_RATES_SQL,
         "F15 processing-report rate math from Spark-side counts",
@@ -6723,7 +6723,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_quality_gate_sql(),
         "composite quality gate with named drop reasons",
     ),
-    "a90_corpus_line_dedup": QuerySpec(
+    "q191_corpus_line_dedup": QuerySpec(
         q_corpus_line_dedup,
         _Q_CORPUS_LINE_DEDUP_SQL,
         "corpus-level repeated-line removal (C4 boilerplate rule)",
@@ -6736,12 +6736,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_hamming_ann_sql(),
         "binary sign-signature ANN: Hamming-ball candidates + exact re-rank",
     ),
-    "a32_hybrid_rrf": QuerySpec(
+    "q155_hybrid_rrf": QuerySpec(
         q_hybrid_rrf,
         _q_hybrid_rrf_sql(),
         "hybrid retrieval: BM25 + cosine channels fused by integer RRF",
     ),
-    "a46_pack_nosplit": QuerySpec(
+    "q163_pack_nosplit": QuerySpec(
         q_pack_nosplit,
         _q_pack_nosplit_sql(),
         "no-split NFD sequence packing (shard-parallel, recursive-CTE oracle)",
@@ -6786,7 +6786,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_STREAM_DEDUP_SQL,
         "streaming dedup with watermark-bounded state",
     ),
-    "a77_dedup_clusters_star": QuerySpec(
+    "q190_dedup_clusters_star": QuerySpec(
         q_dedup_clusters_star,
         _q_dedup_clusters_star_sql(),
         "connected components via alternating star contraction",
@@ -6839,12 +6839,12 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_ATOMIC_PUBLISH_SQL,
         "manifest-pointer commit: killed writer, reader sees last snapshot",
     ),
-    "a54_diff_published": QuerySpec(
+    "q171_diff_published": QuerySpec(
         q_diff_published,
         _Q_DIFF_PUBLISHED_SQL,
         "version change feed: append fast path + exceptAll general path",
     ),
-    "a35_stream_kmv": QuerySpec(
+    "q158_stream_kmv": QuerySpec(
         q_stream_kmv,
         _q_stream_kmv_sql(),
         "streaming KMV maintenance: per-batch sketches published "
@@ -6868,22 +6868,22 @@ QUERIES: dict[str, QuerySpec] = {
         "semantic dedup: multi-probe k-means cells + exact-cosine "
         "keep-min-id",
     ),
-    "a20_html_extract": QuerySpec(
+    "q144_html_extract": QuerySpec(
         q_html_extract,
         _q_html_extract_sql(),
         "HTML→text curation: element drops, entity decode, title extract",
     ),
-    "a21_line_clean": QuerySpec(
+    "q145_line_clean": QuerySpec(
         q_line_clean,
         _q_line_clean_sql(),
         "line-level curation: min-word filter + within-doc line dedup",
     ),
-    "a22_mojibake": QuerySpec(
+    "q146_mojibake": QuerySpec(
         q_mojibake,
         _q_mojibake_sql(),
         "encoding QA: mojibake detection + literal repair",
     ),
-    "a34_mojibake_deep": QuerySpec(
+    "q157_mojibake_deep": QuerySpec(
         q_mojibake_deep,
         _q_mojibake_deep_sql(),
         "multi-round byte-level encoding repair (ftfy-shape kernel)",
@@ -6893,7 +6893,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_GROUPING_SETS_SQL,
         "explicit GROUPING SETS with grouping_id",
     ),
-    "q55_null_battery": QuerySpec(
+    "a49_null_battery": QuerySpec(
         q_null_battery,
         _Q_NULL_BATTERY_SQL,
         "null-handling battery (coalesce/nullif/greatest/null-safe eq)",
@@ -6954,148 +6954,148 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r7 sketch family: mergeable fixed-size summaries (KMV / HLL /
     # count-min) + DSIR importance selection — all pure-BIGINT estimates.
-    "a23_kmv_distinct": QuerySpec(
+    "q147_kmv_distinct": QuerySpec(
         q_kmv_distinct,
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
     ),
-    "a61_kmv_set_algebra": QuerySpec(
+    "q178_kmv_set_algebra": QuerySpec(
         q_kmv_set_algebra,
         _q_kmv_set_algebra_sql(),
         "sketch set algebra: union/intersection/Jaccard from two KMV "
         "sketches",
     ),
-    "a57_funnel": QuerySpec(
+    "q174_funnel": QuerySpec(
         q_funnel,
         _Q_FUNNEL_SQL,
         "ordered funnel: strict first-occurrence stage sequencing",
     ),
-    "a66_token_drift": QuerySpec(
+    "q182_token_drift": QuerySpec(
         q_token_drift,
         _q_token_drift_sql(),
         "distribution-drift monitor: top token frequency movers in ppm",
     ),
-    "a56_gopher_rules": QuerySpec(
+    "q173_gopher_rules": QuerySpec(
         q_gopher_rules,
         _q_gopher_rules_sql(),
         "Gopher-style composite quality rules, integer-exact map-only gate",
     ),
-    "a58_pmi_pairs": QuerySpec(
+    "q175_pmi_pairs": QuerySpec(
         q_pmi_pairs,
         _q_pmi_pairs_sql(),
         "token-pair PMI via exact integer lift, a-priori-bounded self-join",
     ),
-    "a53_triangles": QuerySpec(
+    "q170_triangles": QuerySpec(
         q_triangles,
         _q_triangles_sql(),
         "triangle counting by degree-ordered orientation (O(m^1.5) wedges)",
     ),
-    "a65_bucket_anomalies": QuerySpec(
+    "q181_bucket_anomalies": QuerySpec(
         q_bucket_anomalies,
         _q_bucket_anomalies_sql(),
         "time-bucket volume anomalies: integer z-score test, no floats",
     ),
-    "a67_k_anonymize": QuerySpec(
+    "q183_k_anonymize": QuerySpec(
         q_k_anonymize,
         _q_k_anonymize_sql(),
         "k-anonymity suppression of small quasi-identifier classes",
     ),
-    "a52_bfs_khop": QuerySpec(
+    "q169_bfs_khop": QuerySpec(
         q_bfs_khop,
         _q_bfs_khop_sql(),
         "multi-source BFS hop levels: frontier expansion + visited anti-join",
     ),
-    "a33_k_core": QuerySpec(
+    "q156_k_core": QuerySpec(
         q_k_core,
         _q_k_core_sql(),
         "k-core peeling with in-band convergence certificate",
     ),
-    "a31_linear_probe": QuerySpec(
+    "q154_linear_probe": QuerySpec(
         q_linear_probe,
         _q_linear_probe_sql(),
         "linear probe training: exact fixed-point batch GD rounds",
     ),
-    "a70_event_transitions": QuerySpec(
+    "q186_event_transitions": QuerySpec(
         q_event_transitions,
         _q_event_transitions_sql(),
         "Markov event-transition matrix: lead() pairs, ppm row probs",
     ),
-    "a44_chunk_documents": QuerySpec(
+    "q162_chunk_documents": QuerySpec(
         q_chunk_documents,
         _q_chunk_documents_sql(),
         "overlapping RAG chunking: map-only sequence+substring, 0 shuffles",
     ),
-    "a40_wav_features": QuerySpec(
+    "q160_wav_features": QuerySpec(
         q_wav_features,
         _Q_WAV_FEATURES_SQL,
         "REAL WAV audio round-trip: JVM-built PCM16, stdlib-wave parse",
     ),
-    "a42_jl_project": QuerySpec(
+    "q161_jl_project": QuerySpec(
         q_jl_project,
         _q_jl_project_sql(),
         "JL sign projection: literal Rademacher matrix, map-only, exact",
     ),
-    "a47_winnow_fingerprints": QuerySpec(
+    "q164_winnow_fingerprints": QuerySpec(
         q_winnow_fingerprints,
         _q_winnow_sql(),
         "winnowing (MOSS) fingerprints: row-local HOFs, rightmost-min",
     ),
-    "a48_skipgram_cooc": QuerySpec(
+    "q165_skipgram_cooc": QuerySpec(
         q_skipgram_cooc,
         _q_skipgram_sql(),
         "skip-gram window co-occurrence: shifted-array zips, no self-join",
     ),
-    "a49_phrase_query": QuerySpec(
+    "q166_phrase_query": QuerySpec(
         q_phrase_query,
         _q_phrase_query_sql(),
         "positional-index phrase query: offset-aligned postings joins",
     ),
-    "a76_jl_ann": QuerySpec(
+    "q189_jl_ann": QuerySpec(
         q_jl_ann,
         _q_jl_ann_sql(),
         "two-stage ANN: JL integer prefilter, exact quantized re-rank",
     ),
-    "a50_near_query": QuerySpec(
+    "q167_near_query": QuerySpec(
         q_near_query,
         _q_near_query_sql(),
         "proximity NEAR/slop query: offset-enumerated bounded range join",
     ),
-    "a68_more_like_this": QuerySpec(
+    "q184_more_like_this": QuerySpec(
         q_more_like_this,
         _q_more_like_this_sql(),
         "sparse tf-idf more-like-this: df-pruned token join, integer dot",
     ),
-    "a63_ngram_diversity": QuerySpec(
+    "q179_ngram_diversity": QuerySpec(
         q_ngram_diversity,
         _q_ngram_diversity_sql(),
         "per-source bigram type/token ratio (ppm) — diversity monitor",
     ),
-    "a36_setsim_prefix": QuerySpec(
+    "q159_setsim_prefix": QuerySpec(
         q_setsim_prefix,
         _q_setsim_prefix_sql(),
         "AllPairs/PPJoin prefix-filtered exact Jaccard join vs brute oracle",
     ),
-    "a51_stream_drift": QuerySpec(
+    "q168_stream_drift": QuerySpec(
         q_stream_drift,
         _q_stream_drift_sql(),
         "streaming drift monitor: published partial counts == batch report",
     ),
-    "a59_incremental_agg": QuerySpec(
+    "q176_incremental_agg": QuerySpec(
         q_incremental_agg,
         _Q_INCREMENTAL_AGG_SQL,
         "O(delta) materialized-view refresh from the publish change feed",
     ),
-    "a55_poisson_bootstrap": QuerySpec(
+    "q172_poisson_bootstrap": QuerySpec(
         q_poisson_bootstrap,
         _q_poisson_bootstrap_sql(),
         "one-pass Poisson bootstrap: 16 deterministic replicate means",
     ),
-    "a64_cohort_retention": QuerySpec(
+    "q180_cohort_retention": QuerySpec(
         q_cohort_retention,
         _q_cohort_retention_sql(),
         "cohort retention matrix: first-seen buckets x offset, integer ppm",
     ),
-    "a69_pr_normalize": QuerySpec(
+    "q185_pr_normalize": QuerySpec(
         q_pr_normalize,
         _q_pr_normalize_sql(),
         "per-slice percentile-rank score normalization (integer ppm)",
@@ -7105,12 +7105,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_hll_sql(),
         "HyperLogLog (64 registers, integer harmonic + linear counting)",
     ),
-    "a24_countmin": QuerySpec(
+    "q148_countmin": QuerySpec(
         q_countmin,
         _q_countmin_sql(),
         "count-min sketch point estimates vs true counts (3x1024 cells)",
     ),
-    "a25_dsir_select": QuerySpec(
+    "q149_dsir_select": QuerySpec(
         q_dsir_select,
         _q_dsir_sql(),
         "DSIR importance selection (hashed-ngram integer LLR ranking)",
@@ -7120,7 +7120,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_leakage_split_sql(),
         "leakage-safe split (near-dup clusters move between splits whole)",
     ),
-    "a26_bloom_prune": QuerySpec(
+    "q150_bloom_prune": QuerySpec(
         q_bloom_prune,
         _q_bloom_sql(),
         "Bloom-filter join pruning (row-local probe vs exact semi-join)",
@@ -7137,17 +7137,17 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
     ),
-    "a28_pagerank": QuerySpec(
+    "q151_pagerank": QuerySpec(
         q_pagerank,
         _q_pagerank_sql(),
         "weighted PageRank over event transitions (integer fixed point)",
     ),
-    "a29_kmv_merge": QuerySpec(
+    "q152_kmv_merge": QuerySpec(
         q_kmv_merge,
         _q_kmv_merge_sql(),
         "KMV sketch merge == direct sketch (mergeability identity)",
     ),
-    "a30_hist_quantiles": QuerySpec(
+    "q153_hist_quantiles": QuerySpec(
         q_hist_quantiles,
         _q_hist_quantiles_sql(),
         "mergeable log-bucket quantile sketch (est vs exact, <=4.4% err)",
@@ -7163,3 +7163,20 @@ QUERIES: dict[str, QuerySpec] = {
 # q01..q12.  The canonical qNN identities are documented in CHANGES_r03.md.
 
 QUERIES = {name: QUERIES[name] for name in sorted(QUERIES)}
+
+# r11: window rotation became mechanical (tools/rotate_window.py renames
+# key PREFIXES each round to put the stalest entries in the driver's
+# 50-slot window). The stable identity of an entry is its SLUG — the
+# part after the first underscore, preserved by every rename — so
+# bench.py and the audit tools reference entries by slug and resolve
+# the current key here.
+KEY_BY_SLUG: dict[str, str] = {
+    name.split("_", 1)[1]: name for name in QUERIES
+}
+assert len(KEY_BY_SLUG) == len(QUERIES), "catalog slugs must be unique"
+
+
+def key_for(slug: str) -> str:
+    """Current catalog key for a stable slug (raises KeyError if the
+    slug left the catalog — a rename never does, only a removal)."""
+    return KEY_BY_SLUG[slug]
