@@ -36,7 +36,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _run(name: str, argv: list[str]) -> tuple[str, float, str]:
+def _run(
+    name: str, argv: list[str], forbid_error_logs: bool = False
+) -> tuple[str, float, str]:
     t0 = time.time()
     proc = subprocess.run(
         argv, cwd=REPO, capture_output=True, text=True, timeout=3600
@@ -44,6 +46,21 @@ def _run(name: str, argv: list[str]) -> tuple[str, float, str]:
     dt = time.time() - t0
     tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-12:])
     status = "PASS" if proc.returncode == 0 else "FAIL"
+    if status == "PASS" and forbid_error_logs:
+        # VERDICT r10 item 4: expected-failure windows are muted at the
+        # source (session.quiet_jvm_logs), so ANY log4j ERROR line in a
+        # green run is un-accepted noise a real failure could hide in
+        errs = [
+            ln
+            for ln in proc.stderr.splitlines()
+            if re.match(r"^\d{2}/\d{2}/\d{2} [\d:]+ ERROR ", ln)
+        ]
+        if errs:
+            status = "FAIL"
+            tail = (
+                f"{len(errs)} JVM ERROR log lines in a green run "
+                f"(first: {errs[0][:200]})"
+            )
     print(f"[gate] {name}: {status} in {dt:.1f}s")
     if status == "FAIL":
         print(tail)
@@ -149,6 +166,7 @@ def main() -> int:
     results["driver_sim"], _, _ = _run(
         "driver_sim (bare session)",
         [py, os.path.join(REPO, "tools", "driver_sim.py")],
+        forbid_error_logs=True,
     )
 
     reds = [k for k, v in results.items() if v != "PASS"]

@@ -1533,11 +1533,25 @@ def sign_signature_batch(
     ).mapInPandas(_run, SIGN_SIG_SCHEMA)
 
 
+# Measured recall@5 vs candidate budget for hamming_ann_topk (sf0.01,
+# near-isotropic fixture — the documented WORST case for any 64-bit
+# code; SCALING.md "Binary-ANN recall@5 vs candidate budget"):
+#   C        8     16    32    64    128
+#   recall   0.22  0.30  0.52  0.68  0.86
+# Default = 32, the marginal-recall knee of that curve (+0.22 recall for
+# the 16->32 doubling = 0.014/candidate, vs 0.005/candidate on either
+# side); on CLUSTERED corpora (real embedding geometry) recall@5 >= 0.8
+# already at C=12 and saturates by C=32. Raise toward 128 only when the
+# corpus is known near-isotropic — stage-2 exact re-rank cost is C*|Q|,
+# linear in this knob.
+HAMMING_ANN_DEFAULT_CANDIDATES = 32
+
+
 def hamming_ann_topk(
     df: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_candidates: int = 32,
+    n_candidates: int = HAMMING_ANN_DEFAULT_CANDIDATES,
     n_planes: int = 64,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -1561,10 +1575,15 @@ def hamming_ann_topk(
     scan (map-only, WindowGroupLimit top-C before any shuffle), and the
     32× smaller scan input is the win. Deterministic ties (hamming →
     id; dist → id); both stages integer, so the oracle replays
-    bit-for-bit. Recall vs exact top-k is governed by n_candidates
-    (measured in tests/SCALING); |Q| rides the broadcast side like
-    ``jl_ann_topk`` — same few-queries contract, ``ann_topk_auto``'s
-    engines cover the large-|Q| regime."""
+    bit-for-bit.
+
+    RECALL CONTRACT (r11, comparable to :func:`jl_ann_topk`'s): recall
+    vs the exact top-k is governed by ``n_candidates``; the default is
+    pinned to the measured isotropic-worst-case curve's knee (see
+    ``HAMMING_ANN_DEFAULT_CANDIDATES`` above — 0.52 @ C=32 isotropic,
+    >=0.8 @ C=12 clustered). QUERY-VOLUME CONTRACT: |Q| rides the
+    broadcast side like ``jl_ann_topk`` — same few-queries contract,
+    ``ann_topk_auto``'s engines cover the large-|Q| regime."""
     sig = sign_signature_batch(
         df, n_planes=n_planes, dim=dim, id_col=id_col,
         vec_col=vec_col, quant=quant,

@@ -192,8 +192,15 @@ def run_tws_append(
                 break
         else:  # pragma: no cover - hang guard
             raise TimeoutError(f"{query_name}: no sink commit within 300s")
-        q.stop()
-        q.awaitTermination()
+        # stopping here interrupts whatever EMPTY batch TWS is planning
+        # (it never stops planning them) — the interrupt is the designed
+        # shutdown, so mute the JVM's InterruptedException stack trace
+        # for exactly this window (VERDICT r10 item 4)
+        from xml_to_parquet_spark.session import quiet_jvm_logs
+
+        with quiet_jvm_logs(spark):
+            q.stop()
+            q.awaitTermination()
     finally:
         if listener is not None:
             try:

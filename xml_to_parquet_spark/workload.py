@@ -4699,8 +4699,14 @@ def q_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.raise_error(F.lit("simulated mid-write failure")),
             ).otherwise(F.col("l_quantity")),
         )
+        from xml_to_parquet_spark.session import quiet_jvm_logs
+
         try:
-            publish_parquet(poisoned, root)
+            # the write is EXPECTED to abort — mute the JVM's ERROR
+            # stack traces for exactly this window so bench/driver
+            # stderr stays clean enough to alarm on real errors
+            with quiet_jvm_logs(spark):
+                publish_parquet(poisoned, root)
             raise AssertionError("poisoned publish must fail")
         except AssertionError:
             raise
