@@ -85,9 +85,17 @@ def bench_depth() -> dict[str, float]:
     return depth
 
 
-def build_rows():
+def build_rows(max_round: int | None = None):
+    """Catalog rows; ``max_round`` restricts driver history to rounds
+    <= it (used to reconstruct the view the CURRENT window was chosen
+    under, before the latest CORRECTNESS file landed)."""
     keys = catalog_keys()
     hist = driver_history()
+    if max_round is not None:
+        hist = {
+            s: [(r, ok) for r, ok in h if r <= max_round]
+            for s, h in hist.items()
+        }
     depth = bench_depth()
     window = set(keys[:WINDOW])
     rows = []
@@ -156,13 +164,28 @@ def staleness_alarm(rows) -> tuple[list[str], list[str]]:
     want = desired_window(rows)
     failures, warnings = [], []
     if live != want:
-        miss = sorted(want - live)
-        extra = sorted(live - want)
-        failures.append(
-            f"window deviates from stalest-first policy: "
-            f"missing {miss[:6]}{'...' if len(miss) > 6 else ''}, "
-            f"holds {extra[:6]}{'...' if len(extra) > 6 else ''}"
+        # one-round lag is legitimate: right after the driver lands
+        # CORRECTNESS_r{N}, the live window was chosen under the
+        # r{N-1} view and the next builder round rotates it first
+        # thing — accept the window that was optimal under that view
+        latest = max(
+            (r["last_driver_round"] or 0 for r in rows), default=0
         )
+        prev_view = desired_window(build_rows(max_round=latest - 1))
+        if live == prev_view:
+            warnings.append(
+                f"window lags the r{latest} CORRECTNESS by one round "
+                f"(chosen under the r{latest - 1} view) — run "
+                f"tools/rotate_window.py"
+            )
+        else:
+            miss = sorted(want - live)
+            extra = sorted(live - want)
+            failures.append(
+                f"window deviates from stalest-first policy: "
+                f"missing {miss[:6]}{'...' if len(miss) > 6 else ''}, "
+                f"holds {extra[:6]}{'...' if len(extra) > 6 else ''}"
+            )
     latest = max(
         (r["last_driver_round"] or 0 for r in rows), default=0
     )
@@ -180,7 +203,16 @@ def staleness_alarm(rows) -> tuple[list[str], list[str]]:
             continue
         stale = nxt - last_green
         if stale > STALE_BOUND:
-            if last_green >= ADOPTION_ROUND - STALE_BOUND:
+            if r["entry"] in want:
+                # the next rotation serves it — scheduled, not stalled
+                # (only reachable in the accepted one-round-lag state;
+                # once the window IS the policy window, in-window
+                # entries never reach this branch)
+                warnings.append(
+                    f"{r['entry']}: {stale} rounds stale but scheduled "
+                    f"for the next rotation"
+                )
+            elif last_green >= ADOPTION_ROUND - STALE_BOUND:
                 failures.append(
                     f"{r['entry']}: {stale} rounds since last driver "
                     f"green (r{last_green}) — rotation stalled"
