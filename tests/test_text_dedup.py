@@ -127,6 +127,43 @@ def test_simhash_and_neardup(spark):
     assert (1, 4) not in got  # different language/content far apart
 
 
+def test_simhash_64bit_scale_contract(spark):
+    """r11: the docs100 rung showed 32-bit codes saturating near 500k
+    docs, so bits=64 is the scale contract — the top word must carry
+    real votes (independently-salted hash), identical docs must still
+    collide, the low 32 bits must match the 32-bit signature exactly
+    (bit-compatible growth), and the pigeonhole blocker must agree with
+    the all-pairs twin at bits=64."""
+    docs = _docs(spark)
+    sig32 = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    sig64 = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(docs, bits=64).collect()
+    }
+    assert sig64[1] == sig64[2]  # identical docs still collide
+    mask32 = (1 << 32) - 1
+    for d in sig32:
+        assert sig64[d] & mask32 == sig32[d] & mask32
+    # the high word is not degenerate: some doc uses bits >= 32
+    assert any((s >> 32) & mask32 for s in sig64.values()), sig64
+    s64 = dedup.simhash(docs, bits=64)
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_blocked_pairs(
+            s64, max_hamming=3, bits=64
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(s64, max_hamming=3).collect()
+    }
+    assert blocked == brute
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        dedup.simhash(docs, bits=65)
+
+
 def test_repetition_features_known_values(spark):
     df = spark.createDataFrame(
         [

@@ -45,7 +45,10 @@ def _build_text_sigs(spark, sf_dir: str, out: str) -> None:
     from xml_to_parquet_spark.functions.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
-    simhash(docs).write.mode("overwrite").parquet(out)
+    # write with the session's parallelism: a 5k-row signature df
+    # collapses to 1 file otherwise and the timed join would run on a
+    # single task — not the layout any real signature table has
+    simhash(docs).repartition(32).write.mode("overwrite").parquet(out)
 
 
 def _build_audio_sigs(spark, sf_dir: str, out: str) -> None:
@@ -90,13 +93,14 @@ def _build_audio_sigs(spark, sf_dir: str, out: str) -> None:
         F.transform(amps, lambda a: F.array_repeat(a.cast("int"), 4))
     )
     clips = d.select(
-        F.col("doc_id").alias("id"),
-        pcm16_wav_expr(samples, sample_rate=8000).alias("payload"),
+        F.col("doc_id").alias("id"), samples.alias("samples")
+    ).select(
+        "id", pcm16_wav_expr("samples", sample_rate=8000).alias("payload")
     )
     sig = audio_fingerprint_batch(clips).select(
         F.col("id").alias("doc_id"), F.col("afp").alias("simhash")
     )
-    sig.write.mode("overwrite").parquet(out)
+    sig.repartition(32).write.mode("overwrite").parquet(out)
 
 
 def _time_pairs(

@@ -311,7 +311,19 @@ def simhash(
     (+1 if token-hash bit j else -1) > 0.
 
     Pure column math over an exploded token table: one shuffle keyed by doc.
+
+    ``bits`` up to 64 (r11): the operator-minus-fixture rung measured a
+    32-bit code SATURATING near 500k docs (chance Hamming-≤-3 pairs
+    start to dominate — SCALING.md "Operator-minus-fixture rung"), so
+    the 100 TB contract is bits=64. Bits 0-31 vote from
+    ``md5_hash32(tok)`` (default output byte-identical to pre-r11);
+    bits 32-63 vote from an independently-salted second md5 word. Bit
+    63's weight is the signed long MIN (two's complement), so the full
+    64-bit signature packs into one BIGINT exactly like the audio/image
+    fingerprints it shares the pigeonhole blocker with.
     """
+    if not (1 <= bits <= 64):
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     from xml_to_parquet_spark.functions._parallel import size_to_cores
 
     df = size_to_cores(df)
@@ -319,17 +331,28 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", md5_hash32(F.col("tok")))
+    if bits > 32:
+        toks = toks.withColumn(
+            "h_hi", md5_hash32(F.concat(F.col("tok"), F.lit(":hi")))
+        )
+    def _word(j: int):
+        return F.col("h") if j < 32 else F.col("h_hi")
+
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.when(
+                F.shiftright(_word(j), j % 32).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"v{j}")
         for j in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     sig = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # 1 << 63 overflows a signed long literal; bit 63's two's-
+        # complement weight is long MIN
+        weight = -(1 << 63) if j == 63 else (1 << j)
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(weight)).otherwise(F.lit(0))
         sig = bit if sig is None else (sig + bit)
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
