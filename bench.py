@@ -190,8 +190,9 @@ def main() -> None:
     # renames keys every round (slug preserved) and stale headline names
     # silently dropped 10 queries from the would-be r10 line — caught by
     # test_bench_line_fits_driver_window, same fix as explain_audit
-    by_slug = {k.split("_", 1)[1]: k for k in timings}
-    headline = [by_slug[h.split("_", 1)[1]] for h in headline]
+    from xml_to_parquet_spark.workload import KEY_BY_SLUG
+
+    headline = [KEY_BY_SLUG[h.split("_", 1)[1]] for h in headline]
     line = json.dumps(
         {
             "metric": "workload_total_wall",

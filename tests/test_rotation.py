@@ -42,32 +42,34 @@ def test_staleness_alarm_no_failures_on_current_tree():
 
 def test_staleness_alarm_fires_on_stalled_rotation():
     # synthetic: an entry green under the policy era, now out of the
-    # window and >STALE_BOUND stale -> must be a FAILURE, not a warning
+    # window, >STALE_BOUND stale, and NOT scheduled by the next rotation
+    # -> must be a FAILURE, not a warning. Poison the row directly (the
+    # alarm reads last_green_round from rows) and keep the victim out of
+    # desired_window by making it the FRESHEST green among the
+    # out-of-window entries.
+    import pytest
+
     rows = rr.build_rows()
     latest = max(r["last_driver_round"] or 0 for r in rows)
+    stale_round = latest - rr.STALE_BOUND
+    if stale_round < rr.ADOPTION_ROUND - rr.STALE_BOUND:
+        pytest.skip("history too short for the post-adoption branch")
+    want = rr.desired_window(rows)
     victim = next(
-        r for r in rows if not r["in_window"] and r["green_rounds"] > 0
+        (
+            r
+            for r in rows
+            if not r["in_window"]
+            and r["entry"] not in want
+            and r["green_rounds"] > 0
+        ),
+        None,
     )
-    orig = rr.driver_history
-
-    def poisoned():
-        hist = orig()
-        hist[victim["slug"]] = [
-            (latest - rr.STALE_BOUND, True)  # stale by exactly BOUND+1
-        ]
-        return hist
-
-    rr.driver_history = poisoned
-    try:
-        stale_round = latest - rr.STALE_BOUND
-        if stale_round >= rr.ADOPTION_ROUND - rr.STALE_BOUND:
-            failures, _ = rr.staleness_alarm(rows)
-            assert any(victim["entry"] in f for f in failures)
-        else:  # too early in history for the post-adoption branch
-            _, warnings = rr.staleness_alarm(rows)
-            assert any(victim["entry"] in w for w in warnings)
-    finally:
-        rr.driver_history = orig
+    if victim is None:  # lag state can put every stale entry in want
+        pytest.skip("no out-of-window entry outside the next window")
+    victim["last_green_round"] = stale_round  # stale by BOUND+1
+    failures, _ = rr.staleness_alarm(rows)
+    assert any(victim["entry"] in f for f in failures)
 
 
 def test_desired_window_prefers_never_checked():

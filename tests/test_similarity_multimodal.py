@@ -520,17 +520,19 @@ def test_bench_line_fits_driver_window():
     import json as _json
 
     import bench as benchmod  # noqa: F401  (import proves module loads)
-    from xml_to_parquet_spark.workload import QUERIES
+    from xml_to_parquet_spark.workload import KEY_BY_SLUG, QUERIES
 
     src = open(benchmod.__file__).read()
     assert "BENCH_LOCAL_FULL.json" in src
-    # replicate the headline construction against the live catalog
+    # replicate the headline construction against the live catalog —
+    # resolved by SLUG, exactly as bench.py and gate.check_bench_line
+    # do (the window rotation renames key prefixes every round)
     import re
 
     keys = re.findall(r'"((?:q|a)\d{2,3}_[a-z_0-9]+)"', src)
-    missing = [k for k in keys if k not in QUERIES]
-    assert not missing, f"bench headline keys not in QUERIES: {missing}"
-    headline = keys
+    missing = [k for k in keys if k.split("_", 1)[1] not in KEY_BY_SLUG]
+    assert not missing, f"bench headline slugs not in catalog: {missing}"
+    headline = [KEY_BY_SLUG[k.split("_", 1)[1]] for k in keys]
     assert len(headline) >= 30, "headline subset shrank unexpectedly"
     line = _json.dumps(
         {

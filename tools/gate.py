@@ -74,14 +74,17 @@ def check_bench_line() -> tuple[str, float, str]:
     t0 = time.time()
     from xml_to_parquet_spark.workload import QUERIES
 
+    from xml_to_parquet_spark.workload import KEY_BY_SLUG
+
     src = open(os.path.join(REPO, "bench.py")).read()
     raw = re.findall(r'"((?:q|a)\d{2,3}_[a-z_0-9]+)"', src)
     # bench resolves its headline entries by SLUG (window rotation
     # renames key prefixes every round) — mirror that here so the
     # worst-case line is computed over the keys bench will PRINT
-    by_slug = {k.split("_", 1)[1]: k for k in QUERIES}
-    missing = [k for k in raw if k.split("_", 1)[1] not in by_slug]
-    keys = [by_slug[k.split("_", 1)[1]] for k in raw if k not in missing]
+    missing = [k for k in raw if k.split("_", 1)[1] not in KEY_BY_SLUG]
+    keys = [
+        KEY_BY_SLUG[k.split("_", 1)[1]] for k in raw if k not in missing
+    ]
     line = json.dumps(
         {
             "metric": "workload_total_wall",

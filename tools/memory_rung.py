@@ -97,9 +97,9 @@ def main() -> None:
     # 2. substring dedup at the soak rung (the widest shuffle in the
     # catalog: one posting row per token position)
     t0 = time.time()
-    n = QUERIES[
-        {k.split("_", 1)[1]: k for k in QUERIES}["substring_dedup"]
-    ].fn(spark, sf_dir).count()
+    from xml_to_parquet_spark.workload import key_for
+
+    n = QUERIES[key_for("substring_dedup")].fn(spark, sf_dir).count()
     result["a42_substring_dedup"] = {
         "rows": n,
         "sec": round(time.time() - t0, 1),

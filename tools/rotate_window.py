@@ -37,6 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import rotation_report as rr  # noqa: E402
 
 WORKLOAD = os.path.join(rr.REPO, "xml_to_parquet_spark/workload.py")
+HWM_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "rotation_names.json"
+)
 
 
 def plan_renames() -> list[tuple[str, str]]:
@@ -49,6 +52,24 @@ def plan_renames() -> list[tuple[str, str]]:
     } | {rr.PINNED}
     used_a_nums = {int(k[1:].split("_")[0]) for k in stay_a}
     used_q_nums = {int(k[1:].split("_")[0]) for k in stay_q}
+    # retirees get numbers above EVERY q-number ever used, not just the
+    # live ones: entries retired together age together and are promoted
+    # together ~3 rounds later, which would free their numbers for that
+    # same round's retirees — a freed qNNN reassigned to a different
+    # slug would corrupt the CHANGES/CORRECTNESS paper trail. Promoted
+    # retirees' numbers never reach a CORRECTNESS file, so a committed
+    # high-water mark (rotation_names.json) makes the freshness durable;
+    # the CORRECTNESS scan stays as defense-in-depth.
+    import glob
+    import json
+
+    for f in glob.glob(os.path.join(rr.REPO, "CORRECTNESS_r*.json")):
+        for k in json.load(open(f)):
+            num = k[1:].split("_")[0]
+            if k.startswith("q") and num.isdigit():
+                used_q_nums.add(int(num))
+    if os.path.exists(HWM_FILE):
+        used_q_nums.add(json.load(open(HWM_FILE)).get("q_high_water", 0))
     renames: list[tuple[str, str]] = []
     for k in sorted(keys):
         if k == rr.PINNED:
@@ -69,6 +90,8 @@ def plan_renames() -> list[tuple[str, str]]:
 
 
 def apply(renames: list[tuple[str, str]]) -> None:
+    import json
+
     src = open(WORKLOAD).read()
     for old, new in renames:
         pat = f'"{old}": QuerySpec('
@@ -79,6 +102,17 @@ def apply(renames: list[tuple[str, str]]) -> None:
             )
         src = src.replace(pat, f'"{new}": QuerySpec(')
     open(WORKLOAD, "w").write(src)
+    q_nums = [
+        int(new[1:].split("_")[0])
+        for _, new in renames
+        if new.startswith("q")
+    ]
+    if q_nums:
+        prev = 0
+        if os.path.exists(HWM_FILE):
+            prev = json.load(open(HWM_FILE)).get("q_high_water", 0)
+        with open(HWM_FILE, "w") as fh:
+            json.dump({"q_high_water": max([prev] + q_nums)}, fh)
 
 
 def main() -> int:

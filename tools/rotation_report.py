@@ -109,6 +109,7 @@ def build_rows(max_round: int | None = None):
                 "slug": s,
                 "in_window": k in window,
                 "last_driver_round": max((r for r, _ in h), default=None),
+                "last_green_round": max(greens, default=None),
                 "green_rounds": len(greens),
                 "depth_sec": depth.get(s),
             }
@@ -130,16 +131,20 @@ STALE_BOUND = 4
 
 def desired_window(rows) -> set[str]:
     """The debt-minimizing 50-slot window: the flagship + the 49 stalest
-    entries (never-driver-checked first, then oldest last-green round;
-    ties broken by bench depth DESC — deeper entries carry more signal —
-    then slug for determinism). tools/rotate_window.py renames keys to
-    realize this set; tools/gate.py fails if the live window deviates."""
+    entries by last driver-GREEN round (never-green first, then oldest
+    green; ties broken by bench depth DESC — deeper entries carry more
+    signal — then slug for determinism). Ranking by GREEN, not by last
+    checked, keeps this aligned with the staleness alarm: a
+    persistently-red entry stays prioritized for re-exposure instead of
+    rotating out as 'fresh' and wedging the stall detector.
+    tools/rotate_window.py renames keys to realize this set;
+    tools/gate.py fails if the live window deviates."""
 
     def staleness_key(r):
-        never = r["last_driver_round"] is None
+        never = r["last_green_round"] is None
         return (
             0 if never else 1,
-            r["last_driver_round"] or 0,
+            r["last_green_round"] or 0,
             -(r["depth_sec"] or 0.0),
             r["slug"],
         )
@@ -163,14 +168,18 @@ def staleness_alarm(rows) -> tuple[list[str], list[str]]:
     live = {r["entry"] for r in rows if r["in_window"]}
     want = desired_window(rows)
     failures, warnings = [], []
+    latest = max(
+        (r["last_driver_round"] or 0 for r in rows), default=0
+    )
     if live != want:
         # one-round lag is legitimate: right after the driver lands
         # CORRECTNESS_r{N}, the live window was chosen under the
         # r{N-1} view and the next builder round rotates it first
-        # thing — accept the window that was optimal under that view
-        latest = max(
-            (r["last_driver_round"] or 0 for r in rows), default=0
-        )
+        # thing — accept the window that was optimal under that view.
+        # (The reconstruction uses the CURRENT catalog and bench depths;
+        # if entries or bench files landed since the window was chosen
+        # the comparison can miss, but the remedy is the same either
+        # way and is named in the failure message.)
         prev_view = desired_window(build_rows(max_round=latest - 1))
         if live == prev_view:
             warnings.append(
@@ -184,18 +193,14 @@ def staleness_alarm(rows) -> tuple[list[str], list[str]]:
             failures.append(
                 f"window deviates from stalest-first policy: "
                 f"missing {miss[:6]}{'...' if len(miss) > 6 else ''}, "
-                f"holds {extra[:6]}{'...' if len(extra) > 6 else ''}"
+                f"holds {extra[:6]}{'...' if len(extra) > 6 else ''} "
+                f"— run tools/rotate_window.py"
             )
-    latest = max(
-        (r["last_driver_round"] or 0 for r in rows), default=0
-    )
     nxt = latest + 1
-    hist_all = driver_history()
     for r in rows:
         if r["in_window"]:
             continue  # goes green at round nxt
-        greens = [rnd for rnd, ok in hist_all.get(r["slug"], []) if ok]
-        last_green = max(greens, default=None)
+        last_green = r["last_green_round"]
         if last_green is None:
             failures.append(
                 f"{r['entry']}: never driver-green and NOT in the window"

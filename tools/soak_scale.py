@@ -245,8 +245,9 @@ def run(queries: list[str], dst: str, decades: float) -> dict:
     # resolve names by SLUG against the live catalog (r10): window
     # rotation renames keys every round; a stale name must remap, an
     # unknown slug must fail loud (the explain_audit/bench fix)
-    by_slug = {k.split("_", 1)[1]: k for k in QUERIES}
-    queries = [by_slug[q.split("_", 1)[1]] for q in queries]
+    from xml_to_parquet_spark.workload import KEY_BY_SLUG
+
+    queries = [KEY_BY_SLUG[q.split("_", 1)[1]] for q in queries]
 
     spark = get_spark()
     # warmup

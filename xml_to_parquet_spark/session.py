@@ -109,13 +109,21 @@ def quiet_jvm_logs(spark: SparkSession, level: str = "OFF"):
     the bench gate asserts stderr is ERROR-free, which only this windowed
     mute makes possible without masking anything else."""
     sc = spark.sparkContext
+    # capture the ACTIVE level so a developer session running at
+    # INFO/DEBUG is restored, not silently dropped to the engine default
+    try:
+        prev = str(
+            sc._jvm.org.apache.logging.log4j.LogManager.getRootLogger()
+            .getLevel()
+            .toString()
+        )
+    except Exception:  # pragma: no cover - log4j2 API unavailable
+        prev = "WARN"  # engine default (log4j2-defaults profile)
     try:
         sc.setLogLevel(level)
         yield
     finally:
-        # the engine's sessions run at WARN (log4j2-defaults + console
-        # progress off); restore it rather than probing the JVM level
-        sc.setLogLevel("WARN")
+        sc.setLogLevel(prev)
 
 
 def _ship_package(spark: SparkSession) -> None:
