@@ -553,10 +553,13 @@ def test_bench_line_fits_driver_window():
                 "ref_8core_mb_per_s": 4.2,
                 "speedup": 999.99,
             },
-            # r10 era marker rides on the printed line too
+            # r10 era marker rides on the printed line too (r11: plus
+            # the mature-JVM mid-sweep bracket)
             "era": {
                 "cal_ms_start": 99999.9,
                 "load1_start": 99.99,
+                "cal_ms_mid": 99999.9,
+                "load1_mid": 99.99,
                 "cal_ms_end": 99999.9,
                 "load1_end": 99.99,
             },

@@ -95,10 +95,25 @@ def main() -> None:
         print(f"{s:<28}{os_:>10.3f}{ns_:>8.3f}{d:>+8.3f}")
     tot_o = sum(r[1] for r in rows)
     tot_n = sum(r[2] for r in rows)
+    tot_o_raw = sum(o[s] for s in common)
     print(
         f"shared total: {tot_o:.1f}s (old, era-normalized) -> "
         f"{tot_n:.1f}s (new): {tot_n - tot_o:+.1f}s"
     )
+    print(
+        f"shared total RAW: {tot_o_raw:.1f}s (old) -> {tot_n:.1f}s "
+        f"(new): {tot_n - tot_o_raw:+.1f}s"
+    )
+    if scale != 1.0:
+        # the calibration job is pure CPU/codegen; query walls include
+        # fixed-latency components (streaming triggers, Python worker
+        # startup, commit fsyncs) that do NOT scale with CPU era. The
+        # truth is bracketed by the two totals: RAW assumes zero era
+        # drift, NORMALIZED assumes every second is CPU-era-scaled.
+        print(
+            "note: normalized assumes fully CPU-bound walls; raw "
+            "assumes no era drift — real code deltas lie between."
+        )
 
 
 if __name__ == "__main__":

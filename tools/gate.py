@@ -108,6 +108,8 @@ def check_bench_line() -> tuple[str, float, str]:
             "era": {
                 "cal_ms_start": 99999.9,
                 "load1_start": 99.99,
+                "cal_ms_mid": 99999.9,
+                "load1_mid": 99.99,
                 "cal_ms_end": 99999.9,
                 "load1_end": 99.99,
             },
