@@ -923,3 +923,44 @@ def test_skipgram_matches_reference_property(spark, texts, window):
         ).collect()
     }
     assert got == dict(ref)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        # full signed-64 range including sign-bit-dense values: the r11
+        # 64-bit simhash packs bit 63 as long MIN, and the pigeonhole
+        # chunker must key the sign bit correctly (shiftrightunsigned)
+        st.integers(-(2**63), 2**63 - 1),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(1, 4),
+)
+def test_simhash_blocked_pairs_exact_at_64_bits(spark, sigs, max_hamming):
+    """Pigeonhole completeness at bits=64 on ADVERSARIAL signatures:
+    the blocked equi-join must find exactly the brute-force Hamming <=
+    k pairs for arbitrary int64 signatures (not just fixture docs)."""
+    from xml_to_parquet_spark.functions.dedup import (
+        simhash_blocked_pairs,
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, simhash long"
+    )
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_blocked_pairs(
+            df, max_hamming=max_hamming, bits=64
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(df, max_hamming=max_hamming).collect()
+    }
+    assert blocked == brute
