@@ -164,6 +164,31 @@ def test_simhash_64bit_scale_contract(spark):
         dedup.simhash(docs, bits=65)
 
 
+def test_simhash_pairs_auto_width_dispatch(spark):
+    """simhash_bits_for: uniform-birthday crossover (32 below ~20k docs
+    at k=3, 64 above); simhash_pairs_auto at a small corpus must equal
+    the explicit 32-bit two-stage path."""
+    assert dedup.simhash_bits_for(1000) == 32
+    assert dedup.simhash_bits_for(5000) == 32
+    assert dedup.simhash_bits_for(100_000) == 64
+    assert dedup.simhash_bits_for(5_000_000_000) == 64
+    # stricter budget flips earlier; k=1 tolerates more docs at 32-bit
+    assert dedup.simhash_bits_for(5000, chance_pair_budget=1e-6) == 64
+    assert dedup.simhash_bits_for(200_000, max_hamming=0) == 32
+    docs = _docs(spark)
+    auto = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs_auto(docs, max_hamming=3).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_blocked_pairs(
+            dedup.simhash(docs, bits=32), max_hamming=3, bits=32
+        ).collect()
+    }
+    assert auto == explicit
+
+
 def test_repetition_features_known_values(spark):
     df = spark.createDataFrame(
         [

@@ -357,6 +357,61 @@ def simhash(
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_bits_for(
+    n_docs: int, max_hamming: int = 3, chance_pair_budget: float = 0.01
+) -> int:
+    """Smallest supported SimHash width (32 or 64) whose EXPECTED count
+    of chance pairs — unrelated docs landing within Hamming ≤ k purely
+    by birthday collision — stays under ``chance_pair_budget · n_docs``.
+
+    The r11 operator-minus-fixture rung measured the failure mode this
+    guards (SCALING.md "Operator-minus-fixture rung"): at 500k docs a
+    32-bit code emitted 22.25M pairs where ~8.3M were real — the
+    P(chance) = Σ_{i≤k} C(b,i) / 2^b tail dominated. Expected chance
+    pairs = C(n,2)·P; the 0.01·n default tolerates one spurious
+    candidate per 100 docs (each still exact-verified downstream —
+    chance pairs cost candidate volume, never correctness).
+
+    The uniform-hash P is a LOWER bound on real corpora: signatures
+    cluster (shared token structure biases the votes), and the rung
+    measured ~70× the birthday estimate at 500k docs / 32 bits. The
+    budget therefore errs conservative — the formula already flips to
+    64 bits at ~20k docs for k=3, far below the measured saturation
+    point.
+    """
+    from math import comb
+
+    for bits in (32, 64):
+        p = sum(comb(bits, i) for i in range(max_hamming + 1)) / 2.0**bits
+        expected = comb(max(n_docs, 2), 2) * p
+        if expected <= chance_pair_budget * n_docs:
+            return bits
+    return 64  # 64 is the widest one-BIGINT code; beyond it, chunk words
+
+
+def simhash_pairs_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with the code width picked from the CORPUS
+    SIZE (the ``fuzzy_pairs_auto`` / ``ann_topk_auto`` idiom applied to
+    code saturation): one cheap count chooses via
+    :func:`simhash_bits_for` (32-bit saturates near 500k docs at k=3 —
+    measured, SCALING.md), then signatures and the pigeonhole blocked
+    join run at that width. Physical-plan decision only in spirit: the
+    32→64 switch changes WHICH chance pairs appear (both widths find
+    every true near-dup their own code resolves), so treat the output as
+    candidates for an exact downstream check, which is how every caller
+    in this repo consumes Hamming pairs."""
+    bits = simhash_bits_for(df.count(), max_hamming=max_hamming)
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    return simhash_blocked_pairs(
+        sig, id_col=id_col, max_hamming=max_hamming, bits=bits
+    )
+
+
 def simhash_neardup_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
