@@ -113,6 +113,41 @@ def apply(renames: list[tuple[str, str]]) -> None:
             prev = json.load(open(HWM_FILE)).get("q_high_water", 0)
         with open(HWM_FILE, "w") as fh:
             json.dump({"q_high_water": max([prev] + q_nums)}, fh)
+    regen_coverage_appendix()
+
+
+APPENDIX_HEADER = "## Appendix: slug -> current key"
+
+
+def regen_coverage_appendix() -> None:
+    """COVERAGE.md's tables keep the key names from the round each row
+    was written; this appendix is the live resolver. Regenerated on
+    every rotation so it can't go stale."""
+    import importlib
+
+    importlib.reload(rr)  # catalog_keys() re-reads the renamed file
+    keys = rr.catalog_keys()
+    window = set(keys[:rr.WINDOW])
+    cov_path = os.path.join(rr.REPO, "COVERAGE.md")
+    if not os.path.exists(cov_path):
+        return
+    body = open(cov_path).read()
+    cut = body.find(APPENDIX_HEADER)
+    if cut != -1:
+        body = body[:cut].rstrip() + "\n"
+    lines = [
+        "",
+        f"{APPENDIX_HEADER} (generated by tools/rotate_window.py)",
+        "",
+        "| slug | current key | in driver window |",
+        "|---|---|---|",
+    ]
+    for k in sorted(keys, key=lambda k: k.split("_", 1)[1]):
+        s = k.split("_", 1)[1]
+        lines.append(
+            f"| {s} | {k} | {'yes' if k in window else ''} |"
+        )
+    open(cov_path, "w").write(body + "\n".join(lines) + "\n")
 
 
 def main() -> int:
