@@ -382,7 +382,11 @@ def simhash_bits_for(
     from math import comb
 
     for bits in (32, 64):
-        p = sum(comb(bits, i) for i in range(max_hamming + 1)) / 2.0**bits
+        # evaluate at the width-equivalent ANGULAR radius (see
+        # simhash_pairs_auto): k scales with bits so both widths cut at
+        # the same cosine angle, and the chance tail must too
+        k = max_hamming * bits // 32
+        p = sum(comb(bits, i) for i in range(k + 1)) / 2.0**bits
         expected = comb(max(n_docs, 2), 2) * p
         if expected <= chance_pair_budget * n_docs:
             return bits
@@ -400,15 +404,27 @@ def simhash_pairs_auto(
     code saturation): one cheap count chooses via
     :func:`simhash_bits_for` (32-bit saturates near 500k docs at k=3 —
     measured, SCALING.md), then signatures and the pigeonhole blocked
-    join run at that width. Physical-plan decision only in spirit: the
-    32→64 switch changes WHICH chance pairs appear (both widths find
-    every true near-dup their own code resolves), so treat the output as
-    candidates for an exact downstream check, which is how every caller
-    in this repo consumes Hamming pairs."""
-    bits = simhash_bits_for(df.count(), max_hamming=max_hamming)
+    join run at that width.
+
+    ``max_hamming`` is the 32-BIT-EQUIVALENT threshold: SimHash Hamming
+    distance is ANGULAR — E[hamming] = bits·θ/π for cosine angle θ — so
+    a fixed bit radius at doubled width means a ~2× stricter similarity
+    cut. Measured on the docs100 rung (SCALING.md): raw k=3 at 64 bits
+    returned 1.1× the 5k-doc pair count over 100× docs (threshold
+    silently tightened); the scaled radius k·bits/32 restores the cut
+    angle and measures 33× (2.74M pairs, <1 expected chance pair) — the
+    residual gap vs 100× is the 64-bit distance distribution
+    CONCENTRATING around the same mean angle (σ/mean ∝ 1/√bits), i.e.
+    fewer borderline pairs admitted by luck: a precision gain, not a
+    recall bug, and exactly why wider codes are the scale contract.
+    The output remains CANDIDATES for an exact downstream check, which
+    is how every caller in this repo consumes Hamming pairs."""
+    n = df.count()
+    bits = simhash_bits_for(n, max_hamming=max_hamming)
+    k = max_hamming * bits // 32  # angular threshold, width-equivalent
     sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     return simhash_blocked_pairs(
-        sig, id_col=id_col, max_hamming=max_hamming, bits=bits
+        sig, id_col=id_col, max_hamming=k, bits=bits
     )
 
 
