@@ -171,7 +171,7 @@ def test_simhash_pairs_auto_width_dispatch(spark):
     assert dedup.simhash_bits_for(1000) == 32
     assert dedup.simhash_bits_for(5000) == 32
     assert dedup.simhash_bits_for(100_000) == 64
-    assert dedup.simhash_bits_for(5_000_000_000) == 64
+    assert dedup.simhash_bits_for(1_000_000_000) == 64
     # stricter budget flips earlier; k=1 tolerates more docs at 32-bit
     assert dedup.simhash_bits_for(5000, chance_pair_budget=1e-6) == 64
     assert dedup.simhash_bits_for(200_000, max_hamming=0) == 32
@@ -187,6 +187,83 @@ def test_simhash_pairs_auto_width_dispatch(spark):
         ).collect()
     }
     assert auto == explicit
+
+
+def test_simhash_wide_word0_matches_narrow(spark):
+    """simhash_wide's word 0 uses the same token-hash salts as the
+    one-BIGINT simhash at bits=64 — pinned so the wide path is a strict
+    extension, not a silent re-hash."""
+    docs = _docs(spark)
+    narrow = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=64).collect()}
+    wide = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_wide(docs, bits=128).collect()
+    }
+    for d, sig in wide.items():
+        assert len(sig) == 2
+        assert sig[0] == narrow[d]
+    assert wide[1] == wide[2]  # identical docs collide at 128 bits
+    assert any(s[1] != 0 for s in wide.values())  # word 1 carries votes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        dedup.simhash_wide(docs, bits=96)
+
+
+def test_simhash_blocked_pairs_wide_exact_vs_brute(spark):
+    """Pigeonhole blocking over 128-bit (2-word) signatures must equal
+    brute force, including radii whose chunks straddle the word
+    boundary (k=12 -> 13 chunks of width 10: chunk at bit 60 spans
+    words). Signatures chosen adversarially: sign-bit-dense, near-dup
+    clusters, and word-boundary-flip patterns."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.getrandbits(64) - (1 << 63) for _ in range(2)]
+
+    def flip(sig, positions):
+        out = list(sig)
+        for p in positions:
+            out[p // 64] ^= 1 << (p % 64)
+            if out[p // 64] >= 1 << 63:
+                out[p // 64] -= 1 << 64
+        return out
+
+    rows = [(0, base)]
+    # near-dups at distances 1..14, several straddling bit 60..69
+    for i, d in enumerate(range(1, 15), start=1):
+        rows.append((i, flip(base, rng.sample(range(128), d))))
+    rows.append((20, flip(base, [60, 61, 62, 63, 64, 65])))  # boundary
+    rows.extend(
+        (30 + j, [rng.getrandbits(64) - (1 << 63) for _ in range(2)])
+        for j in range(6)
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, simhash array<long>"
+    )
+    for k in (3, 6, 12, 13):
+        blocked = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_blocked_pairs_wide(
+                df, max_hamming=k, bits=128
+            ).collect()
+        }
+        brute = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_neardup_pairs_wide(
+                df, max_hamming=k
+            ).collect()
+        }
+        assert blocked == brute, f"k={k}"
+
+
+def test_simhash_bits_for_ladder_reaches_128():
+    # 5e9 docs at k=3-equivalent: 64-bit chance pairs exceed the 1%
+    # budget (5.6e7 > 5e7) -> the ladder steps to 128
+    assert dedup.simhash_bits_for(5_000_000_000) == 128
+    assert dedup.simhash_bits_for(1_000_000_000) == 64
+    # 128 holds far past any current corpus
+    assert dedup.simhash_bits_for(10_000_000_000_000) == 128
 
 
 def test_repetition_features_known_values(spark):

@@ -357,6 +357,172 @@ def simhash(
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 128,
+) -> DataFrame:
+    """Multi-word SimHash for the billion-doc regime: ``bits`` a
+    multiple of 64, signature = ``array<bigint>`` of bits/64 words
+    (little-endian word order: global bit j lives in word j//64 at
+    in-word position j%64). Word 0 uses the same token-hash salts as
+    :func:`simhash` at bits=64, so ``simhash_wide(bits=64)`` word 0 ==
+    the one-BIGINT signature exactly (pinned by test); words ≥1 draw
+    from independently-salted hash pairs. One shuffle keyed by doc,
+    same as the narrow path — the vote aggregate just carries ``bits``
+    columns (map-side combined)."""
+    if bits % 64 != 0 or not (64 <= bits <= 256):
+        raise ValueError(f"bits must be a multiple of 64 in [64, 256], got {bits}")
+    from xml_to_parquet_spark.functions._parallel import size_to_cores
+
+    words = bits // 64
+    df = size_to_cores(df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    for w in range(words):
+        lo_salt = "" if w == 0 else f":w{w}"
+        hi_salt = ":hi" if w == 0 else f":w{w}:hi"
+        toks = toks.withColumn(
+            f"h_lo_{w}",
+            md5_hash32(
+                F.col("tok") if w == 0
+                else F.concat(F.col("tok"), F.lit(lo_salt))
+            ),
+        ).withColumn(
+            f"h_hi_{w}", md5_hash32(F.concat(F.col("tok"), F.lit(hi_salt)))
+        )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(
+                    F.col(f"h_{'lo' if (j % 64) < 32 else 'hi'}_{j // 64}"),
+                    j % 32,
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    word_cols = []
+    for w in range(words):
+        sig = None
+        for p in range(64):
+            weight = -(1 << 63) if p == 63 else (1 << p)
+            bit = F.when(
+                F.col(f"v{w * 64 + p}") > 0, F.lit(weight)
+            ).otherwise(F.lit(0))
+            sig = bit if sig is None else (sig + bit)
+        word_cols.append(sig.cast("long"))
+    return agg.select(
+        F.col(id_col), F.array(*word_cols).alias("simhash")
+    )
+
+
+def _wide_hamming(a: str, b: str) -> Column:
+    """Hamming distance between two array<bigint> signatures."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)), "
+        f"0, (acc, v) -> acc + v)"
+    ).cast("int")
+
+
+def simhash_blocked_pairs_wide(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 12,
+    bits: int = 128,
+) -> DataFrame:
+    """Pigeonhole blocking over multi-word signatures — the bits>64
+    twin of :func:`simhash_blocked_pairs`. The (max_hamming+1) chunks
+    partition the GLOBAL bit range, so a chunk may straddle a word
+    boundary; its key is then assembled from the two words' pieces
+    (shiftrightunsigned on the low word, masked low bits of the high
+    word shifted up). Pigeonhole validity needs only a disjoint cover:
+    any pair within Hamming ≤ k agrees exactly on ≥1 chunk. Exact
+    verification sums per-word popcounts."""
+    words = bits // 64
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
+    chunk_keys = []
+    for c in range(n_chunks):
+        s = c * width
+        e = min(s + width, bits) - 1
+        if s > e:
+            break  # bits < n_chunks*width tail: fewer, still a cover
+        w0, w1 = s // 64, e // 64
+        lo = F.element_at(F.col("simhash"), w0 + 1)
+        if w0 == w1:
+            mask = (1 << (e - s + 1)) - 1
+            # at full-word width the mask is 2^64-1: skip the AND (the
+            # shifted value is already the whole word)
+            key = F.shiftrightunsigned(lo, s % 64)
+            if (e - s + 1) < 64:
+                key = key.bitwiseAND(F.lit(mask))
+        else:
+            lo_bits = 64 - (s % 64)
+            hi = F.element_at(F.col("simhash"), w1 + 1)
+            hi_bits = (e % 64) + 1
+            key = F.shiftrightunsigned(lo, s % 64).bitwiseOR(
+                F.shiftleft(
+                    hi.bitwiseAND(F.lit((1 << hi_bits) - 1)), lo_bits
+                )
+            )
+        chunk_keys.append(
+            F.struct(F.lit(c).alias("chunk"), key.alias("ckey"))
+        )
+    keyed = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*chunk_keys)).alias("ck"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.ckey").alias("ckey"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "chunk", "ckey",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "chunk", "ckey",
+    )
+    return (
+        a.join(b, on=["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", _wide_hamming("sig_a", "sig_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def simhash_neardup_pairs_wide(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 12
+) -> DataFrame:
+    """All-pairs brute-force twin of :func:`simhash_blocked_pairs_wide`
+    (test oracle; small data only)."""
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", _wide_hamming("sig_a", "sig_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_bits_for(
     n_docs: int, max_hamming: int = 3, chance_pair_budget: float = 0.01
 ) -> int:
@@ -381,7 +547,7 @@ def simhash_bits_for(
     """
     from math import comb
 
-    for bits in (32, 64):
+    for bits in (32, 64, 128):
         # evaluate at the width-equivalent ANGULAR radius (see
         # simhash_pairs_auto): k scales with bits so both widths cut at
         # the same cosine angle, and the chance tail must too
@@ -390,7 +556,7 @@ def simhash_bits_for(
         expected = comb(max(n_docs, 2), 2) * p
         if expected <= chance_pair_budget * n_docs:
             return bits
-    return 64  # 64 is the widest one-BIGINT code; beyond it, chunk words
+    return 128  # ~1e13 docs at k=3-equivalent before 128 saturates
 
 
 def simhash_pairs_auto(
@@ -422,6 +588,11 @@ def simhash_pairs_auto(
     n = df.count()
     bits = simhash_bits_for(n, max_hamming=max_hamming)
     k = max_hamming * bits // 32  # angular threshold, width-equivalent
+    if bits > 64:  # billion-doc regime: multi-word signatures
+        sig = simhash_wide(df, text_col=text_col, id_col=id_col, bits=bits)
+        return simhash_blocked_pairs_wide(
+            sig, id_col=id_col, max_hamming=k, bits=bits
+        )
     sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     return simhash_blocked_pairs(
         sig, id_col=id_col, max_hamming=k, bits=bits
