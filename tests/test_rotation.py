@@ -72,6 +72,19 @@ def test_staleness_alarm_fires_on_stalled_rotation():
     assert any(victim["entry"] in f for f in failures)
 
 
+def test_coverage_appendix_current():
+    """The COVERAGE.md slug appendix must list every catalog key with
+    correct window membership (rotate_window regenerates it; this
+    catches a rotation committed without the regen)."""
+    cov = open(os.path.join(os.path.dirname(TOOLS), "COVERAGE.md")).read()
+    keys = rr.catalog_keys()
+    window = set(keys[:rr.WINDOW])
+    for k in keys:
+        slug = k.split("_", 1)[1]
+        expected = f"| {slug} | {k} | {'yes' if k in window else ''} |"
+        assert expected in cov, f"stale appendix row for {k}"
+
+
 def test_desired_window_prefers_never_checked():
     rows = rr.build_rows()
     want = rr.desired_window(rows)
