@@ -43,7 +43,9 @@ def main() -> None:
     from xml_to_parquet_spark.workload import QUERIES
 
     spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    from xml_to_parquet_spark.session import set_log_level
+
+    set_log_level(spark, "ERROR")
 
     # warm the JVM + parquet footer caches with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()

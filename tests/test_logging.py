@@ -40,3 +40,25 @@ def test_processing_report(spark):
 def test_spark_task_metrics(spark):
     m = spark_task_metrics(spark)
     assert m["default_parallelism"] >= 1
+
+
+def test_quiet_jvm_logs_restores_tracked_level(spark):
+    """The mute window restores the level the CALLER set via
+    set_log_level — never an introspected log4j2 root level (a fresh
+    session's root reports INFO while the effective console level is
+    WARN, so introspection RAISED verbosity; caught when a full verify
+    run's tail flooded with INFO shutdown logs)."""
+    from xml_to_parquet_spark.session import quiet_jvm_logs, set_log_level
+
+    set_log_level(spark, "ERROR")
+    with quiet_jvm_logs(spark):
+        pass
+    assert spark._xtp_log_level == "ERROR"
+    # untracked session: falls back to the engine default, never the
+    # log4j2 root introspection
+    if hasattr(spark, "_xtp_log_level"):
+        del spark._xtp_log_level
+    with quiet_jvm_logs(spark):
+        pass
+    assert not hasattr(spark, "_xtp_log_level")
+    set_log_level(spark, "WARN")  # leave the shared fixture quiet

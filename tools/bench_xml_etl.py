@@ -118,7 +118,9 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    from xml_to_parquet_spark.session import set_log_level
+
+    set_log_level(spark, "ERROR")
 
     # steady-state measurement (same rationale as bench.py): one throwaway
     # job pays the one-time JVM/codegen warmup that belongs to the session

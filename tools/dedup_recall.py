@@ -46,7 +46,9 @@ def main() -> int:
     from xml_to_parquet_spark.session import get_spark
 
     spark = get_spark("dedup_recall")
-    spark.sparkContext.setLogLevel("ERROR")
+    from xml_to_parquet_spark.session import set_log_level
+
+    set_log_level(spark, "ERROR")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
 
     # exact ground truth once, at the loosest threshold; tighter ones

@@ -38,7 +38,9 @@ def main() -> int:
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    from xml_to_parquet_spark.session import set_log_level
+
+    set_log_level(spark, "ERROR")
 
     print("smoke: entry(spark) ...")
     rows = entrymod.entry(spark).collect()

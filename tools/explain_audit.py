@@ -145,7 +145,9 @@ def main() -> int:
     FORBIDDEN_NODES = _rekey(FORBIDDEN_NODES, QUERIES)
 
     spark = get_spark("explain_audit")
-    spark.sparkContext.setLogLevel("ERROR")
+    from xml_to_parquet_spark.session import set_log_level
+
+    set_log_level(spark, "ERROR")
     hard_fail = []
 
     skip_slugs = {"streaming_window", "multimodal_decode"}

@@ -76,7 +76,9 @@ def main() -> None:
     spark = get_spark(
         "memory_rung", extra_conf={"spark.ui.enabled": "true"}
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    from xml_to_parquet_spark.session import set_log_level
+
+    set_log_level(spark, "ERROR")
     heap = spark.conf.get("spark.driver.memory")
     result: dict = {"heap": heap, "sf_dir": sf_dir}
 

@@ -48,7 +48,9 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    from xml_to_parquet_spark.session import set_log_level
+
+    set_log_level(spark, "ERROR")
     spark.createDataFrame([(1,)], "x int").count()
 
     base = tempfile.mkdtemp(

@@ -308,7 +308,9 @@ def cmd_convert(args: argparse.Namespace) -> int:
     if not args.verbose:
         # log4j WARNs (e.g. FileStreamSink's glob-path probe) print full
         # stack traces to the console; keep the CLI output readable
-        spark.sparkContext.setLogLevel("ERROR")
+        from xml_to_parquet_spark.session import set_log_level
+
+        set_log_level(spark, "ERROR")
     try:
         result = process_xml_to_parquet(
             spark,
@@ -392,8 +394,10 @@ def cmd_setup(args: argparse.Namespace) -> int:
     if not args.skip_spark_check:
         from xml_to_parquet_spark.session import get_spark
 
+        from xml_to_parquet_spark.session import set_log_level
+
         spark = get_spark("xml_to_parquet_setup")
-        spark.sparkContext.setLogLevel("ERROR")
+        set_log_level(spark, "ERROR")
         n = spark.range(4).count()
         assert n == 4
         print("  ok: Spark session works")

@@ -109,21 +109,28 @@ def quiet_jvm_logs(spark: SparkSession, level: str = "OFF"):
     the bench gate asserts stderr is ERROR-free, which only this windowed
     mute makes possible without masking anything else."""
     sc = spark.sparkContext
-    # capture the ACTIVE level so a developer session running at
-    # INFO/DEBUG is restored, not silently dropped to the engine default
-    try:
-        prev = str(
-            sc._jvm.org.apache.logging.log4j.LogManager.getRootLogger()
-            .getLevel()
-            .toString()
-        )
-    except Exception:  # pragma: no cover - log4j2 API unavailable
-        prev = "WARN"  # engine default (log4j2-defaults profile)
+    # restore the level the CALLER set (tracked by set_log_level), so a
+    # developer session running at INFO/DEBUG is restored rather than
+    # dropped to the engine default. Introspecting the log4j2 root
+    # logger instead is WRONG on a fresh session: the profile's root
+    # reports INFO while the effective console level is WARN, so
+    # "restoring" the introspected value raised verbosity (caught by a
+    # full verify run whose tail flooded with INFO shutdown logs).
+    prev = getattr(spark, "_xtp_log_level", None) or "WARN"
     try:
         sc.setLogLevel(level)
         yield
     finally:
         sc.setLogLevel(prev)
+
+
+def set_log_level(spark: SparkSession, level: str) -> None:
+    """Set the session log level AND record it so
+    :func:`quiet_jvm_logs` can restore it after an expected-failure
+    mute window. Use this instead of ``sc.setLogLevel`` anywhere a
+    muted catalog entry (atomic publish, TWS stop) may run later."""
+    spark.sparkContext.setLogLevel(level)
+    spark._xtp_log_level = level
 
 
 def _ship_package(spark: SparkSession) -> None:
