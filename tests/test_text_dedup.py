@@ -234,6 +234,12 @@ def test_simhash_blocked_pairs_wide_exact_vs_brute(spark):
     for i, d in enumerate(range(1, 15), start=1):
         rows.append((i, flip(base, rng.sample(range(128), d))))
     rows.append((20, flip(base, [60, 61, 62, 63, 64, 65])))  # boundary
+    # THE killer pattern (r11 review): one flip per pigeonhole chunk —
+    # at k=13 (14 chunks) every chunk of the OLD ceil-width layout
+    # (13 chunks of width 10) disagreed and the pair was silently
+    # dropped; boundary-based chunking must keep >=1 chunk agreeing
+    rows.append((21, flip(base, list(range(0, 128, 10)))))  # 13 flips
+    rows.append((22, flip(base, [128 * c // 14 for c in range(13)])))
     rows.extend(
         (30 + j, [rng.getrandbits(64) - (1 << 63) for _ in range(2)])
         for j in range(6)
@@ -241,7 +247,9 @@ def test_simhash_blocked_pairs_wide_exact_vs_brute(spark):
     df = spark.createDataFrame(
         rows, "doc_id long, simhash array<long>"
     )
-    for k in (3, 6, 12, 13):
+    # k=1 exercises the chunks-raised-to-words floor, 13 the killer
+    # pattern, 20 a wide radius; intermediate k add runtime, not cases
+    for k in (1, 13, 20):
         blocked = {
             (r.id_a, r.id_b, r.hamming)
             for r in dedup.simhash_blocked_pairs_wide(
@@ -255,6 +263,42 @@ def test_simhash_blocked_pairs_wide_exact_vs_brute(spark):
             ).collect()
         }
         assert blocked == brute, f"k={k}"
+
+
+def test_simhash_blocked_pairs_narrow_high_radius(spark):
+    """bits=64 with k=14 (the regime simhash_pairs_auto's k-doubling
+    reaches from max_hamming=7): the old ceil-width chunking shifted by
+    c*width >= 64, which the JVM wraps mod 64 — aliased keys silently
+    broke pigeonhole completeness. One-flip-per-chunk signatures are
+    the killer pattern; blocked must equal brute."""
+    base = -(1 << 63) + 0x123456789ABCDEF
+    rows = [(0, base)]
+    for i, k in enumerate((14, 13, 7), start=1):
+        sig = base
+        for p in [64 * c // 15 for c in range(k)]:  # one per chunk
+            sig ^= 1 << p
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+        rows.append((i, sig))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    for k in (3, 14):
+        blocked = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_blocked_pairs(
+                df, max_hamming=k, bits=64
+            ).collect()
+        }
+        brute = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_neardup_pairs(
+                df, max_hamming=k
+            ).collect()
+        }
+        assert blocked == brute, f"k={k}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_blocked_pairs(df, max_hamming=64, bits=64)
 
 
 def test_simhash_bits_for_ladder_reaches_128():

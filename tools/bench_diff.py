@@ -54,7 +54,11 @@ def slug(key: str) -> str:
 
 def cal_ms(d: dict) -> float | None:
     era = d.get("era") or {}
-    vals = [era.get("cal_ms_start"), era.get("cal_ms_end")]
+    vals = [
+        era.get("cal_ms_start"),
+        era.get("cal_ms_mid"),  # r11: mature-JVM mid-sweep bracket
+        era.get("cal_ms_end"),
+    ]
     vals = [v for v in vals if isinstance(v, (int, float))]
     return min(vals) if vals else None
 

@@ -122,10 +122,9 @@ APPENDIX_HEADER = "## Appendix: slug -> current key"
 def regen_coverage_appendix() -> None:
     """COVERAGE.md's tables keep the key names from the round each row
     was written; this appendix is the live resolver. Regenerated on
-    every rotation so it can't go stale."""
-    import importlib
-
-    importlib.reload(rr)  # catalog_keys() re-reads the renamed file
+    every rotation so it can't go stale (catalog_keys() re-reads
+    workload.py from disk on every call, so the just-applied renames
+    are picked up without any reload)."""
     keys = rr.catalog_keys()
     window = set(keys[:rr.WINDOW])
     cov_path = os.path.join(rr.REPO, "COVERAGE.md")
@@ -151,6 +150,10 @@ def regen_coverage_appendix() -> None:
 
 
 def main() -> int:
+    if "--regen-appendix" in sys.argv:
+        regen_coverage_appendix()
+        print("COVERAGE.md slug appendix regenerated")
+        return 0
     renames = plan_renames()
     if not renames:
         print("window already matches the stalest-first policy")

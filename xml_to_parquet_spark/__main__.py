@@ -392,9 +392,7 @@ def cmd_setup(args: argparse.Namespace) -> int:
     ET.parse(os.path.join(root, "examples", "products.xml"))
     print("  ok: XML parsing works")
     if not args.skip_spark_check:
-        from xml_to_parquet_spark.session import get_spark
-
-        from xml_to_parquet_spark.session import set_log_level
+        from xml_to_parquet_spark.session import get_spark, set_log_level
 
         spark = get_spark("xml_to_parquet_setup")
         set_log_level(spark, "ERROR")

@@ -442,18 +442,30 @@ def simhash_blocked_pairs_wide(
     partition the GLOBAL bit range, so a chunk may straddle a word
     boundary; its key is then assembled from the two words' pieces
     (shiftrightunsigned on the low word, masked low bits of the high
-    word shifted up). Pigeonhole validity needs only a disjoint cover:
-    any pair within Hamming ≤ k agrees exactly on ≥1 chunk. Exact
-    verification sums per-word popcounts."""
+    word shifted up). Pigeonhole needs EXACTLY max_hamming+1 nonempty
+    chunks — k diffs can kill at most k chunks, leaving ≥1 agreeing —
+    so chunking is boundary-based with floor widths (r11 review fix:
+    the original ceil-width + early-break emitted only 13 chunks for
+    k=13 at 128 bits, so a pair with one flip per chunk was silently
+    missed; "a disjoint cover suffices" was wrong). Exact verification
+    sums per-word popcounts."""
     words = bits // 64
     n_chunks = max_hamming + 1
-    width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
+    if n_chunks > bits:
+        raise ValueError(
+            f"pigeonhole needs max_hamming+1 <= bits chunks: "
+            f"k={max_hamming}, bits={bits}"
+        )
+    if n_chunks < words:
+        # a chunk would span >64 bits and not fit one BIGINT key; at
+        # such tiny radii on a wide code, just join on whole words
+        # (each chunk = one word): k diffs still leave >=1 word equal
+        # whenever k < words
+        n_chunks = words
+    bounds = [c * bits // n_chunks for c in range(n_chunks + 1)]
     chunk_keys = []
     for c in range(n_chunks):
-        s = c * width
-        e = min(s + width, bits) - 1
-        if s > e:
-            break  # bits < n_chunks*width tail: fewer, still a cover
+        s, e = bounds[c], bounds[c + 1] - 1
         w0, w1 = s // 64, e // 64
         lo = F.element_at(F.col("simhash"), w0 + 1)
         if w0 == w1:
@@ -526,7 +538,7 @@ def simhash_neardup_pairs_wide(
 def simhash_bits_for(
     n_docs: int, max_hamming: int = 3, chance_pair_budget: float = 0.01
 ) -> int:
-    """Smallest supported SimHash width (32 or 64) whose EXPECTED count
+    """Smallest supported SimHash width (32, 64 or 128) whose EXPECTED count
     of chance pairs — unrelated docs landing within Hamming ≤ k purely
     by birthday collision — stays under ``chance_pair_budget · n_docs``.
 
@@ -547,6 +559,8 @@ def simhash_bits_for(
     """
     from math import comb
 
+    if n_docs < 2:
+        return 32  # no pairs possible; cheapest width is correct
     for bits in (32, 64, 128):
         # evaluate at the width-equivalent ANGULAR radius (see
         # simhash_pairs_auto): k scales with bits so both widths cut at
@@ -636,24 +650,35 @@ def simhash_blocked_pairs(
     (then exact bit_count verifies). Work ∝ docs sharing a chunk value —
     the SimHash analogue of MinHash-LSH banding; no cross product anywhere.
     Identical output contract to :func:`simhash_neardup_pairs`.
+
+    Chunking is BOUNDARY-based (r11 review fix): exactly max_hamming+1
+    chunks with floor widths and the remainder spread over the leading
+    chunks. The previous ceil-width scheme shifted by c·width, which at
+    k ≥ bits/width wrapped mod 64 in the JVM (shift 65 ≡ shift 1) and
+    produced aliased, non-constant keys — pigeonhole completeness
+    silently broke for radii ≥ 14 at bits=64, reachable once
+    ``simhash_pairs_auto`` started doubling user thresholds.
     """
     n_chunks = max_hamming + 1
-    width = (bits + n_chunks - 1) // n_chunks
-    mask = (1 << width) - 1
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                # unsigned shift: at bits=64 (image dHash) the sign bit is
-                # data, and an arithmetic shift would smear it into the
-                # high chunk keys
-                F.shiftrightunsigned(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("ckey"),
-            )
-            for c in range(n_chunks)
-        ]
-    )
+    if n_chunks > bits:
+        raise ValueError(
+            f"pigeonhole needs max_hamming+1 <= bits chunks: "
+            f"k={max_hamming}, bits={bits}"
+        )
+    bounds = [c * bits // n_chunks for c in range(n_chunks + 1)]
+    chunk_cols = []
+    for c in range(n_chunks):
+        s, wdt = bounds[c], bounds[c + 1] - bounds[c]
+        key = F.shiftrightunsigned(F.col("simhash"), s)
+        # unsigned shift: at bits=64 (image dHash) the sign bit is
+        # data, and an arithmetic shift would smear it into the high
+        # chunk keys; the top chunk of a 64-bit code needs no mask
+        if s + wdt < 64:
+            key = key.bitwiseAND(F.lit((1 << wdt) - 1))
+        chunk_cols.append(
+            F.struct(F.lit(c).alias("chunk"), key.alias("ckey"))
+        )
+    chunks = F.array(*chunk_cols)
     keyed = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")
     ).select(

@@ -116,6 +116,10 @@ def quiet_jvm_logs(spark: SparkSession, level: str = "OFF"):
     # reports INFO while the effective console level is WARN, so
     # "restoring" the introspected value raised verbosity (caught by a
     # full verify run whose tail flooded with INFO shutdown logs).
+    # Documented tradeoff: a session whose level was set via RAW
+    # sc.setLogLevel (not set_log_level) falls back to WARN after the
+    # window — losing an untracked DEBUG beats flooding every fresh
+    # session, and all in-repo callers use the wrapper.
     prev = getattr(spark, "_xtp_log_level", None) or "WARN"
     try:
         sc.setLogLevel(level)
