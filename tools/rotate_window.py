@@ -15,11 +15,21 @@ file a rotation touches.
 
 Naming rules enforced here (and relied on by the window arithmetic):
 
-* in-window keys get ``a`` + a free 2-digit number (a01..a99);
-* out-of-window keys get ``q`` + a free number >= 02, zero-padded to
-  2-3 digits (every such key sorts after ``q01_...`` because ``q0`` <
+* in-window keys get ``a`` + a FRESH number above every a-number ever
+  used (live catalog + all CORRECTNESS files + the committed
+  a_high_water) — any a-key sorts before any q-key regardless of digit
+  count, so membership only needs "is an a-key", never the number;
+* out-of-window keys get ``q`` + a fresh number above every q-number
+  ever used (every such key sorts after ``q01_...`` because ``q0`` <
   ``q1``.. holds positionally and q01 is the minimal q-key);
 * keys already on the correct side keep their exact name (minimal diff).
+
+Fresh-on-both-sides is the ADVICE-r11 rule: a freed number (a- OR q-)
+reassigned to a different slug corrupts number-based lookups in the
+historical CHANGES/CORRECTNESS paper trail. Historical files therefore
+resolve identity by SLUG, never by number; the high-water marks in
+rotation_names.json make number freshness durable even for names that
+never reached a CORRECTNESS file.
 
 Usage::
 
@@ -50,39 +60,49 @@ def plan_renames() -> list[tuple[str, str]]:
     stay_q = {
         k for k in keys if k not in want and k.startswith("q")
     } | {rr.PINNED}
-    used_a_nums = {int(k[1:].split("_")[0]) for k in stay_a}
-    used_q_nums = {int(k[1:].split("_")[0]) for k in stay_q}
-    # retirees get numbers above EVERY q-number ever used, not just the
-    # live ones: entries retired together age together and are promoted
-    # together ~3 rounds later, which would free their numbers for that
-    # same round's retirees — a freed qNNN reassigned to a different
-    # slug would corrupt the CHANGES/CORRECTNESS paper trail. Promoted
-    # retirees' numbers never reach a CORRECTNESS file, so a committed
-    # high-water mark (rotation_names.json) makes the freshness durable;
-    # the CORRECTNESS scan stays as defense-in-depth.
+    # Both sides get numbers above EVERY number of that prefix ever
+    # used, not just the live ones: entries retired together age
+    # together and are promoted together ~3 rounds later, which would
+    # free their numbers for that same round's counterparts — a freed
+    # number reassigned to a different slug corrupts the
+    # CHANGES/CORRECTNESS paper trail (ADVICE r11: the a27<->q143 swap
+    # did exactly this on the a-side, which the old code left
+    # unguarded). Numbers that never reach a CORRECTNESS file are made
+    # durable by the committed high-water marks (rotation_names.json);
+    # the CORRECTNESS scan stays as defense-in-depth. Live catalog keys
+    # on both sides (stay_a/stay_q AND the keys about to be renamed
+    # away) are counted too, so a freshly-freed number can never be
+    # reissued within the same plan.
     import glob
     import json
 
+    used_a_nums = {
+        int(k[1:].split("_")[0]) for k in keys if k.startswith("a")
+    }
+    used_q_nums = {
+        int(k[1:].split("_")[0]) for k in keys if k.startswith("q")
+    }
     for f in glob.glob(os.path.join(rr.REPO, "CORRECTNESS_r*.json")):
         for k in json.load(open(f)):
             num = k[1:].split("_")[0]
-            if k.startswith("q") and num.isdigit():
-                used_q_nums.add(int(num))
+            if num.isdigit():
+                (used_a_nums if k.startswith("a") else used_q_nums).add(
+                    int(num)
+                )
     if os.path.exists(HWM_FILE):
-        used_q_nums.add(json.load(open(HWM_FILE)).get("q_high_water", 0))
+        hwm = json.load(open(HWM_FILE))
+        used_q_nums.add(hwm.get("q_high_water", 0))
+        used_a_nums.add(hwm.get("a_high_water", 0))
     renames: list[tuple[str, str]] = []
     for k in sorted(keys):
         if k == rr.PINNED:
             continue
         slug = k.split("_", 1)[1]
         if k in want and k.startswith("q"):
-            n = next(i for i in range(1, 100) if i not in used_a_nums)
+            n = max(used_a_nums, default=1) + 1
             used_a_nums.add(n)
             renames.append((k, f"a{n:02d}_{slug}"))
         elif k not in want and k.startswith("a"):
-            # fresh numbers above the historical max: low qNN names are
-            # documented canonical identities (CHANGES_r03) — reusing
-            # them for different slugs would corrupt the paper trail
             n = max(used_q_nums, default=1) + 1
             used_q_nums.add(n)
             renames.append((k, f"q{n:03d}_{slug}"))
@@ -102,17 +122,18 @@ def apply(renames: list[tuple[str, str]]) -> None:
             )
         src = src.replace(pat, f'"{new}": QuerySpec(')
     open(WORKLOAD, "w").write(src)
-    q_nums = [
-        int(new[1:].split("_")[0])
-        for _, new in renames
-        if new.startswith("q")
-    ]
-    if q_nums:
-        prev = 0
-        if os.path.exists(HWM_FILE):
-            prev = json.load(open(HWM_FILE)).get("q_high_water", 0)
-        with open(HWM_FILE, "w") as fh:
-            json.dump({"q_high_water": max([prev] + q_nums)}, fh)
+    prev = {}
+    if os.path.exists(HWM_FILE):
+        prev = json.load(open(HWM_FILE))
+    marks = {
+        "q_high_water": prev.get("q_high_water", 0),
+        "a_high_water": prev.get("a_high_water", 0),
+    }
+    for _, new in renames:
+        side = "a_high_water" if new.startswith("a") else "q_high_water"
+        marks[side] = max(marks[side], int(new[1:].split("_")[0]))
+    with open(HWM_FILE, "w") as fh:
+        json.dump(marks, fh)
     regen_coverage_appendix()
 
 

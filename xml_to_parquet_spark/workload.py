@@ -6414,85 +6414,85 @@ QUERIES: dict[str, QuerySpec] = {
     "q01_star_revenue": QuerySpec(
         q_star_revenue, _Q_STAR_REVENUE_SQL, "flagship 5-way star join + agg"
     ),
-    "a01_grouped_multi_agg": QuerySpec(
+    "q192_grouped_multi_agg": QuerySpec(
         q_grouped_multi_agg, _Q_GROUPED_MULTI_AGG_SQL, "A2 {col}_{fn} agg"
     ),
-    "a02_count_by_group": QuerySpec(
+    "q193_count_by_group": QuerySpec(
         q_count_by_group, _Q_COUNT_BY_GROUP_SQL, "A3 count-by-group"
     ),
-    "a03_project_filter": QuerySpec(
+    "q194_project_filter": QuerySpec(
         q_project_filter, _Q_PROJECT_FILTER_SQL, "P1/P3 projection+filter"
     ),
-    "a04_distinct": QuerySpec(q_distinct, _Q_DISTINCT_SQL, "U2 distinct"),
-    "a05_sort_limit": QuerySpec(
+    "q195_distinct": QuerySpec(q_distinct, _Q_DISTINCT_SQL, "U2 distinct"),
+    "q196_sort_limit": QuerySpec(
         q_sort_limit, _Q_SORT_LIMIT_SQL, "O1/O2 sort+limit"
     ),
-    "a06_union_by_name": QuerySpec(
+    "q197_union_by_name": QuerySpec(
         q_union_by_name, _Q_UNION_BY_NAME_SQL, "U1 ragged union"
     ),
-    "a07_surrogate_keys": QuerySpec(
+    "q198_surrogate_keys": QuerySpec(
         q_surrogate_keys, _Q_SURROGATE_KEYS_SQL, "W1 surrogate keys"
     ),
-    "a08_star_dim_keys": QuerySpec(
+    "q199_star_dim_keys": QuerySpec(
         q_star_dim_keys, _Q_STAR_DIM_KEYS_SQL, "J1/J3/W1 star build"
     ),
-    "a09_cast_null_on_fail": QuerySpec(
+    "q200_cast_null_on_fail": QuerySpec(
         q_cast_null_on_fail, _Q_CAST_NULL_SQL, "F1 null-on-fail cast"
     ),
-    "a10_regex_extract": QuerySpec(
+    "q201_regex_extract": QuerySpec(
         q_regex_extract, _Q_REGEX_EXTRACT_SQL, "F4/F5 regex"
     ),
-    "a11_conditional_classify": QuerySpec(
+    "q202_conditional_classify": QuerySpec(
         q_conditional_classify, _Q_CONDITIONAL_SQL, "P7 case ladder"
     ),
-    "a12_json_extract": QuerySpec(
+    "q203_json_extract": QuerySpec(
         q_json_extract, _Q_JSON_EXTRACT_SQL, "JSON path extraction"
     ),
-    "q14_profile_classify": QuerySpec(
+    "a120_profile_classify": QuerySpec(
         q_profile_classify, _profile_oracle(), "A1/A4 schema profiling"
     ),
-    "q15_star_build": QuerySpec(
+    "a121_star_build": QuerySpec(
         q_star_build, _Q_STAR_BUILD_SQL, "catalog-driven star transform"
     ),
-    "a13_token_count": QuerySpec(
+    "q204_token_count": QuerySpec(
         q_token_count, _Q_TOKEN_COUNT_SQL, "token + BPE-ish subtoken counts"
     ),
-    "a14_text_quality": QuerySpec(
+    "q205_text_quality": QuerySpec(
         q_text_quality, _Q_TEXT_QUALITY_SQL, "doc quality features"
     ),
-    "a15_lang_id": QuerySpec(
+    "q206_lang_id": QuerySpec(
         q_lang_id, _lang_id_sql(), "heuristic language ID confusion"
     ),
-    "a16_fingerprint": QuerySpec(
+    "q207_fingerprint": QuerySpec(
         q_fingerprint, _Q_FINGERPRINT_SQL, "normalized-text fingerprints"
     ),
-    "a17_dedup_exact": QuerySpec(
+    "q208_dedup_exact": QuerySpec(
         q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
     ),
-    "q130_dedup_ngram_jaccard": QuerySpec(
+    "a115_dedup_ngram_jaccard": QuerySpec(
         q_dedup_ngram_jaccard,
         _ngram_jaccard_sql(),
         "LSH candidates + exact 3-gram Jaccard verify",
     ),
-    "a18_dedup_minhash_sig": QuerySpec(
+    "q209_dedup_minhash_sig": QuerySpec(
         q_dedup_minhash_sig, _minhash_sig_sql(), "MinHash signatures"
     ),
-    "a19_dedup_minhash_lsh": QuerySpec(
+    "q210_dedup_minhash_lsh": QuerySpec(
         q_dedup_minhash_lsh, _minhash_lsh_sql(), "MinHash LSH candidates"
     ),
-    "a20_dedup_simhash": QuerySpec(
+    "q211_dedup_simhash": QuerySpec(
         q_dedup_simhash, _simhash_sql(), "SimHash signatures"
     ),
-    "a21_dedup_embedding": QuerySpec(
+    "q212_dedup_embedding": QuerySpec(
         q_dedup_embedding, _Q_DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups"
     ),
-    "a22_knn_brute": QuerySpec(
+    "q213_knn_brute": QuerySpec(
         q_knn_brute, _Q_KNN_BRUTE_SQL, "brute-force cosine top-k"
     ),
-    "a23_knn_lsh": QuerySpec(
+    "q214_knn_lsh": QuerySpec(
         q_knn_lsh, _q_knn_lsh_sql(), "sign-LSH bucketed top-k"
     ),
-    "a24_multimodal_meta": QuerySpec(
+    "q215_multimodal_meta": QuerySpec(
         q_multimodal_meta, _Q_MULTIMODAL_META_SQL, "binary payload metadata"
     ),
     # r4: renamed q29 -> a92 so the decode path finally lands inside the
@@ -6500,24 +6500,24 @@ QUERIES: dict[str, QuerySpec] = {
     # entry with zero driver validation across rounds 1-3; its exact
     # md5-arithmetic oracle landed in r3).  q09 (driver-green in r3)
     # rotates out to make room.
-    "q29_multimodal_decode": QuerySpec(
+    "a122_multimodal_decode": QuerySpec(
         q_multimodal_decode,
         _Q_MULTIMODAL_DECODE_SQL,
         "mapInPandas decode plumbing (deterministic stand-in kernel)",
     ),
-    "a25_window_running_sum": QuerySpec(
+    "q216_window_running_sum": QuerySpec(
         q_window_running_sum, _Q_WINDOW_RUNNING_SQL, "analytic running sum"
     ),
-    "a26_time_bucket": QuerySpec(
+    "q217_time_bucket": QuerySpec(
         q_time_bucket, _Q_TIME_BUCKET_SQL, "tumbling event-time window"
     ),
-    "a28_semi_join": QuerySpec(q_semi_join, _Q_SEMI_JOIN_SQL, "left semi join"),
-    "a29_anti_join": QuerySpec(q_anti_join, _Q_ANTI_JOIN_SQL, "left anti join"),
-    "a30_rollup": QuerySpec(q_rollup, _Q_ROLLUP_SQL, "rollup grouping sets"),
-    "a31_sql_frontend": QuerySpec(
+    "q219_semi_join": QuerySpec(q_semi_join, _Q_SEMI_JOIN_SQL, "left semi join"),
+    "q220_anti_join": QuerySpec(q_anti_join, _Q_ANTI_JOIN_SQL, "left anti join"),
+    "q221_rollup": QuerySpec(q_rollup, _Q_ROLLUP_SQL, "rollup grouping sets"),
+    "q222_sql_frontend": QuerySpec(
         q_sql_frontend, _Q_SQL_FRONTEND_SQL, "spark.sql frontend (TPC-H q6)"
     ),
-    "q36_streaming_window": QuerySpec(
+    "a123_streaming_window": QuerySpec(
         q_streaming_window,
         _Q_TIME_BUCKET_SQL,
         "Structured Streaming tumbling window (AvailableNow == batch)",
@@ -6537,50 +6537,50 @@ QUERIES: dict[str, QuerySpec] = {
     # TRIVIAL golden sentinels rotate OUT of the a-window (a63-a66 ->
     # q51-q54: driver-green in r4 AND r5, 1-3 rows each; still covered by
     # pytest + tools/verify_local.py full-catalog runs every round).
-    "q37_xml_star_golden": QuerySpec(
+    "a124_xml_star_golden": QuerySpec(
         q_xml_star_golden,
         _Q_XML_STAR_GOLDEN_SQL,
         "XML ingest -> star transform vs fully-determined golden values",
     ),
-    "a32_date_arith": QuerySpec(
+    "q223_date_arith": QuerySpec(
         q_date_arith, _Q_DATE_ARITH_SQL, "date extraction/arithmetic/diffs"
     ),
-    "a33_set_ops": QuerySpec(
+    "q224_set_ops": QuerySpec(
         q_set_ops, _Q_SET_OPS_SQL, "row-set intersect / exceptAll"
     ),
-    "a34_pivot": QuerySpec(q_pivot, _Q_PIVOT_SQL, "pivot wide by event type"),
-    "a35_string_funcs": QuerySpec(
+    "q225_pivot": QuerySpec(q_pivot, _Q_PIVOT_SQL, "pivot wide by event type"),
+    "q226_string_funcs": QuerySpec(
         q_string_funcs, _Q_STRING_FUNCS_SQL, "string function battery"
     ),
-    "a36_percentile": QuerySpec(
+    "q227_percentile": QuerySpec(
         q_percentile, _Q_PERCENTILE_SQL, "exact interpolated percentiles"
     ),
-    "a37_cube": QuerySpec(q_cube, _Q_CUBE_SQL, "cube grouping sets"),
-    "a38_asof_join": QuerySpec(
+    "q228_cube": QuerySpec(q_cube, _Q_CUBE_SQL, "cube grouping sets"),
+    "q229_asof_join": QuerySpec(
         q_asof_join, _Q_ASOF_JOIN_SQL, "as-of join composed from window"
     ),
-    "a39_sessionize": QuerySpec(
+    "q230_sessionize": QuerySpec(
         q_sessionize,
         _Q_SESSIONIZE_SQL,
         "session windows (batch twin of the stateful streaming operator)",
     ),
-    "a40_range_join": QuerySpec(
+    "q231_range_join": QuerySpec(
         q_range_join, _Q_RANGE_JOIN_SQL, "binned range join (price bands)"
     ),
-    "a41_knn_ivf": QuerySpec(
+    "q232_knn_ivf": QuerySpec(
         q_knn_ivf, _Q_KNN_IVF_SQL, "IVF approximate nearest neighbors"
     ),
-    "a42_incremental_dim": QuerySpec(
+    "q233_incremental_dim": QuerySpec(
         q_incremental_dim,
         _Q_INCREMENTAL_DIM_SQL,
         "incremental dimension merge with stable keys",
     ),
-    "a43_rollup_cascade": QuerySpec(
+    "q234_rollup_cascade": QuerySpec(
         q_rollup_cascade,
         _Q_ROLLUP_CASCADE_SQL,
         "daily-from-hourly rollup cascade (continuous aggregate)",
     ),
-    "a44_salted_agg": QuerySpec(
+    "q235_salted_agg": QuerySpec(
         q_salted_agg,
         _Q_SALTED_AGG_SQL,
         "skew-salted two-stage aggregation (bit-identical to direct)",
@@ -6592,7 +6592,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SUBSTRING_DEDUP_SQL,
         "repeated-k-gram span detection (substring-level dedup)",
     ),
-    "q112_bpe_tokens": QuerySpec(
+    "a99_bpe_tokens": QuerySpec(
         q_bpe_tokens,
         _Q_BPE_TOKENS_SQL,
         "real BPE merge-loop token counts (broadcast merges table)",
@@ -6602,7 +6602,7 @@ QUERIES: dict[str, QuerySpec] = {
         _BPE_LEARN_SQL,
         "distributed BPE merge training (greedy pair-count rounds)",
     ),
-    "q129_ivf_pq_adc": QuerySpec(
+    "a114_ivf_pq_adc": QuerySpec(
         q_ivf_pq_adc,
         _Q_IVF_PQ_ADC_SQL,
         "IVF-PQ asymmetric-distance ANN with exact integer re-rank",
@@ -6617,25 +6617,25 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_IMAGE_PHASH_SQL,
         "image near-dup dedup: netpbm decode → dHash → Hamming blocking",
     ),
-    "q113_netpbm_real": QuerySpec(
+    "a100_netpbm_real": QuerySpec(
         q_netpbm_real_kernel,
         _Q_NETPBM_REAL_SQL,
         "REAL netpbm decode + raster resample (md5-matched output bytes)",
     ),
-    "q140_sessionize_tws": QuerySpec(
+    "a118_sessionize_tws": QuerySpec(
         q_sessionize_tws,
         _Q_SESSIONIZE_TWS_SQL,
         "transformWithStateInPandas sessions (real state protocol)",
     ),
-    "q56_gapfill": QuerySpec(
+    "a125_gapfill": QuerySpec(
         q_gapfill, _Q_GAPFILL_SQL, "time-spine gap fill (dense hourly grid)"
     ),
-    "q57_hash_sample": QuerySpec(
+    "a126_hash_sample": QuerySpec(
         q_hash_sample,
         _hash_sample_sql(),
         "deterministic md5-gate sampling (partition-independent)",
     ),
-    "q58_stratified_sample": QuerySpec(
+    "a127_stratified_sample": QuerySpec(
         q_stratified_sample,
         _stratified_sample_sql(),
         "per-stratum sampling rates in one pushed-down filter",
@@ -6643,36 +6643,36 @@ QUERIES: dict[str, QuerySpec] = {
     # r7 rotation: a54 (driver-green r6, trivial WindowGroupLimit
     # sentinel) retires to q65; its slot driver-gates the exactly-once
     # streaming publish path as a48 (see below).
-    "q65_grouped_topk": QuerySpec(
+    "a130_grouped_topk": QuerySpec(
         q_grouped_topk,
         _Q_GROUPED_TOPK_SQL,
         "per-group top-k via WindowGroupLimit rank filter",
     ),
-    "q82_contamination": QuerySpec(
+    "a136_contamination": QuerySpec(
         q_contamination,
         _contamination_sql(),
         "benchmark contamination scan (broadcast eval shingles)",
     ),
-    "q59_length_histogram": QuerySpec(
+    "a128_length_histogram": QuerySpec(
         q_length_histogram,
         _Q_LENGTH_HISTOGRAM_SQL,
         "doc-length width_bucket histogram",
     ),
     # r7 rotation #3: driver-green r4-r7 under a57; slot ceded to
     # q134_semantic_dedup.
-    "q66_mixture": QuerySpec(
+    "a131_mixture": QuerySpec(
         q_mixture,
         _mixture_sql(),
         "weighted source mixture with deterministic shuffle order",
     ),
-    "q83_tfidf_terms": QuerySpec(
+    "a137_tfidf_terms": QuerySpec(
         q_tfidf_terms,
         _Q_TFIDF_SQL,
         "top distinctive terms per doc (integer tf/df ranking)",
     ),
     # r7 rotation #4: driver-green r4-r7 under a59; slot ceded to
     # q136_rare_gram_lm.
-    "q67_label_centroids": QuerySpec(
+    "a132_label_centroids": QuerySpec(
         q_label_centroids,
         _Q_LABEL_CENTROIDS_SQL,
         "per-label embedding centroids (exact quantized vector sums)",
@@ -6684,42 +6684,42 @@ QUERIES: dict[str, QuerySpec] = {
         _q_rare_gram_sql(),
         "char-trigram rare-fraction LM gate (relative-frequency rarity)",
     ),
-    "q139_simhash_blocked": QuerySpec(
+    "a117_simhash_blocked": QuerySpec(
         q_simhash_blocked,
         _simhash_blocked_sql(),
         "SimHash Hamming pairs via pigeonhole chunk blocking",
     ),
-    "q76_business_keys": QuerySpec(
+    "a133_business_keys": QuerySpec(
         q_business_keys,
         _Q_BUSINESS_KEYS_SQL,
         "S6 comment business keys attached per file (golden fixture)",
     ),
-    "q114_validation_gate": QuerySpec(
+    "a101_validation_gate": QuerySpec(
         q_validation_gate,
         _Q_VALIDATION_GATE_SQL,
         "P4 validation gate excludes malformed files (golden fixture)",
     ),
-    "a45_default_count_measure": QuerySpec(
+    "q236_default_count_measure": QuerySpec(
         q_default_count_measure,
         _Q_DEFAULT_COUNT_MEASURE_SQL,
         "A6 default record_count measure (golden fixture)",
     ),
-    "a46_generated_ids": QuerySpec(
+    "q237_generated_ids": QuerySpec(
         q_generated_ids,
         _Q_GENERATED_IDS_SQL,
         "F13 generated record ids: non-null + unique invariants",
     ),
-    "a47_make_unique": QuerySpec(
+    "q238_make_unique": QuerySpec(
         q_make_unique,
         _Q_MAKE_UNIQUE_SQL,
         "F14 make.unique repeated-tag columns (golden fixture)",
     ),
-    "a48_report_rates": QuerySpec(
+    "q239_report_rates": QuerySpec(
         q_report_rates,
         _Q_REPORT_RATES_SQL,
         "F15 processing-report rate math from Spark-side counts",
     ),
-    "q93_repetition_features": QuerySpec(
+    "a147_repetition_features": QuerySpec(
         q_repetition_features,
         _Q_REPETITION_INT_SQL,
         "Gopher-style within-doc repetition signals",
@@ -6737,7 +6737,7 @@ QUERIES: dict[str, QuerySpec] = {
     # r11 rotation (rotation_report): promoted q143 -> a27 slot so the
     # driver window finally touches the one never-driver-checked entry;
     # slug "hamming_ann" preserved for lineage.
-    "a27_hamming_ann": QuerySpec(
+    "q218_hamming_ann": QuerySpec(
         q_hamming_ann,
         _q_hamming_ann_sql(),
         "binary sign-signature ANN: Hamming-ball candidates + exact re-rank",
@@ -6752,32 +6752,32 @@ QUERIES: dict[str, QuerySpec] = {
         _q_pack_nosplit_sql(),
         "no-split NFD sequence packing (shard-parallel, recursive-CTE oracle)",
     ),
-    "q84_pack_sequences": QuerySpec(
+    "a138_pack_sequences": QuerySpec(
         q_pack_sequences,
         _Q_PACK_SEQUENCES_SQL,
         "concat-and-chunk sequence packing planner (sharded windows)",
     ),
-    "q128_dedup_clusters": QuerySpec(
+    "a113_dedup_clusters": QuerySpec(
         q_dedup_clusters,
         _q_dedup_clusters_sql(),
         "near-dup clustering: LSH pairs -> connected components",
     ),
-    "q115_kmeans_cells": QuerySpec(
+    "a102_kmeans_cells": QuerySpec(
         q_kmeans_cells,
         _q_kmeans_sql(),
         "Lloyd k-means cell assignment in exact integer arithmetic",
     ),
-    "q85_scrub_pii": QuerySpec(
+    "a139_scrub_pii": QuerySpec(
         q_scrub_pii,
         _Q_SCRUB_PII_SQL,
         "PII scrubbing with typed placeholders (golden fixture)",
     ),
-    "q116_dedup_incremental": QuerySpec(
+    "a103_dedup_incremental": QuerySpec(
         q_dedup_incremental,
         _Q_DEDUP_INCREMENTAL_SQL,
         "incremental dedup against an existing corpus (anti-join)",
     ),
-    "q86_assign_split": QuerySpec(
+    "a140_assign_split": QuerySpec(
         q_assign_split,
         _q_assign_split_sql(),
         "deterministic train/val/test split assignment",
@@ -6797,45 +6797,45 @@ QUERIES: dict[str, QuerySpec] = {
         _q_dedup_clusters_star_sql(),
         "connected components via alternating star contraction",
     ),
-    "q117_sliding_window": QuerySpec(
+    "a104_sliding_window": QuerySpec(
         q_sliding_window,
         _Q_SLIDING_WINDOW_SQL,
         "sliding/hopping event-time windows (2h size, 1h hop)",
     ),
-    "q118_session_window": QuerySpec(
+    "a105_session_window": QuerySpec(
         q_session_window_native,
         _Q_SESSION_WINDOW_SQL,
         "native session_window gap-merged sessions",
     ),
-    "q77_variant_json": QuerySpec(
+    "a134_variant_json": QuerySpec(
         q_variant_json,
         _Q_VARIANT_JSON_SQL,
         "VariantType JSON: parse once, typed binary field access",
     ),
-    "q119_pq_codes": QuerySpec(
+    "a106_pq_codes": QuerySpec(
         q_pq_codes,
         _q_pq_codes_sql(),
         "product-quantization codes (per-subspace integer kmeans)",
     ),
-    "q87_zorder_key": QuerySpec(
+    "a141_zorder_key": QuerySpec(
         q_zorder_key,
         _q_zorder_key_sql(),
         "Morton Z-order keys for multi-column file skipping",
     ),
-    "q88_upsert": QuerySpec(
+    "a142_upsert": QuerySpec(
         q_upsert, _Q_UPSERT_SQL, "keyed MERGE-style upsert"
     ),
-    "q89_scd2": QuerySpec(
+    "a143_scd2": QuerySpec(
         q_scd2, _Q_SCD2_SQL, "SCD Type 2 dimension history maintenance"
     ),
-    "q90_fuzzy_pairs": QuerySpec(
+    "a144_fuzzy_pairs": QuerySpec(
         q_fuzzy_pairs,
         _Q_FUZZY_PAIRS_SQL,
         "length-blocked levenshtein fuzzy matching",
     ),
     # r7: a86 -> q60 (driver-green r5+r6 trivial function battery) makes
     # the window slot for a47, the atomic-publish commit-protocol gate.
-    "q60_window_battery": QuerySpec(
+    "a129_window_battery": QuerySpec(
         q_window_battery,
         _Q_WINDOW_BATTERY_SQL,
         "analytic window battery (lag/lead/rank/ntile/cume_dist)",
@@ -6868,7 +6868,7 @@ QUERIES: dict[str, QuerySpec] = {
     # r7 addition: SemDeDup-shape semantic dedup (k-means cells +
     # within-cell integer-exact cosine pruning). Takes a57's window slot
     # (a57_mixture, driver-green since r4, retires to q66).
-    "q134_semantic_dedup": QuerySpec(
+    "a116_semantic_dedup": QuerySpec(
         q_semantic_dedup,
         _q_semantic_dedup_sql(n_probe=3),
         "semantic dedup: multi-probe k-means cells + exact-cosine "
@@ -6894,27 +6894,27 @@ QUERIES: dict[str, QuerySpec] = {
         _q_mojibake_deep_sql(),
         "multi-round byte-level encoding repair (ftfy-shape kernel)",
     ),
-    "q91_grouping_sets": QuerySpec(
+    "a145_grouping_sets": QuerySpec(
         q_grouping_sets,
         _Q_GROUPING_SETS_SQL,
         "explicit GROUPING SETS with grouping_id",
     ),
-    "a49_null_battery": QuerySpec(
+    "q240_null_battery": QuerySpec(
         q_null_battery,
         _Q_NULL_BATTERY_SQL,
         "null-handling battery (coalesce/nullif/greatest/null-safe eq)",
     ),
-    "q92_fuzzy_qgram": QuerySpec(
+    "a146_fuzzy_qgram": QuerySpec(
         q_fuzzy_qgram,
         _Q_FUZZY_QGRAM_SQL,
         "q-gram prefix-filtered levenshtein fuzzy matching (general path)",
     ),
-    "q142_stream_join": QuerySpec(
+    "a119_stream_join": QuerySpec(
         q_stream_interval_join,
         _Q_STREAM_JOIN_SQL,
         "stream-stream interval join (funnel attribution, bounded state)",
     ),
-    "q120_batch_score": QuerySpec(
+    "a107_batch_score": QuerySpec(
         q_batch_score,
         _Q_BATCH_SCORE_SQL,
         "REAL quantized-logreg batch inference (int64 matmul, exact oracle)",
@@ -6925,22 +6925,22 @@ QUERIES: dict[str, QuerySpec] = {
     # Under the sorted 50-slot correctness window the four r4 additions
     # (a93-a96) evicted q05-q08 (all driver-green r3; still covered by
     # pytest + tools/verify_local.py full-catalog runs each round).
-    "q121_multimodal_resize": QuerySpec(
+    "a108_multimodal_resize": QuerySpec(
         q_multimodal_resize,
         _Q_MULTIMODAL_RESIZE_SQL,
         "mapInPandas resize plumbing (aspect-fit, stand-in kernel)",
     ),
-    "q78_byte_features": QuerySpec(
+    "a135_byte_features": QuerySpec(
         q_byte_features,
         _Q_BYTE_FEATURES_SQL,
         "binary feature-extract (numpy byte statistics over Arrow batches)",
     ),
-    "q122_stream_enrich": QuerySpec(
+    "a109_stream_enrich": QuerySpec(
         q_stream_enrich,
         _Q_STREAM_ENRICH_SQL,
         "stream-static enrichment join (stateless, per-micro-batch dim)",
     ),
-    "q123_dedup_keep_best": QuerySpec(
+    "a110_dedup_keep_best": QuerySpec(
         q_dedup_keep_best,
         _Q_DEDUP_KEEP_BEST_SQL,
         "quality-aware dedup retention (best member per cluster)",
@@ -6948,12 +6948,12 @@ QUERIES: dict[str, QuerySpec] = {
     # r5: URL/domain curation pair. Under the sorted 50-slot correctness
     # window a97/a98 evict q03/q04 (driver-green since r1; still covered
     # by pytest + tools/verify_local.py full-catalog runs each round).
-    "q124_url_normalize": QuerySpec(
+    "a111_url_normalize": QuerySpec(
         q_url_normalize,
         _Q_URL_NORMALIZE_SQL,
         "canonical URL dedup keys + registrable domains",
     ),
-    "q125_domain_cap": QuerySpec(
+    "a112_domain_cap": QuerySpec(
         q_domain_cap,
         _Q_DOMAIN_CAP_SQL,
         "per-domain anti-domination cap (deterministic survivors)",
@@ -7138,7 +7138,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r11 rotation: retired from the window (green x3, shallowest eligible
     # resident per rotation_report); slug "skew_report" preserved.
-    "q143_skew_report": QuerySpec(
+    "q241_skew_report": QuerySpec(
         q_skew_report,
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
