@@ -88,23 +88,39 @@ def main() -> None:
 
     import statistics
 
+    # Load-insensitive twin signal (r12, VERDICT r11 item 3): per-query
+    # process-tree CPU seconds next to every wall measurement. Walls on
+    # this VM drift with box load (two consecutive rounds of ambiguous
+    # r-over-r deltas); CPU time of the bench process + JVM + Python
+    # workers does not stretch under load, so bench_diff prefers it.
+    from xml_to_parquet_spark.logging_utils import proc_tree_cpu_ms
+
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
+    timings_cpu: dict[str, float] = {}
     mid_at = len(QUERIES) // 2
     for qi, (name, spec) in enumerate(QUERIES.items()):
         if qi == mid_at:
             # mature-JVM drift bracket (see _calibrate)
             era["cal_ms_mid"] = _calibrate()
             era["load1_mid"] = round(os.getloadavg()[0], 2)
-        samples = []
+        samples, cpu_samples = [], []
         for _ in range(trials):
+            c0 = proc_tree_cpu_ms()
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             # noop sink materializes every row/column without count()'s
             # column-pruning shortcut and without sink I/O in the measurement
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            c1 = proc_tree_cpu_ms()
+            if c0 is not None and c1 is not None:
+                cpu_samples.append(c1 - c0)
         timings[name] = round(min(samples), 3)
+        if cpu_samples:
+            # min across trials, like wall: the first trial's CPU carries
+            # one-time codegen/JIT work that belongs to the session
+            timings_cpu[name] = round(min(cpu_samples) / 1000.0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,6 +174,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cpu": timings_cpu,  # load-insensitive twin (sec)
+        "cpu_total": round(sum(timings_cpu.values()), 3),
         "sf": float(sf) if sf else None,
         "n_queries": len(timings),
         "per_query_mean": round(statistics.mean(vals), 3),
@@ -178,11 +196,13 @@ def main() -> None:
     headline = [
         # relational core / star
         "q01_star_revenue", "q02_grouped_multi_agg", "q35_sql_frontend",
-        "q42_percentile", "q91_grouping_sets",
-        # dedup family
+        "q91_grouping_sets",
+        # r12: seven entries trimmed (fuzzy_pairs, fuzzy_qgram, dedup_apply,
+        # percentile, mojibake_deep, rare_gram_lm, netpbm_real) — the
+        # 3-digit rotation names + cpu_total outgrew the 1900 B cap; every
+        # trimmed slug still lands in the committed sidecar every run
         "q20_dedup_exact", "q130_dedup_ngram_jaccard", "q23_dedup_minhash_lsh",
         "q139_simhash_blocked", "q128_dedup_clusters", "a77_dedup_clusters_star",
-        "q138_dedup_apply", "q90_fuzzy_pairs", "q92_fuzzy_qgram",
         "q131_substring_dedup", "q134_semantic_dedup",
         # similarity / ANN / clustering
         "q25_dedup_embedding", "q26_knn_brute", "q47_knn_ivf",
@@ -190,7 +210,7 @@ def main() -> None:
         # text pipeline
         "q16_token_count", "q17_text_quality", "q18_lang_id",
         "q137_quality_gate", "q112_bpe_tokens",
-        "a72_bpe_learn", "q136_rare_gram_lm", "a34_mojibake_deep",
+        "a72_bpe_learn",
         # sketches / selection
         "q127_hll_distinct", "a25_dsir_select",
         # corpus QA / association / graph (r8)
@@ -204,7 +224,7 @@ def main() -> None:
         "q87_zorder_key", "q89_scd2", "q50_salted_agg",
         # multimodal / scoring
         "q29_multimodal_decode", "q121_multimodal_resize", "q120_batch_score",
-        "q113_netpbm_real", "a75_image_phash_dedup", "a60_audio_fp_dedup",
+        "a75_image_phash_dedup", "a60_audio_fp_dedup",
     ]
     # resolve headline entries by SLUG (r10): the 50-slot window rotation
     # renames keys every round (slug preserved) and stale headline names
@@ -219,6 +239,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": {k: timings[k] for k in headline if k in timings},
+            "cpu_total": round(sum(timings_cpu.values()), 3),
             "sf": float(sf) if sf else None,
             "n_queries": len(timings),
             "per_query_mean": round(statistics.mean(vals), 3),

@@ -540,6 +540,7 @@ def test_bench_line_fits_driver_window():
             "value": 99999.999,
             "unit": "sec",
             "queries": {k: 9999.999 for k in headline},
+            "cpu_total": 99999.999,  # r12 load-insensitive twin total
             "sf": 0.1,
             "n_queries": len(QUERIES),
             "per_query_mean": 9999.999,

@@ -10,10 +10,16 @@ JSONs slug-matched and, when both carry the marker, scales the older
 run's per-query times by the calibration ratio so the printed deltas are
 code deltas, not era deltas.
 
-Usage: python tools/bench_diff.py OLD.json NEW.json [--top N]
+Usage: python tools/bench_diff.py OLD.json NEW.json [--top N] [--wall]
 
 Accepts bench.py sidecars (BENCH_LOCAL_FULL*.json) and driver BENCH_r*.json
 files (whose JSON line may be wrapped in a "tail" blob).
+
+When BOTH files carry a ``queries_cpu`` map (r12+ sidecars: per-query
+process-tree CPU seconds), the diff uses it INSTEAD of wall time — CPU
+time does not stretch with box load, so no era normalization is needed
+and the delta is a code delta by construction. ``--wall`` forces the
+legacy wall-time diff.
 """
 
 from __future__ import annotations
@@ -72,15 +78,26 @@ def main() -> None:
     if len(args) != 2:
         raise SystemExit(__doc__)
     old, new = load_bench(args[0]), load_bench(args[1])
-    co, cn = cal_ms(old), cal_ms(new)
-    scale = (cn / co) if (co and cn) else 1.0
-    marker = (
-        f"era scale {scale:.3f} (cal {co:.0f}ms -> {cn:.0f}ms)"
-        if (co and cn)
-        else "NO era marker on both sides - raw diff (era noise included)"
+    use_cpu = (
+        "--wall" not in sys.argv
+        and old.get("queries_cpu")
+        and new.get("queries_cpu")
     )
-    o = {slug(k): v for k, v in old["queries"].items()}
-    n = {slug(k): v for k, v in new["queries"].items()}
+    if use_cpu:
+        scale = 1.0
+        marker = "CPU-time diff (process-tree CPU sec; load-insensitive)"
+        o = {slug(k): v for k, v in old["queries_cpu"].items()}
+        n = {slug(k): v for k, v in new["queries_cpu"].items()}
+    else:
+        co, cn = cal_ms(old), cal_ms(new)
+        scale = (cn / co) if (co and cn) else 1.0
+        marker = (
+            f"era scale {scale:.3f} (cal {co:.0f}ms -> {cn:.0f}ms)"
+            if (co and cn)
+            else "NO era marker on both sides - raw diff (era noise included)"
+        )
+        o = {slug(k): v for k, v in old["queries"].items()}
+        n = {slug(k): v for k, v in new["queries"].items()}
     common = sorted(set(o) & set(n))
     rows = [(s, o[s] * scale, n[s], n[s] - o[s] * scale) for s in common]
     rows.sort(key=lambda r: r[3])
