@@ -964,3 +964,63 @@ def test_simhash_blocked_pairs_exact_at_64_bits(spark, sigs, max_hamming):
         for r in simhash_neardup_pairs(df, max_hamming=max_hamming).collect()
     }
     assert blocked == brute
+
+
+# ---------------------------------------------------------------------------
+# spark: one-sided containment prefix filter stack is lossless
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=9
+        ).map(lambda cs: " ".join(cs)),
+        min_size=2,
+        max_size=18,
+    ),
+    st.sampled_from([(1, 4), (1, 2), (4, 5), (1, 1)]),
+)
+def test_containment_prefix_lossless_property(spark, texts, t):
+    """Hypothesis fuzz of the one-sided containment prunes (prefix cut
+    on the contained side, szB length filter, dual positional filter):
+    for ANY small corpus and ANY threshold, the filtered directed join
+    equals brute-force containment over word_shingles semantics."""
+    import re
+
+    from xml_to_parquet_spark.functions.dedup import containment_prefix_pairs
+
+    t_num, t_den = t
+    n = 3
+
+    def shingles(s):
+        toks = re.sub(r"\s+", " ", s.strip().lower()).split(" ")
+        if len(toks) >= n:
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+        return {" ".join(toks)}
+
+    rows = list(enumerate(texts))
+    sets = {i: shingles(s) for i, s in rows}
+    expected = set()
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if len(sets[a]) and inter * t_den >= t_num * len(sets[a]):
+                expected.add((a, b, inter, len(sets[a]), len(sets[b])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b)
+        for r in containment_prefix_pairs(
+            df, t_num=t_num, t_den=t_den
+        ).collect()
+    }
+    assert got == expected

@@ -1546,3 +1546,97 @@ def test_strip_corpus_duplicate_lines(spark):
         ).collect()
     }
     assert many == got
+
+
+def _brute_containment_pairs(rows, n, t_num, t_den):
+    """Directed containment oracle: (id_a, id_b, inter, sz_a, sz_b,
+    ppm) for every ordered pair with |A∩B| * t_den >= t_num * |A|."""
+    import re
+
+    def shingles(t):
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        if len(toks) >= n:
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+        return {" ".join(toks)}
+
+    sets = {i: shingles(t) for i, t in rows if t is not None}
+    out = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if len(sets[a]) and inter * t_den >= t_num * len(sets[a]):
+                out.append(
+                    (a, b, inter, len(sets[a]), len(sets[b]),
+                     inter * 10**6 // len(sets[a]))
+                )
+    return sorted(out)
+
+
+def test_containment_finds_quote_that_jaccard_misses(spark):
+    # the canonical C4 boilerplate case: doc 1 appears VERBATIM inside
+    # the much larger doc 2 -> containment(1->2) = 1.0 while Jaccard is
+    # ~ |A|/|B| and falls under any usable threshold
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    rows = [
+        (1, quote),
+        (2, f"{filler} {quote} {filler}"),
+        (3, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.id_a, r.id_b)
+        for r in dedup.containment_prefix_pairs(
+            df, t_num=4, t_den=5
+        ).collect()
+    }
+    assert (1, 2) in cont          # quote detected, directed
+    assert (2, 1) not in cont      # big doc is NOT contained in the quote
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.setsim_prefix_pairs(df, t_num=4, t_den=5).collect()
+    }
+    assert (1, 2) not in jac       # symmetric Jaccard misses it
+
+
+def test_containment_prefix_lossless_vs_bruteforce(spark):
+    vocab = ["red", "blue", "green", "gold", "iron", "wolf", "moon", "star"]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j * 3) % 8] for j in range(4 + i % 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t_num, t_den in [(1, 4), (1, 2), (4, 5), (1, 1)]:
+        want = _brute_containment_pairs(rows, 3, t_num, t_den)
+        got = sorted(
+            (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b, r.cont_ppm)
+            for r in dedup.containment_prefix_pairs(
+                df, t_num=t_num, t_den=t_den
+            ).collect()
+        )
+        assert got == want, f"t={t_num}/{t_den}"
+    assert len(_brute_containment_pairs(rows, 3, 1, 2)) > 5  # non-trivial
+
+
+def test_containment_partition_invariance(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "zero alpha beta gamma delta epsilon zeta eta theta iota"),
+        (3, "unrelated content lives here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = []
+    for p in (1, 7):
+        res.append(sorted(
+            (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b)
+            for r in dedup.containment_prefix_pairs(
+                df.repartition(p), t_num=1, t_den=1
+            ).collect()
+        ))
+    # doc 1: 2 trigrams, both inside doc 2's 8 -> containment 1.0 even
+    # at t=1; the reverse direction (8 into 2) is impossible
+    assert res[0] == res[1] == [(1, 2, 2, 2, 8)]

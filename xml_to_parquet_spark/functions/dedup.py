@@ -1868,3 +1868,157 @@ JOIN sizes sb ON sb.id = id_b
 WHERE i * {t_den} >= {t_num} * (sa.sz + sb.sz - i)
 ORDER BY id_a, id_b
 """
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT asymmetric-containment self-join via a one-sided prefix
+    filter — the dedup shape symmetric Jaccard misses (VERDICT r11
+    item 6): doc A quoted/boilerplated INSIDE a much larger doc B has
+    containment C(A→B) = |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| ≈
+    |A|/|B| → 0, so :func:`setsim_prefix_pairs` never surfaces it.
+    Returns every DIRECTED pair (id_a, id_b), id_a ≠ id_b, with
+    shingle-containment ≥ ``t_num/t_den`` — the standard C4-style
+    quote/boilerplate detector.
+
+    Prefix math (one-sided; cf. the symmetric bound in
+    :func:`setsim_prefix_pairs`): C(A→B) ≥ t ⇒ |A∩B| ≥ ceil(t·|A|) ⇒
+    |A\\B| ≤ |A| − ceil(t·|A|), so under any global total order at least
+    one of A's first ``pA = |A| − ceil(t·|A|) + 1`` tokens is in B.
+    Only the CONTAINED side can be prefix-cut — the container B has no
+    size relation to A (that asymmetry is the point), so B contributes
+    its full postings list, as in the published containment joins
+    (PRETTI/PIEJoin family). Two lossless prunes cut the candidates:
+
+    - length filter: |A∩B| ≤ |B| ⇒ ``szB ≥ ceil(t·szA)``;
+    - dual positional filter: for a TRUE pair, the globally-RAREST
+      common token w* must lie inside A's prefix (every A-token rarer
+      than w* is non-common by minimality — if the whole prefix were
+      non-common the pigeonhole above is violated), and on that row
+      all tokens ordered before w* on EITHER side are non-common, so
+      ``|A∩B| ≤ min(szA − pos_a, szB − pos_b)``; rows failing
+      ``ceil(t·szA)`` against that bound are dropped BEFORE distinct.
+      The w*-row always survives, so distinct-after-filter is lossless.
+
+    Scale shape: the join is keyed on A-prefix tokens (each doc's
+    rarest ~``1−t`` fraction), so a boilerplate shingle enters only for
+    docs made almost entirely of boilerplate; candidate volume is
+    Σ_A Σ_{w∈prefix(A)} df(w) — minimized by the rarest-first order,
+    and residual hot keys are AQE-skew-join territory, not a plan
+    change. Verification is row-local ``array_intersect`` over the two
+    checkpointed shingle arrays — no re-shuffle of the corpus.
+
+    Returns ``(id_a, id_b, inter_sz, size_a, size_b, cont_ppm)``
+    ordered, bit-comparable to :func:`containment_bruteforce_sql`."""
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
+    )
+    dfreq = (
+        base.select(F.explode("toks").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ordered = (
+        base.select("id", F.explode("toks").alias("shingle"))
+        .join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(c, shingle))),"
+                   " x -> x.shingle)").alias("otoks")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # ceil(t*sz) as integer arithmetic; prefix keeps positions for the
+    # dual positional filter
+    need = f"div({t_num} * size(otoks) + {t_den - 1}, {t_den})"
+    pa = ordered.select(
+        F.col("id").alias("id_a"),
+        F.size("otoks").alias("sz_a"),
+        F.expr(need).alias("need_a"),
+        F.posexplode(
+            F.expr(f"slice(otoks, 1, size(otoks) - {need} + 1)")
+        ).alias("pos_a", "shingle"),
+    )
+    pb = ordered.select(
+        F.col("id").alias("id_b"),
+        F.size("otoks").alias("sz_b"),
+        F.posexplode("otoks").alias("pos_b", "shingle"),
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("sz_b") >= F.col("need_a"))
+        .filter(
+            F.least(
+                F.col("sz_a") - F.col("pos_a"),
+                F.col("sz_b") - F.col("pos_b"),
+            )
+            >= F.col("need_a")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter_sz", F.size(F.array_intersect("ta", "tb")))
+        .filter(
+            F.col("inter_sz") * t_den >= F.lit(t_num) * F.size("ta")
+        )
+    )
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            F.size("ta").cast("long").alias("size_a"),
+            F.size("tb").cast("long").alias("size_b"),
+            F.expr("div(inter_sz * 1000000L, size(ta))").alias("cont_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def containment_bruteforce_sql(
+    table: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> str:
+    """Brute-force directed-containment oracle for
+    :func:`containment_prefix_pairs` — deliberately prefix-free (every
+    shared shingle joins, both directions), so a driver match PROVES
+    the one-sided prefix filter lossless on the real corpus."""
+    return f"""
+WITH sh AS ({shingle_sql(table, id_col, n)}),
+sizes AS (SELECT {id_col} AS id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} <> b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS BIGINT) AS inter_sz,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       CAST(i * 1000000 // sa.sz AS BIGINT) AS cont_ppm
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * {t_den} >= {t_num} * sa.sz
+ORDER BY id_a, id_b
+"""

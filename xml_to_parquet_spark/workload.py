@@ -5305,6 +5305,31 @@ def _q_setsim_prefix_sql() -> str:
     return setsim_bruteforce_sql("documents", t_num=4, t_den=5)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment near-dup join (r12, VERDICT r11 item 6,
+    dedup.containment_prefix_pairs): every DIRECTED pair with
+    |A∩B|/|A| >= 0.8 over word-trigram shingles — the quote/boilerplate
+    shape symmetric Jaccard structurally misses (a doc verbatim inside
+    a 10x larger doc has containment 1.0 but Jaccard ~0.1). One-sided
+    prefix filter: only the contained side is prefix-cut (pigeonhole on
+    ceil(t*|A|)); the container side contributes full postings, pruned
+    by the szB length filter and the dual positional filter on the
+    globally-rarest common token. LOSSLESS: the oracle is the
+    brute-force directed all-pairs join, so a driver match proves no
+    pair was missed on the real corpus."""
+    from xml_to_parquet_spark.functions.dedup import containment_prefix_pairs
+
+    return containment_prefix_pairs(
+        _t(spark, sf_dir, "documents"), t_num=4, t_den=5
+    )
+
+
+def _q_containment_pairs_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import containment_bruteforce_sql
+
+    return containment_bruteforce_sql("documents", t_num=4, t_den=5)
+
+
 def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift maintenance (q107,
     file_stream.stream_docs_drift, r8): per-micro-batch conditional
@@ -7142,6 +7167,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_skew_report,
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
+    ),
+    "q242_containment_pairs": QuerySpec(
+        q_containment_pairs,
+        _q_containment_pairs_sql(),
+        "directed containment >= 0.8 via one-sided prefix filter vs brute",
     ),
     "q151_pagerank": QuerySpec(
         q_pagerank,
