@@ -873,3 +873,143 @@ def test_dtd_conditional_unresolved_attlist_degrades(tmp_path):
         "missing required attribute id" in e
         for e in dtd_subset.validate(b"<r><a/></r>", dtd_file=dtd2)
     )
+
+
+# ---------------------------------------------------------------------------
+# XSD -> typed output (r12, VERDICT r11 item 5 / SURVEY.md:82)
+# ---------------------------------------------------------------------------
+
+# the reference's R/schemas/products.xsd:1-23 shape, verbatim subset
+_PRODUCTS_XSD = """<?xml version="1.0" encoding="UTF-8"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="products">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="record" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="name" type="xs:string"/>
+              <xs:element name="price" type="xs:decimal"/>
+              <xs:element name="quantity" type="xs:integer"/>
+              <xs:element name="rating" type="xs:decimal" minOccurs="0"/>
+            </xs:sequence>
+            <xs:attribute name="id" type="xs:string" use="required"/>
+            <xs:attribute name="category" type="xs:string"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def test_xsd_leaf_types_products_xsd(tmp_path):
+    from xml_to_parquet_spark.validation.xsd_subset import xsd_leaf_types
+
+    p = tmp_path / "products.xsd"
+    p.write_text(_PRODUCTS_XSD)
+    types = xsd_leaf_types(str(p))
+    # strings (name, id, category) intentionally absent: no cast needed
+    assert types == {
+        "price": "decimal(38,9)",
+        "quantity": "bigint",
+        "rating": "decimal(38,9)",
+    }
+
+
+def test_xsd_leaf_types_conflicting_declarations_degrade(tmp_path):
+    from xml_to_parquet_spark.validation.xsd_subset import xsd_leaf_types
+
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="root">
+    <xs:complexType><xs:sequence>
+      <xs:element name="a"><xs:complexType><xs:sequence>
+        <xs:element name="v" type="xs:decimal"/>
+      </xs:sequence></xs:complexType></xs:element>
+      <xs:element name="b"><xs:complexType><xs:sequence>
+        <xs:element name="v" type="xs:integer"/>
+        <xs:element name="w" type="xs:boolean"/>
+      </xs:sequence></xs:complexType></xs:element>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+    p = tmp_path / "c.xsd"
+    p.write_text(xsd)
+    types = xsd_leaf_types(str(p))
+    assert "v" not in types  # decimal vs integer: ambiguous -> absent
+    assert types["w"] == "boolean"
+
+
+def test_apply_xsd_types_and_star_keeps_declared_types(spark, tmp_path):
+    from xml_to_parquet_spark.plans.star_transformer import build_star_schema
+    from xml_to_parquet_spark.sources.xml_source import (
+        apply_xsd_types,
+        read_xml_records,
+    )
+
+    (tmp_path / "products.xsd").write_text(_PRODUCTS_XSD)
+    (tmp_path / "products.xml").write_text(
+        """<?xml version="1.0"?>
+<products>
+  <record id="1" category="a"><name>x</name><price>799.99</price>
+    <quantity>50</quantity><rating>4.5</rating></record>
+  <record id="2" category="b"><name>y</name><price>29.99</price>
+    <quantity>200</quantity><rating>oops</rating></record>
+</products>
+"""
+    )
+    records = apply_xsd_types(
+        read_xml_records(spark, str(tmp_path / "*.xml"), lineage=False),
+        str(tmp_path / "products.xsd"),
+    )
+    dt = dict(records.dtypes)
+    assert dt["price"] == "decimal(38,9)"
+    assert dt["quantity"] == "bigint"
+    assert dt["rating"] == "decimal(38,9)"
+    assert dt["name"] == "string"  # declared xs:string: untouched
+    star = build_star_schema(
+        records,
+        {
+            "record_id": {"classification": "identifier"},
+            "category": {"classification": "dimension"},
+            "price": {"classification": "measure"},
+            "quantity": {"classification": "measure"},
+            "rating": {"classification": "measure"},
+        },
+        id_column="record_id",
+        include_audit=False,
+    )
+    fdt = dict(star.fact.dtypes)
+    # the star build must NOT widen XSD-typed measures back to double
+    assert fdt["price"] == "decimal(38,9)"
+    assert fdt["quantity"] == "bigint"
+    rows = {r.record_id: r for r in star.fact.collect()}
+    from decimal import Decimal
+
+    assert rows["1"].price == Decimal("799.990000000")
+    assert rows["1"].quantity == 50
+    assert rows["2"].rating is None  # try_cast: null-on-fail, no ANSI error
+
+
+def test_star_untyped_measures_still_coerce_to_double(spark):
+    # the legacy path (no XSD): string measures coerce to double as before
+    from xml_to_parquet_spark.plans.star_transformer import build_star_schema
+
+    df = spark.createDataFrame(
+        [("1", "2.5"), ("2", "bad")], "record_id string, m string"
+    )
+    star = build_star_schema(
+        df,
+        {
+            "record_id": {"classification": "identifier"},
+            "m": {"classification": "measure"},
+        },
+        id_column="record_id",
+        include_audit=False,
+    )
+    assert dict(star.fact.dtypes)["m"] == "double"
+    vals = {r.record_id: r.m for r in star.fact.collect()}
+    assert vals == {"1": 2.5, "2": None}

@@ -96,9 +96,15 @@ def build_star_schema(
 
     fact_cols = identifiers + measures + dims + audits
     fact = df.select(*fact_cols)
-    # numeric coercion, null-on-fail (as.numeric parity, ANSI-safe)
+    # numeric coercion, null-on-fail (as.numeric parity, ANSI-safe).
+    # r12: a measure that is ALREADY numeric keeps its type — an
+    # XSD-typed decimal/bigint (sources.xml_source.apply_xsd_types)
+    # must not be silently widened back to double
+    from pyspark.sql.types import NumericType
+
     for m in measures:
-        fact = fact.withColumn(m, F.col(m).try_cast("double"))
+        if not isinstance(fact.schema[m].dataType, NumericType):
+            fact = fact.withColumn(m, F.col(m).try_cast("double"))
     if not measures:
         # default count measure (reference A6, star_transformer.R:82-86)
         fact = fact.withColumn("record_count", F.lit(1))

@@ -755,3 +755,23 @@ def attach_business_keys(
         ]
         out = out.select(*cols, *key_exprs.values())
     return out
+
+
+def apply_xsd_types(df: DataFrame, schema_path: str) -> DataFrame:
+    """Type extracted string columns from the XSD's leaf declarations
+    (r12, SURVEY.md §2.8's named improvement over the reference, which
+    uses the XSD for validation only — schema_validator.R:19-39 — and
+    ships every column as character).
+
+    ``try_cast`` keeps the reference's null-on-fail coercion semantics
+    (as.numeric parity): a value that passed the validator parses by
+    construction; a value arriving through the lenient/unvalidated path
+    becomes NULL, never an ANSI runtime error. Columns without a
+    declared (or unambiguous) simple type stay strings."""
+    from xml_to_parquet_spark.validation.xsd_subset import xsd_leaf_types
+
+    types = xsd_leaf_types(schema_path)
+    for name, ddl in types.items():
+        if name in df.columns:
+            df = df.withColumn(name, F.col(name).try_cast(ddl))
+    return df

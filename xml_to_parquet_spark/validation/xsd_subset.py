@@ -472,3 +472,79 @@ def validate(data: bytes, schema_path: str) -> list[str]:
             f"(declared: {sorted(decls)})"
         ]
     return _validate_element(root, decls[root_tag])
+
+
+# --------------------------------------------------------------------------
+# XSD → output typing (r12, VERDICT r11 item 5 / SURVEY.md:82): the
+# reference only ever VALIDATES against the XSD (schema_validator.R:19-39)
+# and leaves every extracted column a string; the declared
+# xs:decimal/xs:integer/... on leaf elements is exactly the schema the
+# star build wants, so expose it as a column→Spark-type mapping.
+# --------------------------------------------------------------------------
+
+_XSD_TO_SPARK = {
+    # decimal(38,9) keeps exact arithmetic (oracle hash parity) with
+    # headroom for any realistic measure; integer family widens to
+    # bigint (XSD xs:integer is unbounded — bigint is the pragmatic
+    # engine ceiling, same call DuckDB makes for its INTEGER aliases)
+    "decimal": "decimal(38,9)",
+    "integer": "bigint",
+    "int": "bigint",
+    "long": "bigint",
+    "boolean": "boolean",
+    "date": "date",
+    # NTZ: XSD dateTime without an offset is wall-clock time; matches
+    # DuckDB's TIMESTAMP semantics in the oracle
+    "dateTime": "timestamp_ntz",
+    "string": "string",
+}
+
+
+def xsd_leaf_types(schema_path: str) -> dict[str, str]:
+    """Flat ``{column_name: spark_type_ddl}`` from every leaf element and
+    attribute declaration reachable from the schema's global elements.
+
+    The XML extractor flattens leaf elements and attributes into columns
+    named by their local name, so the mapping is keyed the same way. A
+    name declared with CONFLICTING simple types anywhere in the schema
+    degrades to absent (caller keeps the string column) — same
+    never-wrong-only-lenient contract as the validator. Types outside
+    the subset map to nothing (column stays string)."""
+    decls = parse_xsd(schema_path)
+    out: dict[str, str] = {}
+    ambiguous: set[str] = set()
+
+    def _note(name: str, xsd_type: str | None) -> None:
+        spark_t = _XSD_TO_SPARK.get(xsd_type or "")
+        if spark_t is None or spark_t == "string":
+            return
+        if name in out and out[name] != spark_t:
+            ambiguous.add(name)
+            return
+        out[name] = spark_t
+
+    def _walk(decl: _ElementDecl, seen: frozenset[str]) -> None:
+        if decl.name in seen:
+            return
+        seen = seen | {decl.name}
+        if decl.simple_type and not decl.has_complex:
+            _note(decl.name, decl.simple_type)
+        for attr, at in decl.attr_types.items():
+            _note(attr, at)
+        for particle in decl.particles:
+            kind, payload = particle[0], particle[1]
+            if kind == "elem":
+                _walk(payload, seen)
+            else:  # choice: alternatives are elem or seq tuples
+                for alt in payload:
+                    if alt[0] == "elem":
+                        _walk(alt[1], seen)
+                    else:
+                        for m_decl, _, _ in alt[1]:
+                            _walk(m_decl, seen)
+
+    for decl in decls.values():
+        _walk(decl, frozenset())
+    for name in ambiguous:
+        out.pop(name, None)
+    return out

@@ -1494,6 +1494,142 @@ _GOLDEN_XML = """<?xml version="1.0" encoding="UTF-8"?>
 """
 
 
+# Golden XSD mirroring the reference's R/schemas/products.xsd:1-23
+# (leaf types on the record children; required id attribute) extended
+# with one leaf per remaining subset type (boolean/date/dateTime) so
+# the typed-output path is exercised end-to-end.
+_TYPED_XSD = """<?xml version="1.0" encoding="UTF-8"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="products">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="record" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="name" type="xs:string"/>
+              <xs:element name="price" type="xs:decimal"/>
+              <xs:element name="quantity" type="xs:integer"/>
+              <xs:element name="rating" type="xs:decimal" minOccurs="0"/>
+              <xs:element name="in_stock" type="xs:boolean"/>
+              <xs:element name="added" type="xs:date"/>
+              <xs:element name="updated" type="xs:dateTime"/>
+            </xs:sequence>
+            <xs:attribute name="id" type="xs:string" use="required"/>
+            <xs:attribute name="category" type="xs:string"/>
+            <xs:attribute name="brand" type="xs:string"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+_TYPED_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<products>
+  <record id="1" category="electronics" brand="Samsung">
+    <name>Galaxy S21</name><price>799.99</price>
+    <quantity>50</quantity><rating>4.5</rating>
+    <in_stock>true</in_stock><added>2024-01-15</added>
+    <updated>2024-06-01T10:30:00</updated>
+  </record>
+  <record id="2" category="electronics" brand="Apple">
+    <name>iPhone 13</name><price>999.99</price>
+    <quantity>30</quantity><rating>4.8</rating>
+    <in_stock>false</in_stock><added>2024-02-20</added>
+    <updated>2024-06-02T23:59:59</updated>
+  </record>
+  <record id="3" category="accessories" brand="Samsung">
+    <name>Charger</name><price>29.99</price>
+    <quantity>200</quantity>
+    <in_stock>true</in_stock><added>2024-03-05</added>
+    <updated>2024-06-03T00:00:01</updated>
+  </record>
+</products>
+"""
+
+
+def q_xsd_typed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XSD-declared types flow through to the star output (r12, VERDICT
+    r11 item 5 / SURVEY.md:82's named parity-plus): the reference uses
+    its XSD for validation ONLY (schema_validator.R:19-39) and every
+    extracted column stays character; here apply_xsd_types try_casts
+    the extracted string columns to the DECLARED types — price/rating
+    xs:decimal → decimal(38,9), quantity xs:integer → bigint, in_stock
+    xs:boolean → boolean, added xs:date → date, updated xs:dateTime →
+    timestamp_ntz — and build_star_schema keeps already-numeric
+    measures instead of widening them back to double. The oracle casts
+    the SAME literals from the same XSD mapping on the DuckDB side, so
+    the driver's schema check asserts the typed output schema."""
+    import tempfile
+
+    from xml_to_parquet_spark.plans.star_transformer import build_star_schema
+    from xml_to_parquet_spark.sources.xml_source import (
+        apply_xsd_types,
+        read_xml_records,
+    )
+
+    d = tempfile.mkdtemp(prefix="xml_typed_")
+    with open(os.path.join(d, "products.xml"), "w") as fh:
+        fh.write(_TYPED_XML)
+    xsd_path = os.path.join(d, "products.xsd")
+    with open(xsd_path, "w") as fh:
+        fh.write(_TYPED_XSD)
+    records = apply_xsd_types(
+        read_xml_records(spark, os.path.join(d, "*.xml"), lineage=False),
+        xsd_path,
+    )
+    catalog = {
+        "record_id": {"classification": "identifier"},
+        "in_stock": {"classification": "identifier"},
+        "added": {"classification": "identifier"},
+        "updated": {"classification": "identifier"},
+        "category": {"classification": "dimension"},
+        "brand": {"classification": "dimension"},
+        "price": {"classification": "measure"},
+        "quantity": {"classification": "measure"},
+        "rating": {"classification": "measure"},
+    }
+    star = build_star_schema(
+        records, catalog, id_column="record_id", include_audit=False
+    )
+    # the two decimal measures are rendered as strings for the compare:
+    # DECIMAL is a driver-comparator-fragile oracle type (verify_local's
+    # r3-postmortem guard), and the decimal(38,9) STRING rendering
+    # ('799.990000000') pins scale+precision through the value hash —
+    # a double would hash as '799.99'. The pytest asserts the dtypes.
+    return star.fact.select(
+        "record_id",
+        F.col("price").cast("string").alias("price"),
+        "quantity",
+        F.col("rating").cast("string").alias("rating"),
+        "in_stock", "added", "updated", "category_key", "brand_key",
+    ).orderBy("record_id")
+
+
+_Q_XSD_TYPED_STAR_SQL = """
+SELECT record_id,
+       CAST(CAST(price AS DECIMAL(38,9)) AS VARCHAR) AS price,
+       CAST(quantity AS BIGINT) AS quantity,
+       CAST(CAST(rating AS DECIMAL(38,9)) AS VARCHAR) AS rating,
+       CAST(in_stock AS BOOLEAN) AS in_stock,
+       CAST(added AS DATE) AS added,
+       CAST(updated AS TIMESTAMP) AS updated,
+       CAST(category_key AS INT) AS category_key,
+       CAST(brand_key AS INT) AS brand_key
+FROM (VALUES
+  ('1', '799.99', '50', '4.5', 'true', '2024-01-15',
+   '2024-06-01T10:30:00', 2, 2),
+  ('2', '999.99', '30', '4.8', 'false', '2024-02-20',
+   '2024-06-02T23:59:59', 2, 1),
+  ('3', '29.99', '200', NULL, 'true', '2024-03-05',
+   '2024-06-03T00:00:01', 1, 2)
+) AS t(record_id, price, quantity, rating, in_stock, added, updated,
+       category_key, brand_key)
+ORDER BY record_id
+"""
+
+
 def q_xml_star_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -7167,6 +7303,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_skew_report,
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
+    ),
+    "q243_xsd_typed_star": QuerySpec(
+        q_xsd_typed_star,
+        _Q_XSD_TYPED_STAR_SQL,
+        "XSD leaf types flow to the star output (decimal/bigint/bool/"
+        "date/ts)",
     ),
     "q242_containment_pairs": QuerySpec(
         q_containment_pairs,
