@@ -3,6 +3,7 @@ errors) on empty frames — the day-one state of any incremental pipeline."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions import dedup, sampling, similarity, text
@@ -40,7 +41,10 @@ def test_empty_packing(spark):
     assert sampling.pack_sequences(e, budget=128).count() == 0
 
 
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
 def test_empty_fuzzy_matching(spark):
+    # intentional deprecated-path coverage (ADVICE r11 hygiene): the
+    # legacy entry point must stay empty-safe until its removal round
     e = _empty_docs(spark)
     assert dedup.fuzzy_pairs(e, "text").count() == 0
     assert dedup.fuzzy_pairs_qgram(e, "text", num_partitions=4).count() == 0

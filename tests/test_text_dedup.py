@@ -432,7 +432,12 @@ def test_star_contraction_long_chain(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
 def test_fuzzy_pairs_length_blocking_exact(spark):
+    # INTENTIONAL deprecated-path coverage (ADVICE r11 hygiene): the
+    # legacy fuzzy_pairs stays callable until a removal round, so its
+    # exactness contract stays pinned; the warning itself is pinned by
+    # test_fuzzy_pairs_warns_deprecated.
     docs = spark.createDataFrame(
         [
             (1, "kitten"),
@@ -1640,3 +1645,33 @@ def test_containment_partition_invariance(spark):
     # doc 1: 2 trigrams, both inside doc 2's 8 -> containment 1.0 even
     # at t=1; the reverse direction (8 into 2) is impossible
     assert res[0] == res[1] == [(1, 2, 2, 2, 8)]
+
+
+def test_fuzzy_pairs_warns_deprecated(spark):
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten")], "doc_id long, text string"
+    )
+    with pytest.warns(DeprecationWarning, match="fuzzy_pairs"):
+        dedup.fuzzy_pairs(docs, "text", max_distance=1)
+
+
+def test_simhash_pairs_auto_n_docs_hint_identical_and_countless(spark):
+    # ADVICE r11: the width-selection count double-computed expensive
+    # upstream plans. The n_docs hint must skip the count entirely
+    # (pinned by counting jobs via the status tracker) and produce the
+    # identical pair set.
+    docs = _docs(spark)
+    n = docs.count()
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs_auto(docs, max_hamming=3).collect()
+    }
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    hinted_df = dedup.simhash_pairs_auto(docs, max_hamming=3, n_docs=n)
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    # plan construction with the hint runs ZERO jobs (no count, no
+    # eager checkpoint) — dispatch is pure arithmetic on n_docs
+    assert list(before) == list(after)
+    hinted = {(r.id_a, r.id_b, r.hamming) for r in hinted_df.collect()}
+    assert hinted == base

@@ -578,13 +578,23 @@ def simhash_pairs_auto(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with the code width picked from the CORPUS
     SIZE (the ``fuzzy_pairs_auto`` / ``ann_topk_auto`` idiom applied to
-    code saturation): one cheap count chooses via
-    :func:`simhash_bits_for` (32-bit saturates near 500k docs at k=3 —
-    measured, SCALING.md), then signatures and the pigeonhole blocked
-    join run at that width.
+    code saturation): a count chooses via :func:`simhash_bits_for`
+    (32-bit saturates near 500k docs at k=3 — measured, SCALING.md),
+    then signatures and the pigeonhole blocked join run at that width.
+
+    ``n_docs`` (ADVICE r11): the width-selection count used to compute
+    the upstream plan once and the signature pass then computed it
+    AGAIN — on an expensive unpersisted pipeline (exactly the corpus
+    sizes this function targets) that doubles the dominant cost. Pass
+    the known corpus size to skip the count entirely; when it is
+    unknown, the input is eagerly local-checkpointed first, so the
+    count and the signature pass both read the materialized rows and
+    the upstream lineage runs exactly once (checkpoint blocks are
+    reclaimed by the context cleaner when the plan is dropped).
 
     ``max_hamming`` is the 32-BIT-EQUIVALENT threshold: SimHash Hamming
     distance is ANGULAR — E[hamming] = bits·θ/π for cosine angle θ — so
@@ -599,7 +609,11 @@ def simhash_pairs_auto(
     recall bug, and exactly why wider codes are the scale contract.
     The output remains CANDIDATES for an exact downstream check, which
     is how every caller in this repo consumes Hamming pairs."""
-    n = df.count()
+    if n_docs is None:
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+    else:
+        n = n_docs
     bits = simhash_bits_for(n, max_hamming=max_hamming)
     k = max_hamming * bits // 32  # angular threshold, width-equivalent
     if bits > 64:  # billion-doc regime: multi-word signatures

@@ -1441,8 +1441,12 @@ def ann_topk_auto(
     routed by signature: each key goes only to the engine(s) that accept
     it, so dispatch never changes which arguments are legal. A key
     neither engine accepts raises ValueError up front (typos don't get
-    silently dropped)."""
+    silently dropped), and a key only the NON-chosen engine accepts is
+    warned about (ADVICE r11: a tuning knob like ``out_dim`` quietly
+    stopping to have any effect the moment |Q| crosses
+    ``jl_max_queries`` can mask a caller relying on it)."""
     import inspect
+    import warnings
 
     jl_params = set(inspect.signature(jl_ann_topk).parameters)
     ivf_params = set(inspect.signature(ivf_pq_adc_topk).parameters)
@@ -1452,13 +1456,27 @@ def ann_topk_auto(
             f"ann_topk_auto: options {sorted(unknown)} are accepted by "
             f"neither jl_ann_topk nor ivf_pq_adc_topk"
         )
+
+    def _warn_dropped(chosen: str, accepted: set[str]) -> None:
+        dropped = sorted(set(kwargs) - accepted)
+        if dropped:
+            warnings.warn(
+                f"ann_topk_auto: dispatch chose {chosen} for "
+                f"|Q|={len(query_ids)} (jl_max_queries={jl_max_queries}); "
+                f"options {dropped} apply only to the other engine and "
+                f"are inert in this regime",
+                stacklevel=2,
+            )
+
     if len(query_ids) <= jl_max_queries:
+        _warn_dropped("jl_ann_topk", jl_params)
         out = jl_ann_topk(
             df, query_ids, k=k, id_col=id_col, vec_col=vec_col,
             in_dim=dim,
             **{k_: v for k_, v in kwargs.items() if k_ in jl_params},
         )
         return out.select("query_id", "neighbor_id", "rank")
+    _warn_dropped("ivf_pq_adc_topk", ivf_params)
     return ivf_pq_adc_topk(
         df, query_ids, k=k, id_col=id_col, vec_col=vec_col, dim=dim,
         **{k_: v for k_, v in kwargs.items() if k_ in ivf_params},
