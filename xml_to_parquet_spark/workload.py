@@ -6630,7 +6630,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q208_dedup_exact": QuerySpec(
         q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
     ),
-    "a115_dedup_ngram_jaccard": QuerySpec(
+    "q244_dedup_ngram_jaccard": QuerySpec(
         q_dedup_ngram_jaccard,
         _ngram_jaccard_sql(),
         "LSH candidates + exact 3-gram Jaccard verify",
@@ -7029,7 +7029,7 @@ QUERIES: dict[str, QuerySpec] = {
     # r7 addition: SemDeDup-shape semantic dedup (k-means cells +
     # within-cell integer-exact cosine pruning). Takes a57's window slot
     # (a57_mixture, driver-green since r4, retires to q66).
-    "a116_semantic_dedup": QuerySpec(
+    "q245_semantic_dedup": QuerySpec(
         q_semantic_dedup,
         _q_semantic_dedup_sql(n_probe=3),
         "semantic dedup: multi-probe k-means cells + exact-cosine "
@@ -7304,13 +7304,13 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
     ),
-    "q243_xsd_typed_star": QuerySpec(
+    "a149_xsd_typed_star": QuerySpec(
         q_xsd_typed_star,
         _Q_XSD_TYPED_STAR_SQL,
         "XSD leaf types flow to the star output (decimal/bigint/bool/"
         "date/ts)",
     ),
-    "q242_containment_pairs": QuerySpec(
+    "a148_containment_pairs": QuerySpec(
         q_containment_pairs,
         _q_containment_pairs_sql(),
         "directed containment >= 0.8 via one-sided prefix filter vs brute",
