@@ -107,6 +107,10 @@ FORBIDDEN_NODES = {
     # chunk equi-join — all-pairs would defeat the blocking
     "a75_image_phash_dedup": "CartesianProduct",
     "a60_audio_fp_dedup": "CartesianProduct",
+    # r12: the containment candidate join is an equi-join on the
+    # contained side's prefix shingles (container side = full postings);
+    # a cross product would mean the one-sided prefix filter collapsed
+    "a148_containment_pairs": "CartesianProduct",
 }
 
 
