@@ -1675,3 +1675,52 @@ def test_simhash_pairs_auto_n_docs_hint_identical_and_countless(spark):
     assert list(before) == list(after)
     hinted = {(r.id_a, r.id_b, r.hamming) for r in hinted_df.collect()}
     assert hinted == base
+
+
+def test_containment_dedup_apply_drops_contained_keeps_container(spark):
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    rows = [
+        (1, quote),                              # contained in 2 -> drop
+        (2, f"{filler} {quote} {filler}"),       # container -> keep
+        (3, "completely different words entirely here now"),  # keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in dedup.containment_dedup_apply(df, t_num=4, t_den=5).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_containment_dedup_apply_mutual_keeps_one(spark):
+    # near-identical docs contain each other; the strictly-greater rule
+    # (size desc, id asc) must keep exactly one representative, never
+    # delete both
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(7, t), (9, t)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in dedup.containment_dedup_apply(df, t_num=1, t_den=1).collect()
+    )
+    assert kept == [7]  # equal sizes: smaller id survives
+
+
+def test_containment_dedup_apply_partition_invariant(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x0 a b c d e f x1 x2 x3 x4 x5 x6 x7 x8"),
+        (3, "unrelated content entirely"),
+        (4, "x0 a b c d e f x1 x2 x3 x4 x5 x6 x7 x8"),  # dup of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = []
+    for p in (1, 8):
+        res.append(sorted(
+            r.doc_id
+            for r in dedup.containment_dedup_apply(
+                df.repartition(p), t_num=4, t_den=5
+            ).collect()
+        ))
+    assert res[0] == res[1] == [2, 3]  # 1 contained; 4 loses tie to 2

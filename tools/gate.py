@@ -91,6 +91,7 @@ def check_bench_line() -> tuple[str, float, str]:
             "value": 99999.999,
             "unit": "sec",
             "queries": {k: 9999.999 for k in keys},
+            "cpu_total": 99999.999,  # r12 load-insensitive twin total
             "sf": 0.1,
             "n_queries": len(QUERIES),
             "per_query_mean": 9999.999,

@@ -117,6 +117,25 @@ def _time_pairs(
     return best, n
 
 
+def _time_containment(spark, sf_dir: str, reps: int = 2) -> tuple[float, int]:
+    """Full containment join (shingle + prefix + postings join + verify)
+    over the documents table — unlike the signature rungs there is no
+    fixture to exclude: shingling IS the operator's stage 1. docs100's
+    per-replica token suffixes keep replicas containment-independent, so
+    pair structure scales ~linearly in docs (r12)."""
+    from xml_to_parquet_spark.catalog import load_table
+    from xml_to_parquet_spark.functions.dedup import containment_prefix_pairs
+
+    best = math.inf
+    n = 0
+    for _ in range(reps):
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.time()
+        n = containment_prefix_pairs(docs, t_num=4, t_den=5).count()
+        best = min(best, time.time() - t0)
+    return best, n
+
+
 def main() -> int:
     which = "both"
     for a in sys.argv[1:]:
@@ -154,6 +173,19 @@ def main() -> int:
             ),
         }
         print(json.dumps({name: out[name]}))
+    if which in ("containment", "both"):
+        t_small, n_small = _time_containment(spark, SMALL)
+        t_big, n_big = _time_containment(spark, BIG)
+        out["containment"] = {
+            "sec_1x": round(t_small, 3),
+            "sec_100x": round(t_big, 3),
+            "pairs_1x": n_small,
+            "pairs_100x": n_big,
+            "exponent_per_decade": round(
+                math.log10(t_big / t_small) / 2, 3
+            ),
+        }
+        print(json.dumps({"containment": out["containment"]}))
     print(json.dumps(out))
     shutil.rmtree(WORK, ignore_errors=True)
     return 0

@@ -2036,3 +2036,75 @@ JOIN sizes sb ON sb.id = id_b
 WHERE i * {t_den} >= {t_num} * sa.sz
 ORDER BY id_a, id_b
 """
+
+
+def containment_dedup_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Surviving documents after containment dedup — the consumer of
+    :func:`containment_prefix_pairs`, mirroring how ``dedup_apply``
+    consumes the symmetric families: a document is DROPPED iff some
+    strictly-greater document contains it (containment ≥ t and the
+    container is larger, ties broken by smaller id). "Strictly greater"
+    makes the drop rule a DAG — mutual containment (near-identical
+    docs) keeps exactly the larger/smaller-id representative instead of
+    deleting both — and keeps the rule LOCAL (one pass over the pair
+    list, no fixpoint): the C4/RefinedWeb discipline of dropping
+    against the corpus, not against the surviving set, so results are
+    deterministic under any partitioning and the oracle is plain SQL.
+
+    Returns the surviving rows of ``df`` unchanged (same columns)."""
+    pairs = containment_prefix_pairs(
+        df, text_col=text_col, id_col=id_col, n=n,
+        t_num=t_num, t_den=t_den,
+    )
+    drops = (
+        pairs.filter(
+            (F.col("size_b") > F.col("size_a"))
+            | (
+                (F.col("size_b") == F.col("size_a"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
+def containment_dedup_sql(
+    table: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> str:
+    """Brute-force oracle for :func:`containment_dedup_apply`:
+    surviving ids after dropping every doc with a strictly-greater
+    container (size desc, id asc ordering), directed pairs prefix-free."""
+    return f"""
+WITH sh AS ({shingle_sql(table, id_col, n)}),
+sizes AS (SELECT {id_col} AS id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} <> b.{id_col}
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT id_a
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE i * {t_den} >= {t_num} * sa.sz
+    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND id_b < id_a))
+)
+SELECT t.* FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT id_a FROM drops)
+ORDER BY t.{id_col}
+"""

@@ -5466,6 +5466,33 @@ def _q_containment_pairs_sql() -> str:
     return containment_bruteforce_sql("documents", t_num=4, t_den=5)
 
 
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup APPLIED (r12, dedup.containment_dedup_apply):
+    surviving documents after dropping every doc contained ≥0.8 in a
+    strictly-greater container (size desc, id asc — mutual containment
+    keeps exactly one representative; the drop rule is local/one-pass,
+    the C4-style drop-against-the-corpus discipline). Ordered doc_id +
+    length so the oracle pins which rows survived, not just how many."""
+    from xml_to_parquet_spark.functions.dedup import containment_dedup_apply
+
+    out = containment_dedup_apply(
+        _t(spark, sf_dir, "documents"), t_num=4, t_den=5
+    )
+    return out.select(
+        "doc_id", F.length("text").alias("text_len"), "lang", "source"
+    ).orderBy("doc_id")
+
+
+def _q_containment_dedup_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import containment_dedup_sql
+
+    inner = containment_dedup_sql("documents", t_num=4, t_den=5)
+    return (
+        f"SELECT doc_id, CAST(length(text) AS INT) AS text_len, lang, "
+        f"source FROM ({inner.rstrip()}) ORDER BY doc_id"
+    )
+
+
 def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift maintenance (q107,
     file_stream.stream_docs_drift, r8): per-micro-batch conditional
@@ -6845,7 +6872,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_rare_gram_sql(),
         "char-trigram rare-fraction LM gate (relative-frequency rarity)",
     ),
-    "a117_simhash_blocked": QuerySpec(
+    "q247_simhash_blocked": QuerySpec(
         q_simhash_blocked,
         _simhash_blocked_sql(),
         "SimHash Hamming pairs via pigeonhole chunk blocking",
@@ -7314,6 +7341,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_containment_pairs,
         _q_containment_pairs_sql(),
         "directed containment >= 0.8 via one-sided prefix filter vs brute",
+    ),
+    "a150_containment_dedup": QuerySpec(
+        q_containment_dedup,
+        _q_containment_dedup_sql(),
+        "containment dedup applied: drop docs subsumed by a greater doc",
     ),
     "q151_pagerank": QuerySpec(
         q_pagerank,
