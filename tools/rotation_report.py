@@ -132,11 +132,19 @@ STALE_BOUND = 4
 def desired_window(rows) -> set[str]:
     """The debt-minimizing 50-slot window: the flagship + the 49 stalest
     entries by last driver-GREEN round (never-green first, then oldest
-    green; ties broken by bench depth DESC — deeper entries carry more
-    signal — then slug for determinism). Ranking by GREEN, not by last
-    checked, keeps this aligned with the staleness alarm: a
+    green; ties broken by SLUG for determinism). Ranking by GREEN, not
+    by last checked, keeps this aligned with the staleness alarm: a
     persistently-red entry stays prioritized for re-exposure instead of
     rotating out as 'fresh' and wedging the stall detector.
+
+    r12: bench depth was REMOVED from the tie-break. It made the policy
+    window a function of whichever BENCH file is newest — committing a
+    fresh sidecar mid-round reshuffled the ties among same-round
+    entries and flipped the 'correct' window out from under an
+    already-executed rotation (gate RED with no rotation debt at all).
+    Depth stays in the report and in ``suggest`` as advisory signal;
+    the POLICY depends only on the CORRECTNESS history + the catalog,
+    which change exactly once per round.
     tools/rotate_window.py renames keys to realize this set;
     tools/gate.py fails if the live window deviates."""
 
@@ -145,7 +153,6 @@ def desired_window(rows) -> set[str]:
         return (
             0 if never else 1,
             r["last_green_round"] or 0,
-            -(r["depth_sec"] or 0.0),
             r["slug"],
         )
 

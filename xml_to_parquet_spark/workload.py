@@ -453,6 +453,10 @@ def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = build_star_schema(
         part, catalog, id_column="p_partkey", include_audit=False
     )
+    # r12: numeric measures KEEP their source type through the star
+    # build (the XSD-typed-output rule — only string measures coerce to
+    # double); p_retailprice stays double, p_size stays int, and the
+    # oracle asserts exactly those types
     return star.fact.select(
         "p_partkey", "p_retailprice", "p_size", "p_brand_key"
     ).orderBy("p_partkey")
@@ -464,7 +468,7 @@ WITH dim_brand AS (
   FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL)
 )
 SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
-       CAST(p_size AS DOUBLE) AS p_size, p_brand_key
+       CAST(p_size AS INT) AS p_size, p_brand_key
 FROM part LEFT JOIN dim_brand USING (p_brand)
 ORDER BY p_partkey
 """
@@ -6790,7 +6794,7 @@ QUERIES: dict[str, QuerySpec] = {
         _BPE_LEARN_SQL,
         "distributed BPE merge training (greedy pair-count rounds)",
     ),
-    "a114_ivf_pq_adc": QuerySpec(
+    "q248_ivf_pq_adc": QuerySpec(
         q_ivf_pq_adc,
         _Q_IVF_PQ_ADC_SQL,
         "IVF-PQ asymmetric-distance ANN with exact integer re-rank",
@@ -6810,7 +6814,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_NETPBM_REAL_SQL,
         "REAL netpbm decode + raster resample (md5-matched output bytes)",
     ),
-    "a118_sessionize_tws": QuerySpec(
+    "q249_sessionize_tws": QuerySpec(
         q_sessionize_tws,
         _Q_SESSIONIZE_TWS_SQL,
         "transformWithStateInPandas sessions (real state protocol)",
@@ -6970,7 +6974,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_assign_split_sql(),
         "deterministic train/val/test split assignment",
     ),
-    "q138_dedup_apply": QuerySpec(
+    "a153_dedup_apply": QuerySpec(
         q_dedup_apply,
         _q_dedup_apply_sql(),
         "end-to-end dedup: LSH -> clusters -> keep one per cluster",
@@ -7028,7 +7032,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_WINDOW_BATTERY_SQL,
         "analytic window battery (lag/lead/rank/ntile/cume_dist)",
     ),
-    "q132_atomic_publish": QuerySpec(
+    "a152_atomic_publish": QuerySpec(
         q_atomic_publish,
         _Q_ATOMIC_PUBLISH_SQL,
         "manifest-pointer commit: killed writer, reader sees last snapshot",
@@ -7097,7 +7101,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_FUZZY_QGRAM_SQL,
         "q-gram prefix-filtered levenshtein fuzzy matching (general path)",
     ),
-    "a119_stream_join": QuerySpec(
+    "q250_stream_join": QuerySpec(
         q_stream_interval_join,
         _Q_STREAM_JOIN_SQL,
         "stream-stream interval join (funnel attribution, bounded state)",
@@ -7319,7 +7323,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_bloom_sql(),
         "Bloom-filter join pruning (row-local probe vs exact semi-join)",
     ),
-    "q126_bm25_topk": QuerySpec(
+    "a151_bm25_topk": QuerySpec(
         q_bm25_topk,
         _q_bm25_sql(),
         "BM25 top-k retrieval (integer fixed-point, hex-MSB ilog2)",
