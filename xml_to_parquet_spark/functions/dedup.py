@@ -1760,11 +1760,14 @@ def setsim_prefix_pairs(
         .filter(F.size("toks") > 0)
         .localCheckpoint(eager=False)
     )
+    # dfreq feeds exactly one consumer (the ordering join), so a
+    # localCheckpoint here is a pure materialization barrier, not a
+    # reuse win — measured r12: dropping it removes one sequential
+    # stage from the critical path with identical results
     dfreq = (
         base.select(F.explode("toks").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     # per-doc shingles ordered rarest-first under the (df, shingle)
     # total order; sort_array over structs orders by fields in sequence
@@ -1938,11 +1941,14 @@ def containment_prefix_pairs(
         .filter(F.size("toks") > 0)
         .localCheckpoint(eager=False)
     )
+    # dfreq feeds exactly one consumer (the ordering join), so a
+    # localCheckpoint here is a pure materialization barrier, not a
+    # reuse win — measured r12: dropping it removes one sequential
+    # stage from the critical path with identical results
     dfreq = (
         base.select(F.explode("toks").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     ordered = (
         base.select("id", F.explode("toks").alias("shingle"))
