@@ -1724,3 +1724,86 @@ def test_containment_dedup_apply_partition_invariant(spark):
             ).collect()
         ))
     assert res[0] == res[1] == [2, 3]  # 1 contained; 4 loses tie to 2
+
+
+def _py_containment_sketch(rows, n=3, k=16, t_num=4, t_den=5):
+    """Python replay of the deterministic bottom-k estimator — same
+    md5 32-bit hash, same (h, shingle) tie-break, same collision fold."""
+    import hashlib
+    import re
+
+    def shingles(t):
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        if len(toks) >= n:
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+        return {" ".join(toks)}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sets = {i: shingles(t) for i, t in rows}
+    hsets = {i: {h32(s) for s in sets[i]} for i in sets}
+    out = []
+    for a in sorted(sets):
+        sk = sorted(((h32(s), s) for s in sets[a]))[:k]
+        sk_a = len(sk)
+        for b in sorted(sets):
+            if a == b:
+                continue
+            m = sum(1 for h, _ in sk if h in hsets[b])
+            if sk_a and m * t_den >= t_num * sk_a:
+                out.append((a, b, m, sk_a, m * 10**6 // sk_a))
+    return sorted(out)
+
+
+def test_containment_sketch_matches_python_replay(spark):
+    vocab = ["red", "blue", "green", "gold", "iron", "wolf", "moon", "star"]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j * 3) % 8] for j in range(4 + i % 6)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (4, 16):
+        want = _py_containment_sketch(rows, k=k)
+        got = sorted(
+            (r.id_a, r.id_b, r.m, r.sk_a, r.cont_est_ppm)
+            for r in dedup.containment_sketch_pairs(
+                df, k=k, t_num=4, t_den=5
+            ).collect()
+        )
+        assert got == want, f"k={k}"
+    assert len(_py_containment_sketch(rows, k=16)) > 0
+
+
+def test_containment_sketch_always_finds_full_containment(spark):
+    # C(A->B) = 1.0 means EVERY shingle of A is in B, so every sampled
+    # shingle is too: m == sk_a and the pair is found at any threshold
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, quote), (2, f"{filler} {quote} {filler}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.m, r.sk_a)
+        for r in dedup.containment_sketch_pairs(
+            df, k=4, t_num=1, t_den=1
+        ).collect()
+    }
+    assert (1, 2) in got
+    m, sk = got[(1, 2)]
+    assert m == sk  # every sampled shingle present in the container
+
+
+def test_containment_sketch_small_doc_sketch_is_exact(spark):
+    # |A| <= k: the sketch IS the shingle set, est = exact containment
+    rows = [(1, "a b c d"), (2, "z0 a b c d z1 z2 z3 z4 z5")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.id_a, r.id_b, r.m, r.sk_a)
+        for r in dedup.containment_sketch_pairs(
+            df, k=64, t_num=1, t_den=1
+        ).collect()
+    ]
+    # doc 1 has 2 trigrams, both in doc 2
+    assert got == [(1, 2, 2, 2)]

@@ -111,6 +111,8 @@ FORBIDDEN_NODES = {
     # contained side's prefix shingles (container side = full postings);
     # a cross product would mean the one-sided prefix filter collapsed
     "a148_containment_pairs": "CartesianProduct",
+    # r12: the sketch screen is bottom-k rows equi-joined on the hash
+    "a154_containment_sketch": "CartesianProduct",
 }
 
 

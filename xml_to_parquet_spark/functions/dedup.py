@@ -2114,3 +2114,121 @@ SELECT t.* FROM {table} t
 WHERE t.{id_col} NOT IN (SELECT id_a FROM drops)
 ORDER BY t.{id_col}
 """
+
+
+def containment_sketch_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """APPROXIMATE containment pairs from a bottom-k sketch — the
+    billion-doc companion to :func:`containment_prefix_pairs` (the
+    containment-MinHash / Mash-screen estimator, Broder 1997; Ondov et
+    al. 2016): the k smallest shingle hashes of A are a uniform sample
+    of A's shingle set, so the fraction of them present in B estimates
+    C(A→B) = |A∩B|/|A| — per contained doc the join probes k rows
+    instead of the ~(1−t)·|A| prefix rows, and the estimate needs no
+    verification arrays at all (no second corpus-wide join): the whole
+    operator is sketch-build (one window keyed by doc) + one equi-join
+    on hash + a count.
+
+    Exchange-rate vs the exact path: candidates keyed by the k SMALLEST
+    hashes (uniform over shingles) instead of the RAREST shingles —
+    boilerplate shingles can enter sketches, so posting lists are the
+    skew hazard the exact path engineers away; in exchange the probe
+    volume per doc is O(k) regardless of doc size and the verify stage
+    disappears. Use this to SCREEN at 10⁹+ docs and feed survivors to
+    the exact join.
+
+    DETERMINISTIC estimator (md5-ranked bottom-k, ties by shingle), so
+    the oracle is an exact SQL replay — the driver hash-match proves
+    the estimator, and accuracy is a separate measured question
+    (est = m/s_k with s_k = min(k,|A|); exact 1.0-containment pairs are
+    ALWAYS found since every sampled shingle is in B). 32-bit hash
+    collisions fold distinct shingles together identically in both
+    engines.
+
+    Returns ``(id_a, id_b, m, sk_a, cont_est_ppm)`` ordered, where
+    ``m`` = sampled shingles of A found in B and ``sk_a`` = sketch size.
+    """
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .withColumn("h", md5_hash32(F.col("shingle")))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("id").orderBy("h", "shingle")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("id").alias("id_a"), "h")
+    )
+    sk_sizes = sketch.groupBy("id_a").agg(F.count(F.lit(1)).alias("sk_a"))
+    postings = hashed.select(F.col("id").alias("id_b"), "h").distinct()
+    m = (
+        sketch.join(postings, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        m.join(sk_sizes, "id_a")
+        .filter(F.col("m") * t_den >= F.lit(t_num) * F.col("sk_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("m").cast("long").alias("m"),
+            F.col("sk_a").cast("long").alias("sk_a"),
+            F.expr("div(m * 1000000L, sk_a)").alias("cont_est_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def containment_sketch_sql(
+    table: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> str:
+    """Exact SQL replay of :func:`containment_sketch_pairs` — same
+    md5-ranked bottom-k, same tie-break, same collision folding, so a
+    driver match proves the DETERMINISTIC estimator end to end."""
+    return f"""
+WITH sh AS ({shingle_sql(table, id_col, n)}),
+h AS (
+  SELECT {id_col} AS id, shingle,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+sk AS (
+  SELECT id AS id_a, h FROM (
+    SELECT id, h,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY h, shingle) AS rn
+    FROM h
+  ) WHERE rn <= {k}
+),
+szs AS (SELECT id_a, COUNT(*) AS sk_a FROM sk GROUP BY 1),
+posting AS (SELECT DISTINCT id AS id_b, h FROM h),
+m AS (
+  SELECT id_a, id_b, COUNT(*) AS m
+  FROM sk JOIN posting USING (h)
+  WHERE id_a <> id_b
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(m AS BIGINT) AS m, CAST(sk_a AS BIGINT) AS sk_a,
+       CAST(m * 1000000 // sk_a AS BIGINT) AS cont_est_ppm
+FROM m JOIN szs USING (id_a)
+WHERE m * {t_den} >= {t_num} * sk_a
+ORDER BY id_a, id_b
+"""

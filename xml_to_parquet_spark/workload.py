@@ -5470,6 +5470,29 @@ def _q_containment_pairs_sql() -> str:
     return containment_bruteforce_sql("documents", t_num=4, t_den=5)
 
 
+def q_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k containment SCREEN (r12, dedup.containment_sketch_pairs):
+    the Mash-screen / containment-MinHash estimator — k=16 smallest
+    shingle hashes per doc probed against the full hash postings, est =
+    m/s_k, no verification arrays, probe volume O(k) per doc regardless
+    of doc size. The billion-doc screening stage in front of the exact
+    a148 join (exact 1.0-containment pairs are always found). The
+    estimator is DETERMINISTIC (md5-ranked, shingle tie-break, 32-bit
+    collision folding identical in both engines), so the oracle is an
+    exact SQL replay — the driver match proves the estimator itself."""
+    from xml_to_parquet_spark.functions.dedup import containment_sketch_pairs
+
+    return containment_sketch_pairs(
+        _t(spark, sf_dir, "documents"), k=16, t_num=4, t_den=5
+    )
+
+
+def _q_containment_sketch_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import containment_sketch_sql
+
+    return containment_sketch_sql("documents", k=16, t_num=4, t_den=5)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment dedup APPLIED (r12, dedup.containment_dedup_apply):
     surviving documents after dropping every doc contained ≥0.8 in a
@@ -6949,7 +6972,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_PACK_SEQUENCES_SQL,
         "concat-and-chunk sequence packing planner (sharded windows)",
     ),
-    "a113_dedup_clusters": QuerySpec(
+    "q252_dedup_clusters": QuerySpec(
         q_dedup_clusters,
         _q_dedup_clusters_sql(),
         "near-dup clustering: LSH pairs -> connected components",
@@ -7345,6 +7368,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_containment_pairs,
         _q_containment_pairs_sql(),
         "directed containment >= 0.8 via one-sided prefix filter vs brute",
+    ),
+    "a154_containment_sketch": QuerySpec(
+        q_containment_sketch,
+        _q_containment_sketch_sql(),
+        "bottom-k containment screen (Mash-style estimator, exact replay)",
     ),
     "a150_containment_dedup": QuerySpec(
         q_containment_dedup,
