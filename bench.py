@@ -89,11 +89,15 @@ def main() -> None:
     import statistics
 
     # Load-insensitive twin signal (r12, VERDICT r11 item 3): per-query
-    # process-tree CPU seconds next to every wall measurement. Walls on
-    # this VM drift with box load (two consecutive rounds of ambiguous
-    # r-over-r deltas); CPU time of the bench process + JVM + Python
-    # workers does not stretch under load, so bench_diff prefers it.
-    from xml_to_parquet_spark.logging_utils import proc_tree_cpu_ms
+    # CPU seconds of this process + the JVM next to every wall
+    # measurement. Walls on this VM drift with box load (two
+    # consecutive rounds of ambiguous r-over-r deltas); CPU time does
+    # not stretch under load, so bench_diff prefers it. engine_cpu_ms
+    # (self+JVM utime+stime only) is monotonic by construction — the
+    # full process-tree walk produced negative per-query deltas under
+    # python-worker daemon churn (see its docstring), so worker CPU is
+    # deliberately excluded from the per-query attribution.
+    from xml_to_parquet_spark.logging_utils import engine_cpu_ms
 
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
@@ -106,14 +110,14 @@ def main() -> None:
             era["load1_mid"] = round(os.getloadavg()[0], 2)
         samples, cpu_samples = [], []
         for _ in range(trials):
-            c0 = proc_tree_cpu_ms()
+            c0 = engine_cpu_ms(spark)
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             # noop sink materializes every row/column without count()'s
             # column-pruning shortcut and without sink I/O in the measurement
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-            c1 = proc_tree_cpu_ms()
+            c1 = engine_cpu_ms(spark)
             if c0 is not None and c1 is not None:
                 cpu_samples.append(c1 - c0)
         timings[name] = round(min(samples), 3)

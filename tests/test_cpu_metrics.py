@@ -97,3 +97,43 @@ def test_proc_stat_parser_handles_own_stat():
 
 def test_proc_stat_parser_vanished_pid():
     assert _proc_stat_cpu(2**22 + 12345) is None
+
+
+def test_engine_cpu_self_only_monotonic_without_spark():
+    # no SparkSession and no java child: engine_cpu_ms degrades to this
+    # process's own utime+stime — monotonic under load by construction
+    from xml_to_parquet_spark.logging_utils import engine_cpu_ms
+
+    c0 = engine_cpu_ms(None)
+    assert c0 is not None and c0 > 0
+    _burn(80)
+    c1 = engine_cpu_ms(None)
+    assert c1 - c0 >= 30, (c0, c1)
+
+
+def test_engine_cpu_never_negative_across_child_churn():
+    # the exact hazard that broke the tree walk: a child accumulating
+    # CPU then dying must never make the metric go backwards
+    from xml_to_parquet_spark.logging_utils import engine_cpu_ms
+
+    c0 = engine_cpu_ms(None)
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import time\n"
+            "t0 = time.process_time()\n"
+            "while (time.process_time() - t0) < 0.2:\n"
+            "    sum(i * i for i in range(1000))\n",
+        ],
+        check=True,
+    )
+    c1 = engine_cpu_ms(None)
+    assert c1 >= c0  # child CPU excluded, never subtracted
+
+
+def test_local_jvm_pid_finds_java_child_or_none():
+    from xml_to_parquet_spark.logging_utils import _local_jvm_pid
+
+    pid = _local_jvm_pid(None)
+    assert pid is None or pid > 0

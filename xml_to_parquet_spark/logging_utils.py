@@ -140,6 +140,73 @@ def _proc_stat_cpu(pid: int) -> tuple[int, int, int] | None:
         return None
 
 
+def engine_cpu_ms(spark: SparkSession | None = None) -> float | None:
+    """CPU milliseconds (user+system) of THIS process plus the local
+    Spark JVM — the bench's per-query attribution signal (r12).
+
+    Monotonic BY CONSTRUCTION: reads only the two processes' own
+    utime+stime (no cutime, no tree walk), so python-worker daemon
+    churn cannot produce negative or misattributed deltas. The first
+    full-catalog run with the tree-walk variant produced four negative
+    per-query deltas (worst −128 s on a trivial anti-join): when an
+    executor kills a worker daemon, the daemon's live children reparent
+    to init and their accumulated CPU leaves the tree mid-window, and
+    conversely a reap folds a daemon's whole cutime into the JVM at
+    whatever query happens to be running. Trade-off: python-worker CPU
+    (the documented Arrow-batched pandas sites) is excluded — their
+    JVM-side scan/shuffle/Arrow-marshal cost still shows, and the
+    purpose is round-over-round drift detection, where a stable
+    attribution beats a complete one. ``proc_tree_cpu_ms`` remains the
+    complete-but-churn-noisy counterpart.
+    """
+    pids = [os.getpid()]
+    jvm = _local_jvm_pid(spark)
+    if jvm is not None:
+        pids.append(jvm)
+    try:
+        tck = os.sysconf("SC_CLK_TCK") or 100
+    except (OSError, ValueError):
+        return None
+    total = 0
+    for p in pids:
+        st = _proc_stat_cpu(p)
+        if st is None:
+            return None
+        _, own, _reaped = st
+        total += own
+    return total * 1000.0 / tck
+
+
+def _local_jvm_pid(spark: SparkSession | None = None) -> int | None:
+    """PID of the local-mode Spark JVM: the py4j gateway's child
+    process handle when available, else the first java child of this
+    process in /proc. None when neither resolves (non-local master)."""
+    if spark is not None:
+        proc = getattr(
+            getattr(spark.sparkContext, "_gateway", None), "proc", None
+        )
+        pid = getattr(proc, "pid", None)
+        if pid:
+            return int(pid)
+    me = os.getpid()
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat", "rb") as fh:
+                    raw = fh.read().decode("ascii", "replace")
+                comm = raw[raw.index("(") + 1 : raw.rindex(")")]
+                ppid = int(raw[raw.rindex(")") + 2 :].split()[1])
+            except (OSError, ValueError):
+                continue
+            if ppid == me and "java" in comm:
+                return int(p)
+    except OSError:
+        return None
+    return None
+
+
 def proc_tree_cpu_ms(root_pid: int | None = None) -> float | None:
     """Total CPU milliseconds (user+system) consumed so far by
     ``root_pid`` and every descendant — the load-insensitive counterpart
@@ -158,6 +225,13 @@ def proc_tree_cpu_ms(root_pid: int | None = None) -> float | None:
     the kernel folds a reaped child's utime+stime+cutime+cstime into
     its parent's cutime/cstime, so summing own+reaped ticks over the
     LIVE tree members never double-counts.
+
+    NOT monotonic under worker churn (measured r12): when a worker
+    DAEMON is killed, its live children reparent to init and their
+    accumulated CPU leaves the tree — a later snapshot can read LOWER.
+    Use :func:`engine_cpu_ms` where per-interval deltas must never go
+    negative (the bench); this walk remains the complete total for
+    point-in-time reporting.
 
     Linux-only by construction; returns None where /proc is absent.
     """
