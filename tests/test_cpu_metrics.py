@@ -137,3 +137,18 @@ def test_local_jvm_pid_finds_java_child_or_none():
 
     pid = _local_jvm_pid(None)
     assert pid is None or pid > 0
+
+
+def test_engine_cpu_counts_jvm_work(spark):
+    # with a live session the JVM pid must resolve (gateway proc or
+    # /proc child scan) and a Spark job's CPU must show up in the delta
+    # even though the python side mostly waits
+    from xml_to_parquet_spark.logging_utils import _local_jvm_pid, engine_cpu_ms
+
+    assert _local_jvm_pid(spark) is not None
+    c0 = engine_cpu_ms(spark)
+    spark.range(0, 3_000_000, 1, 8).selectExpr(
+        "sum(pmod(xxhash64(id), 1000000007)) AS s"
+    ).collect()
+    c1 = engine_cpu_ms(spark)
+    assert c1 - c0 >= 50, (c0, c1)  # JVM burned CPU; python mostly slept
