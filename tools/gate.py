@@ -36,6 +36,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def classify_error_lines(stderr: str) -> tuple[list[str], list[str]]:
+    """Split log4j ERROR lines in ``stderr`` into (real, allowlisted).
+
+    ADVICE r12: the allowlist must match ONLY the stop-race signature,
+    not every accumulator-update failure. Spark logs the ERROR line as
+    "Failed to update accumulator <id> (<class>) for task <n>" and the
+    CAUSE on the following stack-trace lines — for the benign stop race
+    that cause is "org.apache.spark.SparkException: attempted to access
+    non-existent accumulator <id>" (_LEGACY_ERROR_TEMP_3024 in
+    spark-common-utils' error-conditions.json). So the allowlist
+    requires BOTH: the DAGScheduler ERROR line AND "non-existent
+    accumulator" within the next few trace lines. A real accumulator
+    failure (serialization bug, metrics defect) has a different cause
+    and stays a gate red.
+    """
+    err_line = re.compile(r"^\d{2}/\d{2}/\d{2} [\d:]+ ERROR ")
+    stop_race = re.compile(
+        r"ERROR DAGScheduler: Failed to update accumulator"
+    )
+    lines = stderr.splitlines()
+    errs: list[str] = []
+    benign: list[str] = []
+    for i, ln in enumerate(lines):
+        if not err_line.match(ln):
+            continue
+        if stop_race.search(ln) and any(
+            "non-existent accumulator" in nxt
+            for nxt in lines[i + 1 : i + 6]
+        ):
+            benign.append(ln)
+            continue
+        errs.append(ln)
+    return errs, benign
+
+
 def _run(
     name: str, argv: list[str], forbid_error_logs: bool = False
 ) -> tuple[str, float, str]:
@@ -59,15 +94,12 @@ def _run(
         # data effect — the task's own result was already discarded
         # with the stopped query). Muting it at source is impossible to
         # scope: the event loop logs asynchronously outside any window.
-        benign = re.compile(
-            r"ERROR DAGScheduler: Failed to update accumulator"
-        )
-        errs = [
-            ln
-            for ln in proc.stderr.splitlines()
-            if re.match(r"^\d{2}/\d{2}/\d{2} [\d:]+ ERROR ", ln)
-            and not benign.search(ln)
-        ]
+        errs, benign = classify_error_lines(proc.stderr)
+        for ln in benign:
+            # Printed so allowlisted lines stay auditable in the gate
+            # transcript (ADVICE r12).
+            print(f"[gate] {name}: allowlisted benign ERROR "
+                  f"(accumulator stop race): {ln[:200]}")
         if errs:
             status = "FAIL"
             tail = (

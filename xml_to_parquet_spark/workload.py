@@ -6663,10 +6663,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q203_json_extract": QuerySpec(
         q_json_extract, _Q_JSON_EXTRACT_SQL, "JSON path extraction"
     ),
-    "a120_profile_classify": QuerySpec(
+    "q266_profile_classify": QuerySpec(
         q_profile_classify, _profile_oracle(), "A1/A4 schema profiling"
     ),
-    "a121_star_build": QuerySpec(
+    "q267_star_build": QuerySpec(
         q_star_build, _Q_STAR_BUILD_SQL, "catalog-driven star transform"
     ),
     "q204_token_count": QuerySpec(
@@ -6684,7 +6684,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q208_dedup_exact": QuerySpec(
         q_dedup_exact, _Q_DEDUP_EXACT_SQL, "exact dedup (hash groupBy)"
     ),
-    "q244_dedup_ngram_jaccard": QuerySpec(
+    "a197_dedup_ngram_jaccard": QuerySpec(
         q_dedup_ngram_jaccard,
         _ngram_jaccard_sql(),
         "LSH candidates + exact 3-gram Jaccard verify",
@@ -6715,7 +6715,7 @@ QUERIES: dict[str, QuerySpec] = {
     # entry with zero driver validation across rounds 1-3; its exact
     # md5-arithmetic oracle landed in r3).  q09 (driver-green in r3)
     # rotates out to make room.
-    "a122_multimodal_decode": QuerySpec(
+    "q268_multimodal_decode": QuerySpec(
         q_multimodal_decode,
         _Q_MULTIMODAL_DECODE_SQL,
         "mapInPandas decode plumbing (deterministic stand-in kernel)",
@@ -6732,7 +6732,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q222_sql_frontend": QuerySpec(
         q_sql_frontend, _Q_SQL_FRONTEND_SQL, "spark.sql frontend (TPC-H q6)"
     ),
-    "a123_streaming_window": QuerySpec(
+    "q269_streaming_window": QuerySpec(
         q_streaming_window,
         _Q_TIME_BUCKET_SQL,
         "Structured Streaming tumbling window (AvailableNow == batch)",
@@ -6752,7 +6752,7 @@ QUERIES: dict[str, QuerySpec] = {
     # TRIVIAL golden sentinels rotate OUT of the a-window (a63-a66 ->
     # q51-q54: driver-green in r4 AND r5, 1-3 rows each; still covered by
     # pytest + tools/verify_local.py full-catalog runs every round).
-    "a124_xml_star_golden": QuerySpec(
+    "q270_xml_star_golden": QuerySpec(
         q_xml_star_golden,
         _Q_XML_STAR_GOLDEN_SQL,
         "XML ingest -> star transform vs fully-determined golden values",
@@ -6802,55 +6802,55 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r6 additions (a42-a45 sort into the driver window; q02-q05 rotate
     # out — driver-green since r1, still in pytest + full verify sweeps)
-    "q131_substring_dedup": QuerySpec(
+    "a156_substring_dedup": QuerySpec(
         q_substring_dedup,
         _Q_SUBSTRING_DEDUP_SQL,
         "repeated-k-gram span detection (substring-level dedup)",
     ),
-    "a99_bpe_tokens": QuerySpec(
+    "q301_bpe_tokens": QuerySpec(
         q_bpe_tokens,
         _Q_BPE_TOKENS_SQL,
         "real BPE merge-loop token counts (broadcast merges table)",
     ),
-    "q187_bpe_learn": QuerySpec(
+    "a192_bpe_learn": QuerySpec(
         q_bpe_learn,
         _BPE_LEARN_SQL,
         "distributed BPE merge training (greedy pair-count rounds)",
     ),
-    "q248_ivf_pq_adc": QuerySpec(
+    "a200_ivf_pq_adc": QuerySpec(
         q_ivf_pq_adc,
         _Q_IVF_PQ_ADC_SQL,
         "IVF-PQ asymmetric-distance ANN with exact integer re-rank",
     ),
-    "q177_audio_fp_dedup": QuerySpec(
+    "a184_audio_fp_dedup": QuerySpec(
         q_audio_fp_dedup,
         _Q_AUDIO_FP_SQL,
         "audio near-dup dedup: WAV decode → energy-delta fp → Hamming",
     ),
-    "q188_image_phash_dedup": QuerySpec(
+    "a193_image_phash_dedup": QuerySpec(
         q_image_phash_dedup,
         _Q_IMAGE_PHASH_SQL,
         "image near-dup dedup: netpbm decode → dHash → Hamming blocking",
     ),
-    "a100_netpbm_real": QuerySpec(
+    "q253_netpbm_real": QuerySpec(
         q_netpbm_real_kernel,
         _Q_NETPBM_REAL_SQL,
         "REAL netpbm decode + raster resample (md5-matched output bytes)",
     ),
-    "q249_sessionize_tws": QuerySpec(
+    "a201_sessionize_tws": QuerySpec(
         q_sessionize_tws,
         _Q_SESSIONIZE_TWS_SQL,
         "transformWithStateInPandas sessions (real state protocol)",
     ),
-    "a125_gapfill": QuerySpec(
+    "q271_gapfill": QuerySpec(
         q_gapfill, _Q_GAPFILL_SQL, "time-spine gap fill (dense hourly grid)"
     ),
-    "a126_hash_sample": QuerySpec(
+    "q272_hash_sample": QuerySpec(
         q_hash_sample,
         _hash_sample_sql(),
         "deterministic md5-gate sampling (partition-independent)",
     ),
-    "a127_stratified_sample": QuerySpec(
+    "q273_stratified_sample": QuerySpec(
         q_stratified_sample,
         _stratified_sample_sql(),
         "per-stratum sampling rates in one pushed-down filter",
@@ -6858,58 +6858,58 @@ QUERIES: dict[str, QuerySpec] = {
     # r7 rotation: a54 (driver-green r6, trivial WindowGroupLimit
     # sentinel) retires to q65; its slot driver-gates the exactly-once
     # streaming publish path as a48 (see below).
-    "a130_grouped_topk": QuerySpec(
+    "q276_grouped_topk": QuerySpec(
         q_grouped_topk,
         _Q_GROUPED_TOPK_SQL,
         "per-group top-k via WindowGroupLimit rank filter",
     ),
-    "a136_contamination": QuerySpec(
+    "q282_contamination": QuerySpec(
         q_contamination,
         _contamination_sql(),
         "benchmark contamination scan (broadcast eval shingles)",
     ),
-    "a128_length_histogram": QuerySpec(
+    "q274_length_histogram": QuerySpec(
         q_length_histogram,
         _Q_LENGTH_HISTOGRAM_SQL,
         "doc-length width_bucket histogram",
     ),
     # r7 rotation #3: driver-green r4-r7 under a57; slot ceded to
     # q134_semantic_dedup.
-    "a131_mixture": QuerySpec(
+    "q277_mixture": QuerySpec(
         q_mixture,
         _mixture_sql(),
         "weighted source mixture with deterministic shuffle order",
     ),
-    "a137_tfidf_terms": QuerySpec(
+    "q283_tfidf_terms": QuerySpec(
         q_tfidf_terms,
         _Q_TFIDF_SQL,
         "top distinctive terms per doc (integer tf/df ranking)",
     ),
     # r7 rotation #4: driver-green r4-r7 under a59; slot ceded to
     # q136_rare_gram_lm.
-    "a132_label_centroids": QuerySpec(
+    "q278_label_centroids": QuerySpec(
         q_label_centroids,
         _Q_LABEL_CENTROIDS_SQL,
         "per-label embedding centroids (exact quantized vector sums)",
     ),
     # r7 addition: char-n-gram LM quality gate (the CCNet/KenLM
     # perplexity-filter shape, integer-exact). Takes a59's window slot.
-    "q136_rare_gram_lm": QuerySpec(
+    "a159_rare_gram_lm": QuerySpec(
         q_rare_gram_lm,
         _q_rare_gram_sql(),
         "char-trigram rare-fraction LM gate (relative-frequency rarity)",
     ),
-    "q247_simhash_blocked": QuerySpec(
+    "a199_simhash_blocked": QuerySpec(
         q_simhash_blocked,
         _simhash_blocked_sql(),
         "SimHash Hamming pairs via pigeonhole chunk blocking",
     ),
-    "a133_business_keys": QuerySpec(
+    "q279_business_keys": QuerySpec(
         q_business_keys,
         _Q_BUSINESS_KEYS_SQL,
         "S6 comment business keys attached per file (golden fixture)",
     ),
-    "a101_validation_gate": QuerySpec(
+    "q254_validation_gate": QuerySpec(
         q_validation_gate,
         _Q_VALIDATION_GATE_SQL,
         "P4 validation gate excludes malformed files (golden fixture)",
@@ -6934,17 +6934,17 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_REPORT_RATES_SQL,
         "F15 processing-report rate math from Spark-side counts",
     ),
-    "a147_repetition_features": QuerySpec(
+    "q293_repetition_features": QuerySpec(
         q_repetition_features,
         _Q_REPETITION_INT_SQL,
         "Gopher-style within-doc repetition signals",
     ),
-    "q137_quality_gate": QuerySpec(
+    "a160_quality_gate": QuerySpec(
         q_quality_gate,
         _q_quality_gate_sql(),
         "composite quality gate with named drop reasons",
     ),
-    "q191_corpus_line_dedup": QuerySpec(
+    "a196_corpus_line_dedup": QuerySpec(
         q_corpus_line_dedup,
         _Q_CORPUS_LINE_DEDUP_SQL,
         "corpus-level repeated-line removal (C4 boilerplate rule)",
@@ -6957,110 +6957,110 @@ QUERIES: dict[str, QuerySpec] = {
         _q_hamming_ann_sql(),
         "binary sign-signature ANN: Hamming-ball candidates + exact re-rank",
     ),
-    "q155_hybrid_rrf": QuerySpec(
+    "a172_hybrid_rrf": QuerySpec(
         q_hybrid_rrf,
         _q_hybrid_rrf_sql(),
         "hybrid retrieval: BM25 + cosine channels fused by integer RRF",
     ),
-    "q163_pack_nosplit": QuerySpec(
+    "a177_pack_nosplit": QuerySpec(
         q_pack_nosplit,
         _q_pack_nosplit_sql(),
         "no-split NFD sequence packing (shard-parallel, recursive-CTE oracle)",
     ),
-    "a138_pack_sequences": QuerySpec(
+    "q284_pack_sequences": QuerySpec(
         q_pack_sequences,
         _Q_PACK_SEQUENCES_SQL,
         "concat-and-chunk sequence packing planner (sharded windows)",
     ),
-    "q252_dedup_clusters": QuerySpec(
+    "a203_dedup_clusters": QuerySpec(
         q_dedup_clusters,
         _q_dedup_clusters_sql(),
         "near-dup clustering: LSH pairs -> connected components",
     ),
-    "a102_kmeans_cells": QuerySpec(
+    "q255_kmeans_cells": QuerySpec(
         q_kmeans_cells,
         _q_kmeans_sql(),
         "Lloyd k-means cell assignment in exact integer arithmetic",
     ),
-    "a139_scrub_pii": QuerySpec(
+    "q285_scrub_pii": QuerySpec(
         q_scrub_pii,
         _Q_SCRUB_PII_SQL,
         "PII scrubbing with typed placeholders (golden fixture)",
     ),
-    "a103_dedup_incremental": QuerySpec(
+    "q256_dedup_incremental": QuerySpec(
         q_dedup_incremental,
         _Q_DEDUP_INCREMENTAL_SQL,
         "incremental dedup against an existing corpus (anti-join)",
     ),
-    "a140_assign_split": QuerySpec(
+    "q286_assign_split": QuerySpec(
         q_assign_split,
         _q_assign_split_sql(),
         "deterministic train/val/test split assignment",
     ),
-    "a153_dedup_apply": QuerySpec(
+    "q299_dedup_apply": QuerySpec(
         q_dedup_apply,
         _q_dedup_apply_sql(),
         "end-to-end dedup: LSH -> clusters -> keep one per cluster",
     ),
-    "q135_stream_dedup": QuerySpec(
+    "a158_stream_dedup": QuerySpec(
         q_stream_dedup,
         _Q_STREAM_DEDUP_SQL,
         "streaming dedup with watermark-bounded state",
     ),
-    "q190_dedup_clusters_star": QuerySpec(
+    "a195_dedup_clusters_star": QuerySpec(
         q_dedup_clusters_star,
         _q_dedup_clusters_star_sql(),
         "connected components via alternating star contraction",
     ),
-    "a104_sliding_window": QuerySpec(
+    "q257_sliding_window": QuerySpec(
         q_sliding_window,
         _Q_SLIDING_WINDOW_SQL,
         "sliding/hopping event-time windows (2h size, 1h hop)",
     ),
-    "a105_session_window": QuerySpec(
+    "q258_session_window": QuerySpec(
         q_session_window_native,
         _Q_SESSION_WINDOW_SQL,
         "native session_window gap-merged sessions",
     ),
-    "a134_variant_json": QuerySpec(
+    "q280_variant_json": QuerySpec(
         q_variant_json,
         _Q_VARIANT_JSON_SQL,
         "VariantType JSON: parse once, typed binary field access",
     ),
-    "a106_pq_codes": QuerySpec(
+    "q259_pq_codes": QuerySpec(
         q_pq_codes,
         _q_pq_codes_sql(),
         "product-quantization codes (per-subspace integer kmeans)",
     ),
-    "a141_zorder_key": QuerySpec(
+    "q287_zorder_key": QuerySpec(
         q_zorder_key,
         _q_zorder_key_sql(),
         "Morton Z-order keys for multi-column file skipping",
     ),
-    "a142_upsert": QuerySpec(
+    "q288_upsert": QuerySpec(
         q_upsert, _Q_UPSERT_SQL, "keyed MERGE-style upsert"
     ),
-    "a143_scd2": QuerySpec(
+    "q289_scd2": QuerySpec(
         q_scd2, _Q_SCD2_SQL, "SCD Type 2 dimension history maintenance"
     ),
-    "a144_fuzzy_pairs": QuerySpec(
+    "q290_fuzzy_pairs": QuerySpec(
         q_fuzzy_pairs,
         _Q_FUZZY_PAIRS_SQL,
         "length-blocked levenshtein fuzzy matching",
     ),
     # r7: a86 -> q60 (driver-green r5+r6 trivial function battery) makes
     # the window slot for a47, the atomic-publish commit-protocol gate.
-    "a129_window_battery": QuerySpec(
+    "q275_window_battery": QuerySpec(
         q_window_battery,
         _Q_WINDOW_BATTERY_SQL,
         "analytic window battery (lag/lead/rank/ntile/cume_dist)",
     ),
-    "a152_atomic_publish": QuerySpec(
+    "q298_atomic_publish": QuerySpec(
         q_atomic_publish,
         _Q_ATOMIC_PUBLISH_SQL,
         "manifest-pointer commit: killed writer, reader sees last snapshot",
     ),
-    "q171_diff_published": QuerySpec(
+    "a180_diff_published": QuerySpec(
         q_diff_published,
         _Q_DIFF_PUBLISHED_SQL,
         "version change feed: append fast path + exceptAll general path",
@@ -7075,7 +7075,7 @@ QUERIES: dict[str, QuerySpec] = {
     # end-to-end (q-name: outside the 50-slot driver window, judge-run)
     # r7 rotation (takes a54's window slot): the commit-protocol
     # streaming twin of a47 goes under the driver gate.
-    "q133_stream_publish": QuerySpec(
+    "a157_stream_publish": QuerySpec(
         q_stream_publish,
         _Q_STREAM_PUBLISH_SQL,
         "exactly-once streaming publish: batch-id dedup through the pointer",
@@ -7083,33 +7083,33 @@ QUERIES: dict[str, QuerySpec] = {
     # r7 addition: SemDeDup-shape semantic dedup (k-means cells +
     # within-cell integer-exact cosine pruning). Takes a57's window slot
     # (a57_mixture, driver-green since r4, retires to q66).
-    "q245_semantic_dedup": QuerySpec(
+    "a198_semantic_dedup": QuerySpec(
         q_semantic_dedup,
         _q_semantic_dedup_sql(n_probe=3),
         "semantic dedup: multi-probe k-means cells + exact-cosine "
         "keep-min-id",
     ),
-    "q144_html_extract": QuerySpec(
+    "a162_html_extract": QuerySpec(
         q_html_extract,
         _q_html_extract_sql(),
         "HTML→text curation: element drops, entity decode, title extract",
     ),
-    "q145_line_clean": QuerySpec(
+    "a163_line_clean": QuerySpec(
         q_line_clean,
         _q_line_clean_sql(),
         "line-level curation: min-word filter + within-doc line dedup",
     ),
-    "q146_mojibake": QuerySpec(
+    "a164_mojibake": QuerySpec(
         q_mojibake,
         _q_mojibake_sql(),
         "encoding QA: mojibake detection + literal repair",
     ),
-    "q157_mojibake_deep": QuerySpec(
+    "a174_mojibake_deep": QuerySpec(
         q_mojibake_deep,
         _q_mojibake_deep_sql(),
         "multi-round byte-level encoding repair (ftfy-shape kernel)",
     ),
-    "a145_grouping_sets": QuerySpec(
+    "q291_grouping_sets": QuerySpec(
         q_grouping_sets,
         _Q_GROUPING_SETS_SQL,
         "explicit GROUPING SETS with grouping_id",
@@ -7119,17 +7119,17 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_NULL_BATTERY_SQL,
         "null-handling battery (coalesce/nullif/greatest/null-safe eq)",
     ),
-    "a146_fuzzy_qgram": QuerySpec(
+    "q292_fuzzy_qgram": QuerySpec(
         q_fuzzy_qgram,
         _Q_FUZZY_QGRAM_SQL,
         "q-gram prefix-filtered levenshtein fuzzy matching (general path)",
     ),
-    "q250_stream_join": QuerySpec(
+    "a202_stream_join": QuerySpec(
         q_stream_interval_join,
         _Q_STREAM_JOIN_SQL,
         "stream-stream interval join (funnel attribution, bounded state)",
     ),
-    "a107_batch_score": QuerySpec(
+    "q260_batch_score": QuerySpec(
         q_batch_score,
         _Q_BATCH_SCORE_SQL,
         "REAL quantized-logreg batch inference (int64 matmul, exact oracle)",
@@ -7140,22 +7140,22 @@ QUERIES: dict[str, QuerySpec] = {
     # Under the sorted 50-slot correctness window the four r4 additions
     # (a93-a96) evicted q05-q08 (all driver-green r3; still covered by
     # pytest + tools/verify_local.py full-catalog runs each round).
-    "a108_multimodal_resize": QuerySpec(
+    "q261_multimodal_resize": QuerySpec(
         q_multimodal_resize,
         _Q_MULTIMODAL_RESIZE_SQL,
         "mapInPandas resize plumbing (aspect-fit, stand-in kernel)",
     ),
-    "a135_byte_features": QuerySpec(
+    "q281_byte_features": QuerySpec(
         q_byte_features,
         _Q_BYTE_FEATURES_SQL,
         "binary feature-extract (numpy byte statistics over Arrow batches)",
     ),
-    "a109_stream_enrich": QuerySpec(
+    "q262_stream_enrich": QuerySpec(
         q_stream_enrich,
         _Q_STREAM_ENRICH_SQL,
         "stream-static enrichment join (stateless, per-micro-batch dim)",
     ),
-    "a110_dedup_keep_best": QuerySpec(
+    "q263_dedup_keep_best": QuerySpec(
         q_dedup_keep_best,
         _Q_DEDUP_KEEP_BEST_SQL,
         "quality-aware dedup retention (best member per cluster)",
@@ -7163,30 +7163,30 @@ QUERIES: dict[str, QuerySpec] = {
     # r5: URL/domain curation pair. Under the sorted 50-slot correctness
     # window a97/a98 evict q03/q04 (driver-green since r1; still covered
     # by pytest + tools/verify_local.py full-catalog runs each round).
-    "a111_url_normalize": QuerySpec(
+    "q264_url_normalize": QuerySpec(
         q_url_normalize,
         _Q_URL_NORMALIZE_SQL,
         "canonical URL dedup keys + registrable domains",
     ),
-    "a112_domain_cap": QuerySpec(
+    "q265_domain_cap": QuerySpec(
         q_domain_cap,
         _Q_DOMAIN_CAP_SQL,
         "per-domain anti-domination cap (deterministic survivors)",
     ),
     # r7 sketch family: mergeable fixed-size summaries (KMV / HLL /
     # count-min) + DSIR importance selection — all pure-BIGINT estimates.
-    "q147_kmv_distinct": QuerySpec(
+    "a165_kmv_distinct": QuerySpec(
         q_kmv_distinct,
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
     ),
-    "q178_kmv_set_algebra": QuerySpec(
+    "a185_kmv_set_algebra": QuerySpec(
         q_kmv_set_algebra,
         _q_kmv_set_algebra_sql(),
         "sketch set algebra: union/intersection/Jaccard from two KMV "
         "sketches",
     ),
-    "q174_funnel": QuerySpec(
+    "a182_funnel": QuerySpec(
         q_funnel,
         _Q_FUNNEL_SQL,
         "ordered funnel: strict first-occurrence stage sequencing",
@@ -7196,7 +7196,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_token_drift_sql(),
         "distribution-drift monitor: top token frequency movers in ppm",
     ),
-    "q173_gopher_rules": QuerySpec(
+    "a181_gopher_rules": QuerySpec(
         q_gopher_rules,
         _q_gopher_rules_sql(),
         "Gopher-style composite quality rules, integer-exact map-only gate",
@@ -7211,37 +7211,37 @@ QUERIES: dict[str, QuerySpec] = {
         _q_triangles_sql(),
         "triangle counting by degree-ordered orientation (O(m^1.5) wedges)",
     ),
-    "q181_bucket_anomalies": QuerySpec(
+    "a188_bucket_anomalies": QuerySpec(
         q_bucket_anomalies,
         _q_bucket_anomalies_sql(),
         "time-bucket volume anomalies: integer z-score test, no floats",
     ),
-    "q183_k_anonymize": QuerySpec(
+    "a189_k_anonymize": QuerySpec(
         q_k_anonymize,
         _q_k_anonymize_sql(),
         "k-anonymity suppression of small quasi-identifier classes",
     ),
-    "q169_bfs_khop": QuerySpec(
+    "a179_bfs_khop": QuerySpec(
         q_bfs_khop,
         _q_bfs_khop_sql(),
         "multi-source BFS hop levels: frontier expansion + visited anti-join",
     ),
-    "q156_k_core": QuerySpec(
+    "a173_k_core": QuerySpec(
         q_k_core,
         _q_k_core_sql(),
         "k-core peeling with in-band convergence certificate",
     ),
-    "q154_linear_probe": QuerySpec(
+    "a171_linear_probe": QuerySpec(
         q_linear_probe,
         _q_linear_probe_sql(),
         "linear probe training: exact fixed-point batch GD rounds",
     ),
-    "q186_event_transitions": QuerySpec(
+    "a191_event_transitions": QuerySpec(
         q_event_transitions,
         _q_event_transitions_sql(),
         "Markov event-transition matrix: lead() pairs, ppm row probs",
     ),
-    "q162_chunk_documents": QuerySpec(
+    "a176_chunk_documents": QuerySpec(
         q_chunk_documents,
         _q_chunk_documents_sql(),
         "overlapping RAG chunking: map-only sequence+substring, 0 shuffles",
@@ -7251,7 +7251,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_WAV_FEATURES_SQL,
         "REAL WAV audio round-trip: JVM-built PCM16, stdlib-wave parse",
     ),
-    "q161_jl_project": QuerySpec(
+    "a175_jl_project": QuerySpec(
         q_jl_project,
         _q_jl_project_sql(),
         "JL sign projection: literal Rademacher matrix, map-only, exact",
@@ -7271,22 +7271,22 @@ QUERIES: dict[str, QuerySpec] = {
         _q_phrase_query_sql(),
         "positional-index phrase query: offset-aligned postings joins",
     ),
-    "q189_jl_ann": QuerySpec(
+    "a194_jl_ann": QuerySpec(
         q_jl_ann,
         _q_jl_ann_sql(),
         "two-stage ANN: JL integer prefilter, exact quantized re-rank",
     ),
-    "q167_near_query": QuerySpec(
+    "a178_near_query": QuerySpec(
         q_near_query,
         _q_near_query_sql(),
         "proximity NEAR/slop query: offset-enumerated bounded range join",
     ),
-    "q184_more_like_this": QuerySpec(
+    "a190_more_like_this": QuerySpec(
         q_more_like_this,
         _q_more_like_this_sql(),
         "sparse tf-idf more-like-this: df-pruned token join, integer dot",
     ),
-    "q179_ngram_diversity": QuerySpec(
+    "a186_ngram_diversity": QuerySpec(
         q_ngram_diversity,
         _q_ngram_diversity_sql(),
         "per-source bigram type/token ratio (ppm) — diversity monitor",
@@ -7301,7 +7301,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_stream_drift_sql(),
         "streaming drift monitor: published partial counts == batch report",
     ),
-    "q176_incremental_agg": QuerySpec(
+    "a183_incremental_agg": QuerySpec(
         q_incremental_agg,
         _Q_INCREMENTAL_AGG_SQL,
         "O(delta) materialized-view refresh from the publish change feed",
@@ -7311,7 +7311,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_poisson_bootstrap_sql(),
         "one-pass Poisson bootstrap: 16 deterministic replicate means",
     ),
-    "q180_cohort_retention": QuerySpec(
+    "a187_cohort_retention": QuerySpec(
         q_cohort_retention,
         _q_cohort_retention_sql(),
         "cohort retention matrix: first-seen buckets x offset, integer ppm",
@@ -7321,32 +7321,32 @@ QUERIES: dict[str, QuerySpec] = {
         _q_pr_normalize_sql(),
         "per-slice percentile-rank score normalization (integer ppm)",
     ),
-    "q127_hll_distinct": QuerySpec(
+    "a155_hll_distinct": QuerySpec(
         q_hll_distinct,
         _q_hll_sql(),
         "HyperLogLog (64 registers, integer harmonic + linear counting)",
     ),
-    "q148_countmin": QuerySpec(
+    "a166_countmin": QuerySpec(
         q_countmin,
         _q_countmin_sql(),
         "count-min sketch point estimates vs true counts (3x1024 cells)",
     ),
-    "q149_dsir_select": QuerySpec(
+    "a167_dsir_select": QuerySpec(
         q_dsir_select,
         _q_dsir_sql(),
         "DSIR importance selection (hashed-ngram integer LLR ranking)",
     ),
-    "q141_leakage_split": QuerySpec(
+    "a161_leakage_split": QuerySpec(
         q_leakage_split,
         _q_leakage_split_sql(),
         "leakage-safe split (near-dup clusters move between splits whole)",
     ),
-    "q150_bloom_prune": QuerySpec(
+    "a168_bloom_prune": QuerySpec(
         q_bloom_prune,
         _q_bloom_sql(),
         "Bloom-filter join pruning (row-local probe vs exact semi-join)",
     ),
-    "a151_bm25_topk": QuerySpec(
+    "q297_bm25_topk": QuerySpec(
         q_bm25_topk,
         _q_bm25_sql(),
         "BM25 top-k retrieval (integer fixed-point, hex-MSB ilog2)",
@@ -7358,23 +7358,23 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_SKEW_SQL,
         "shuffle-skew pre-flight (hot keys, ppm share, salt factor)",
     ),
-    "a149_xsd_typed_star": QuerySpec(
+    "q295_xsd_typed_star": QuerySpec(
         q_xsd_typed_star,
         _Q_XSD_TYPED_STAR_SQL,
         "XSD leaf types flow to the star output (decimal/bigint/bool/"
         "date/ts)",
     ),
-    "a148_containment_pairs": QuerySpec(
+    "q294_containment_pairs": QuerySpec(
         q_containment_pairs,
         _q_containment_pairs_sql(),
         "directed containment >= 0.8 via one-sided prefix filter vs brute",
     ),
-    "a154_containment_sketch": QuerySpec(
+    "q300_containment_sketch": QuerySpec(
         q_containment_sketch,
         _q_containment_sketch_sql(),
         "bottom-k containment screen (Mash-style estimator, exact replay)",
     ),
-    "a150_containment_dedup": QuerySpec(
+    "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
         _q_containment_dedup_sql(),
         "containment dedup applied: drop docs subsumed by a greater doc",
@@ -7384,12 +7384,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_pagerank_sql(),
         "weighted PageRank over event transitions (integer fixed point)",
     ),
-    "q152_kmv_merge": QuerySpec(
+    "a169_kmv_merge": QuerySpec(
         q_kmv_merge,
         _q_kmv_merge_sql(),
         "KMV sketch merge == direct sketch (mergeability identity)",
     ),
-    "q153_hist_quantiles": QuerySpec(
+    "a170_hist_quantiles": QuerySpec(
         q_hist_quantiles,
         _q_hist_quantiles_sql(),
         "mergeable log-bucket quantile sketch (est vs exact, <=4.4% err)",
