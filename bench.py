@@ -179,6 +179,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cpu": timings_cpu,  # load-insensitive twin (sec)
+        # ADVICE r12: the CPU scope changed mid-r12 (process-tree walk ->
+        # self+JVM own-time); the stamp lets bench_diff refuse to compare
+        # incompatible scopes instead of reporting phantom deltas.
+        "cpu_metric": "self+jvm",
         "cpu_total": round(sum(timings_cpu.values()), 3),
         "sf": float(sf) if sf else None,
         "n_queries": len(timings),

@@ -67,6 +67,74 @@ def test_mixed_stream_classifies_each_independently():
     assert len(errs) == 2
 
 
+def test_pandas_kernel_classification_pinned():
+    """VERDICT r12 item 2: bench_diff carries the list of Arrow-batched
+    pandas-kernel slugs whose compute the self+JVM CPU signal cannot
+    see. Pin the membership (the ten documented kernels) and that each
+    slug resolves to a live catalog entry regardless of window
+    rotation."""
+    from bench_diff import PANDAS_KERNEL_SLUGS
+
+    from xml_to_parquet_spark.workload import KEY_BY_SLUG
+
+    assert PANDAS_KERNEL_SLUGS == {
+        "mojibake_deep", "pack_nosplit", "batch_score", "byte_features",
+        "multimodal_decode", "multimodal_resize", "netpbm_real",
+        "audio_fp_dedup", "image_phash_dedup", "sessionize_tws",
+    }
+    missing = [s for s in PANDAS_KERNEL_SLUGS if s not in KEY_BY_SLUG]
+    assert not missing, f"slugs not in catalog: {missing}"
+
+
+def test_signal_selection_per_slug():
+    from bench_diff import signal_for_slug
+
+    # pandas kernel -> wall even when CPU is available
+    assert signal_for_slug("mojibake_deep", cpu_ok=True,
+                           force_wall=False) == "wall"
+    # JVM-bound slug -> CPU when available
+    assert signal_for_slug("star_revenue", cpu_ok=True,
+                           force_wall=False) == "cpu"
+    # no compatible CPU maps -> wall for everything
+    assert signal_for_slug("star_revenue", cpu_ok=False,
+                           force_wall=False) == "wall"
+    # --wall forces wall for everything
+    assert signal_for_slug("star_revenue", cpu_ok=True,
+                           force_wall=True) == "wall"
+
+
+def test_cpu_variant_stamp_gates_cpu_diff():
+    """ADVICE r12: CPU maps are only diffed when both sidecars stamp the
+    SAME cpu_metric variant; absent or mismatched stamps fall back to
+    wall."""
+    from bench_diff import cpu_compatible
+
+    cpu = {"q01_x": 1.0}
+    both = {"queries": {}, "queries_cpu": cpu, "cpu_metric": "self+jvm"}
+    unstamped = {"queries": {}, "queries_cpu": cpu}
+    other = {"queries": {}, "queries_cpu": cpu, "cpu_metric": "proc-tree"}
+    no_cpu = {"queries": {}}
+
+    assert cpu_compatible(both, dict(both))[0] is True
+    assert cpu_compatible(both, unstamped)[0] is False
+    assert cpu_compatible(unstamped, both)[0] is False
+    assert cpu_compatible(both, other)[0] is False
+    assert cpu_compatible(no_cpu, both)[0] is False
+
+
+def test_bench_stamps_cpu_metric_variant():
+    # the sidecar writer and the committed canonical sidecar both carry
+    # the variant stamp bench_diff keys on
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "bench.py")).read()
+    assert '"cpu_metric": "self+jvm"' in src
+    side = json.load(open(os.path.join(repo, "BENCH_LOCAL_FULL.json")))
+    assert side.get("cpu_metric") == "self+jvm"
+
+
 def test_cause_must_be_near_the_error_line():
     # "non-existent accumulator" 20 lines later belongs to some other
     # event — the look-ahead window is a few trace lines only.
