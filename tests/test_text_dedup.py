@@ -1647,6 +1647,54 @@ def test_containment_partition_invariance(spark):
     assert res[0] == res[1] == [(1, 2, 2, 2, 8)]
 
 
+def test_containment_screened_composition(spark):
+    """VERDICT r12 item 3: the sketch screen feeding the exact prefix
+    join must (a) return exactly the full exact join's pairs on a
+    corpus where the screen has perfect recall, and (b) prune >90% of
+    the contained-side candidates so the exact join runs survivor-sized
+    rather than corpus-sized."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(15))
+    rows = [(1, quote), (2, f"{filler} {quote} {filler}")]
+    # 98 unique docs contained in nothing (distinct vocab per doc)
+    rows += [
+        (10 + i, " ".join(f"u{i}t{j}" for j in range(12)))
+        for i in range(98)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = sorted(
+        (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b, r.cont_ppm)
+        for r in dedup.containment_prefix_pairs(
+            df, t_num=4, t_den=5
+        ).collect()
+    )
+    comp = sorted(
+        (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b, r.cont_ppm)
+        for r in dedup.containment_screened_pairs(
+            df, k=16, t_num=4, t_den=5, screen_num=1, screen_den=2
+        ).collect()
+    )
+    assert comp == full
+    assert any(p[0] == 1 and p[1] == 2 for p in comp)  # quote detected
+
+    # the screen's survivor set (contained-side candidates the exact
+    # join probes) must be a tiny fraction of the corpus
+    survivors = (
+        dedup.containment_sketch_pairs(
+            df, k=16, t_num=1, t_den=2
+        ).select("id_a").distinct().count()
+    )
+    assert survivors <= len(rows) // 10, survivors
+
+    # a screen threshold at or above the exact threshold has no noise
+    # margin and is a caller error
+    with pytest.raises(ValueError, match="BELOW"):
+        dedup.containment_screened_pairs(
+            df, t_num=4, t_den=5, screen_num=4, screen_den=5
+        )
+
+
 def test_fuzzy_pairs_warns_deprecated(spark):
     docs = spark.createDataFrame(
         [(1, "kitten"), (2, "sitten")], "doc_id long, text string"

@@ -113,6 +113,9 @@ FORBIDDEN_NODES = {
     "a148_containment_pairs": "CartesianProduct",
     # r12: the sketch screen is bottom-k rows equi-joined on the hash
     "a154_containment_sketch": "CartesianProduct",
+    # r13: the screen->exact composition inherits both stages' shapes —
+    # survivors semi-join the contained side, then the prefix equi-join
+    "a204_containment_screened": "CartesianProduct",
 }
 
 

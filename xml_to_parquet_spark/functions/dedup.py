@@ -1894,6 +1894,7 @@ def containment_prefix_pairs(
     n: int = 3,
     t_num: int = 4,
     t_den: int = 5,
+    contained_ids: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT asymmetric-containment self-join via a one-sided prefix
     filter — the dedup shape symmetric Jaccard misses (VERDICT r11
@@ -1931,6 +1932,14 @@ def containment_prefix_pairs(
     change. Verification is row-local ``array_intersect`` over the two
     checkpointed shingle arrays — no re-shuffle of the corpus.
 
+    ``contained_ids`` (optional, single-column DataFrame of ids)
+    restricts the CONTAINED side A to those ids — the hook the
+    screen→exact composition (:func:`containment_screened_pairs`) uses
+    to probe only sketch-screen survivors. Shingle document frequencies
+    and the container side B still come from the FULL corpus, so the
+    restriction changes which pairs are asked about, never their
+    verdicts.
+
     Returns ``(id_a, id_b, inter_sz, size_a, size_b, cont_ppm)``
     ordered, bit-comparable to :func:`containment_bruteforce_sql`."""
     base = (
@@ -1963,7 +1972,11 @@ def containment_prefix_pairs(
     # ceil(t*sz) as integer arithmetic; prefix keeps positions for the
     # dual positional filter
     need = f"div({t_num} * size(otoks) + {t_den - 1}, {t_den})"
-    pa = ordered.select(
+    ordered_a = ordered
+    if contained_ids is not None:
+        ids = contained_ids.toDF("id").distinct()
+        ordered_a = ordered.join(ids, "id", "left_semi")
+    pa = ordered_a.select(
         F.col("id").alias("id_a"),
         F.size("otoks").alias("sz_a"),
         F.expr(need).alias("need_a"),
@@ -2230,5 +2243,98 @@ SELECT id_a, id_b, CAST(m AS BIGINT) AS m, CAST(sk_a AS BIGINT) AS sk_a,
        CAST(m * 1000000 // sk_a AS BIGINT) AS cont_est_ppm
 FROM m JOIN szs USING (id_a)
 WHERE m * {t_den} >= {t_num} * sk_a
+ORDER BY id_a, id_b
+"""
+
+
+def containment_screened_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    t_num: int = 4,
+    t_den: int = 5,
+    screen_num: int = 1,
+    screen_den: int = 2,
+) -> DataFrame:
+    """Screen→exact containment composition (VERDICT r12 item 3) — the
+    full 10⁹-doc pipeline as ONE operator: the O(k)-probe bottom-k
+    sketch screen (:func:`containment_sketch_pairs`) nominates the
+    docs that LOOK contained at a permissive threshold
+    ``screen_num/screen_den``, and the exact one-sided prefix join
+    (:func:`containment_prefix_pairs`) re-asks ONLY those docs at the
+    real threshold ``t_num/t_den`` against the full corpus.
+
+    Scale shape: the exact join's candidate volume is
+    Σ_{A∈survivors} Σ_{w∈prefix(A)} df(w) — on a corpus where most
+    docs are contained in nothing, the screen turns the exact join's
+    dominant cost from corpus-sized to survivor-sized while keeping
+    verdicts bit-identical to the exact join on the survivor set (the
+    ``contained_ids`` restriction changes which pairs are asked about,
+    never their verdicts).
+
+    Recall: the screen is DETERMINISTIC (md5-ranked bottom-k), so the
+    composition is exactly replayable in SQL — the driver hash-match
+    proves the whole pipeline. Exact 1.0-containment pairs are always
+    kept (every sampled shingle is in the container). For t ≤ C < 1 the
+    screen's miss probability is the hypergeometric tail
+    P(m/s_k < screen_t | C) — driven to negligible by the threshold gap
+    (defaults: screen at 1/2, exact at 4/5, k=16 → P(miss | C=0.8)
+    ≈ 1.5e-3 and falls exponentially in k); the screen/exact gap, not
+    bigger sketches, is the recall knob.
+
+    Returns the exact join's schema ``(id_a, id_b, inter_sz, size_a,
+    size_b, cont_ppm)`` ordered."""
+    if screen_num * t_den >= t_num * screen_den:
+        raise ValueError(
+            f"screen threshold {screen_num}/{screen_den} must be BELOW "
+            f"the exact threshold {t_num}/{t_den}: the gap between them "
+            f"is what absorbs sketch estimation noise"
+        )
+    survivors = containment_sketch_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, k=k,
+        t_num=screen_num, t_den=screen_den,
+    ).select("id_a").distinct()
+    return containment_prefix_pairs(
+        df, text_col=text_col, id_col=id_col, n=n,
+        t_num=t_num, t_den=t_den, contained_ids=survivors,
+    )
+
+
+def containment_screened_sql(
+    table: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    t_num: int = 4,
+    t_den: int = 5,
+    screen_num: int = 1,
+    screen_den: int = 2,
+) -> str:
+    """Exact SQL replay of :func:`containment_screened_pairs`: the
+    deterministic sketch screen as a CTE feeding the prefix-free brute
+    containment join restricted to screen survivors. A driver match
+    proves screen AND exact stage end to end on the same corpus."""
+    return f"""
+WITH screen AS ({containment_sketch_sql(table, id_col, n, k,
+                                        screen_num, screen_den)}),
+surv AS (SELECT DISTINCT id_a FROM screen),
+sh AS ({shingle_sql(table, id_col, n)}),
+sizes AS (SELECT {id_col} AS id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} <> b.{id_col}
+    AND a.{id_col} IN (SELECT id_a FROM surv)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS BIGINT) AS inter_sz,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       CAST(i * 1000000 // sa.sz AS BIGINT) AS cont_ppm
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * {t_den} >= {t_num} * sa.sz
 ORDER BY id_a, id_b
 """

@@ -5493,6 +5493,34 @@ def _q_containment_sketch_sql() -> str:
     return containment_sketch_sql("documents", k=16, t_num=4, t_den=5)
 
 
+def q_containment_screened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen→exact containment COMPOSITION (r13, VERDICT r12 item 3,
+    dedup.containment_screened_pairs): the bottom-k sketch screen at a
+    permissive 1/2 threshold nominates contained-doc candidates with
+    O(k) probes each; the exact one-sided prefix join then re-asks ONLY
+    the survivors at the real 4/5 threshold against the full corpus —
+    the 10⁹-doc pipeline as one operator, exact-join verdicts on a
+    survivor-sized candidate volume. Both stages are deterministic, so
+    the oracle replays screen AND exact stage in SQL; the driver match
+    proves the composition end to end."""
+    from xml_to_parquet_spark.functions.dedup import (
+        containment_screened_pairs,
+    )
+
+    return containment_screened_pairs(
+        _t(spark, sf_dir, "documents"), k=16, t_num=4, t_den=5,
+        screen_num=1, screen_den=2,
+    )
+
+
+def _q_containment_screened_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import containment_screened_sql
+
+    return containment_screened_sql(
+        "documents", k=16, t_num=4, t_den=5, screen_num=1, screen_den=2
+    )
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment dedup APPLIED (r12, dedup.containment_dedup_apply):
     surviving documents after dropping every doc contained ≥0.8 in a
@@ -6962,7 +6990,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_hybrid_rrf_sql(),
         "hybrid retrieval: BM25 + cosine channels fused by integer RRF",
     ),
-    "a177_pack_nosplit": QuerySpec(
+    "q302_pack_nosplit": QuerySpec(
         q_pack_nosplit,
         _q_pack_nosplit_sql(),
         "no-split NFD sequence packing (shard-parallel, recursive-CTE oracle)",
@@ -7373,6 +7401,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_containment_sketch,
         _q_containment_sketch_sql(),
         "bottom-k containment screen (Mash-style estimator, exact replay)",
+    ),
+    "a204_containment_screened": QuerySpec(
+        q_containment_screened,
+        _q_containment_screened_sql(),
+        "screen->exact containment composition (sketch survivors feed "
+        "the exact prefix join)",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
