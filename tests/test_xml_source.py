@@ -601,6 +601,91 @@ def test_read_xml_split_probe_schema_no_discovery_scan(spark, tmp_path):
     assert isinstance(sch["tag"].dataType, T.ArrayType)  # repeated child
 
 
+def test_read_xml_split_rejects_self_closing_records(spark, tmp_path):
+    # VERDICT r12 item 4: a self-closing <record/> has no </record>
+    # delimiter — pre-guard, it rode into the next chunk and corrupted
+    # that row SILENTLY (no parse error anywhere)
+    import pytest
+
+    from xml_to_parquet_spark.sources.xml_source import read_xml_split
+
+    p = str(tmp_path / "selfclose.xml")
+    with open(p, "w") as fh:
+        fh.write("<root>\n")
+        fh.write('<record id="1"><name>a</name></record>\n')
+        fh.write('<record id="2"/>\n')
+        fh.write('<record id="3"><name>c</name></record>\n')
+        fh.write("</root>\n")
+    with pytest.raises(ValueError, match="self-closing"):
+        read_xml_split(spark, p, "record")
+
+
+def test_read_xml_split_rejects_cdata_close_tag(spark, tmp_path):
+    import pytest
+
+    from xml_to_parquet_spark.sources.xml_source import read_xml_split
+
+    p = str(tmp_path / "cdata.xml")
+    with open(p, "w") as fh:
+        fh.write("<root>\n")
+        fh.write(
+            "<record><body><![CDATA[literal </record> inside]]>"
+            "</body></record>\n"
+        )
+        fh.write("<record><body>plain</body></record>\n")
+        fh.write("</root>\n")
+    with pytest.raises(ValueError, match="CDATA"):
+        read_xml_split(spark, p, "record")
+
+
+def test_read_xml_split_rejects_comment_close_tag(spark, tmp_path):
+    import pytest
+
+    from xml_to_parquet_spark.sources.xml_source import read_xml_split
+
+    p = str(tmp_path / "comment.xml")
+    with open(p, "w") as fh:
+        fh.write("<root>\n<!-- see </record> below -->\n")
+        fh.write("<record><name>a</name></record>\n")
+        fh.write("</root>\n")
+    with pytest.raises(ValueError, match="comment"):
+        read_xml_split(spark, p, "record")
+
+
+def test_read_xml_split_rejects_whitespace_close_tag(spark, tmp_path):
+    # ADVICE r12: '</record >' is legal XML (ETag ::= '</' Name S? '>')
+    # but never matches the exact-byte lineSep — pre-guard the whole
+    # file collapsed into one chunk and from_xml yielded 1 corrupt row
+    import pytest
+
+    from xml_to_parquet_spark.sources.xml_source import read_xml_split
+
+    p = str(tmp_path / "wsclose.xml")
+    with open(p, "w") as fh:
+        fh.write("<root>\n")
+        for i in range(5):
+            fh.write(f"<record><name>n{i}</name></record >\n")
+        fh.write("</root>\n")
+    with pytest.raises(ValueError, match="whitespace|never occurs"):
+        read_xml_split(spark, p, "record")
+
+
+def test_read_xml_split_guard_passes_clean_files(spark, tmp_path):
+    # the guard must not reject the documented-good shape (and CDATA /
+    # comments WITHOUT the close tag inside are fine)
+    from xml_to_parquet_spark.sources.xml_source import read_xml_split
+
+    p = str(tmp_path / "clean.xml")
+    with open(p, "w") as fh:
+        fh.write("<root>\n<!-- a harmless comment -->\n")
+        fh.write(
+            "<record><name><![CDATA[ok & raw]]></name></record>\n"
+        )
+        fh.write("<record><name>b</name></record>\n")
+        fh.write("</root>\n")
+    assert read_xml_split(spark, p, "record").count() == 2
+
+
 def test_read_xml_split_rejects_unresolvable(spark, tmp_path):
     import pytest
 

