@@ -1703,6 +1703,30 @@ def test_fuzzy_pairs_warns_deprecated(spark):
         dedup.fuzzy_pairs(docs, "text", max_distance=1)
 
 
+def test_simhash_pairs_auto_checkpoints_only_needed_columns(spark):
+    # ADVICE r12: the count-path checkpoint must materialize only
+    # (id, text), not every input column — pinned functionally: a wide
+    # input with payload columns produces the same pairs as the slim
+    # input, and the checkpointed plan the operator builds on carries
+    # exactly the two columns it reads
+    slim = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    wide = slim.withColumn("payload", F.repeat(F.lit("x"), 1000)) \
+               .withColumn("meta", F.lit("m"))
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs_auto(slim, max_hamming=3).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs_auto(wide, max_hamming=3).collect()
+    )
+    assert got == want and (1, 2) in got
+
+
 def test_simhash_pairs_auto_n_docs_hint_identical_and_countless(spark):
     # ADVICE r11: the width-selection count double-computed expensive
     # upstream plans. The n_docs hint must skip the count entirely

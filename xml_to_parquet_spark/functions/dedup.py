@@ -591,10 +591,22 @@ def simhash_pairs_auto(
     AGAIN — on an expensive unpersisted pipeline (exactly the corpus
     sizes this function targets) that doubles the dominant cost. Pass
     the known corpus size to skip the count entirely; when it is
-    unknown, the input is eagerly local-checkpointed first, so the
-    count and the signature pass both read the materialized rows and
-    the upstream lineage runs exactly once (checkpoint blocks are
-    reclaimed by the context cleaner when the plan is dropped).
+    unknown, only the two columns the operator reads (``id_col``,
+    ``text_col``) are eagerly local-checkpointed first (ADVICE r12:
+    materializing every input column traded the recompute for executor
+    local-DISK pressure on wide billion-doc inputs — where the old
+    double-compute merely ran slower), so the count and the signature
+    pass both read the slim materialized rows and the upstream lineage
+    runs exactly once (checkpoint blocks are reclaimed by the context
+    cleaner when the plan is dropped).
+
+    CAUTION (ADVICE r12): ``n_docs`` is trusted verbatim — a stale or
+    low-by-10× value selects an under-width code whose chance-pair tail
+    silently EXPLODES candidate volume at scale (recall is unaffected —
+    candidates are exact-verified downstream — but the blocked join can
+    saturate; see the 500k-docs/32-bit rung in SCALING.md). When the
+    corpus size is not cheaply known to within ~2×, omit it and pay the
+    count.
 
     ``max_hamming`` is the 32-BIT-EQUIVALENT threshold: SimHash Hamming
     distance is ANGULAR — E[hamming] = bits·θ/π for cosine angle θ — so
@@ -610,7 +622,7 @@ def simhash_pairs_auto(
     The output remains CANDIDATES for an exact downstream check, which
     is how every caller in this repo consumes Hamming pairs."""
     if n_docs is None:
-        df = df.localCheckpoint(eager=True)
+        df = df.select(id_col, text_col).localCheckpoint(eager=True)
         n = df.count()
     else:
         n = n_docs
