@@ -86,6 +86,19 @@ def test_pandas_kernel_classification_pinned():
     assert not missing, f"slugs not in catalog: {missing}"
 
 
+def test_multi_job_noise_band_slugs_resolve():
+    """VERDICT r12 item 5: the documented CPU-noise floor rides on
+    bench_diff; its slugs must track the live catalog across window
+    rotations."""
+    from bench_diff import MULTI_JOB_CPU_NOISE
+
+    from xml_to_parquet_spark.workload import KEY_BY_SLUG
+
+    assert set(MULTI_JOB_CPU_NOISE) == {"incremental_agg", "pmi_pairs"}
+    assert all(s in KEY_BY_SLUG for s in MULTI_JOB_CPU_NOISE)
+    assert all(v > 0 for v in MULTI_JOB_CPU_NOISE.values())
+
+
 def test_signal_selection_per_slug():
     from bench_diff import signal_for_slug
 

@@ -1373,23 +1373,29 @@ def test_ann_topk_auto_dispatch(spark):
     # ADVICE r10: engine-specific options must survive a dispatch flip —
     # a JL-only option (out_dim) with a big |Q| routes to IVF-PQ without
     # TypeError, and vice versa (m/pq_k with a small |Q|)
-    mixed_big = sorted(
-        tuple(r)
-        for r in similarity.ann_topk_auto(
-            df, big_q, k=3, jl_max_queries=8, dim=16,
-            out_dim=4, m=4, pq_k=16,
-        ).collect()
-    )
-    assert mixed_big == direct_ivf
-    mixed_small = sorted(
-        tuple(r)
-        for r in similarity.ann_topk_auto(
-            df, small_q, k=3, jl_max_queries=8, dim=16,
-            out_dim=4, m=4, pq_k=16,
-        ).collect()
-    )
-    assert mixed_small == direct_jl
     import pytest as _pytest
+
+    # the cross-engine knobs are INTENTIONALLY warned about (ADVICE
+    # r11 inert-knob warning); capture them so the suite stays
+    # warning-clean (VERDICT r12 item 6)
+    with _pytest.warns(UserWarning, match="inert in this regime"):
+        mixed_big = sorted(
+            tuple(r)
+            for r in similarity.ann_topk_auto(
+                df, big_q, k=3, jl_max_queries=8, dim=16,
+                out_dim=4, m=4, pq_k=16,
+            ).collect()
+        )
+    assert mixed_big == direct_ivf
+    with _pytest.warns(UserWarning, match="inert in this regime"):
+        mixed_small = sorted(
+            tuple(r)
+            for r in similarity.ann_topk_auto(
+                df, small_q, k=3, jl_max_queries=8, dim=16,
+                out_dim=4, m=4, pq_k=16,
+            ).collect()
+        )
+    assert mixed_small == direct_jl
 
     with _pytest.raises(ValueError, match="neither"):
         similarity.ann_topk_auto(df, small_q, k=3, dim=16, nprobee=2)
