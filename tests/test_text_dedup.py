@@ -1695,6 +1695,93 @@ def test_containment_screened_composition(spark):
         )
 
 
+def _skewed_boiler_corpus(spark):
+    """~40 docs that all share an 8-word boilerplate footer (hot
+    shingles, df ≈ corpus size) plus 3 footer-only docs whose rarest-
+    token prefix is ALL hot shingles — the pa_hot population."""
+    boiler = "all rights reserved worldwide forever and ever amen"
+    rows = [
+        (i, " ".join(f"c{i}w{j} d{i}x{j}" for j in range(8)) + " " + boiler)
+        for i in range(40)
+    ]
+    rows += [(100 + i, boiler) for i in range(3)]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_hot_cold_split_lossless(spark):
+    """r13 skew hardening: hot_df_cap must be a pure plan change —
+    identical rows to the unsplit join AND to the brute-force oracle on
+    a corpus where the hot branch carries real pairs (the footer-only
+    docs are contained in EVERY doc via hot shingles alone)."""
+    rows, df = _skewed_boiler_corpus(spark)
+    want = _brute_containment_pairs(rows, 3, 4, 5)
+    unsplit = sorted(
+        (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b, r.cont_ppm)
+        for r in dedup.containment_prefix_pairs(df, t_num=4, t_den=5)
+        .collect()
+    )
+    split = sorted(
+        (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b, r.cont_ppm)
+        for r in dedup.containment_prefix_pairs(
+            df, t_num=4, t_den=5, hot_df_cap=10
+        ).collect()
+    )
+    assert split == unsplit == want
+    # the hot branch is doing real work: every footer-only doc pairs
+    # with every boilerplate-carrying doc, and those pairs can only
+    # arrive via hot shingles (the footer docs HAVE no cold shingles)
+    hot_pairs = [p for p in split if p[0] >= 100]
+    assert len(hot_pairs) >= 3 * 40
+
+
+def test_containment_hot_branch_is_broadcast_no_cartesian(spark):
+    _, df = _skewed_boiler_corpus(spark)
+    plan = (
+        dedup.containment_prefix_pairs(df, t_num=4, t_den=5, hot_df_cap=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the hot candidate arm and the four hot/cold splitters are
+    # broadcast joins; at least one must survive whatever AQE does
+    assert "BroadcastHashJoin" in plan
+
+
+def test_containment_hot_cap_above_all_df_is_noop(spark):
+    # cap above every shingle's df -> empty hot arm, same rows
+    rows, df = _skewed_boiler_corpus(spark)
+    base = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.containment_prefix_pairs(df, t_num=4, t_den=5)
+        .collect()
+    )
+    capped = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.containment_prefix_pairs(
+            df, t_num=4, t_den=5, hot_df_cap=10**6
+        ).collect()
+    )
+    assert capped == base
+
+
+def test_containment_hot_cold_split_composes_with_contained_ids(spark):
+    # the screen->exact hook and the skew split are orthogonal knobs;
+    # restricting the contained side must not disturb hot losslessness
+    rows, df = _skewed_boiler_corpus(spark)
+    ids = spark.createDataFrame([(100,), (101,), (5,)], "id long")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.containment_prefix_pairs(
+            df, t_num=4, t_den=5, contained_ids=ids, hot_df_cap=10
+        ).collect()
+    )
+    want = sorted(
+        (a, b)
+        for (a, b, *_rest) in _brute_containment_pairs(rows, 3, 4, 5)
+        if a in (100, 101, 5)
+    )
+    assert got == want
+
+
 def test_fuzzy_pairs_warns_deprecated(spark):
     docs = spark.createDataFrame(
         [(1, "kitten"), (2, "sitten")], "doc_id long, text string"

@@ -116,6 +116,9 @@ FORBIDDEN_NODES = {
     # r13: the screen->exact composition inherits both stages' shapes —
     # survivors semi-join the contained side, then the prefix equi-join
     "a204_containment_screened": "CartesianProduct",
+    # r13: hot/cold split — both branches stay equi-joins (broadcast
+    # hash on the hot side), so the ban holds for the skewed fixture
+    "a205_containment_skew": "CartesianProduct",
 }
 
 

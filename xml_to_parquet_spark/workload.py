@@ -5470,6 +5470,65 @@ def _q_containment_pairs_sql() -> str:
     return containment_bruteforce_sql("documents", t_num=4, t_den=5)
 
 
+# Boilerplate-skew containment fixture: a legal-footer sentence appended
+# to 20% of the long docs plus a handful of footer-only docs. Its word
+# trigrams land 30-100x above the corpus's p99.9 shingle document
+# frequency (sf0.01: df 59 vs p999 6; sf0.1: 603 vs 20), so the
+# candidate join has genuinely hot keys — the shape hot_df_cap exists
+# for. The footer-only docs are the pa_hot population: their rarest-
+# token prefix is ALL hot shingles, so the broadcast branch carries
+# real rows, not just an empty plan arm.
+_CONTAINMENT_BOILER = (
+    "all rights reserved terms and conditions apply to this document"
+)
+
+
+def q_containment_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened exact containment join (r13, VERDICT r12 plan-audit
+    residual, dedup.containment_prefix_pairs hot_df_cap): identical
+    semantics to q294, run with the hot/cold candidate split on a
+    corpus with real boilerplate skew. Shingles with df > 32 (the
+    appended legal footer, 30-100x above the p99.9 df) leave the
+    shuffle equi-join for a broadcast(prefix-side) ⋈ postings branch,
+    so the hot postings lists are never shuffled BY KEY — the 10⁹-doc
+    straggler shape is gone from the plan, not just mitigated by AQE.
+    LOSSLESS: the oracle is the brute-force directed join over the
+    same corpus, so a driver match proves the split misses nothing on
+    data where the hot branch carries real candidate pairs."""
+    from xml_to_parquet_spark.functions.dedup import containment_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("n_chars") >= 250).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_CONTAINMENT_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pure = docs.filter(F.col("doc_id") % 500 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit(_CONTAINMENT_BOILER).alias("text"),
+    )
+    return containment_prefix_pairs(
+        base.unionByName(pure), t_num=4, t_den=5, hot_df_cap=32
+    )
+
+
+def _q_containment_skew_sql() -> str:
+    from xml_to_parquet_spark.functions.dedup import containment_bruteforce_sql
+
+    corpus = (
+        "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || "
+        f"' {_CONTAINMENT_BOILER}' ELSE text END AS text "
+        "FROM documents WHERE n_chars >= 250 "
+        f"UNION ALL SELECT doc_id + 100000, '{_CONTAINMENT_BOILER}' "
+        "FROM documents WHERE doc_id % 500 = 0)"
+    )
+    return containment_bruteforce_sql(corpus, t_num=4, t_den=5)
+
+
 def q_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k containment SCREEN (r12, dedup.containment_sketch_pairs):
     the Mash-screen / containment-MinHash estimator — k=16 smallest
@@ -7314,7 +7373,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_more_like_this_sql(),
         "sparse tf-idf more-like-this: df-pruned token join, integer dot",
     ),
-    "a186_ngram_diversity": QuerySpec(
+    "q303_ngram_diversity": QuerySpec(
         q_ngram_diversity,
         _q_ngram_diversity_sql(),
         "per-source bigram type/token ratio (ppm) — diversity monitor",
@@ -7407,6 +7466,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_containment_screened_sql(),
         "screen->exact containment composition (sketch survivors feed "
         "the exact prefix join)",
+    ),
+    "a205_containment_skew": QuerySpec(
+        q_containment_skew,
+        _q_containment_skew_sql(),
+        "hot/cold split containment join on a boilerplate-skewed corpus "
+        "(hot postings never shuffle by key)",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
