@@ -1093,18 +1093,34 @@ while True:
         kills += 1
         procs[next_cid] = spawn(next_cid)
         next_cid += 1
-    for p in procs.values():
-        p.send_signal(signal.SIGKILL)
-        p.wait()
     assert kills >= 40, "storm too short to mean anything"
 
-    # -- invariants over the wreckage --
+    # Let the survivors race kill-free until at least one commit lands:
+    # under heavy machine load a child's interpreter+import can exceed
+    # its ~100ms expected lifetime INSIDE the storm, so "some commit
+    # happened during the 40 kills" is a box-load lottery (it went red
+    # exactly once, on a triple-Spark-job box in r13) — whereas "the
+    # machinery commits at all, with 4 processes racing" is the actual
+    # precondition the invariants below need to be non-vacuous.
     import xml_to_parquet_spark.sinks.publish as pub
 
     be = pub.PosixCommitBackend()
+    commit_deadline = _time.time() + 60
+    while _time.time() < commit_deadline:
+        try:
+            if be.read_pointer(root)[1][0] > 0:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.05)
+    for p in procs.values():
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+
+    # -- invariants over the wreckage --
     name, token = be.read_pointer(root)  # must not crash
     top = token[0]
-    assert top > 0, "no commit survived a 40-kill storm? storm broken"
+    assert top > 0, "4 racing committers produced no commit in 60s"
     pdir = os.path.join(root, "_ptr")
     gens = {}
     for n in os.listdir(pdir):

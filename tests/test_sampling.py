@@ -509,3 +509,89 @@ def test_pack_nosplit_partition_invariant_and_shards(spark):
     for shard, doc_id, n, b, fill in one:
         assert shard == doc_id // 32
         assert fill <= 700 or fill == n
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield–Lund–Thorup)
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_exhaustive_when_small(spark):
+    from xml_to_parquet_spark.functions.sampling import priority_sample
+
+    rows = [(i, 10 * (i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = priority_sample(df, "w", k=64).collect()
+    # ≤ k positive-weight rows: the sample is the corpus, τ=0, est == w
+    assert len(got) == 5
+    assert all(r.est_weight == r.weight for r in got)
+    assert sorted(r.key for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_priority_sample_partition_invariant(spark):
+    from xml_to_parquet_spark.functions.sampling import priority_sample
+
+    rows = [(i, 1 + (i * 37) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    draws = [
+        [tuple(r) for r in priority_sample(df.repartition(p), "w", k=20)
+         .collect()]
+        for p in (1, 13)
+    ]
+    assert draws[0] == draws[1]
+    assert len(draws[0]) == 20
+
+
+def test_priority_sample_subset_sum_estimator(spark):
+    from xml_to_parquet_spark.functions.sampling import priority_sample
+
+    # a dominant heavy item is (essentially) always kept and estimated
+    # at its true weight (est = max(w, τ) = w when w >= τ); the total
+    # estimate over one fixed deterministic draw lands near the truth
+    rows = [(i, 1 + (i * 37) % 97) for i in range(1000)] + [(5000, 10**6)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = priority_sample(df, "w", k=100, salt="t1").collect()
+    by_key = {r.key: r for r in got}
+    assert 5000 in by_key
+    assert by_key[5000].est_weight == 10**6
+    true_total = sum(w for _, w in rows)
+    est_total = sum(r.est_weight for r in got)
+    # single fixed draw, generous bound (DLT variance at k=100 is far
+    # tighter; this guards gross estimator bugs, not distribution tails)
+    assert abs(est_total - true_total) / true_total < 0.25
+
+
+def test_priority_sample_drops_nonpositive_weights(spark):
+    from xml_to_parquet_spark.functions.sampling import priority_sample
+
+    rows = [(1, 0), (2, -5), (3, 7), (4, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = priority_sample(df, "w", k=10).collect()
+    assert sorted(r.key for r in got) == [3, 4]
+
+
+def test_priority_sample_matches_duckdb_replay(spark, sf_dir):
+    import duckdb
+
+    from xml_to_parquet_spark.functions.sampling import (
+        priority_sample,
+        priority_sample_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r.key, r.weight, r.est_weight, r.rk)
+        for r in priority_sample(docs, "n_chars", k=32, salt="x").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            priority_sample_sql("documents", "n_chars", k=32, salt="x")
+        ).fetchall()
+    ]
+    assert got == want

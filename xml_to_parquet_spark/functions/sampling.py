@@ -182,6 +182,127 @@ def weighted_mixture(
     return out
 
 
+PRIORITY_SCALE = float(2**52)  # u+1 ∈ [1, 2^52] ⇒ u01 = (u+1)/2^52 ∈ (0,1]
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    k: int = 64,
+    salt: str = "ps",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a k-row
+    weighted sample WITHOUT replacement with per-row unbiased
+    subset-sum estimators — the weighted counterpart of
+    :func:`hash_sample` for "keep the k most important docs but stay
+    able to estimate any group's total weight from the sample alone".
+
+    Priority ``q_i = w_i / u_i`` with ``u_i ∈ (0,1]`` drawn from the
+    row key (md5, same determinism contract as the hash gate: any
+    cluster, any partitioning, same sample). Keep the k largest
+    priorities; with ``τ`` = the (k+1)-th largest, each kept row's
+    estimator is ``max(w_i, τ)`` — unbiased for every subset sum, with
+    near-optimal variance among all k-row sketches (the DLT result).
+    Rows with ``w ≤ 0`` can never be sampled and are dropped up front.
+
+    Cross-engine exactness: ``u+1 ≤ 2^52`` and ``w`` are both exact in
+    a double, ``w × 2^52`` only shifts the exponent, and IEEE-754
+    division is correctly rounded in both the JVM and DuckDB — so the
+    priorities, the order, τ, and ``floor(max(w, τ))`` are
+    bit-identical in SQL (the oracle replays the whole draw).
+
+    Scale shape: ``ORDER BY q DESC LIMIT k+1`` compiles to
+    TakeOrderedAndProject — per-partition top-(k+1) heaps, one tiny
+    final merge; no full sort, no shuffle of the corpus. The window
+    that ranks the survivors runs over ≤ k+1 rows.
+
+    Returns ``(key, weight, est_weight, rk)`` ordered by rank, where
+    ``est_weight = floor(max(w, τ))`` (τ = 0 when the corpus has ≤ k
+    positive-weight rows — the sample is then exhaustive and exact).
+    """
+    from pyspark.sql import Window
+
+    from xml_to_parquet_spark.functions.sketches import md5_hash52
+
+    u = md5_hash52(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    )
+    q = (F.col(weight_col).cast("double") * F.lit(PRIORITY_SCALE)) / (
+        u + F.lit(1)
+    ).cast("double")
+    topk1 = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(weight_col).cast("long").alias("weight"),
+            q.alias("q"),
+        )
+        .orderBy(F.desc("q"), "key")
+        .limit(k + 1)
+    )
+    # ≤ k+1 rows from here on: the single-partition window is the point
+    # (partitionBy a constant so WindowExec doesn't warn about it)
+    w_all = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("q"), "key")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = topk1.select(
+        "key",
+        "weight",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("q"), "key"))
+        .alias("rk"),
+        F.when(F.count(F.lit(1)).over(w_all) > k, F.min("q").over(w_all))
+        .otherwise(F.lit(0.0))
+        .alias("tau"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .select(
+            "key",
+            "weight",
+            F.floor(F.greatest(F.col("weight").cast("double"), F.col("tau")))
+            .cast("long")
+            .alias("est_weight"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+def priority_sample_sql(
+    table: str,
+    weight_expr: str,
+    key_col: str = "doc_id",
+    k: int = 64,
+    salt: str = "ps",
+) -> str:
+    """DuckDB replay of :func:`priority_sample` — same md5 bits, same
+    IEEE double arithmetic, same tie-break, so the draw is identical."""
+    u = f"CAST('0x'||substr(md5(CAST({key_col} AS VARCHAR) || ':{salt}'),1,13) AS BIGINT)"
+    return f"""
+WITH scored AS (
+  SELECT {key_col} AS key, CAST({weight_expr} AS BIGINT) AS weight,
+         (CAST({weight_expr} AS DOUBLE) * {PRIORITY_SCALE!r}) /
+           CAST({u} + 1 AS DOUBLE) AS q
+  FROM {table} WHERE {weight_expr} > 0),
+top AS (SELECT * FROM scored ORDER BY q DESC, key LIMIT {k + 1}),
+ranked AS (
+  SELECT key, weight, q,
+         row_number() OVER (ORDER BY q DESC, key) AS rk,
+         CASE WHEN (SELECT count(*) FROM top) > {k}
+              THEN (SELECT min(q) FROM top) ELSE 0.0 END AS tau
+  FROM top)
+SELECT key, weight,
+       CAST(floor(greatest(CAST(weight AS DOUBLE), tau)) AS BIGINT)
+         AS est_weight,
+       CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {k} ORDER BY rk
+"""
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

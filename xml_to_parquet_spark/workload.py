@@ -2836,6 +2836,30 @@ ORDER BY doc_id
 """
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted k-row sampling with unbiased subset-sum estimators
+    (r13, functions/sampling.priority_sample — Duffield–Lund–Thorup
+    priority sampling): keep the 64 documents with the largest
+    ``weight/u`` priority (u from the md5 row key), estimator
+    ``max(w, τ)`` against the (k+1)-th priority. The draw is exactly
+    replayable in SQL (52-bit md5 u, IEEE-exact double priorities,
+    keyed tie-break), so the driver hash-match proves the sampler, the
+    threshold, AND the estimator arithmetic. Scale: TakeOrdered top-k
+    heaps per partition — no full sort, no shuffle."""
+    from xml_to_parquet_spark.functions.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample(docs, "n_chars", key_col="doc_id", k=64,
+                           salt="r13")
+
+
+def _q_priority_sample_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import priority_sample_sql
+
+    return priority_sample_sql("documents", "n_chars", key_col="doc_id",
+                               k=64, salt="r13")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language sampling rates in ONE scan (CASE-ladder threshold):
     downsample dominant 'en', keep all 'zh' — the language-rebalancing step
@@ -7363,7 +7387,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_jl_ann_sql(),
         "two-stage ANN: JL integer prefilter, exact quantized re-rank",
     ),
-    "a178_near_query": QuerySpec(
+    "q304_near_query": QuerySpec(
         q_near_query,
         _q_near_query_sql(),
         "proximity NEAR/slop query: offset-enumerated bounded range join",
@@ -7472,6 +7496,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_containment_skew_sql(),
         "hot/cold split containment join on a boilerplate-skewed corpus "
         "(hot postings never shuffle by key)",
+    ),
+    "a206_priority_sample": QuerySpec(
+        q_priority_sample,
+        _q_priority_sample_sql(),
+        "priority sampling (DLT): weighted top-k draw + unbiased "
+        "subset-sum estimators, exact SQL replay",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
