@@ -697,3 +697,66 @@ def test_bucket_anomalies_pre1970_floor_alignment(spark):
         tuple(r) for r in con.execute(bucket_anomalies_sql(top_k=50)).fetchall()
     ]
     assert got == want and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_heavy_hitters_exact_and_batch_invariant(spark):
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters
+
+    # 1000-key flat floor + two genuine heavy hitters; counters=64 <<
+    # distinct forces real MG trimming in every batch
+    df = (
+        spark.range(20000).select((F.col("id") % 1000).alias("v"))
+        .unionByName(spark.range(5000).select(F.lit(7).alias("v")))
+        .unionByName(spark.range(3000).select(F.lit(13).alias("v")))
+    )
+    want = [(7, 5020, 1), (13, 3020, 2)]
+    for p in (2, 17):
+        got = [
+            (r.value, r.cnt, r.rk)
+            for r in mg_heavy_hitters(
+                df.repartition(p), "v", k=2, counters=64
+            ).collect()
+        ]
+        assert got == want, f"partitions={p}"
+
+
+def test_mg_heavy_hitters_certificate_raises_on_flat_data(spark):
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters
+
+    flat = spark.range(30000).select((F.col("id") % 1000).alias("v"))
+    with pytest.raises(ValueError, match="certificate failed"):
+        mg_heavy_hitters(flat, "v", k=10, counters=8).collect()
+
+
+def test_mg_heavy_hitters_zero_slack_when_distinct_fits(spark):
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters
+
+    # distinct <= counters: no trimming, certified even on flat data
+    flat = spark.range(3000).select((F.col("id") % 30).alias("v"))
+    got = mg_heavy_hitters(flat, "v", k=30, counters=64).collect()
+    assert len(got) == 30
+    assert all(r.cnt == 100 for r in got)
+    assert [r.value for r in got] == sorted(r.value for r in got)
+
+
+def test_mg_heavy_hitters_string_column_and_nulls(spark):
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "v string")
+    got = [(r.value, r.cnt) for r in
+           mg_heavy_hitters(df, "v", k=2, counters=16).collect()]
+    assert got == [("a", 50), ("b", 30)]
+
+
+def test_mg_heavy_hitters_rejects_unsupported_dtype(spark):
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters
+
+    df = spark.range(10).select((F.col("id") * 1.5).alias("v"))
+    with pytest.raises(ValueError, match="string/integral"):
+        mg_heavy_hitters(df, "v")

@@ -798,3 +798,140 @@ SELECT probe.token,
 FROM probe LEFT JOIN cells USING (row, bucket)
 GROUP BY probe.token
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (self-certifying two-pass top-k)
+# ---------------------------------------------------------------------------
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    counters: int = 4096,
+) -> DataFrame:
+    """Exact top-k most frequent values WITHOUT a full-cardinality
+    shuffle — the 100 TB replacement for ``GROUP BY col ORDER BY
+    count(*) DESC LIMIT k`` when ``col`` has ~10⁹ distinct values
+    (URLs, domains, user ids) and the plain plan's shuffle IS the job.
+
+    Two passes:
+
+    1. **Screen** (one scan, mapInPandas): each Arrow batch's exact
+       value counts are compressed to a Misra–Gries summary — keep the
+       top ``counters`` values, subtract the (counters+1)-th count from
+       each (Agarwal et al., "Mergeable Summaries", PODS'12: the trim
+       is a valid MG summary, and summaries merge by plain per-item
+       SUM). Each batch also emits one sentinel row carrying the exact
+       amount it subtracted, so the screen's total slack is TRACKED,
+       not bounded: a value absent from every summary has true
+       frequency ≤ Σ slack. Shuffle volume: ≤ counters rows per batch
+       + one sentinel, regardless of input cardinality.
+    2. **Exact recount**: the ≤ counters×batches surviving candidates
+       are recounted exactly (semi-join + map-side-combined groupBy —
+       few distinct keys, so partial aggregation collapses the shuffle),
+       and the top k by (count DESC, value) are returned.
+
+    Self-certifying: the result is provably the exact top-k iff the
+    k-th recounted frequency exceeds the screen's total slack (no
+    unscreened value can reach the top-k). The operator RAISES when the
+    certificate fails — raise ``counters`` — so a returned result is
+    never silently approximate, whatever the data distribution or batch
+    layout. With distinct(col) ≤ counters the slack is exactly 0. The
+    output is therefore batch- and partition-invariant: always the
+    exact deterministic top-k (ties broken by value).
+
+    Returns ``(value, cnt, rk)`` ordered by rank; ``value`` keeps the
+    input column's type (string or integral).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql import Window
+
+    dt = dict(df.dtypes)[col]
+    if dt not in ("string", "bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"mg_heavy_hitters supports string/integral columns, got "
+            f"{col}: {dt}"
+        )
+    out_t = "string" if dt == "string" else "bigint"
+    schema = f"value {out_t}, c long, slack long"
+
+    def _screen(batches):
+        for pdf in batches:
+            s = pdf[col].dropna()
+            n = len(s)
+            if n == 0:
+                continue
+            vc = s.value_counts()  # exact, batch-local, descending
+            if len(vc) > counters:
+                sub = int(vc.iloc[counters])  # (counters+1)-th count
+                vc = vc.iloc[:counters] - sub
+                vc = vc[vc > 0]
+            else:
+                sub = 0
+            out = vc.rename_axis("value").reset_index(name="c")
+            out["slack"] = 0
+            # sentinel: exact slack this batch subtracted (value NULL)
+            sent = {"value": [None], "c": [0], "slack": [sub]}
+            yield pd.concat(
+                [out, pd.DataFrame(sent)], ignore_index=True
+            )
+
+    summary = df.select(col).mapInPandas(_screen, schema=schema)
+    summary = summary.localCheckpoint(eager=False)
+    total_slack = (
+        summary.agg(F.sum("slack").alias("s")).collect()[0]["s"] or 0
+    )
+    cand = (
+        summary.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("c").alias("c"))
+        .select("value")
+    )
+    exact = (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .join(F.broadcast(cand), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "value")
+        .limit(k)
+    )
+    top = exact.select(
+        "value",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), "value"))
+        .alias("rk"),
+    )
+    rows_kth = top.orderBy(F.desc("rk")).limit(1).collect()
+    # certificate: no unscreened value (true frequency ≤ total_slack)
+    # can belong in the returned top-k. Two failure shapes: the k-th
+    # kept count doesn't clear the slack, or the screen surfaced fewer
+    # than k candidates while slack admits unseen values.
+    short = (not rows_kth or rows_kth[0]["rk"] < k) and total_slack > 0
+    if short or (rows_kth and rows_kth[0]["cnt"] <= total_slack):
+        kth = (
+            f"k-th count {rows_kth[0]['cnt']} (rank {rows_kth[0]['rk']})"
+            if rows_kth
+            else "no candidate survived the screen"
+        )
+        raise ValueError(
+            f"heavy-hitter certificate failed: {kth} vs screen slack "
+            f"{total_slack}; an unscreened value could enter the "
+            f"top-{k} — raise counters (got {counters})"
+        )
+    return top.orderBy("rk")
+
+
+def mg_heavy_hitters_sql(table: str, col: str, k: int = 10) -> str:
+    """Oracle: the certified result IS the exact top-k, so the oracle
+    is the plain exact query with the same deterministic tie-break."""
+    return f"""
+SELECT {col} AS value, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, {col}) AS INT) AS rk
+FROM {table} WHERE {col} IS NOT NULL
+GROUP BY {col} ORDER BY cnt DESC, value LIMIT {k}
+"""

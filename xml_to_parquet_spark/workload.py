@@ -6236,6 +6236,28 @@ _CM_PROBES = [
 ]
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 users by event count WITHOUT a full-cardinality
+    shuffle (r13, functions/sketches.mg_heavy_hitters): per-Arrow-batch
+    Misra–Gries summaries (≤4096 counters each, mergeable by plain
+    SUM per Agarwal et al. PODS'12) screen the candidates with their
+    total trim slack TRACKED exactly; the survivors are recounted
+    exactly and the operator raises unless the k-th count clears the
+    slack — so a returned result is PROVABLY the exact top-k on any
+    batch layout. The oracle is therefore the plain exact GROUP BY /
+    ORDER BY / LIMIT with the same value tie-break."""
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return mg_heavy_hitters(ev, "user_id", k=10, counters=4096)
+
+
+def _q_mg_heavy_hitters_sql() -> str:
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters_sql
+
+    return mg_heavy_hitters_sql("events", "user_id", k=10)
+
+
 def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min point estimates for a fixed probe vocabulary.
 
@@ -7392,7 +7414,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_near_query_sql(),
         "proximity NEAR/slop query: offset-enumerated bounded range join",
     ),
-    "a190_more_like_this": QuerySpec(
+    "q305_more_like_this": QuerySpec(
         q_more_like_this,
         _q_more_like_this_sql(),
         "sparse tf-idf more-like-this: df-pruned token join, integer dot",
@@ -7502,6 +7524,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_priority_sample_sql(),
         "priority sampling (DLT): weighted top-k draw + unbiased "
         "subset-sum estimators, exact SQL replay",
+    ),
+    "a207_mg_heavy_hitters": QuerySpec(
+        q_mg_heavy_hitters,
+        _q_mg_heavy_hitters_sql(),
+        "self-certifying Misra-Gries heavy hitters: screened candidates "
+        "+ exact recount, provably exact top-k",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
