@@ -148,6 +148,25 @@ def test_frame_sample_plan(spark):
     assert idx == [0, 3, 6, 9]
 
 
+def test_frame_sample_entry_prunes_payload_column(spark, sf_dir):
+    # the frame plan is metadata-only: the parquet scan must read ONLY
+    # (doc_id, n_chars) — a scan that drags the text/payload column
+    # into a row-amplifying explode is exactly the 100 TB mistake this
+    # entry exists to demonstrate avoiding
+    from xml_to_parquet_spark.workload import q_frame_sample
+
+    plan = (
+        q_frame_sample(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read, plan
+    cols = {c.split(":")[0] for c in read.group(1).split(",") if c}
+    assert cols == {"doc_id", "n_chars"}, cols
+
+
 def test_kmeans_assign_quantized_partition_invariant(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a = similarity.kmeans_assign_quantized(emb, k=4, iterations=2).collect()

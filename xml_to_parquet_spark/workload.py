@@ -902,6 +902,46 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (r13, multimodal.frame_sample_plan):
+    one row per sampled frame index (every 10th of n_frames), computed
+    ENTIRELY JVM-side from metadata (sequence + explode) — the payload
+    column is never touched, so the parquet scan prunes it and the
+    row-amplification happens after pruning, exactly where a real
+    frame-decode pipeline wants it (the per-frame decode itself is the
+    only mapInPandas stage, downstream of this plan). n_frames derives
+    deterministically from doc length (1 + n_chars % 240 ≈ a 10s clip
+    at 24fps); each sampled frame carries an md5 frame key — the
+    handle a decode/dedup stage would join on — so the whole plan is
+    exactly SQL-replayable."""
+    from xml_to_parquet_spark.functions.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = docs.select(
+        "doc_id", (1 + F.col("n_chars") % 240).alias("n_frames")
+    )
+    plan = frame_sample_plan(vids, every_n=10, id_col="doc_id")
+    return plan.select(
+        "doc_id",
+        "frame_idx",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("frame_idx"))),
+            1,
+            8,
+        ).alias("frame_key"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+_Q_FRAME_SAMPLE_SQL = """
+SELECT doc_id, frame_idx,
+       substr(md5(doc_id || ':' || frame_idx), 1, 8) AS frame_key
+FROM (SELECT doc_id,
+             unnest(range(0, 1 + n_chars % 240, 10)) AS frame_idx
+      FROM documents)
+ORDER BY doc_id, frame_idx
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic stand-in kernel.
 
@@ -7237,7 +7277,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_mojibake_sql(),
         "encoding QA: mojibake detection + literal repair",
     ),
-    "a174_mojibake_deep": QuerySpec(
+    "q306_mojibake_deep": QuerySpec(
         q_mojibake_deep,
         _q_mojibake_deep_sql(),
         "multi-round byte-level encoding repair (ftfy-shape kernel)",
@@ -7530,6 +7570,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_mg_heavy_hitters_sql(),
         "self-certifying Misra-Gries heavy hitters: screened candidates "
         "+ exact recount, provably exact top-k",
+    ),
+    "a208_frame_sample": QuerySpec(
+        q_frame_sample,
+        _Q_FRAME_SAMPLE_SQL,
+        "video frame-sampling plan: metadata-only sequence+explode, "
+        "payload column pruned, md5 frame keys",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
