@@ -1649,3 +1649,68 @@ def test_hamming_ann_candidate_bound_and_recall(spark):
         hits += len(got[q] & set(exact))
         total += 5
     assert hits / total >= 0.8, hits / total  # clustered-corpus floor
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified selection
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_select_prefers_diversity_over_redundancy(spark):
+    from xml_to_parquet_spark.functions.similarity import mmr_select
+
+    # a1/a2 are near-copies highly relevant to q; b is less relevant
+    # but orthogonal. Pure relevance picks (a1, a2); MMR at λ=1/2 must
+    # pick b second because a2's redundancy with a1 taxes its score.
+    rows = [
+        (0, [1.0, 0.00, 1.0]),  # query
+        (1, [1.0, 0.05, 0.0]),  # a1
+        (2, [1.0, 0.06, 0.0]),  # a2 (near-copy of a1)
+        (3, [0.0, 0.05, 1.0]),  # b (equally relevant, ⊥ the a-cluster)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r.vec_id for r in mmr_select(df, k=3, query_id=0).collect()]
+    assert got == [1, 3, 2]
+    # pure relevance (λ_num=0) keeps the redundant order instead
+    rel = [r.vec_id for r in
+           mmr_select(df, k=3, query_id=0, lam_num=0).collect()]
+    assert rel == [1, 2, 3]
+
+
+def test_mmr_select_excludes_query_and_raises_on_missing(spark):
+    import pytest as _pytest
+
+    from xml_to_parquet_spark.functions.similarity import mmr_select
+
+    rows = [(0, [1.0, 0.0]), (1, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mmr_select(df, k=5, query_id=0).collect()
+    assert [r.vec_id for r in got] == [1]  # query never selects itself
+    with _pytest.raises(ValueError, match="not found"):
+        mmr_select(df, k=2, query_id=99)
+
+
+def test_mmr_select_partition_invariant_and_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from xml_to_parquet_spark.functions.similarity import (
+        mmr_select,
+        mmr_select_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    draws = [
+        [tuple(r) for r in
+         mmr_select(emb.repartition(p), k=6, query_id=3).collect()]
+        for p in (1, 13)
+    ]
+    assert draws[0] == draws[1]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    want = [tuple(r) for r in
+            con.execute(mmr_select_sql("embeddings", k=6, query_id=3))
+            .fetchall()]
+    assert draws[0] == want

@@ -1648,3 +1648,168 @@ def hamming_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified selection (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+    k: int = 8,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    quant: int = 1024,
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection (Carbonell &
+    Goldstein, SIGIR'98) over inner-product similarity — the diverse
+    data-selection primitive of training pipelines ("pick k docs that
+    are relevant to the query but not redundant with each other").
+    Round r picks the unselected row maximizing
+
+        ``lam_den·rel(i) − lam_num·maxdot(i)``
+
+    where ``rel(i) = ⟨v_i, v_query⟩``, ``maxdot(i) = max(0,
+    max_{s∈selected} ⟨v_i, v_s⟩)`` (the 0 floor doubles as the empty-set
+    convention), ties broken by id. The query row anchors relevance but
+    is excluded from the candidates. Vectors are quantized once
+    (:func:`quantize_vec`: exact in any engine), every dot is int64,
+    and selection order is therefore fully deterministic — the DuckDB
+    oracle replays all k rounds by unrolling them
+    (:func:`mmr_select_sql`), proving the greedy loop itself.
+
+    Scale shape: greedy MMR is inherently sequential in k, but each
+    round is ONE distributed argmax (TakeOrdered(1) — per-partition
+    top-1, no shuffle) plus a column update against the newly selected
+    vector (a driver-held literal, the same model-broadcast pattern as
+    the k-means centroids). Cost is k scans of (id, vq, rel, maxdot);
+    the running maxdot is localCheckpointed each round so round r never
+    replays rounds 1..r-1. No pairwise join ever forms — redundancy is
+    always measured against the ≤ k selected vectors only.
+
+    Overflow contract: ``dim · (quant·max|v|)² ≤ 2^53`` keeps every dot
+    exact in both int64 and the oracle's double (defaults: 64-dim,
+    quant=1024, |v| ≲ 1 → ~6.7e7).
+
+    Returns ``(vec_id, rk, rel_dot, max_sel_dot, score)`` ordered by
+    selection rank."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(as_double_array(F.col(vec_col)), quant).alias("vq"),
+    )
+    qrow = base.filter(F.col("vec_id") == query_id).collect()
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not found in {id_col}")
+    qv = [int(x) for x in qrow[0]["vq"]]
+    # the query anchors relevance but is not itself a candidate (it
+    # would trivially win round 1 with rel = |q|²)
+    base = base.filter(F.col("vec_id") != query_id)
+
+    def _dot_lit(vec: list[int]) -> Column:
+        arr = F.array(*[F.lit(x) for x in vec])
+        return F.aggregate(
+            F.zip_with("vq", arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    work = base.select(
+        "vec_id",
+        "vq",
+        _dot_lit(qv).cast("long").alias("rel"),
+        F.lit(0).cast("long").alias("maxdot"),
+    ).localCheckpoint(eager=False)
+
+    spark = df.sparkSession
+    picked: list[tuple] = []
+    picked_ids: list[int] = []
+    for rk in range(1, k + 1):
+        score = (
+            F.lit(lam_den) * F.col("rel") - F.lit(lam_num) * F.col("maxdot")
+        ).alias("score")
+        cand = work
+        if picked_ids:
+            cand = cand.filter(~F.col("vec_id").isin(picked_ids))
+        rows = (
+            cand.select("vec_id", "vq", "rel", "maxdot", score)
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break  # corpus exhausted before k picks
+        r = rows[0]
+        picked.append(
+            (int(r["vec_id"]), rk, int(r["rel"]), int(r["maxdot"]),
+             int(r["score"]))
+        )
+        picked_ids.append(int(r["vec_id"]))
+        sel_vq = [int(x) for x in r["vq"]]
+        work = work.select(
+            "vec_id",
+            "vq",
+            "rel",
+            F.greatest(F.col("maxdot"), _dot_lit(sel_vq).cast("long"))
+            .cast("long")
+            .alias("maxdot"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        picked,
+        "vec_id long, rk int, rel_dot long, max_sel_dot long, score long",
+    ).orderBy("rk")
+
+
+def mmr_select_sql(
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+    k: int = 8,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    quant: int = 1024,
+) -> str:
+    """Unrolled-round DuckDB replay of :func:`mmr_select`: one CTE
+    chain per greedy round (pick → accumulate maxdot → exclude), all
+    arithmetic on the same exact integers (dots ≤ 2^53 are exact in
+    DuckDB's double list_dot_product)."""
+    qexpr = (
+        f"list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{float(quant)!r} + 0.5) AS BIGINT))"
+    )
+    parts = [
+        f"base AS (SELECT {id_col} AS vec_id, {qexpr} AS vq FROM {table})",
+        f"qv AS (SELECT vq AS qq FROM base WHERE vec_id = {query_id})",
+        "w0 AS (SELECT b.vec_id, b.vq, CAST(list_dot_product(b.vq, q.qq)"
+        " AS BIGINT) AS rel, CAST(0 AS BIGINT) AS maxdot FROM base b, qv q"
+        f" WHERE b.vec_id <> {query_id})",
+        "p0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0)",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT vec_id, vq, rel, maxdot, "
+            f"{lam_den} * rel - {lam_num} * maxdot AS score "
+            f"FROM w{r - 1} WHERE vec_id NOT IN "
+            f"(SELECT vec_id FROM p{r - 1}) "
+            f"ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT vec_id FROM p{r - 1} "
+            f"UNION ALL SELECT vec_id FROM s{r})"
+        )
+        if r < k:
+            parts.append(
+                f"w{r} AS (SELECT w.vec_id, w.vq, w.rel, "
+                f"greatest(w.maxdot, CAST(list_dot_product(w.vq, s.vq) "
+                f"AS BIGINT)) AS maxdot FROM w{r - 1} w, s{r} s)"
+            )
+    finals = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({r} AS INT) AS rk, rel AS rel_dot, "
+        f"maxdot AS max_sel_dot, CAST(score AS BIGINT) AS score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{finals} ORDER BY rk"

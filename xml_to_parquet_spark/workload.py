@@ -816,6 +816,29 @@ ORDER BY id_a, id_b
 """
 
 
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse data selection via greedy MMR (r13,
+    similarity.mmr_select): pick 8 vectors balancing relevance to the
+    query embedding against redundancy with already-picked vectors
+    (λ = 1/2, inner-product similarity). Every dot is int64 over
+    exactly-quantized vectors and the per-round argmax tie-breaks by
+    id, so the DuckDB oracle replays the greedy loop round by round —
+    a driver match proves all 8 sequential decisions. Scale: each
+    round is one TakeOrdered(1) scan + a literal-vector column update;
+    no pairwise join ever forms."""
+    from xml_to_parquet_spark.functions.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_select(emb, k=8, query_id=0, lam_num=1, lam_den=2)
+
+
+def _q_mmr_select_sql() -> str:
+    from xml_to_parquet_spark.functions.similarity import mmr_select_sql
+
+    return mmr_select_sql("embeddings", k=8, query_id=0, lam_num=1,
+                          lam_den=2)
+
+
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.similarity import cosine_topk
 
@@ -7272,7 +7295,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_line_clean_sql(),
         "line-level curation: min-word filter + within-doc line dedup",
     ),
-    "a164_mojibake": QuerySpec(
+    "q307_mojibake": QuerySpec(
         q_mojibake,
         _q_mojibake_sql(),
         "encoding QA: mojibake detection + literal repair",
@@ -7576,6 +7599,12 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_FRAME_SAMPLE_SQL,
         "video frame-sampling plan: metadata-only sequence+explode, "
         "payload column pruned, md5 frame keys",
+    ),
+    "a209_mmr_select": QuerySpec(
+        q_mmr_select,
+        _q_mmr_select_sql(),
+        "greedy MMR diverse selection (int64-exact, oracle replays all "
+        "k rounds)",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
