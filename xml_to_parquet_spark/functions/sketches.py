@@ -805,49 +805,15 @@ GROUP BY probe.token
 # ---------------------------------------------------------------------------
 
 
-def mg_heavy_hitters(
-    df: DataFrame,
-    col: str,
-    k: int = 10,
-    counters: int = 4096,
-) -> DataFrame:
-    """Exact top-k most frequent values WITHOUT a full-cardinality
-    shuffle — the 100 TB replacement for ``GROUP BY col ORDER BY
-    count(*) DESC LIMIT k`` when ``col`` has ~10⁹ distinct values
-    (URLs, domains, user ids) and the plain plan's shuffle IS the job.
-
-    Two passes:
-
-    1. **Screen** (one scan, mapInPandas): each Arrow batch's exact
-       value counts are compressed to a Misra–Gries summary — keep the
-       top ``counters`` values, subtract the (counters+1)-th count from
-       each (Agarwal et al., "Mergeable Summaries", PODS'12: the trim
-       is a valid MG summary, and summaries merge by plain per-item
-       SUM). Each batch also emits one sentinel row carrying the exact
-       amount it subtracted, so the screen's total slack is TRACKED,
-       not bounded: a value absent from every summary has true
-       frequency ≤ Σ slack. Shuffle volume: ≤ counters rows per batch
-       + one sentinel, regardless of input cardinality.
-    2. **Exact recount**: the ≤ counters×batches surviving candidates
-       are recounted exactly (semi-join + map-side-combined groupBy —
-       few distinct keys, so partial aggregation collapses the shuffle),
-       and the top k by (count DESC, value) are returned.
-
-    Self-certifying: the result is provably the exact top-k iff the
-    k-th recounted frequency exceeds the screen's total slack (no
-    unscreened value can reach the top-k). The operator RAISES when the
-    certificate fails — raise ``counters`` — so a returned result is
-    never silently approximate, whatever the data distribution or batch
-    layout. With distinct(col) ≤ counters the slack is exactly 0. The
-    output is therefore batch- and partition-invariant: always the
-    exact deterministic top-k (ties broken by value).
-
-    Returns ``(value, cnt, rk)`` ordered by rank; ``value`` keeps the
-    input column's type (string or integral).
-    """
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
-
-    from pyspark.sql import Window
+def mg_screen(df: DataFrame, col: str, counters: int) -> DataFrame:
+    """The Misra–Gries screen stage of :func:`mg_heavy_hitters`,
+    factored out so rungs can measure its shuffle volume directly:
+    per-Arrow-batch exact counts trimmed to ≤ ``counters`` summary rows
+    (value, c) plus one NULL-value sentinel carrying the batch's exact
+    trim slack. Batch size is the tuning knob — summary rows ≈
+    counters × batches — raise ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` on huge scans."""
+    import pandas as pd
 
     dt = dict(df.dtypes)[col]
     if dt not in ("string", "bigint", "int", "smallint", "tinyint"):
@@ -879,8 +845,60 @@ def mg_heavy_hitters(
                 [out, pd.DataFrame(sent)], ignore_index=True
             )
 
-    summary = df.select(col).mapInPandas(_screen, schema=schema)
-    summary = summary.localCheckpoint(eager=False)
+    return df.select(col).mapInPandas(_screen, schema=schema)
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    counters: int = 4096,
+) -> DataFrame:
+    """Exact top-k most frequent values WITHOUT a full-cardinality
+    shuffle — the 100 TB replacement for ``GROUP BY col ORDER BY
+    count(*) DESC LIMIT k`` when ``col`` has ~10⁹ distinct values
+    (URLs, domains, user ids) and the plain plan's shuffle IS the job.
+
+    Two passes:
+
+    1. **Screen** (one scan, mapInPandas): each Arrow batch's exact
+       value counts are compressed to a Misra–Gries summary — keep the
+       top ``counters`` values, subtract the (counters+1)-th count from
+       each (Agarwal et al., "Mergeable Summaries", PODS'12: the trim
+       is a valid MG summary, and summaries merge by plain per-item
+       SUM). Each batch also emits one sentinel row carrying the exact
+       amount it subtracted, so the screen's total slack is TRACKED,
+       not bounded: a value absent from every summary has true
+       frequency ≤ Σ slack. Shuffle volume: ≤ counters rows per batch
+       + one sentinel, regardless of input cardinality.
+    2. **Exact recount**: the ≤ counters×batches surviving candidates
+       are recounted exactly (semi-join + map-side-combined groupBy —
+       few distinct keys, so partial aggregation collapses the shuffle),
+       and the top k by (count DESC, value) are returned.
+
+    When to use (measured, tools/hh_rung.py): the win is SHUFFLE BYTES
+    — (counters × batches) vs (partitions × distinct) rows on the
+    exchange — which is what matters when the exchange crosses a
+    network. On local mode the plain groupBy is WALL-faster (localhost
+    shuffle is memory-speed and the screen pays the Python/Arrow round
+    trip): prefer the plain plan below cluster scale or when distinct
+    values per partition are few.
+
+    Self-certifying: the result is provably the exact top-k iff the
+    k-th recounted frequency exceeds the screen's total slack (no
+    unscreened value can reach the top-k). The operator RAISES when the
+    certificate fails — raise ``counters`` — so a returned result is
+    never silently approximate, whatever the data distribution or batch
+    layout. With distinct(col) ≤ counters the slack is exactly 0. The
+    output is therefore batch- and partition-invariant: always the
+    exact deterministic top-k (ties broken by value).
+
+    Returns ``(value, cnt, rk)`` ordered by rank; ``value`` keeps the
+    input column's type (string or integral).
+    """
+    from pyspark.sql import Window
+
+    summary = mg_screen(df, col, counters).localCheckpoint(eager=False)
     total_slack = (
         summary.agg(F.sum("slack").alias("s")).collect()[0]["s"] or 0
     )
