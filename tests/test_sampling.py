@@ -595,3 +595,78 @@ def test_priority_sample_matches_duckdb_replay(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_grouped_priority_sample_independent_per_group(spark):
+    from xml_to_parquet_spark.functions.sampling import (
+        grouped_priority_sample,
+        priority_sample,
+    )
+
+    rows = [(i, ["a", "b"][i % 2], 1 + (i * 37) % 97) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    got = grouped_priority_sample(df, "g", "w", k=10).collect()
+    assert len(got) == 20
+    # each group's draw equals the global sampler run on that group
+    # alone (same priorities, per-group cutoff)
+    for g in ("a", "b"):
+        solo = [
+            (r.key, r.weight, r.est_weight, r.rk)
+            for r in priority_sample(
+                df.filter(F.col("g") == g), "w", k=10
+            ).collect()
+        ]
+        grouped = [
+            (r.key, r.weight, r.est_weight, r.rk)
+            for r in got
+            if r.g == g
+        ]
+        assert grouped == solo, g
+
+
+def test_grouped_priority_sample_exhaustive_group_exact(spark):
+    from xml_to_parquet_spark.functions.sampling import (
+        grouped_priority_sample,
+    )
+
+    # group "tiny" has 3 rows <= k: exhaustive, est == w; group "big"
+    # has 50 rows: thresholded
+    rows = [(i, "tiny", 5 + i) for i in range(3)]
+    rows += [(100 + i, "big", 1 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    got = grouped_priority_sample(df, "g", "w", k=8).collect()
+    tiny = [r for r in got if r.g == "tiny"]
+    assert len(tiny) == 3
+    assert all(r.est_weight == r.weight for r in tiny)
+    assert len([r for r in got if r.g == "big"]) == 8
+
+
+def test_grouped_priority_sample_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from xml_to_parquet_spark.functions.sampling import (
+        grouped_priority_sample,
+        grouped_priority_sample_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        tuple(r)
+        for r in grouped_priority_sample(
+            docs.repartition(13), "lang", "n_chars", k=16, salt="g13"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            grouped_priority_sample_sql(
+                "documents", "lang", "n_chars", k=16, salt="g13"
+            )
+        ).fetchall()
+    ]
+    assert got == want

@@ -272,6 +272,123 @@ def priority_sample(
     )
 
 
+def grouped_priority_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str = "doc_id",
+    k: int = 16,
+    salt: str = "ps",
+) -> DataFrame:
+    """Per-group :func:`priority_sample`: an independent k-row DLT
+    draw per stratum (e.g. per language/source), each with its own
+    threshold τ_g and unbiased subset-sum estimators — the stratified
+    corpus-stats shape ("hold k docs per source, still estimate any
+    per-source total"). Same md5 priorities as the global sampler
+    (the group does NOT enter the hash, so a row's priority — and u —
+    is stable even if rows later regroup); only the top-k cutoff and
+    τ become per-group.
+
+    Scale shape: ONE window over the group key (a single shuffle by
+    group, rank + per-group count/min in the same window pass) — no
+    per-group jobs, no driver loop. Exactness contract identical to
+    the global sampler, so the SQL oracle replays every draw.
+
+    Returns ``(group, key, weight, est_weight, rk)`` ordered."""
+    from pyspark.sql import Window
+
+    from xml_to_parquet_spark.functions.sketches import md5_hash52
+
+    u = md5_hash52(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    )
+    q = (F.col(weight_col).cast("double") * F.lit(PRIORITY_SCALE)) / (
+        u + F.lit(1)
+    ).cast("double")
+    scored = df.filter(F.col(weight_col) > 0).select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        q.alias("q"),
+    )
+    w_rank = Window.partitionBy("grp").orderBy(F.desc("q"), "key")
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "grp",
+        "key",
+        "weight",
+        F.row_number().over(w_rank).alias("rk"),
+        # τ_g = the (k+1)-th priority of the group, 0 if exhaustive.
+        # min(q) over the k+1-row frame IS that priority once rows
+        # beyond k+1 are discarded, so filter first on rank ≤ k+1.
+        F.col("q"),
+        F.count(F.lit(1)).over(w_all).alias("n_g"),
+    ).filter(F.col("rk") <= k + 1)
+    w_g = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tau = ranked.select(
+        "grp",
+        "key",
+        "weight",
+        "rk",
+        F.when(F.col("n_g") > k, F.min("q").over(w_g))
+        .otherwise(F.lit(0.0))
+        .alias("tau"),
+    )
+    return (
+        with_tau.filter(F.col("rk") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "key",
+            "weight",
+            F.floor(F.greatest(F.col("weight").cast("double"), F.col("tau")))
+            .cast("long")
+            .alias("est_weight"),
+            "rk",
+        )
+        .orderBy(group_col, "rk")
+    )
+
+
+def grouped_priority_sample_sql(
+    table: str,
+    group_col: str,
+    weight_expr: str,
+    key_col: str = "doc_id",
+    k: int = 16,
+    salt: str = "ps",
+) -> str:
+    """DuckDB replay of :func:`grouped_priority_sample`."""
+    u = f"CAST('0x'||substr(md5(CAST({key_col} AS VARCHAR) || ':{salt}'),1,13) AS BIGINT)"
+    return f"""
+WITH scored AS (
+  SELECT {group_col} AS grp, {key_col} AS key,
+         CAST({weight_expr} AS BIGINT) AS weight,
+         (CAST({weight_expr} AS DOUBLE) * {PRIORITY_SCALE!r}) /
+           CAST({u} + 1 AS DOUBLE) AS q
+  FROM {table} WHERE {weight_expr} > 0),
+ranked AS (
+  SELECT grp, key, weight, q,
+         row_number() OVER (PARTITION BY grp ORDER BY q DESC, key) AS rk,
+         count(*) OVER (PARTITION BY grp) AS n_g
+  FROM scored),
+kept AS (SELECT * FROM ranked WHERE rk <= {k + 1}),
+with_tau AS (
+  SELECT grp, key, weight, rk,
+         CASE WHEN n_g > {k}
+              THEN min(q) OVER (PARTITION BY grp) ELSE 0.0 END AS tau
+  FROM kept)
+SELECT grp AS {group_col}, key, weight,
+       CAST(floor(greatest(CAST(weight AS DOUBLE), tau)) AS BIGINT)
+         AS est_weight,
+       CAST(rk AS INT) AS rk
+FROM with_tau WHERE rk <= {k} ORDER BY {group_col}, rk
+"""
+
+
 def priority_sample_sql(
     table: str,
     weight_expr: str,

@@ -923,7 +923,7 @@ def mg_heavy_hitters(
         F.row_number()
         .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), "value"))
         .alias("rk"),
-    )
+    ).localCheckpoint(eager=False)  # ≤ k rows: certificate + return share one recount scan
     rows_kth = top.orderBy(F.desc("rk")).limit(1).collect()
     # certificate: no unscreened value (true frequency ≤ total_slack)
     # can belong in the returned top-k. Two failure shapes: the k-th

@@ -2923,6 +2923,32 @@ def _q_priority_sample_sql() -> str:
                                k=64, salt="r13")
 
 
+def q_grouped_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified DLT priority sampling (r13,
+    sampling.grouped_priority_sample): an independent weighted k=16
+    draw per language with per-group thresholds τ_g and unbiased
+    per-group subset-sum estimators — "hold 16 docs per language,
+    still estimate any language's total chars from the sample". ONE
+    window pass (single shuffle by group); the same IEEE-exact
+    arithmetic as a206, so the oracle replays every group's draw."""
+    from xml_to_parquet_spark.functions.sampling import (
+        grouped_priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_priority_sample(docs, "lang", "n_chars", k=16,
+                                   salt="g13")
+
+
+def _q_grouped_priority_sample_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import (
+        grouped_priority_sample_sql,
+    )
+
+    return grouped_priority_sample_sql("documents", "lang", "n_chars",
+                                       k=16, salt="g13")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language sampling rates in ONE scan (CASE-ladder threshold):
     downsample dominant 'en', keep all 'zh' — the language-rebalancing step
@@ -7427,7 +7453,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_k_core_sql(),
         "k-core peeling with in-band convergence certificate",
     ),
-    "a171_linear_probe": QuerySpec(
+    "q308_linear_probe": QuerySpec(
         q_linear_probe,
         _q_linear_probe_sql(),
         "linear probe training: exact fixed-point batch GD rounds",
@@ -7605,6 +7631,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_mmr_select_sql(),
         "greedy MMR diverse selection (int64-exact, oracle replays all "
         "k rounds)",
+    ),
+    "a210_grouped_priority_sample": QuerySpec(
+        q_grouped_priority_sample,
+        _q_grouped_priority_sample_sql(),
+        "stratified DLT priority sampling: per-group draw + per-group "
+        "unbiased estimators in one window pass",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
