@@ -252,3 +252,61 @@ def test_refresh_grouped_agg_insert_delete_identity(spark, tmp_path):
         ).collect()
     }
     assert "c" not in got3 and got3["b"] == (1, 9.75)
+
+
+def test_join_cardinality_estimate_unbiased_shape(spark):
+    import pyspark.sql.functions as F
+
+    from xml_to_parquet_spark.operators.scale import (
+        join_cardinality_estimate,
+    )
+
+    # 200 keys; left has i%7+1 rows per key, right i%3+1 — join size
+    # Σ (i%7+1)(i%3+1), a correlated-frequency case row sampling
+    # systematically underestimates
+    left = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("orderkey"),
+            F.explode(F.sequence(F.lit(1), F.col("id") % 7 + 1)).alias("x"),
+        )
+        .select("orderkey")
+    )
+    right = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("orderkey"),
+            F.explode(F.sequence(F.lit(1), F.col("id") % 3 + 1)).alias("x"),
+        )
+        .select("orderkey")
+    )
+    row = join_cardinality_estimate(
+        left, right, "orderkey", rate=0.25
+    ).collect()[0]
+    exact = sum((i % 7 + 1) * (i % 3 + 1) for i in range(200))
+    assert row.exact_pairs == exact
+    # one fixed deterministic draw at 25% of 200 keys: generous bound
+    assert abs(row.est_pairs - exact) / exact < 0.5
+    assert row.sampled_keys > 0
+    assert row.err_ppm == abs(row.est_pairs - exact) * 10**6 // exact
+
+
+def test_join_cardinality_estimate_partition_invariant(spark):
+    import pyspark.sql.functions as F
+
+    from xml_to_parquet_spark.operators.scale import (
+        join_cardinality_estimate,
+    )
+
+    left = spark.range(500).select((F.col("id") % 100).alias("k"))
+    right = spark.range(300).select((F.col("id") % 100).alias("k"))
+    rows = [
+        tuple(
+            join_cardinality_estimate(
+                left.repartition(p), right.repartition(p * 2 + 1), "k",
+                rate=0.2,
+            ).collect()[0]
+        )
+        for p in (1, 7)
+    ]
+    assert rows[0] == rows[1]

@@ -322,6 +322,117 @@ def skew_report(
     )
 
 
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    rate: float = 0.05,
+    salt: str = "jce",
+) -> DataFrame:
+    """Pre-flight estimate of an equi-join's OUTPUT row count — the
+    "how big is this shuffle's result" question a planner must answer
+    before committing 1000 executors to a plan. True size is
+    Σ_k f_L(k)·f_R(k); sampling ROWS underestimates it quadratically,
+    so this samples KEYS: the md5 hash gate (:mod:`sampling`) keeps a
+    deterministic ``rate`` fraction of the KEY SPACE on BOTH sides
+    (same gate ⇒ same keys), computes the exact per-key product over
+    the sampled keys, and scales by 1/rate. E[Σ_{k∈sample} f_L f_R]/r
+    = true size — unbiased whatever the key-frequency correlation,
+    which row sampling gets wrong.
+
+    Scale shape: each side aggregates map-side to (key, cnt) AFTER the
+    sample gate prunes ~(1−rate) of rows pre-shuffle; the sampled-key
+    equi-join is tiny. One number out. Deterministic gate ⇒ exactly
+    SQL-replayable (the estimate itself is proven by the oracle, and
+    the entry carries the exact count beside it so the row shows the
+    estimation error).
+
+    Returns one row: ``(sampled_keys, est_pairs, exact_pairs,
+    err_ppm)``."""
+    from xml_to_parquet_spark.functions.sampling import (
+        hex_threshold,
+        sample_key,
+    )
+
+    thr = hex_threshold(rate)
+
+    def counts(df: DataFrame, alias: str, gated: bool) -> DataFrame:
+        out = df.select(F.col(key_col).alias("k"))
+        if gated:
+            out = out.filter(
+                sample_key(F.col("k"), salt) < F.lit(thr)
+            )
+        return out.groupBy("k").agg(F.count(F.lit(1)).alias(alias))
+
+    inv_num, inv_den = 10**6, int(rate * 10**6)  # exact 1/rate as ppm
+    sampled = (
+        counts(left, "cl", True)
+        .join(counts(right, "cr", True), "k")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_keys"),
+            F.sum(F.col("cl") * F.col("cr")).alias("s"),
+        )
+        .select(
+            "sampled_keys",
+            F.expr(f"div(s * {inv_num}, {inv_den})").alias("est_pairs"),
+        )
+    )
+    exact = (
+        counts(left, "cl", False)
+        .join(counts(right, "cr", False), "k")
+        .agg(F.sum(F.col("cl") * F.col("cr")).alias("exact_pairs"))
+    )
+    return (
+        sampled.crossJoin(F.broadcast(exact))
+        .select(
+            "sampled_keys",
+            "est_pairs",
+            "exact_pairs",
+            F.expr(
+                "div(abs(est_pairs - exact_pairs) * 1000000, exact_pairs)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def join_cardinality_estimate_sql(
+    left_table: str,
+    right_table: str,
+    key_col: str,
+    rate: float = 0.05,
+    salt: str = "jce",
+) -> str:
+    """DuckDB replay of :func:`join_cardinality_estimate`."""
+    from xml_to_parquet_spark.functions.sampling import hex_threshold
+
+    thr = hex_threshold(rate)
+    inv_num, inv_den = 10**6, int(rate * 10**6)
+    gate = (
+        f"substr(md5(CAST({key_col} AS VARCHAR) || ':{salt}'), 1, 6) "
+        f"< '{thr}'"
+    )
+    return f"""
+WITH sl AS (SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS cl
+            FROM {left_table} WHERE {gate} GROUP BY 1),
+sr AS (SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS cr
+       FROM {right_table} WHERE {gate} GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS sampled_keys,
+             CAST(sum(cl * cr) AS BIGINT) AS ssum
+      FROM sl JOIN sr USING (k)),
+el AS (SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS cl
+       FROM {left_table} GROUP BY 1),
+er AS (SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS cr
+       FROM {right_table} GROUP BY 1),
+e AS (SELECT CAST(sum(cl * cr) AS BIGINT) AS exact_pairs
+      FROM el JOIN er USING (k))
+SELECT sampled_keys, ssum * {inv_num} // {inv_den} AS est_pairs,
+       exact_pairs,
+       abs(ssum * {inv_num} // {inv_den} - exact_pairs) * 1000000
+         // exact_pairs AS err_ppm
+FROM s, e
+"""
+
+
 def materialize_grouped_agg(
     df: DataFrame, group_cols: list[str], measure: str
 ) -> DataFrame:

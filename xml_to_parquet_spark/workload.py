@@ -6637,6 +6637,42 @@ FROM f QUALIFY fused_rank <= 15 ORDER BY fused_rank
 """
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size pre-flight (r13, scale.join_cardinality_estimate):
+    estimate |lineitem ⋈ orders| from a deterministic 5% KEY-space
+    sample of both sides — Σ f_L·f_R over sampled keys scaled by
+    1/rate, unbiased whatever the key-frequency correlation (row
+    sampling underestimates join size quadratically; key sampling is
+    the planner-correct way). The gate prunes ~95% of rows BEFORE the
+    counting shuffles; the exact count rides along so the row itself
+    shows the estimation error. Deterministic gate ⇒ the oracle
+    replays estimate AND error exactly."""
+    from xml_to_parquet_spark.operators.scale import (
+        join_cardinality_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    return join_cardinality_estimate(li, od, "orderkey", rate=0.05)
+
+
+def _q_join_cardinality_sql() -> str:
+    from xml_to_parquet_spark.operators.scale import (
+        join_cardinality_estimate_sql,
+    )
+
+    return join_cardinality_estimate_sql(
+        "(SELECT l_orderkey AS orderkey FROM lineitem)",
+        "(SELECT o_orderkey AS orderkey FROM orders)",
+        "orderkey",
+        rate=0.05,
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew pre-flight (operators/scale.skew_report): hottest keys
     + integer ppm share + the salt factor that bounds per-task rows. The
@@ -7316,7 +7352,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_html_extract_sql(),
         "HTML→text curation: element drops, entity decode, title extract",
     ),
-    "a163_line_clean": QuerySpec(
+    "q309_line_clean": QuerySpec(
         q_line_clean,
         _q_line_clean_sql(),
         "line-level curation: min-word filter + within-doc line dedup",
@@ -7637,6 +7673,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_grouped_priority_sample_sql(),
         "stratified DLT priority sampling: per-group draw + per-group "
         "unbiased estimators in one window pass",
+    ),
+    "a211_join_cardinality": QuerySpec(
+        q_join_cardinality,
+        _q_join_cardinality_sql(),
+        "join-size pre-flight: unbiased key-sampled estimate of "
+        "|lineitem JOIN orders| with the exact error alongside",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
