@@ -1024,3 +1024,212 @@ def test_containment_prefix_lossless_property(spark, texts, t):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# spark: containment hot/cold split is lossless for ANY corpus and cap
+# ---------------------------------------------------------------------------
+
+_shingle_words = st.sampled_from(
+    ["all", "rights", "reserved", "red", "blue", "wolf", "moon", "star"]
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(_shingle_words, min_size=1, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2, 5, 10**6]),
+)
+def test_containment_hot_cold_split_property(spark, texts, cap):
+    """For ANY corpus (tiny vocab ⇒ naturally hot shingles) and ANY
+    df cap, the hot/cold split returns exactly the unsplit join's
+    rows — the r13 skew plan change is a pure plan change."""
+    from xml_to_parquet_spark.functions.dedup import containment_prefix_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    base = sorted(
+        (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b)
+        for r in containment_prefix_pairs(df, t_num=4, t_den=5).collect()
+    )
+    split = sorted(
+        (r.id_a, r.id_b, r.inter_sz, r.size_a, r.size_b)
+        for r in containment_prefix_pairs(
+            df, t_num=4, t_den=5, hot_df_cap=cap
+        ).collect()
+    )
+    assert split == base
+
+
+# ---------------------------------------------------------------------------
+# spark: priority sampling matches a pure-python DLT mirror
+# ---------------------------------------------------------------------------
+
+
+def _dlt_mirror(weights: dict[int, int], k: int, salt: str):
+    """Pure-python Duffield–Lund–Thorup mirror with the exact md5/IEEE
+    arithmetic of sampling.priority_sample."""
+    import hashlib
+    import math
+
+    scored = []
+    for key, w in weights.items():
+        if w <= 0:
+            continue
+        u = int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:13], 16)
+        q = (float(w) * float(2**52)) / float(u + 1)
+        scored.append((-q, key, w))
+    scored.sort()
+    top = scored[: k + 1]
+    tau = -top[k][0] if len(top) > k else 0.0
+    return [
+        (key, w, math.floor(max(float(w), tau)), rk + 1)
+        for rk, (_, key, w) in enumerate(top[:k])
+    ]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(
+        st.integers(0, 10**6), st.integers(-5, 1000), min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 12),
+)
+def test_priority_sample_matches_python_mirror(spark, weights, k):
+    from xml_to_parquet_spark.functions.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        list(weights.items()), "doc_id long, w long"
+    )
+    got = [
+        (r.key, r.weight, r.est_weight, r.rk)
+        for r in priority_sample(df, "w", k=k, salt="prop").collect()
+    ]
+    assert got == _dlt_mirror(weights, k, "prop")
+
+
+# ---------------------------------------------------------------------------
+# spark: heavy hitters either raises or returns the EXACT top-k
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=300),
+    st.integers(1, 5),
+    st.sampled_from([2, 8, 64]),
+    st.integers(1, 7),
+)
+def test_mg_heavy_hitters_exact_or_raises_property(
+    spark, values, k, counters, nparts
+):
+    """The certificate contract: mg_heavy_hitters NEVER returns a
+    batch-layout-dependent answer — for any data, k, counters, and
+    partitioning it either raises or returns the exact top-k."""
+    from collections import Counter
+
+    from xml_to_parquet_spark.functions.sketches import mg_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], "v long"
+    ).repartition(nparts)
+    exact = sorted(
+        Counter(values).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:k]
+    want = [(v, c, i + 1) for i, (v, c) in enumerate(exact)]
+    try:
+        got = [
+            (r.value, r.cnt, r.rk)
+            for r in mg_heavy_hitters(df, "v", k=k, counters=counters)
+            .collect()
+        ]
+    except ValueError as ex:
+        assert "certificate failed" in str(ex)
+        return
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# spark: MMR selection matches a pure-python greedy mirror
+# ---------------------------------------------------------------------------
+
+
+def _mmr_mirror(vecs: dict[int, list[float]], query_id: int, k: int):
+    import math
+
+    def quant(v):
+        return [math.floor(float(x) * 1024.0 + 0.5) for x in v]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    vq = {i: quant(v) for i, v in vecs.items()}
+    qv = vq[query_id]
+    cand = {i: v for i, v in vq.items() if i != query_id}
+    rel = {i: dot(v, qv) for i, v in cand.items()}
+    maxdot = {i: 0 for i in cand}
+    picked = []
+    for rk in range(1, k + 1):
+        pool = [i for i in cand if i not in {p[0] for p in picked}]
+        if not pool:
+            break
+        best = max(pool, key=lambda i: (2 * rel[i] - maxdot[i], -i))
+        # tie-break by SMALLEST id: max with -i mirrors (score, id asc)
+        picked.append((best, rk, rel[best], maxdot[best],
+                       2 * rel[best] - maxdot[best]))
+        for i in pool:
+            if i != best:
+                maxdot[i] = max(maxdot[i], dot(cand[i], vq[best]))
+    return picked
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(
+        st.integers(0, 50),
+        st.lists(
+            st.integers(-64, 64).map(lambda n: n / 64.0),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=15,
+    ),
+    st.integers(1, 6),
+)
+def test_mmr_select_matches_python_mirror(spark, vecs, k):
+    from xml_to_parquet_spark.functions.similarity import mmr_select
+
+    query_id = sorted(vecs)[0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        tuple(r)
+        for r in mmr_select(df, k=k, query_id=query_id, lam_num=1,
+                            lam_den=2).collect()
+    ]
+    assert got == _mmr_mirror(vecs, query_id, k)
