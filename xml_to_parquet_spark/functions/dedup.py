@@ -2332,6 +2332,20 @@ def containment_screened_pairs(
     ``contained_ids`` restriction changes which pairs are asked about,
     never their verdicts).
 
+    WHEN TO SCREEN (measured, tools/screen_rung.py + SCALING.md): the
+    screen probes k uniform bottom-k hashes per doc (average-df
+    postings); the unscreened exact join probes the prefix(A) RAREST
+    shingles (minimum-df postings). Wherever the corpus has a
+    rare-shingle tail the rarity ordering already collapses candidate
+    volume and the composition LOSES (0.4–0.5× on both natural-shaped
+    rung corpora). It wins — 45× and rising, with the unscreened join
+    GC-dead at 2.5× the rung size — exactly where the prefix trick has
+    nothing rare to grab: flat df distributions (boilerplate/templated
+    corpora) with long docs, where exact volume grows ~N²·df but the
+    screen's stays N·k·df. Screen when (1−t)·|A| ≫ k AND df has no
+    rare tail; otherwise the exact join alone is already
+    survivor-sized.
+
     Recall: the screen is DETERMINISTIC (md5-ranked bottom-k), so the
     composition is exactly replayable in SQL — the driver hash-match
     proves the whole pipeline. Exact 1.0-containment pairs are always
