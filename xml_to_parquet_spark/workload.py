@@ -6673,6 +6673,70 @@ def _q_join_cardinality_sql() -> str:
     )
 
 
+_CONSTRAINT_CHECKS = None  # built lazily: functions.constraints Columns
+
+
+def _constraint_checks():
+    global _CONSTRAINT_CHECKS
+    if _CONSTRAINT_CHECKS is None:
+        from xml_to_parquet_spark.functions import constraints as C
+
+        _CONSTRAINT_CHECKS = [
+            C.not_null("o_custkey", name="c1_custkey_not_null"),
+            C.unique("o_orderkey", name="c2_orderkey_unique"),
+            C.in_range(
+                "o_totalprice", 0.0, 10_000_000.0,
+                name="c3_totalprice_sane",
+            ),
+            C.member_of(
+                "o_orderstatus", ["O", "F", "P"], name="c4_status_domain"
+            ),
+            C.matches(
+                "o_orderpriority", "^[1-5]-", name="c5_priority_shape"
+            ),
+            # deliberately failing band: demonstrates the failure path in
+            # the same report (almost no order totals under 1000)
+            C.in_range(
+                "o_totalprice", 0.0, 1000.0, min_ppm=900_000,
+                name="c6_totalprice_tight",
+            ),
+            C.ref_integrity(
+                "o_custkey", "customer", "c_custkey",
+                name="c7_custkey_in_customer",
+            ),
+        ]
+    return _CONSTRAINT_CHECKS
+
+
+def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint suite
+    (functions/constraints.constraint_report): seven declared checks —
+    completeness, key distinctness, two value-range bands (one
+    deliberately failing), set membership, pattern shape, and
+    referential integrity against customer — all compiled into ONE
+    aggregate pass over orders (ref keys broadcast, rate checks
+    map-side CASE sums, integer-ppm metrics). The table-level
+    counterpart of the reference's per-file XML validation gate
+    (R/validate_xml.R via validation/xml_validation.py)."""
+    from xml_to_parquet_spark.functions.constraints import (
+        constraint_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return constraint_report(
+        orders, _constraint_checks(), dims={"customer": customer}
+    )
+
+
+def _q_constraint_suite_sql() -> str:
+    from xml_to_parquet_spark.functions.constraints import (
+        constraint_report_sql,
+    )
+
+    return constraint_report_sql("orders", _constraint_checks())
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew pre-flight (operators/scale.skew_report): hottest keys
     + integer ppm share + the salt factor that bounds per-task rows. The
@@ -7438,7 +7502,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
     ),
-    "a185_kmv_set_algebra": QuerySpec(
+    "q310_kmv_set_algebra": QuerySpec(
         q_kmv_set_algebra,
         _q_kmv_set_algebra_sql(),
         "sketch set algebra: union/intersection/Jaccard from two KMV "
@@ -7679,6 +7743,13 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a212_constraint_suite": QuerySpec(
+        q_constraint_suite,
+        _q_constraint_suite_sql(),
+        "Deequ-style constraint suite: 7 declared quality checks "
+        "(completeness/distinctness/ranges/membership/pattern/RI) in "
+        "one aggregate pass, integer-ppm report",
     ),
     "q296_containment_dedup": QuerySpec(
         q_containment_dedup,
