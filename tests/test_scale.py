@@ -310,3 +310,76 @@ def test_join_cardinality_estimate_partition_invariant(spark):
         for p in (1, 7)
     ]
     assert rows[0] == rows[1]
+
+
+def test_zonemap_skip_lossless_and_zorder_wins(spark):
+    """On a uniform 2-D grid, every matching row must live in a scanned
+    file under EVERY layout (losslessness), and the Z-layout must scan
+    fewer files than either single-column layout for a 2-D box."""
+    from xml_to_parquet_spark.operators.scale import zonemap_skip_report
+
+    n = 64
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rep = {
+        r["layout"]: r
+        for r in zonemap_skip_report(
+            df, "x", "y", log2_files=5, bits=8
+        ).collect()
+    }
+    # direct count of the box the operator builds: middle 3/8..5/8 band
+    lo = (n - 1) * 3 // 8
+    hi = (n - 1) * 5 // 8
+    direct = df.filter(
+        F.col("x").between(lo, hi) & F.col("y").between(lo, hi)
+    ).count()
+    for r in rep.values():
+        assert r["rows_matching"] == direct
+        assert r["rows_scanned"] >= r["rows_matching"]
+        assert r["files_scanned"] <= r["n_files"]
+    assert rep["zorder"]["files_scanned"] < rep["bycol_a"]["files_scanned"]
+    assert rep["zorder"]["files_scanned"] < rep["bycol_b"]["files_scanned"]
+    assert rep["zorder"]["rows_scanned"] < rep["bycol_a"]["rows_scanned"]
+
+
+def test_zonemap_skip_duckdb_replay(spark):
+    import duckdb
+
+    from xml_to_parquet_spark.operators.scale import (
+        zonemap_skip_report,
+        zonemap_skip_report_sql,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") * 37 % 1013).alias("u"),
+        (F.col("id") * 91 % 677).alias("v"),
+    )
+    got = [
+        tuple(r)
+        for r in zonemap_skip_report(
+            df, "u", "v", log2_files=4, bits=6
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        zonemap_skip_report_sql("t", "u", "v", log2_files=4, bits=6)
+    ).fetchall()
+    assert got == want
+
+
+def test_zonemap_skip_excludes_nulls_and_validates(spark):
+    import pytest
+
+    from xml_to_parquet_spark.operators.scale import zonemap_skip_report
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 3), (4, 4), (5, 5), (6, 6), (7, 7),
+         (8, 8)],
+        "x long, y long",
+    )
+    rep = zonemap_skip_report(df, "x", "y", log2_files=1, bits=4).collect()
+    assert all(r["rows_total"] == 6 for r in rep)  # 2 null rows dropped
+    with pytest.raises(ValueError, match="log2_files"):
+        zonemap_skip_report(df, "x", "y", log2_files=9, bits=8)

@@ -183,6 +183,246 @@ def write_zordered(
     )
 
 
+def zonemap_skip_report(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    a_frac: tuple[int, int, int, int] = (3, 8, 5, 8),
+    b_frac: tuple[int, int, int, int] = (3, 8, 5, 8),
+    log2_files: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """What does a layout buy a 2-D box predicate? — the zone-map
+    skip-rate evaluator for :func:`write_zordered`.
+
+    Parquet readers skip files/row-groups whose min/max statistics
+    cannot overlap a predicate. This operator simulates that skipping
+    for THREE layouts of the same table — equi-width bucketing by
+    ``col_a``, by ``col_b``, and by their Morton Z-key
+    (:func:`zorder_key`, same normalization as write_zordered) — and
+    reports, per layout, how many of the 2^``log2_files`` files and
+    rows a box predicate must scan. The box is SF-adaptive: each bound
+    is a rational fraction of the observed [min, max] span
+    (``a_frac = (lo_num, lo_den, hi_num, hi_den)``), computed in-plan
+    from the same stats row as the normalization — no driver collect.
+
+    Row-skipping is LOSSLESS by construction: a matching row's own file
+    zone map contains its values, so that file always overlaps the box
+    — ``rows_matching`` is therefore layout-invariant and every
+    matching row lives in a scanned file.
+
+    Scale shape: one tiny stats agg broadcast to every row, then one
+    bucket-keyed groupBy per layout (zone maps are metadata-sized:
+    2^log2_files rows). In production the zone maps come from parquet
+    footers for free; this operator is the layout DECISION tool — run
+    it on a sample before paying for the rewrite. NULLs in either
+    column are excluded (a zone map says nothing about them; route
+    null keys to a dedicated file in production).
+
+    All arithmetic is non-negative integer (casts, ``div``, Morton
+    interleave), so the DuckDB twin (:func:`zonemap_skip_report_sql`)
+    replays the report exactly.
+
+    Returns one row per layout: ``(layout, n_files, files_scanned,
+    rows_total, rows_scanned, rows_matching, file_skip_ppm,
+    row_skip_ppm)`` ordered by layout name.
+    """
+    k = log2_files
+    if not (0 < k <= bits):
+        raise ValueError(f"need 0 < log2_files <= bits, got {k}/{bits}")
+    top = (1 << bits) - 1
+
+    nn = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    stats = nn.agg(
+        F.min(F.col(col_a).cast("long")).alias("lo_a"),
+        F.max(F.col(col_a).cast("long")).alias("hi_a"),
+        F.min(F.col(col_b).cast("long")).alias("lo_b"),
+        F.max(F.col(col_b).cast("long")).alias("hi_b"),
+    )
+
+    def frac_bound(col: str, num: int, den: int) -> str:
+        return f"lo_{col} + (hi_{col} - lo_{col}) * {num} div {den}"
+
+    box = stats.select(
+        F.expr(frac_bound("a", a_frac[0], a_frac[1])).alias("abox_lo"),
+        F.expr(frac_bound("a", a_frac[2], a_frac[3])).alias("abox_hi"),
+        F.expr(frac_bound("b", b_frac[0], b_frac[1])).alias("bbox_lo"),
+        F.expr(frac_bound("b", b_frac[2], b_frac[3])).alias("bbox_hi"),
+        F.col("lo_a"),
+        F.col("hi_a"),
+        F.col("lo_b"),
+        F.col("hi_b"),
+    )
+
+    norm_a = (
+        f"(CAST({col_a} AS BIGINT) - lo_a) * {top} "
+        "div greatest(hi_a - lo_a, 1)"
+    )
+    norm_b = (
+        f"(CAST({col_b} AS BIGINT) - lo_b) * {top} "
+        "div greatest(hi_b - lo_b, 1)"
+    )
+    base = nn.crossJoin(F.broadcast(box)).select(
+        F.col(col_a).cast("long").alias("a"),
+        F.col(col_b).cast("long").alias("b"),
+        F.expr(norm_a).alias("na"),
+        F.expr(norm_b).alias("nb"),
+        F.expr(
+            f"CASE WHEN CAST({col_a} AS BIGINT) BETWEEN abox_lo AND abox_hi"
+            f" AND CAST({col_b} AS BIGINT) BETWEEN bbox_lo AND bbox_hi"
+            " THEN 1 ELSE 0 END"
+        ).alias("m"),
+    )
+
+    zbase = base.withColumn(
+        "z", zorder_key(F.col("na"), F.col("nb"), bits)
+    )
+    layouts = [
+        ("bycol_a", base, f"na div {1 << (bits - k)}"),
+        ("bycol_b", base, f"nb div {1 << (bits - k)}"),
+        ("zorder", zbase, f"z div {1 << (2 * bits - k)}"),
+    ]
+    reports = []
+    for name, src, bucket_sql in layouts:
+        files = (
+            src.withColumn("f", F.expr(bucket_sql))
+            .groupBy("f")
+            .agg(
+                F.min("a").alias("mna"),
+                F.max("a").alias("mxa"),
+                F.min("b").alias("mnb"),
+                F.max("b").alias("mxb"),
+                F.count(F.lit(1)).alias("nr"),
+                F.sum("m").alias("nm"),
+            )
+            .crossJoin(F.broadcast(box.select(
+                "abox_lo", "abox_hi", "bbox_lo", "bbox_hi"
+            )))
+        )
+        scanned = (
+            (F.col("mna") <= F.col("abox_hi"))
+            & (F.col("mxa") >= F.col("abox_lo"))
+            & (F.col("mnb") <= F.col("bbox_hi"))
+            & (F.col("mxb") >= F.col("bbox_lo"))
+        )
+        reports.append(
+            files.agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(scanned.cast("long")).alias("files_scanned"),
+                F.sum("nr").cast("long").alias("rows_total"),
+                F.sum(F.when(scanned, F.col("nr")).otherwise(0))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.sum("nm").cast("long").alias("rows_matching"),
+            ).select(
+                F.lit(name).alias("layout"),
+                "n_files",
+                "files_scanned",
+                "rows_total",
+                "rows_scanned",
+                "rows_matching",
+                F.expr(
+                    "CASE WHEN n_files > 0 THEN (1000000 * "
+                    "(n_files - files_scanned)) div n_files END"
+                ).alias("file_skip_ppm"),
+                F.expr(
+                    "CASE WHEN rows_total > 0 THEN (1000000 * "
+                    "(rows_total - rows_scanned)) div rows_total END"
+                ).alias("row_skip_ppm"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("layout")
+
+
+def zonemap_skip_report_sql(
+    table: str,
+    col_a: str,
+    col_b: str,
+    a_frac: tuple[int, int, int, int] = (3, 8, 5, 8),
+    b_frac: tuple[int, int, int, int] = (3, 8, 5, 8),
+    log2_files: int = 5,
+    bits: int = 8,
+) -> str:
+    """ANSI twin of :func:`zonemap_skip_report` — same stats row, same
+    rational box bounds, same Morton interleave (// and %), same ppm
+    floor-division (all operands non-negative, so // == div)."""
+    k = log2_files
+    top = (1 << bits) - 1
+    z = zorder_key_sql("na", "nb", bits)
+    layout_ctes = []
+    layout_rows = []
+    for name, bucket in [
+        ("bycol_a", f"na // {1 << (bits - k)}"),
+        ("bycol_b", f"nb // {1 << (bits - k)}"),
+        ("zorder", f"({z}) // {1 << (2 * bits - k)}"),
+    ]:
+        layout_ctes.append(
+            f"""f_{name} AS (
+  SELECT {bucket} AS f, MIN(a) AS mna, MAX(a) AS mxa,
+         MIN(b) AS mnb, MAX(b) AS mxb,
+         COUNT(*) AS nr, SUM(m) AS nm
+  FROM base GROUP BY 1
+)"""
+        )
+        layout_rows.append(
+            f"""SELECT '{name}' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+           AS files_scanned,
+       CAST(SUM(nr) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN scanned THEN nr ELSE 0 END) AS BIGINT)
+           AS rows_scanned,
+       CAST(SUM(nm) AS BIGINT) AS rows_matching,
+       CAST(CASE WHEN COUNT(*) > 0 THEN 1000000 *
+            (COUNT(*) - SUM(CASE WHEN scanned THEN 1 ELSE 0 END))
+            // COUNT(*) END AS BIGINT) AS file_skip_ppm,
+       CAST(CASE WHEN SUM(nr) > 0 THEN 1000000 *
+            (SUM(nr) - SUM(CASE WHEN scanned THEN nr ELSE 0 END))
+            // SUM(nr) END AS BIGINT) AS row_skip_ppm
+FROM (SELECT f_{name}.*,
+             mna <= abox_hi AND mxa >= abox_lo AND
+             mnb <= bbox_hi AND mxb >= bbox_lo AS scanned
+      FROM f_{name}, box)"""
+        )
+    ctes = ",\n".join(layout_ctes)
+    rows = "\nUNION ALL\n".join(layout_rows)
+    return f"""
+WITH nn AS (
+  SELECT CAST({col_a} AS BIGINT) AS a, CAST({col_b} AS BIGINT) AS b
+  FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+),
+stats AS (
+  SELECT MIN(a) AS lo_a, MAX(a) AS hi_a, MIN(b) AS lo_b, MAX(b) AS hi_b
+  FROM nn
+),
+box AS (
+  SELECT lo_a + (hi_a - lo_a) * {a_frac[0]} // {a_frac[1]} AS abox_lo,
+         lo_a + (hi_a - lo_a) * {a_frac[2]} // {a_frac[3]} AS abox_hi,
+         lo_b + (hi_b - lo_b) * {b_frac[0]} // {b_frac[1]} AS bbox_lo,
+         lo_b + (hi_b - lo_b) * {b_frac[2]} // {b_frac[3]} AS bbox_hi,
+         lo_a, hi_a, lo_b, hi_b
+  FROM stats
+),
+base AS (
+  SELECT a, b,
+         (a - lo_a) * {top} // GREATEST(hi_a - lo_a, 1) AS na,
+         (b - lo_b) * {top} // GREATEST(hi_b - lo_b, 1) AS nb,
+         CASE WHEN a BETWEEN abox_lo AND abox_hi
+               AND b BETWEEN bbox_lo AND bbox_hi THEN 1 ELSE 0 END AS m
+  FROM nn, box
+),
+{ctes}
+SELECT * FROM (
+{rows}
+)
+ORDER BY layout
+"""
+
+
 def upsert_by_key(
     existing: DataFrame,
     updates: DataFrame,

@@ -6737,6 +6737,31 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skip-rate report (operators/scale.zonemap_skip_report):
+    simulates parquet min/max file skipping for a 2-D box predicate
+    (middle 3/8..5/8 band of o_custkey × o_totalprice) under three
+    layouts of orders — bucketed by custkey, by totalprice, and by
+    their Morton Z-key (the write_zordered layout). The decision tool
+    for OPTIMIZE ZORDER: single-column layouts skip on their own
+    column and scan everything for the other, the Z-layout prunes on
+    BOTH. rows_matching is layout-invariant (skipping is lossless);
+    the SF-adaptive rational box and pure-integer Morton/ppm
+    arithmetic make the whole report oracle-exact."""
+    from xml_to_parquet_spark.operators.scale import zonemap_skip_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return zonemap_skip_report(orders, "o_custkey", "o_totalprice")
+
+
+def _q_zonemap_pruning_sql() -> str:
+    from xml_to_parquet_spark.operators.scale import (
+        zonemap_skip_report_sql,
+    )
+
+    return zonemap_skip_report_sql("orders", "o_custkey", "o_totalprice")
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew pre-flight (operators/scale.skew_report): hottest keys
     + integer ppm share + the salt factor that bounds per-task rows. The
@@ -7744,6 +7769,12 @@ QUERIES: dict[str, QuerySpec] = {
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
     ),
+    "a213_zonemap_pruning": QuerySpec(
+        q_zonemap_pruning,
+        _q_zonemap_pruning_sql(),
+        "zone-map skip report: file/row skip rates for a 2-D box "
+        "predicate under bycol_a/bycol_b/zorder layouts of orders",
+    ),
     "a212_constraint_suite": QuerySpec(
         q_constraint_suite,
         _q_constraint_suite_sql(),
@@ -7761,7 +7792,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_pagerank_sql(),
         "weighted PageRank over event transitions (integer fixed point)",
     ),
-    "a169_kmv_merge": QuerySpec(
+    "q311_kmv_merge": QuerySpec(
         q_kmv_merge,
         _q_kmv_merge_sql(),
         "KMV sketch merge == direct sketch (mergeability identity)",
