@@ -150,3 +150,64 @@ def test_one_scan_plan(spark, people, countries):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_functional_dep_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "x"),
+            ("a", 1, "x"),
+            ("a", 2, "x"),  # violates id->v (majority v=1 twice)
+            ("b", 3, "y"),
+            ("b", 3, None),  # NULL rhs is a value: grp->v still holds
+        ],
+        "id string, v long, grp string",
+    )
+    rep = _report(
+        spark,
+        df,
+        [
+            C.functional_dep("id", "v"),
+            C.functional_dep("grp", "v", name="grp_v"),
+            C.functional_dep(("id", "grp"), "v", name="composite"),
+        ],
+    )
+    # id->v: a's majority v=1 (2 of 3), b's majority v=3 (2) -> 4/5
+    assert rep["id_determines_v"]["metric_ppm"] == 800_000
+    assert rep["id_determines_v"]["passed"] is False
+    # grp->v identical groups here
+    assert rep["grp_v"]["metric_ppm"] == 800_000
+    assert rep["composite"]["metric_ppm"] == 800_000
+
+
+def test_functional_dep_holds_exactly(spark, people):
+    rep = _report(spark, people, [C.functional_dep("name", "age")])
+    # every name (incl. the NULL name group, one row) maps to one age
+    assert rep["name_determines_age"]["metric_ppm"] == 1_000_000
+    assert rep["name_determines_age"]["passed"] is True
+
+
+def test_functional_dep_rejects_rhs_in_lhs(spark):
+    with pytest.raises(ValueError, match="cannot appear"):
+        C.functional_dep(("a", "b"), "b")
+
+
+def test_functional_dep_duckdb_replay(spark, people):
+    checks = [
+        C.functional_dep("name", "age"),
+        C.functional_dep("id", "country", name="id_country"),
+        C.not_null("name"),
+    ]
+    got = [tuple(r) for r in C.constraint_report(people, checks).collect()]
+    con = duckdb.connect()
+    con.register("people", people.toPandas())
+    want = con.execute(
+        C.constraint_report_sql("people", checks)
+    ).fetchall()
+    assert got == want
+
+
+def test_functional_dep_empty_table(spark, people):
+    rep = _report(spark, people.limit(0), [C.functional_dep("id", "age")])
+    r = rep["id_determines_age"]
+    assert r["metric_ppm"] is None and r["passed"] is False

@@ -25,6 +25,14 @@ Scale shape, in order of cost:
   ``unique()`` check re-shuffles the key column. At 10⁹+ rows swap in
   ``approx_count_distinct`` / the HLL sketch (sketches.hll_*) — the
   oracle-checked exact form here is the correctness anchor.
+- **functional-dependency checks** are the exception to the single
+  agg: each declared ``functional_dep(lhs, rhs)`` adds one two-stage
+  aggregation (groupBy(lhs, rhs) count → groupBy(lhs) max → sum),
+  both stages partial-agg friendly, its 1-row result cross-joined
+  back into the report. Metric = ppm of rows that agree with their
+  lhs-group's majority rhs value — 1e6 iff lhs → rhs holds exactly
+  (NULL is a value on both sides, matching GROUP BY semantics in
+  both engines).
 
 Every metric is an integer ppm (floor(1e6·passing/total)): sums of 0/1
 are exact, integer floor-division is engine-identical, so the DuckDB
@@ -60,9 +68,10 @@ class Check:
     # SparkContext, and Check specs are constructed at import time
     predicate: Callable[[], Column] | None = None  # kind='rate'
     predicate_sql: str | None = None
-    col: str | None = None  # kind='distinctness' | 'ref' (fact key)
+    col: str | None = None  # kind='distinctness' | 'ref' | 'fd' (rhs)
     dim_table: str | None = None  # kind='ref'
     dim_col: str | None = None  # kind='ref'
+    lhs: tuple[str, ...] | None = None  # kind='fd'
 
 
 def not_null(col: str, min_ppm: int = PPM, name: str | None = None) -> Check:
@@ -160,6 +169,30 @@ def ref_integrity(
     )
 
 
+def functional_dep(
+    lhs: str | tuple[str, ...],
+    rhs: str,
+    min_ppm: int = PPM,
+    name: str | None = None,
+) -> Check:
+    """Functional dependency lhs → rhs: ppm of rows agreeing with their
+    lhs-group's most common rhs value. 1e6 iff the FD holds exactly;
+    lower values measure how far the data is from the dependency
+    (Deequ/Metanome-style FD profiling). NULL is an ordinary value on
+    both sides."""
+    lhs_t = (lhs,) if isinstance(lhs, str) else tuple(lhs)
+    if rhs in lhs_t:
+        raise ValueError(f"rhs {rhs!r} cannot appear in lhs {lhs_t}")
+    return Check(
+        name=name or f"{'_'.join(lhs_t)}_determines_{rhs}",
+        kind="fd",
+        min_ppm=min_ppm,
+        max_ppm=PPM,
+        col=rhs,
+        lhs=lhs_t,
+    )
+
+
 REPORT_COLS = ["constraint", "kind", "metric_ppm", "min_ppm", "max_ppm",
                "passed"]
 
@@ -169,7 +202,9 @@ def constraint_report(
     checks: list[Check],
     dims: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
-    """Evaluate every check in one aggregate pass over ``df``.
+    """Evaluate every check in one aggregate pass over ``df`` (fd
+    checks excepted — each adds its own two-stage aggregation, see the
+    module docstring).
 
     Returns one row per check: ``(constraint, kind, metric_ppm,
     min_ppm, max_ppm, passed)`` ordered by constraint name. On an empty
@@ -209,6 +244,7 @@ def constraint_report(
         hit_cols[ck.name] = hit
 
     aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    fd_checks: list[tuple[int, Check]] = []
     for i, ck in enumerate(checks):
         if ck.kind == "rate":
             cond = ck.predicate()
@@ -219,6 +255,9 @@ def constraint_report(
                 F.countDistinct(F.col(ck.col)).cast("long").alias(f"__m_{i}")
             )
             continue
+        elif ck.kind == "fd":
+            fd_checks.append((i, ck))
+            continue
         else:
             raise ValueError(f"unknown check kind {ck.kind!r}")
         aggs.append(
@@ -226,6 +265,17 @@ def constraint_report(
         )
 
     row = enriched.agg(*aggs)
+    for i, ck in fd_checks:
+        # conforming rows = Σ over lhs groups of the majority rhs count;
+        # two partial-agg-friendly stages, 1-row result joined back
+        conforming = (
+            df.groupBy(*ck.lhs, ck.col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(*ck.lhs)
+            .agg(F.max("__c").alias("__mx"))
+            .agg(F.sum("__mx").cast("long").alias(f"__m_{i}"))
+        )
+        row = row.crossJoin(F.broadcast(conforming))
     structs = [
         F.struct(
             F.lit(ck.name).alias("constraint"),
@@ -261,6 +311,7 @@ def constraint_report_sql(table: str, checks: list[Check]) -> str:
     metrics as IN-subquery aggregates), identical integer-ppm
     arithmetic, so a driver hash-match proves the whole report."""
     agg_items = ["CAST(COUNT(*) AS BIGINT) AS total"]
+    fd_ctes = []
     for i, ck in enumerate(checks):
         if ck.kind == "rate":
             agg_items.append(
@@ -275,7 +326,21 @@ def constraint_report_sql(table: str, checks: list[Check]) -> str:
                 f"(SELECT {ck.dim_col} FROM {ck.dim_table}) "
                 f"THEN 1 ELSE 0 END) AS m_{i}"
             )
+        elif ck.kind == "fd":
+            lhs = ", ".join(ck.lhs)
+            fd_ctes.append(
+                f"""fd_{i} AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS m_{i} FROM (
+    SELECT MAX(c) AS mx FROM (
+      SELECT {lhs}, {ck.col}, COUNT(*) AS c
+      FROM {table} GROUP BY {lhs}, {ck.col}
+    ) GROUP BY {lhs}
+  )
+)"""
+            )
     base = f"SELECT {', '.join(agg_items)} FROM {table}"
+    fd_from = "".join(f", fd_{i}" for i, ck in enumerate(checks)
+                      if ck.kind == "fd")
     rows = []
     for i, ck in enumerate(checks):
         rows.append(
@@ -283,11 +348,12 @@ def constraint_report_sql(table: str, checks: list[Check]) -> str:
             f"CASE WHEN total > 0 THEN CAST({PPM} * m_{i} // total "
             f"AS BIGINT) END AS metric_ppm, "
             f"CAST({ck.min_ppm} AS BIGINT) AS min_ppm, "
-            f"CAST({ck.max_ppm} AS BIGINT) AS max_ppm FROM base"
+            f"CAST({ck.max_ppm} AS BIGINT) AS max_ppm FROM base{fd_from}"
         )
     union = "\nUNION ALL\n".join(rows)
+    fd_block = "".join(f",\n{c}" for c in fd_ctes)
     return f"""
-WITH base AS ({base}),
+WITH base AS ({base}){fd_block},
 rep AS (
 {union}
 )

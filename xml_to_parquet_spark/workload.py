@@ -6737,6 +6737,47 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (constraints.functional_dep):
+    ppm of rows agreeing with their lhs-group's majority rhs value —
+    1e6 iff lhs → rhs holds exactly. Three declared FDs on orders:
+    o_orderkey → o_orderstatus holds (orderkey is a key), o_custkey →
+    o_orderstatus is far from holding (customers order in every
+    status), and the composite (o_custkey, o_orderdate) →
+    o_orderpriority sits between. Each FD is one two-stage
+    partial-agg-friendly aggregation; the report rides the same
+    engine-exact integer-ppm schema as a212."""
+    from xml_to_parquet_spark.functions.constraints import (
+        constraint_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return constraint_report(orders, _fd_profile_checks())
+
+
+def _fd_profile_checks():
+    from xml_to_parquet_spark.functions import constraints as C
+
+    return [
+        C.functional_dep("o_orderkey", "o_orderstatus",
+                         name="f1_orderkey_det_status"),
+        C.functional_dep("o_custkey", "o_orderstatus",
+                         name="f2_custkey_det_status"),
+        C.functional_dep(
+            ("o_custkey", "o_orderdate"), "o_orderpriority",
+            name="f3_cust_date_det_priority",
+        ),
+    ]
+
+
+def _q_fd_profile_sql() -> str:
+    from xml_to_parquet_spark.functions.constraints import (
+        constraint_report_sql,
+    )
+
+    return constraint_report_sql("orders", _fd_profile_checks())
+
+
 def q_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map skip-rate report (operators/scale.zonemap_skip_report):
     simulates parquet min/max file skipping for a 2-D box predicate
@@ -7522,7 +7563,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # r7 sketch family: mergeable fixed-size summaries (KMV / HLL /
     # count-min) + DSIR importance selection — all pure-BIGINT estimates.
-    "a165_kmv_distinct": QuerySpec(
+    "q312_kmv_distinct": QuerySpec(
         q_kmv_distinct,
         _q_kmv_sql(),
         "KMV k-minimum-values distinct sketch (integer estimate vs exact)",
@@ -7768,6 +7809,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a214_fd_profile": QuerySpec(
+        q_fd_profile,
+        _q_fd_profile_sql(),
+        "functional-dependency profiling: majority-agreement ppm for "
+        "three declared FDs on orders (holds / violated / composite)",
     ),
     "a213_zonemap_pruning": QuerySpec(
         q_zonemap_pruning,
