@@ -1274,3 +1274,101 @@ def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
             os.utime(os.path.join(dp, f), (old, old))
     removed = vacuum_published(root, keep=2, grace_s=3600)
     assert any(r.startswith("v00000003") for r in removed)
+
+
+def _dlq_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "click", 10.0),
+            (2, "error", 10.0),   # fails type_domain
+            (3, "click", 900.0),  # fails value_band
+            (4, "error", 900.0),  # fails both -> first check wins
+            (5, None, 10.0),      # NULL predicate counts as failing
+        ],
+        "event_id long, event_type string, value double",
+    )
+
+
+def _dlq_checks():
+    from xml_to_parquet_spark.functions import constraints as C
+
+    return [
+        C.member_of("event_type", ["click", "view"], name="type_domain"),
+        C.in_range("value", 0.0, 300.0, name="value_band"),
+    ]
+
+
+def test_quarantine_router_splits_first_fail_wins(spark, tmp_path):
+    from xml_to_parquet_spark.sinks.publish import (
+        quarantine_router,
+        read_published,
+    )
+
+    good_root = str(tmp_path / "good")
+    quar_root = str(tmp_path / "quar")
+    route = quarantine_router(_dlq_checks(), good_root, quar_root)
+    route(_dlq_df(spark), 0)
+
+    good = read_published(spark, good_root)
+    assert [r.event_id for r in good.orderBy("event_id").collect()] == [1]
+    assert "reject_reason" not in good.columns
+    bad = {
+        r.event_id: r.reject_reason
+        for r in read_published(spark, quar_root).collect()
+    }
+    assert bad == {
+        2: "type_domain",
+        3: "value_band",
+        4: "type_domain",  # declared order, not severity
+        5: "type_domain",  # NULL event_type fails the first check
+    }
+
+
+def test_quarantine_router_replay_is_exactly_once(spark, tmp_path):
+    from xml_to_parquet_spark.sinks.publish import (
+        quarantine_router,
+        read_published,
+    )
+
+    good_root = str(tmp_path / "good")
+    quar_root = str(tmp_path / "quar")
+    route = quarantine_router(_dlq_checks(), good_root, quar_root)
+    route(_dlq_df(spark), 0)
+    route(_dlq_df(spark), 0)  # crash-replay of the same micro-batch
+    assert read_published(spark, good_root).count() == 1
+    assert read_published(spark, quar_root).count() == 4
+
+
+def test_quarantine_router_repairs_crash_between_sinks(spark, tmp_path):
+    """Crash after the quarantine publish but before the good publish:
+    the replay must land the good rows without duplicating the
+    quarantined ones (per-root batch-id guards)."""
+    from xml_to_parquet_spark.sinks.publish import (
+        foreach_batch_publisher,
+        quarantine_router,
+        read_published,
+    )
+
+    good_root = str(tmp_path / "good")
+    quar_root = str(tmp_path / "quar")
+    df = _dlq_df(spark)
+    # simulate the dying first attempt: only the quarantine sink committed
+    foreach_batch_publisher(quar_root)(
+        df.filter(F.col("event_id") != 1).withColumn(
+            "reject_reason", F.lit("type_domain")
+        ),
+        0,
+    )
+    quarantine_router(_dlq_checks(), good_root, quar_root)(df, 0)
+    assert read_published(spark, good_root).count() == 1
+    assert read_published(spark, quar_root).count() == 4
+
+
+def test_quarantine_router_rejects_non_rate_checks(spark, tmp_path):
+    from xml_to_parquet_spark.functions import constraints as C
+    from xml_to_parquet_spark.sinks.publish import quarantine_router
+
+    with pytest.raises(ValueError, match="rate checks"):
+        quarantine_router(
+            [C.unique("event_id")], str(tmp_path / "g"), str(tmp_path / "q")
+        )

@@ -362,3 +362,21 @@ SELECT "constraint", kind, metric_ppm, min_ppm, max_ppm,
 FROM rep
 ORDER BY "constraint"
 """
+
+
+def reject_reason_sql(checks: list[Check]) -> str:
+    """ANSI twin of the ``sinks.publish.quarantine_router`` gate: a CASE
+    expression naming the FIRST failing rate check in declared order
+    (NULL predicate = failing), NULL when every check passes."""
+    arms = []
+    for ck in checks:
+        if ck.kind != "rate":
+            raise ValueError(
+                f"reject_reason_sql needs rate checks; {ck.name!r} is "
+                f"{ck.kind!r}"
+            )
+        arms.append(
+            f"WHEN NOT COALESCE({ck.predicate_sql}, FALSE) "
+            f"THEN '{ck.name}'"
+        )
+    return "CASE " + " ".join(arms) + " END"

@@ -1049,3 +1049,64 @@ def publish_stream(
     else:
         q = writer.start()
     return q
+
+
+def quarantine_router(
+    checks,
+    good_root: str,
+    quarantine_root: str,
+    reason_col: str = "reject_reason",
+):
+    """Dead-letter routing as a ``foreachBatch`` sink: every micro-batch
+    row is gated by the declared row-level quality checks
+    (``functions.constraints`` rate-kind Checks — the same objects that
+    drive the batch-side a212 suite), good rows append-publish to
+    ``good_root``, failing rows to ``quarantine_root`` with a
+    ``reject_reason`` column naming the FIRST failing check (declared
+    order; a NULL predicate counts as failing, matching the batch
+    suite's CASE semantics). Bad data is never dropped and never blocks
+    the stream — it lands queryable next to the reason it was rejected,
+    the operational contract a training-data ingest needs.
+
+    Exactly-once across TWO sinks from one checkpoint: each root keeps
+    its own batch-id high-water guard (``foreach_batch_publisher``), so
+    a crash between the two publishes replays the batch, the root that
+    already committed skips it, and the other lands it — per-sink
+    idempotence makes the dual-sink route exactly-once without a
+    cross-root transaction. Both roots share the checkpoint's batch-id
+    sequence (single-writer assumption per root, as everywhere in this
+    module).
+
+    Scale shape: the gate is a row-local CASE column (no shuffle added
+    to the stream); each split is one filter over the same persisted
+    batch.
+    """
+    for ck in checks:
+        if ck.kind != "rate":
+            raise ValueError(
+                f"quarantine_router needs row-local rate checks; "
+                f"{ck.name!r} has kind {ck.kind!r}"
+            )
+    good_pub = foreach_batch_publisher(good_root)
+    bad_pub = foreach_batch_publisher(quarantine_root)
+
+    def _route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        reason = None
+        for ck in checks:
+            fails = ~F.coalesce(ck.predicate(), F.lit(False))
+            reason = (
+                F.when(fails, F.lit(ck.name))
+                if reason is None
+                else reason.when(fails, F.lit(ck.name))
+            )
+        flagged = batch_df.withColumn(reason_col, reason).persist()
+        try:
+            good_pub(
+                flagged.filter(F.col(reason_col).isNull()).drop(reason_col),
+                batch_id,
+            )
+            bad_pub(flagged.filter(F.col(reason_col).isNotNull()), batch_id)
+        finally:
+            flagged.unpersist()
+
+    return _route_batch

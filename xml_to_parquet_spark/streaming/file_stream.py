@@ -532,6 +532,91 @@ def stream_events_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+def stream_events_quarantined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Events stream → constraint-gated dead-letter routing
+    (sinks.publish.quarantine_router) → per-route aggregate.
+
+    Two declared rate checks (the same Check objects the a212 batch
+    suite uses) gate every row: event_type must be in the non-error
+    domain, value must sit in [0, 300]. Failing rows are never dropped
+    — they append-publish exactly-once to a quarantine table carrying
+    the FIRST failing check's name, good rows to the main table, both
+    from one checkpoint via per-root batch-id guards. The returned
+    aggregate reads BOTH published tables through their committed
+    pointers, so a dropped row, a double-committed replay, or a row
+    routed under the wrong reason all change the numbers and fail the
+    batch oracle (which replays the gate as a CASE over raw events).
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from xml_to_parquet_spark.functions import constraints as C
+    from xml_to_parquet_spark.operators.aggregation import dsum
+    from xml_to_parquet_spark.sinks.publish import (
+        quarantine_router,
+        read_published,
+    )
+
+    checks = [
+        C.member_of(
+            "event_type", ["click", "purchase", "signup", "view"],
+            name="type_domain",
+        ),
+        C.in_range("value", 0.0, 300.0, name="value_band"),
+    ]
+    schema = _events_schema(spark, sf_dir)
+    ev = _normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).select("event_id", "event_type", "value")
+
+    base = _tempfile.mkdtemp(
+        prefix="dlq_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    good_root = os.path.join(base, "events_good")
+    quar_root = os.path.join(base, "events_quarantine")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(
+                quarantine_router(checks, good_root, quar_root)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        good = read_published(spark, good_root).select(
+            F.lit("good").alias("route"),
+            F.lit("ok").alias("reject_reason"),
+            "event_id",
+            "value",
+        )
+        bad = read_published(spark, quar_root).select(
+            F.lit("quarantine").alias("route"),
+            F.col("reject_reason"),
+            "event_id",
+            "value",
+        )
+        out = (
+            good.unionByName(bad)
+            .groupBy("route", "reject_reason")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("event_id").alias("n_ids"),
+                dsum("value", "value_sum"),
+            )
+            .orderBy("route", "reject_reason")
+        )
+        # the published roots are ephemeral: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def stream_events_kmv(
     spark: SparkSession, sf_dir: str, k: int = 64, n_splits: int = 4
 ) -> DataFrame:

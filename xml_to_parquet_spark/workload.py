@@ -4196,6 +4196,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-gated dead-letter routing
+    (file_stream.stream_events_quarantined +
+    sinks.publish.quarantine_router): every streamed row is gated by
+    two declared a212-style rate checks; good rows and rejects
+    append-publish exactly-once to SEPARATE tables from one checkpoint
+    (per-root batch-id guards — a crash between the two publishes
+    replays the batch, the committed root skips, the other lands). The
+    oracle replays the gate as a first-failing-check CASE over raw
+    events, so a dropped/duplicated/mis-routed row hash-mismatches."""
+    from xml_to_parquet_spark.streaming.file_stream import (
+        stream_events_quarantined,
+    )
+
+    return stream_events_quarantined(spark, sf_dir)
+
+
+def _q_stream_quarantine_sql() -> str:
+    from xml_to_parquet_spark.functions import constraints as C
+
+    reason = C.reject_reason_sql(
+        [
+            C.member_of(
+                "event_type", ["click", "purchase", "signup", "view"],
+                name="type_domain",
+            ),
+            C.in_range("value", 0.0, 300.0, name="value_band"),
+        ]
+    )
+    return f"""
+WITH flagged AS (
+  SELECT event_id, value, {reason} AS reject_reason FROM events
+)
+SELECT CASE WHEN reject_reason IS NULL THEN 'good' ELSE 'quarantine' END
+           AS route,
+       COALESCE(reject_reason, 'ok') AS reject_reason,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+       {dsum_sql('value', 'value_sum')}
+FROM flagged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous sketch maintenance (q95, file_stream.stream_events_kmv,
     r8): each micro-batch KMV-sketches its slice (≤k hashes per
@@ -7463,6 +7506,13 @@ QUERIES: dict[str, QuerySpec] = {
     # end-to-end (q-name: outside the 50-slot driver window, judge-run)
     # r7 rotation (takes a54's window slot): the commit-protocol
     # streaming twin of a47 goes under the driver gate.
+    "a215_stream_quarantine": QuerySpec(
+        q_stream_quarantine,
+        _q_stream_quarantine_sql(),
+        "constraint-gated dead-letter routing: one stream, two "
+        "exactly-once published tables (good + quarantine with "
+        "first-failing-check reasons)",
+    ),
     "a157_stream_publish": QuerySpec(
         q_stream_publish,
         _Q_STREAM_PUBLISH_SQL,
@@ -7614,7 +7664,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_bfs_khop_sql(),
         "multi-source BFS hop levels: frontier expansion + visited anti-join",
     ),
-    "a173_k_core": QuerySpec(
+    "q313_k_core": QuerySpec(
         q_k_core,
         _q_k_core_sql(),
         "k-core peeling with in-band convergence certificate",
