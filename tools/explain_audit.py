@@ -119,6 +119,15 @@ FORBIDDEN_NODES = {
     # r13: hot/cold split — both branches stay equi-joins (broadcast
     # hash on the hot side), so the ban holds for the skewed fixture
     "a205_containment_skew": "CartesianProduct",
+    # r13: the constraint suite's ref check joins broadcast dim key
+    # sets — a sort-merge join would mean the fact table shuffled for
+    # a report that must stay one-scan
+    "a212_constraint_suite": "SortMergeJoin",
+    # r13: zonemap/fd cross joins are 1-row scalar broadcasts
+    # (BroadcastNestedLoopJoin); a CartesianProduct would mean a
+    # non-singleton side slipped in
+    "a213_zonemap_pruning": "CartesianProduct",
+    "a214_fd_profile": "CartesianProduct",
 }
 
 
