@@ -200,3 +200,95 @@ def test_event_transitions_partition_invariant(spark):
     for src, _dst, _n, _tot, p in res[0]:
         sums[src] += p
     assert all(1_000_000 - 30 <= s <= 1_000_000 for s in sums.values())
+
+
+def test_robust_group_stats_hand_computed(spark):
+    from xml_to_parquet_spark.operators.aggregation import (
+        robust_group_stats,
+    )
+
+    # group g: 10 values, trim 10% per side -> k=1: drop 1.0 and 100.0
+    vals = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v double"
+    )
+    r = robust_group_stats(df, ["grp"], "v", trim_ppm=100_000).collect()[0]
+    assert r["n"] == 10 and r["k"] == 1
+    assert r["mean"] == sum(vals) / 10
+    kept = sorted(vals)[1:-1]
+    assert r["trimmed_mean"] == sum(kept) / 8
+    # winsorize: 1.0 -> 2.0 (rank k+1 value), 100.0 -> 8.0 (rank n-k)
+    wins = [2.0] + kept + [8.0]
+    assert r["winsorized_mean"] == sum(wins) / 10
+
+
+def test_robust_group_stats_tie_at_cut_is_invariant(spark):
+    """Ties straddling the cut: any k-smallest multiset is the same
+    values, so the result must not depend on partitioning/order."""
+    from xml_to_parquet_spark.operators.aggregation import (
+        robust_group_stats,
+    )
+
+    vals = [5.0, 5.0, 5.0, 1.0, 9.0]  # k=1 at 200000 ppm
+    base = [("g", v) for v in vals]
+    a = robust_group_stats(
+        spark.createDataFrame(base, "grp string, v double").repartition(1),
+        ["grp"], "v", trim_ppm=200_000,
+    ).collect()
+    b = robust_group_stats(
+        spark.createDataFrame(base[::-1], "grp string, v double")
+        .repartition(7),
+        ["grp"], "v", trim_ppm=200_000,
+    ).collect()
+    assert a == b
+    assert a[0]["trimmed_mean"] == 5.0  # drop 1.0 and 9.0
+
+
+def test_robust_group_stats_degenerate_group_returns_null(spark):
+    from xml_to_parquet_spark.operators.aggregation import (
+        robust_group_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("tiny", 1.0), ("tiny", 2.0)]
+        + [("big", float(i)) for i in range(10)],
+        "grp string, v double",
+    )
+    rows = {
+        r["grp"]: r
+        for r in robust_group_stats(
+            df, ["grp"], "v", trim_ppm=500_000
+        ).collect()
+    }
+    # tiny: n=2, k=1, 2k >= n -> nothing survives the cut
+    assert rows["tiny"]["trimmed_mean"] is None
+    assert rows["tiny"]["winsorized_mean"] is None
+    assert rows["tiny"]["mean"] == 1.5
+    # big: n=10, k=5 -> also degenerate (exactly 2k = n)
+    assert rows["big"]["trimmed_mean"] is None
+
+
+def test_robust_group_stats_duckdb_replay(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.aggregation import (
+        robust_group_stats,
+        robust_group_stats_sql,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).cast("string").alias("grp"),
+        ((F.col("id") * 137 % 9973) / 100.0).alias("v"),
+    )
+    got = [
+        tuple(r)
+        for r in robust_group_stats(df, ["grp"], "v", 80_000).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        robust_group_stats_sql("t", ["grp"], "v", 80_000)
+    ).fetchall()
+    assert got == want

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Exact-arithmetic working type for money-style doubles. 2 source decimals;
@@ -420,4 +420,146 @@ SELECT src, dst, CAST(n AS BIGINT) AS n,
          AS p_ppm
 FROM pairs
 ORDER BY src, dst
+"""
+
+
+def robust_group_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim_ppm: int = 50_000,
+) -> DataFrame:
+    """Per-group robust means: plain, trimmed, and winsorized, in one
+    shuffle.
+
+    ``trim_ppm`` is the per-side cut: k = floor(n·trim_ppm/1e6) rows
+    are dropped from each tail (trimmed) or clamped to the surviving
+    boundary order statistics (winsorized) before averaging — the
+    standard defenses against the heavy-tailed junk (crawler blowups,
+    price glitches, length outliers) that makes a plain mean useless
+    as a pipeline health metric.
+
+    Tie-invariance: the cut is by rank over (value), and any k-smallest
+    MULTISET of values is identical regardless of how ties order, so
+    the trimmed/winsorized sums are deterministic without a tiebreak
+    column. All sums are exact 2-decimal decimals (the dsum pattern);
+    each mean is one final double division — bit-identical in DuckDB
+    (:func:`robust_group_stats_sql`).
+
+    Scale shape: ONE shuffle on the group key; the rank and the
+    boundary order statistics ride two window frames over the same
+    partitioning (no second exchange). Per-group state is the group's
+    rows in one task — for millions-of-rows single groups use the
+    quantile sketch (sketches) to cut approximately instead. Groups
+    with n ≤ 2k return NULL trimmed/winsorized means (nothing
+    survives the cut) rather than a number the cut could not support.
+
+    Returns ``(group_cols…, n, k, mean, trimmed_mean,
+    winsorized_mean)`` ordered by the group columns.
+    """
+    gcols = list(group_cols)
+    w_ord = Window.partitionBy(*gcols).orderBy(F.col(value_col))
+    w_all = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v_dec = F.col(value_col).cast(_DEC)
+    staged = (
+        df.withColumn("__r", F.row_number().over(w_ord))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__k", F.expr(f"(__n * {trim_ppm}) div 1000000"))
+        .withColumn(
+            "__lo",
+            F.max(F.when(F.col("__r") == F.col("__k") + 1, v_dec)).over(
+                w_all
+            ),
+        )
+        .withColumn(
+            "__hi",
+            F.max(
+                F.when(F.col("__r") == F.col("__n") - F.col("__k"), v_dec)
+            ).over(w_all),
+        )
+    )
+    kept = (F.col("__r") > F.col("__k")) & (
+        F.col("__r") <= F.col("__n") - F.col("__k")
+    )
+    wins_val = (
+        F.when(F.col("__r") <= F.col("__k"), F.col("__lo"))
+        .when(F.col("__r") > F.col("__n") - F.col("__k"), F.col("__hi"))
+        .otherwise(v_dec)
+    )
+    out = (
+        staged.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__k").cast("long").alias("k"),
+            (F.sum(v_dec).cast(_DEC_SUM).cast("double") / F.count(F.lit(1)))
+            .alias("mean"),
+            F.sum(F.when(kept, v_dec)).cast(_DEC_SUM).alias("__tsum"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("__tn"),
+            F.sum(wins_val).cast(_DEC_SUM).alias("__wsum"),
+        )
+        .select(
+            *gcols,
+            "n",
+            "k",
+            "mean",
+            F.when(
+                F.col("__tn") > 0,
+                F.col("__tsum").cast("double") / F.col("__tn"),
+            ).alias("trimmed_mean"),
+            F.when(
+                F.col("__tn") > 0,
+                F.col("__wsum").cast("double") / F.col("n"),
+            ).alias("winsorized_mean"),
+        )
+        .orderBy(*gcols)
+    )
+    return out
+
+
+def robust_group_stats_sql(
+    table: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim_ppm: int = 50_000,
+) -> str:
+    """DuckDB twin of :func:`robust_group_stats` — same rank cut, same
+    exact decimal sums, same single double division per mean."""
+    g = ", ".join(group_cols)
+    v = f"CAST({value_col} AS DECIMAL(18,2))"
+    return f"""
+WITH staged AS (
+  SELECT {g}, {v} AS v,
+         ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {value_col}) AS r,
+         COUNT(*) OVER (PARTITION BY {g}) AS n
+  FROM {table}
+),
+cut AS (
+  SELECT *, (n * {trim_ppm}) // 1000000 AS k FROM staged
+),
+bounds AS (
+  SELECT *,
+         MAX(CASE WHEN r = k + 1 THEN v END)
+             OVER (PARTITION BY {g}) AS lo,
+         MAX(CASE WHEN r = n - k THEN v END)
+             OVER (PARTITION BY {g}) AS hi
+  FROM cut
+)
+SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(k) AS BIGINT) AS k,
+       CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS mean,
+       CASE WHEN SUM(CASE WHEN r > k AND r <= n - k THEN 1 ELSE 0 END) > 0
+            THEN CAST(CAST(SUM(CASE WHEN r > k AND r <= n - k THEN v END)
+                      AS DECIMAL(38,2)) AS DOUBLE)
+                 / SUM(CASE WHEN r > k AND r <= n - k THEN 1 ELSE 0 END)
+       END AS trimmed_mean,
+       CASE WHEN SUM(CASE WHEN r > k AND r <= n - k THEN 1 ELSE 0 END) > 0
+            THEN CAST(CAST(SUM(CASE WHEN r <= k THEN lo
+                                    WHEN r > n - k THEN hi
+                                    ELSE v END) AS DECIMAL(38,2)) AS DOUBLE)
+                 / COUNT(*)
+       END AS winsorized_mean
+FROM bounds
+GROUP BY {g}
+ORDER BY {g}
 """

@@ -6780,6 +6780,34 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust grouped means (aggregation.robust_group_stats): plain,
+    5%-trimmed, and 5%-winsorized mean of o_totalprice per
+    o_orderpriority in ONE shuffle — rank cut + boundary order
+    statistics ride two window frames over the same partitioning. The
+    cut is tie-invariant (any k-smallest multiset is the same values),
+    sums are exact decimals, each mean one double division — so the
+    oracle replays all three columns bit-for-bit."""
+    from xml_to_parquet_spark.operators.aggregation import (
+        robust_group_stats,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return robust_group_stats(
+        orders, ["o_orderpriority"], "o_totalprice", trim_ppm=50_000
+    )
+
+
+def _q_robust_stats_sql() -> str:
+    from xml_to_parquet_spark.operators.aggregation import (
+        robust_group_stats_sql,
+    )
+
+    return robust_group_stats_sql(
+        "orders", ["o_orderpriority"], "o_totalprice", trim_ppm=50_000
+    )
+
+
 def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency profiling (constraints.functional_dep):
     ppm of rows agreeing with their lhs-group's majority rhs value —
@@ -7654,7 +7682,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_bucket_anomalies_sql(),
         "time-bucket volume anomalies: integer z-score test, no floats",
     ),
-    "a189_k_anonymize": QuerySpec(
+    "q314_k_anonymize": QuerySpec(
         q_k_anonymize,
         _q_k_anonymize_sql(),
         "k-anonymity suppression of small quasi-identifier classes",
@@ -7859,6 +7887,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a216_robust_stats": QuerySpec(
+        q_robust_stats,
+        _q_robust_stats_sql(),
+        "robust grouped means: plain/trimmed/winsorized o_totalprice "
+        "per priority, one shuffle, exact decimal sums",
     ),
     "a214_fd_profile": QuerySpec(
         q_fd_profile,
