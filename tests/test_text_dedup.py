@@ -1966,3 +1966,83 @@ def test_containment_sketch_small_doc_sketch_is_exact(spark):
     ]
     # doc 1 has 2 trigrams, both in doc 2
     assert got == [(1, 2, 2, 2)]
+
+
+def test_chunk_documents_boundary_contract(spark):
+    from xml_to_parquet_spark.functions.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(
+        df, chunk_tokens=4, overlap_tokens=1
+    ).collect()
+    # stride 3: starts 0,3,6 cover tokens 0..9 (last chunk 6..9)
+    assert [(r.chunk_idx, r.tok_start, r.chunk_len) for r in rows] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4),
+    ]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"
+    assert rows[2].chunk_text == "t6 t7 t8 t9"
+    assert all(r.n_chunks == 3 for r in rows)
+    # every token covered exactly via starts/lens
+    covered = set()
+    for r in rows:
+        covered |= set(range(r.tok_start, r.tok_start + r.chunk_len))
+    assert covered == set(range(10))
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    from xml_to_parquet_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(df, chunk_tokens=8, overlap_tokens=2)
+        .collect()
+    }
+    assert len(rows) == 3  # one chunk per doc, empties included
+    assert rows[(1, 0)].chunk_text == "only three tokens"
+    assert rows[(1, 0)].chunk_len == 3
+    assert rows[(2, 0)].chunk_text == "" and rows[(2, 0)].chunk_len == 0
+    assert rows[(3, 0)].chunk_text == ""
+
+
+def test_chunk_documents_tail_never_dangles(spark):
+    """The last chunk must always end at the final token, and every
+    chunk past the first must start exactly stride tokens later."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.text import chunk_documents
+
+    df = spark.range(1, 40).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, CAST(id AS INT)), "
+            "i -> concat('w', i)), ' ')"
+        ).alias("text"),
+    )
+    out = chunk_documents(df, chunk_tokens=7, overlap_tokens=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = doc_id  # doc i has i tokens
+        last = chunks[-1]
+        assert last.tok_start + last.chunk_len == n
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.tok_start - a.tok_start == 4  # stride
+            assert b.chunk_len >= 1
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest
+
+    from xml_to_parquet_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)

@@ -1513,3 +1513,117 @@ def strip_corpus_duplicate_lines(
             F.col(text_col).isNull(), F.lit(None).cast("string")
         ).otherwise(F.coalesce(F.col(out_col), F.lit(""))),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """RAG-style document chunking: split each document into
+    overlapping windows of ``chunk_tokens`` whitespace tokens with
+    ``overlap_tokens`` carried between consecutive chunks (stride =
+    chunk − overlap) — the ingest step between raw documents and an
+    embedding/retrieval index.
+
+    Boundary contract (exactly SQL-replayable): chunk i covers tokens
+    [i·stride, min(i·stride + chunk, n)); a document emits
+    ``1 + ceil((n − chunk)/stride)`` chunks when n > chunk, else
+    exactly one — so every token is covered, every chunk beyond the
+    first starts stride tokens after its predecessor, the final chunk
+    always ends at the document's last token, and an EMPTY document
+    still emits one empty chunk (doc coverage is preserved through
+    ingest, the invariant downstream joins rely on).
+
+    Scale shape: pure JVM expressions — split, sequence + explode,
+    slice, array_join; no UDF, no shuffle (row amplification
+    ≈ n/stride per doc is the output's intrinsic size). ``chunk_key``
+    is md5(doc_id:idx), the stable handle for incremental re-embedding
+    and chunk-level dedup.
+
+    Returns ``(id_col, chunk_idx, n_chunks, tok_start, chunk_len,
+    chunk_text, chunk_key)``, one row per chunk.
+    """
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < chunk, got {overlap_tokens}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.expr("CAST(array() AS array<string>)")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    staged = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__nc",
+            F.expr(
+                f"CASE WHEN __n <= {chunk_tokens} THEN 1 "
+                f"ELSE 1 + ((__n - {chunk_tokens} + {stride} - 1) "
+                f"div {stride}) END"
+            ),
+        )
+        .withColumn("chunk_idx", F.explode(F.expr("sequence(0, __nc - 1)")))
+    )
+    start = F.col("chunk_idx") * stride
+    clen = F.least(F.lit(chunk_tokens), F.col("__n") - start)
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("__nc").cast("long").alias("n_chunks"),
+        start.cast("long").alias("tok_start"),
+        clen.cast("long").alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("__toks"), start + 1, clen), " "
+        ).alias("chunk_text"),
+        F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"),
+                        F.col("chunk_idx").cast("string"))
+        ).alias("chunk_key"),
+    ).orderBy(id_col, "chunk_idx")
+
+
+def chunk_documents_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` — same trim/whitespace
+    split, same ceil arithmetic, same 1-based slice bounds."""
+    stride = chunk_tokens - overlap_tokens
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         CASE WHEN trim({text_col}) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim({text_col}), '\\s+') END
+             AS t
+  FROM {table}
+),
+sized AS (
+  SELECT {id_col}, t, len(t) AS n,
+         CASE WHEN len(t) <= {chunk_tokens} THEN 1
+              ELSE 1 + (len(t) - {chunk_tokens} + {stride} - 1)
+                   // {stride} END AS nc
+  FROM toks
+),
+x AS (
+  SELECT {id_col}, t, n, nc, UNNEST(range(nc)) AS i FROM sized
+)
+SELECT {id_col}, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(nc AS BIGINT) AS n_chunks,
+       CAST(i * {stride} AS BIGINT) AS tok_start,
+       CAST(LEAST({chunk_tokens}, n - i * {stride}) AS BIGINT) AS chunk_len,
+       array_to_string(
+         t[CAST(i * {stride} + 1 AS BIGINT):
+           CAST(i * {stride}
+                + LEAST({chunk_tokens}, n - i * {stride}) AS BIGINT)],
+         ' ') AS chunk_text,
+       md5(CAST({id_col} AS VARCHAR) || ':' || CAST(i AS VARCHAR))
+           AS chunk_key
+FROM x
+ORDER BY {id_col}, chunk_idx
+"""

@@ -6780,6 +6780,28 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (text.chunk_documents): overlapping 16-token
+    windows with 4-token carryover over documents — the ingest step
+    between raw docs and an embedding index. Pure JVM expressions
+    (split/sequence/explode/slice), no UDF, no shuffle; every token
+    covered, final chunk pinned to the doc tail, empty docs keep one
+    empty chunk (doc coverage preserved), md5 chunk keys as the
+    incremental re-embedding handle. Oracle replays every boundary."""
+    from xml_to_parquet_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=16, overlap_tokens=4)
+
+
+def _q_doc_chunks_sql() -> str:
+    from xml_to_parquet_spark.functions.text import chunk_documents_sql
+
+    return chunk_documents_sql(
+        "documents", chunk_tokens=16, overlap_tokens=4
+    )
+
+
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust grouped means (aggregation.robust_group_stats): plain,
     5%-trimmed, and 5%-winsorized mean of o_totalprice per
@@ -7717,7 +7739,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_WAV_FEATURES_SQL,
         "REAL WAV audio round-trip: JVM-built PCM16, stdlib-wave parse",
     ),
-    "a175_jl_project": QuerySpec(
+    "q315_jl_project": QuerySpec(
         q_jl_project,
         _q_jl_project_sql(),
         "JL sign projection: literal Rademacher matrix, map-only, exact",
@@ -7887,6 +7909,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a217_doc_chunks": QuerySpec(
+        q_doc_chunks,
+        _q_doc_chunks_sql(),
+        "RAG chunking: overlapping token windows over documents, "
+        "JVM-side explode/slice, md5 chunk keys",
     ),
     "a216_robust_stats": QuerySpec(
         q_robust_stats,
