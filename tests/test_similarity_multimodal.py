@@ -1714,3 +1714,105 @@ def test_mmr_select_partition_invariant_and_matches_duckdb(spark, sf_dir):
             con.execute(mmr_select_sql("embeddings", k=6, query_id=3))
             .fetchall()]
     assert draws[0] == want
+
+
+def test_embedding_diversity_matches_brute_force(spark):
+    """The moment identity must equal the O(n^2) pairwise mean on the
+    same quantized vectors."""
+    import itertools
+
+    from xml_to_parquet_spark.functions.similarity import (
+        embedding_diversity,
+    )
+
+    vecs = {
+        "a": [[0.1, 0.2, 0.3], [0.4, 0.1, 0.0], [0.9, 0.9, 0.9],
+              [0.2, 0.2, 0.2]],
+        "b": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+    }
+    rows = [(g, v) for g, vs in vecs.items() for v in vs]
+    df = spark.createDataFrame(
+        rows, "label string, embedding array<float>"
+    )
+    got = {
+        r["label"]: r
+        for r in embedding_diversity(
+            df, group_cols=("label",), quant=1024
+        ).collect()
+    }
+    import math
+
+    for g, vs in vecs.items():
+        q = [
+            [math.floor(float(np_v) * 1024 + 0.5) for np_v in v]
+            for v in vs
+        ]
+        n = len(q)
+        total = sum(
+            sum((x - y) ** 2 for x, y in zip(a, b))
+            for a, b in itertools.permutations(q, 2)
+        )
+        assert got[g]["mean_sqdist_q2"] == total // (n * (n - 1))
+        assert got[g]["n"] == n and got[g]["dim"] == 3
+
+
+def test_embedding_diversity_detects_collapse(spark):
+    """A collapsed group (identical vectors) must score 0, far below a
+    diverse group."""
+    from xml_to_parquet_spark.functions.similarity import (
+        embedding_diversity,
+    )
+
+    rows = [("dup", [0.5, 0.5]) for _ in range(5)] + [
+        ("div", [float(i) / 4, 1.0 - float(i) / 4]) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, embedding array<float>"
+    )
+    got = {
+        r["label"]: r["mean_sqdist_q2"]
+        for r in embedding_diversity(df).collect()
+    }
+    assert got["dup"] == 0
+    assert got["div"] > 0
+
+
+def test_embedding_diversity_singleton_group_null(spark):
+    from xml_to_parquet_spark.functions.similarity import (
+        embedding_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("solo", [0.1, 0.2])], "label string, embedding array<float>"
+    )
+    r = embedding_diversity(df).collect()[0]
+    assert r["mean_sqdist_q2"] is None and r["n"] == 1
+
+
+def test_embedding_diversity_duckdb_replay(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.similarity import (
+        embedding_diversity,
+        embedding_diversity_sql,
+    )
+
+    df = spark.range(60).select(
+        (F.col("id") % 4).alias("label"),
+        F.expr(
+            "transform(sequence(0, 7), "
+            "d -> CAST(pmod(xxhash64(id, d), 1000) AS FLOAT) / 1000.0)"
+        ).alias("embedding"),
+    )
+    got = [
+        tuple(r)
+        for r in embedding_diversity(df, group_cols=("label",)).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        embedding_diversity_sql("t", group_cols=("label",))
+    ).fetchall()
+    assert got == want

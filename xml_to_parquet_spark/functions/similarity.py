@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1813,3 +1814,103 @@ def mmr_select_sql(
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n".join(parts) + f"\n{finals} ORDER BY rk"
+
+
+def embedding_diversity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_cols: Sequence[str] = ("label",),
+    quant: int = 1024,
+) -> DataFrame:
+    """Per-group embedding diversity WITHOUT a pairwise join: the mean
+    squared distance over all ordered pairs i≠j satisfies the moment
+    identity Σ_{i,j}‖x_i−x_j‖² = 2n·Σ‖x_i‖² − 2‖Σx_i‖², so collapse
+    risk (mode collapse, near-duplicate floods, a source feeding the
+    same template) is measurable from TWO moments computed in one
+    pass — where the naive estimator is an O(n²) self-join.
+
+    Exact arithmetic: vectors are quantized to int64
+    (:func:`quantize_vec`, IEEE-deterministic), every sum is integer,
+    and the mean is one integer floor-division — the DuckDB twin
+    replays it bit-for-bit. The reported ``mean_sqdist_q2`` is in
+    quantized units² (divide by quant² for cosine-space magnitude);
+    groups with n ≤ 1 return NULL (no pairs to speak for).
+
+    Scale shape: one posexplode shuffle of n·dim rows into a
+    (group, dim) partial agg, then a group-level fold — both stages
+    map-side combinable; the group count joins in broadcast. BIGINT
+    bounds hold to ~10⁹ rows·dim at quant=1024 (2n·Σ‖q‖² is the
+    widest term); swap the two sums to DECIMAL(38,0) beyond that.
+
+    Returns ``(group_cols…, n, dim, mean_sqdist_q2)`` ordered.
+    """
+    gcols = list(group_cols)
+    q = quantize_vec(F.col(vec_col), quant)
+    exploded = df.select(
+        *gcols, F.posexplode(q).alias("__pos", "__v")
+    )
+    per_dim = exploded.groupBy(*gcols, "__pos").agg(
+        F.sum("__v").alias("__s1"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ssq"),
+    )
+    moments = per_dim.groupBy(*gcols).agg(
+        F.sum("__ssq").alias("__ssq"),
+        F.sum(F.col("__s1") * F.col("__s1")).alias("__s1sq"),
+        (F.max("__pos") + 1).cast("long").alias("dim"),
+    )
+    counts = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        moments.join(F.broadcast(counts), on=gcols)
+        .select(
+            *gcols,
+            "n",
+            "dim",
+            F.when(
+                F.col("n") > 1,
+                F.expr(
+                    "div(2 * n * __ssq - 2 * __s1sq, n * (n - 1))"
+                ),
+            ).alias("mean_sqdist_q2"),
+        )
+        .orderBy(*gcols)
+    )
+
+
+def embedding_diversity_sql(
+    table: str,
+    vec_col: str = "embedding",
+    group_cols: Sequence[str] = ("label",),
+    quant: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`embedding_diversity` — parallel unnests
+    zip value and position, same quantization, same integer moments."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH ex AS (
+  SELECT {g},
+         CAST(FLOOR(CAST(UNNEST({vec_col}) AS DOUBLE) * {quant} + 0.5)
+              AS BIGINT) AS v,
+         UNNEST(range(len({vec_col}))) AS pos
+  FROM {table}
+),
+per_dim AS (
+  SELECT {g}, pos, SUM(v) AS s1, SUM(v * v) AS ssq
+  FROM ex GROUP BY {g}, pos
+),
+moments AS (
+  SELECT {g}, SUM(ssq) AS ssq, SUM(s1 * s1) AS s1sq,
+         CAST(MAX(pos) + 1 AS BIGINT) AS dim
+  FROM per_dim GROUP BY {g}
+),
+counts AS (
+  SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n FROM {table} GROUP BY {g}
+)
+SELECT {g}, n, dim,
+       CASE WHEN n > 1
+            THEN CAST((2 * n * ssq - 2 * s1sq) // (n * (n - 1))
+                      AS BIGINT) END AS mean_sqdist_q2
+FROM moments JOIN counts USING ({g})
+ORDER BY {g}
+"""

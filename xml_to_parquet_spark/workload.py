@@ -6780,6 +6780,29 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity via the moment identity
+    (similarity.embedding_diversity): mean pairwise squared distance
+    from TWO one-pass integer moments — 2n·Σ‖x‖² − 2‖Σx‖² over
+    n(n−1) — where the naive estimator is an O(n²) self-join. The
+    collapse/near-dup-flood health metric for an embedding corpus,
+    exact to the last integer digit in both engines."""
+    from xml_to_parquet_spark.functions.similarity import (
+        embedding_diversity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_diversity(emb)
+
+
+def _q_embedding_diversity_sql() -> str:
+    from xml_to_parquet_spark.functions.similarity import (
+        embedding_diversity_sql,
+    )
+
+    return embedding_diversity_sql("embeddings")
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking (text.chunk_documents): overlapping 16-token
     windows with 4-token carryover over documents — the ingest step
@@ -7759,7 +7782,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_phrase_query_sql(),
         "positional-index phrase query: offset-aligned postings joins",
     ),
-    "a194_jl_ann": QuerySpec(
+    "q316_jl_ann": QuerySpec(
         q_jl_ann,
         _q_jl_ann_sql(),
         "two-stage ANN: JL integer prefilter, exact quantized re-rank",
@@ -7909,6 +7932,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a218_embedding_diversity": QuerySpec(
+        q_embedding_diversity,
+        _q_embedding_diversity_sql(),
+        "per-label embedding diversity from one-pass integer moments "
+        "(no pairwise join)",
     ),
     "a217_doc_chunks": QuerySpec(
         q_doc_chunks,
