@@ -81,3 +81,63 @@ def test_null_on_fail_cast_edge_cases(spark):
         r.v for r in df.select(F.col("s").try_cast("double").alias("v")).collect()
     ]
     assert vals == [1.5, 2.5, 100000.0, None, None, None, None]
+
+
+def test_rate_limit_flags_semantics(spark):
+    """Window boundary, same-second peers, and per-key isolation."""
+    from datetime import datetime
+
+    from xml_to_parquet_spark.operators.window import rate_limit_flags
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user a: 3 events in one second -> peers, all counted together
+        ("a", t(0)), ("a", t(0)), ("a", t(0)),
+        # 10s window, limit 3: event at t=9 is IN the window (range
+        # covers [0, 9]) -> count 4 -> throttled
+        ("a", t(9)),
+        # t=10 is OUTSIDE the [1, 10] window's... the first 3 left at
+        # t >= 10 (range [1,10] excludes t=0) -> count 2 with t=9
+        ("a", t(10)),
+        # user b independent
+        ("b", t(9)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        (r.k, r.ts.second, r.win_count, r.throttled)
+        for r in rate_limit_flags(df, "k", "ts", limit=3, window_s=10)
+        .collect()
+    }
+    assert ("a", 0, 3, False) in got
+    assert ("a", 9, 4, True) in got
+    assert ("a", 10, 2, False) in got
+    assert ("b", 9, 1, False) in got
+
+
+def test_rate_limit_flags_same_second_verdict_is_shared(spark):
+    """All events in one second get the same verdict regardless of
+    partitioning (RANGE peers, not ROWS order)."""
+    from datetime import datetime
+
+    from xml_to_parquet_spark.operators.window import rate_limit_flags
+
+    rows = [("u", datetime(2024, 1, 1, 0, 0, 5))] * 5
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp"
+    ).repartition(4)
+    out = rate_limit_flags(df, "k", "ts", limit=3, window_s=60).collect()
+    assert {(r.win_count, r.throttled) for r in out} == {(5, True)}
+
+
+def test_rate_limit_flags_validates(spark):
+    import pytest
+
+    from xml_to_parquet_spark.operators.window import rate_limit_flags
+
+    df = spark.createDataFrame([("u",)], "k string").withColumn(
+        "ts", F.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="limit"):
+        rate_limit_flags(df, "k", "ts", limit=0, window_s=10)

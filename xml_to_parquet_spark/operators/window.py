@@ -73,3 +73,47 @@ def grouped_topk(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def rate_limit_flags(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    limit: int,
+    window_s: int,
+) -> DataFrame:
+    """Sliding-log rate limiting as a batch window: flag every event
+    whose key has had MORE than ``limit`` events in the trailing
+    ``window_s`` seconds (inclusive of the current second) — the
+    offline replay of an API/abuse throttle, and the audit tool for
+    choosing its parameters before deploying one.
+
+    Semantics are SECOND-granular and tie-deterministic by
+    construction: the count runs over a RANGE frame on epoch seconds,
+    so all events sharing a timestamp are peers and receive the SAME
+    verdict — no dependence on intra-second ordering (a ROWS frame
+    would silently order ties arbitrarily and break replay). The flag
+    means "at this event's second, the key exceeded limit within the
+    window", matching a sliding-log limiter that admits or rejects
+    whole seconds.
+
+    Scale shape: one shuffle on the key; the range frame is a single
+    pass over each key's timeline (Spark keeps a sliding frame, not
+    per-row rescans). Per-key state is that key's rows in one task —
+    the same hot-key caveat as every per-key timeline op here (salt or
+    pre-aggregate to (key, second) counts first for abusive keys,
+    which preserves these exact semantics).
+
+    Returns the input columns plus ``win_count`` and ``throttled``.
+    """
+    if limit < 1 or window_s < 1:
+        raise ValueError(f"need limit>=1, window_s>=1: {limit}/{window_s}")
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    return df.withColumn(
+        "win_count", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn("throttled", F.col("win_count") > limit)

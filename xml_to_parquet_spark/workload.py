@@ -6780,6 +6780,52 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-log rate limiting replayed offline
+    (operators/window.rate_limit_flags): flag events whose user
+    exceeded 4 events in the trailing 24 h, then aggregate throttle
+    rates per event_type — the audit a platform runs BEFORE deploying
+    a limiter. RANGE frame on epoch seconds ⇒ same-second events get
+    the same verdict (tie-deterministic), one shuffle on user_id."""
+    from xml_to_parquet_spark.operators.window import rate_limit_flags
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = rate_limit_flags(
+        ev, "user_id", "ts", limit=4, window_s=86_400
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("throttled").cast("long")).alias("n_throttled"),
+            F.max("win_count").alias("max_win"),
+        )
+        .withColumn(
+            "throttle_ppm", F.expr("div(1000000 * n_throttled, n)")
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_RATE_LIMIT_SQL = """
+WITH f AS (
+  SELECT event_type,
+         COUNT(*) OVER (PARTITION BY user_id
+                        ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+             AS win_count
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN win_count > 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_throttled,
+       CAST(MAX(win_count) AS BIGINT) AS max_win,
+       CAST(1000000 * SUM(CASE WHEN win_count > 4 THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS throttle_ppm
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding diversity via the moment identity
     (similarity.embedding_diversity): mean pairwise squared distance
@@ -7812,7 +7858,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_stream_drift_sql(),
         "streaming drift monitor: published partial counts == batch report",
     ),
-    "a183_incremental_agg": QuerySpec(
+    "q317_incremental_agg": QuerySpec(
         q_incremental_agg,
         _Q_INCREMENTAL_AGG_SQL,
         "O(delta) materialized-view refresh from the publish change feed",
@@ -7932,6 +7978,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a219_rate_limit": QuerySpec(
+        q_rate_limit,
+        _Q_RATE_LIMIT_SQL,
+        "sliding-log rate limiter replay: per-type throttle rates for "
+        "4 events / 24h per user, tie-deterministic RANGE frame",
     ),
     "a218_embedding_diversity": QuerySpec(
         q_embedding_diversity,
