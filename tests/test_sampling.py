@@ -670,3 +670,81 @@ def test_grouped_priority_sample_matches_duckdb(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_top_p_select_minimal_covering_prefix(spark):
+    from xml_to_parquet_spark.functions.sampling import top_p_select
+
+    # weights 50,30,12,5,3 (total 100): p=0.8 -> keep 50,30 (cum 80)
+    # because before-row cum of the 12-row is 80 = p*total (not <)
+    rows = [("g", "a", 50), ("g", "b", 30), ("g", "c", 12),
+            ("g", "d", 5), ("g", "e", 3)]
+    df = spark.createDataFrame(rows, "grp string, id string, n long")
+    got = top_p_select(df, ["grp"], "n", "id", 4, 5).collect()
+    assert [(r.id, r.rank, r.cum_weight) for r in got] == [
+        ("a", 1, 50), ("b", 2, 80)
+    ]
+    assert got[-1].cum_share_ppm == 800_000
+    # p=0.81 -> the crossing row IS kept
+    got2 = top_p_select(df, ["grp"], "n", "id", 81, 100).collect()
+    assert [r.id for r in got2] == ["a", "b", "c"]
+
+
+def test_top_p_select_tie_break_and_partition_invariance(spark):
+    from xml_to_parquet_spark.functions.sampling import top_p_select
+
+    rows = [("g", f"id{i}", 10) for i in range(10)]  # all tied
+    a = top_p_select(
+        spark.createDataFrame(rows, "grp string, id string, n long")
+        .repartition(1),
+        ["grp"], "n", "id", 1, 2,
+    ).collect()
+    b = top_p_select(
+        spark.createDataFrame(rows[::-1], "grp string, id string, n long")
+        .repartition(8),
+        ["grp"], "n", "id", 1, 2,
+    ).collect()
+    assert a == b
+    # exactly the 5 lexicographically-smallest ids survive at p=1/2
+    assert [r.id for r in a] == ["id0", "id1", "id2", "id3", "id4"]
+
+
+def test_top_p_select_full_mass_and_validation(spark):
+    import pytest
+
+    from xml_to_parquet_spark.functions.sampling import top_p_select
+
+    rows = [("g", "a", 1), ("g", "b", 1)]
+    df = spark.createDataFrame(rows, "grp string, id string, n long")
+    assert top_p_select(df, ["grp"], "n", "id", 1, 1).count() == 2
+    with pytest.raises(ValueError, match="p_num"):
+        top_p_select(df, ["grp"], "n", "id", 0, 5)
+    with pytest.raises(ValueError, match="p_num"):
+        top_p_select(df, ["grp"], "n", "id", 6, 5)
+
+
+def test_top_p_select_duckdb_replay(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.sampling import (
+        top_p_select,
+        top_p_select_sql,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("grp"),
+        F.col("id").alias("item"),
+        (F.col("id") * 31 % 97 + 1).alias("n"),
+    )
+    got = [
+        tuple(r)
+        for r in top_p_select(df, ["grp"], "n", "item", 7, 10).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        top_p_select_sql("t", ["grp"], "n", "item", 7, 10)
+    ).fetchall()
+    assert got == want

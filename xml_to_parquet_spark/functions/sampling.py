@@ -1115,3 +1115,118 @@ WHERE {text_col} IS NOT NULL AND length({text_col}) > 0
     if order:
         sql += f"ORDER BY {id_col}, chunk_idx"
     return sql
+
+
+def top_p_select(
+    df: DataFrame,
+    group_cols,
+    weight_col: str,
+    id_col: str,
+    p_num: int,
+    p_den: int,
+) -> DataFrame:
+    """Nucleus (top-p) truncation per group: keep the SMALLEST prefix
+    of rows — heaviest first, ties broken by ``id_col`` ascending —
+    whose cumulative weight reaches fraction p of the group total.
+    The vocabulary-truncation / mixture-clipping / source-capping
+    primitive: "the tokens covering 80% of each language's mass",
+    "the domains covering 95% of the crawl".
+
+    Keep rule (standard nucleus semantics, exact in integers): a row
+    is kept iff the cumulative weight BEFORE it has not yet reached
+    p·total — so the first row crossing the threshold is included and
+    coverage ≥ p is guaranteed with the fewest rows. Weights must be
+    non-negative integers (counts); the rule multiplies through by
+    ``p_den`` so no division happens at all.
+
+    Determinism: ties in weight are ordered by ``id_col``, making the
+    kept SET (not just its size) reproducible across partitionings —
+    required because selection identity matters here, unlike
+    trim-style cuts where any k-smallest multiset is equivalent.
+
+    Scale shape: one shuffle on the group key; the group total and the
+    running sum are two frames over the same window partitioning. The
+    per-group timeline lives in one task — for a group with billions
+    of DISTINCT weights, pre-aggregate equal weights first (this
+    operator is downstream of a count agg in every intended use, so
+    rows per group = distinct items, already the compact form).
+
+    Returns kept rows: ``(group_cols…, id_col, weight, rank,
+    cum_weight, group_total, cum_share_ppm)`` ordered.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < p_num <= p_den):
+        raise ValueError(f"need 0 < p_num <= p_den, got {p_num}/{p_den}")
+    gcols = list(group_cols)
+    w_ord = Window.partitionBy(*gcols).orderBy(
+        F.col(weight_col).desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        df.withColumn("__w", F.col(weight_col).cast("long"))
+        .withColumn("rank", F.row_number().over(w_ord))
+        .withColumn(
+            "cum_weight",
+            F.sum("__w").over(
+                Window.partitionBy(*gcols)
+                .orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("group_total", F.sum("__w").over(w_all))
+    )
+    kept = staged.filter(
+        (F.col("cum_weight") - F.col("__w")) * p_den
+        < F.col("group_total") * p_num
+    )
+    return kept.select(
+        *gcols,
+        F.col(id_col),
+        F.col("__w").alias("weight"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("cum_weight").cast("long").alias("cum_weight"),
+        F.col("group_total").cast("long").alias("group_total"),
+        F.expr("div(1000000 * cum_weight, group_total)").alias(
+            "cum_share_ppm"
+        ),
+    ).orderBy(*gcols, "rank")
+
+
+def top_p_select_sql(
+    table: str,
+    group_cols,
+    weight_col: str,
+    id_col: str,
+    p_num: int,
+    p_den: int,
+) -> str:
+    """DuckDB twin of :func:`top_p_select` — same ordering, same
+    division-free keep rule, same ppm arithmetic."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH staged AS (
+  SELECT {g}, {id_col}, CAST({weight_col} AS BIGINT) AS w,
+         ROW_NUMBER() OVER
+           (PARTITION BY {g}
+            ORDER BY {weight_col} DESC, {id_col} ASC) AS rank,
+         SUM(CAST({weight_col} AS BIGINT)) OVER
+           (PARTITION BY {g}
+            ORDER BY {weight_col} DESC, {id_col} ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_weight,
+         SUM(CAST({weight_col} AS BIGINT)) OVER (PARTITION BY {g})
+             AS group_total
+  FROM {table}
+)
+SELECT {g}, {id_col}, w AS weight, CAST(rank AS BIGINT) AS rank,
+       CAST(cum_weight AS BIGINT) AS cum_weight,
+       CAST(group_total AS BIGINT) AS group_total,
+       CAST(1000000 * cum_weight // group_total AS BIGINT)
+           AS cum_share_ppm
+FROM staged
+WHERE (cum_weight - w) * {p_den} < group_total * {p_num}
+ORDER BY {g}, rank
+"""

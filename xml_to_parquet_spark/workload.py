@@ -6780,6 +6780,45 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_vocab_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus vocabulary truncation (sampling.top_p_select): per
+    language, the smallest set of tokens covering 80% of that
+    language's token mass — heaviest first, id tie-break, the keep
+    rule multiplied through so no division ever happens. The
+    vocab/mixture/source-capping primitive; kept SET reproducible
+    across partitionings, oracle replays every row."""
+    from xml_to_parquet_spark.functions.sampling import top_p_select
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top_p_select(
+        counts, ["lang"], "n", "token", p_num=4, p_den=5
+    )
+
+
+def _q_vocab_top_p_sql() -> str:
+    from xml_to_parquet_spark.functions.sampling import top_p_select_sql
+
+    counts = (
+        "SELECT lang, token, COUNT(*) AS n FROM ("
+        "  SELECT lang,"
+        "         UNNEST(regexp_split_to_array(trim(text), '\\s+'))"
+        "             AS token"
+        "  FROM documents) WHERE token <> '' GROUP BY lang, token"
+    )
+    return top_p_select_sql(
+        f"({counts})", ["lang"], "n", "token", p_num=4, p_den=5
+    )
+
+
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-log rate limiting replayed offline
     (operators/window.rate_limit_flags): flag events whose user
@@ -7377,7 +7416,7 @@ QUERIES: dict[str, QuerySpec] = {
         _Q_AUDIO_FP_SQL,
         "audio near-dup dedup: WAV decode → energy-delta fp → Hamming",
     ),
-    "a193_image_phash_dedup": QuerySpec(
+    "q318_image_phash_dedup": QuerySpec(
         q_image_phash_dedup,
         _Q_IMAGE_PHASH_SQL,
         "image near-dup dedup: netpbm decode → dHash → Hamming blocking",
@@ -7978,6 +8017,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a220_vocab_top_p": QuerySpec(
+        q_vocab_top_p,
+        _q_vocab_top_p_sql(),
+        "nucleus vocab truncation: smallest per-language token set "
+        "covering 80% of token mass, division-free keep rule",
     ),
     "a219_rate_limit": QuerySpec(
         q_rate_limit,
