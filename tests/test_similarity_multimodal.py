@@ -1816,3 +1816,80 @@ def test_embedding_diversity_duckdb_replay(spark):
         embedding_diversity_sql("t", group_cols=("label",))
     ).fetchall()
     assert got == want
+
+
+def test_calibration_report_known_bins(spark):
+    """Hand-checked: 2 bins, one monotonicity violation localized."""
+    from xml_to_parquet_spark.functions.inference import (
+        calibration_report,
+    )
+
+    # scores 0..9 -> 2 bins [0..4], [5..9]; low bin 4/5 pos, high 1/5
+    rows = [(s, 1 if s < 4 or s == 9 else 0) for s in range(10)]
+    df = spark.createDataFrame(rows, "score long, pos long")
+    got = calibration_report(df, "score", "pos", n_bins=2).collect()
+    assert [(r.bin, r.n, r.n_pos, r.pos_ppm) for r in got] == [
+        (0, 5, 4, 800_000), (1, 5, 1, 200_000),
+    ]
+    assert [r.mono_violation for r in got] == [False, True]
+    assert (got[0].score_min, got[0].score_max) == (0, 4)
+    assert (got[1].score_min, got[1].score_max) == (5, 9)
+
+
+def test_calibration_report_monotone_scorer_has_no_violations(spark):
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.inference import (
+        calibration_report,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("score"),
+        (F.col("id") >= 500).cast("long").alias("pos"),
+    )
+    got = calibration_report(df, "score", "pos", n_bins=10).collect()
+    assert len(got) == 10
+    assert not any(r.mono_violation for r in got)
+    assert got[0].pos_ppm == 0 and got[-1].pos_ppm == 1_000_000
+
+
+def test_calibration_report_constant_score_single_bin(spark):
+    from xml_to_parquet_spark.functions.inference import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 1), (7, 0), (7, 1)], "score long, pos long"
+    )
+    got = calibration_report(df, "score", "pos", n_bins=5).collect()
+    assert len(got) == 1
+    assert got[0].bin == 0 and got[0].n == 3 and got[0].n_pos == 2
+
+
+def test_calibration_report_validates_and_replays(spark):
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.inference import (
+        calibration_report,
+        calibration_report_sql,
+    )
+
+    df = spark.range(400).select(
+        ((F.col("id") * 93 % 1009) - 500).alias("score"),
+        (F.col("id") % 3 == 0).cast("long").alias("pos"),
+    )
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, "score", "pos", n_bins=1)
+    got = [
+        tuple(r)
+        for r in calibration_report(df, "score", "pos", n_bins=7).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        calibration_report_sql("t", "score", "pos", n_bins=7)
+    ).fetchall()
+    assert got == want

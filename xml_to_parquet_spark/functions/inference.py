@@ -32,6 +32,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 def scored_schema(id_col: str = "doc_id") -> str:
     """Output schema for :func:`score_documents`, parameterized on the id
@@ -353,3 +354,112 @@ def linear_probe_fit_sql(
         for j, wc in enumerate(wcols)
     )
     return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({finals}) ORDER BY pos"
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Binned reliability table for a scorer: does a higher score mean
+    a higher positive rate? — the pre-deployment audit for any quality
+    scorer or classifier used to gate training data.
+
+    Scores (integer, e.g. the quantized logits this module produces)
+    are cut into ``n_bins`` equal-width bins over the observed
+    [min, max] span (stats computed in-plan, broadcast — no collect);
+    each bin reports its count, positive count and positive rate (ppm),
+    its actual score range, and whether it VIOLATES monotonicity
+    (positive rate strictly below the previous non-empty bin's — a
+    well-calibrated ranking scorer has zero violations, and each
+    violation localizes where the score ordering is lying).
+
+    All arithmetic is integer (bin index by floor division, rates in
+    ppm), so the DuckDB twin replays the table bit-for-bit. One scan +
+    one n_bins-row aggregate; the lag ride is over the tiny bin table.
+
+    Returns ``(bin, n, n_pos, pos_ppm, score_min, score_max,
+    mono_violation)`` ordered by bin.
+    """
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.min(F.col(score_col).cast("long")).alias("__lo"),
+        F.max(F.col(score_col).cast("long")).alias("__hi"),
+    )
+    base = df.crossJoin(F.broadcast(stats)).select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+        F.expr(
+            f"least({n_bins - 1}, ((CAST({score_col} AS BIGINT) - __lo) "
+            f"* {n_bins}) div (__hi - __lo + 1))"
+        ).alias("bin"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.min("s").alias("score_min"),
+        F.max("s").alias("score_max"),
+    )
+    w = Window.orderBy("bin")
+    return (
+        bins.withColumn("pos_ppm", F.expr("div(1000000 * n_pos, n)"))
+        .withColumn(
+            "mono_violation",
+            F.coalesce(
+                F.col("pos_ppm") < F.lag("pos_ppm").over(w), F.lit(False)
+            ),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "n_pos",
+            "pos_ppm",
+            "score_min",
+            "score_max",
+            "mono_violation",
+        )
+        .orderBy("bin")
+    )
+
+
+def calibration_report_sql(
+    table: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`calibration_report` — same equal-width
+    integer binning, ppm rates, and previous-bin comparison."""
+    return f"""
+WITH stats AS (
+  SELECT MIN(CAST({score_col} AS BIGINT)) AS lo,
+         MAX(CAST({score_col} AS BIGINT)) AS hi
+  FROM {table}
+),
+base AS (
+  SELECT CAST({score_col} AS BIGINT) AS s,
+         CAST({label_col} AS BIGINT) AS y,
+         LEAST({n_bins - 1},
+               ((CAST({score_col} AS BIGINT) - lo) * {n_bins})
+               // (hi - lo + 1)) AS bin
+  FROM {table}, stats
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         MIN(s) AS score_min, MAX(s) AS score_max
+  FROM base GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+       CAST(1000000 * n_pos // n AS BIGINT) AS pos_ppm,
+       score_min, score_max,
+       COALESCE(1000000 * n_pos // n <
+                LAG(1000000 * n_pos // n) OVER (ORDER BY bin), FALSE)
+           AS mono_violation
+FROM bins
+ORDER BY bin
+"""

@@ -6780,6 +6780,47 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned reliability table (inference.calibration_report): score
+    every embedding with a deterministic int64 linear probe (quantized
+    components × literal weights w(d) = (37d mod 19) − 9, all JVM
+    expressions), target = label ≥ 5, then audit whether higher score
+    ⇒ higher positive rate across 10 equal-width bins — per-bin ppm
+    rates, score ranges, and localized monotonicity violations, all
+    integer-exact in both engines."""
+    from xml_to_parquet_spark.functions.inference import (
+        calibration_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.expr(
+            "aggregate(transform(sequence(0, size(embedding) - 1), "
+            "d -> CAST(FLOOR(CAST(element_at(embedding, d + 1) AS DOUBLE) "
+            "* 1024 + 0.5) AS BIGINT) * (pmod(d * 37, 19) - 9)), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("score"),
+        (F.col("label") >= 5).cast("long").alias("pos"),
+    )
+    return calibration_report(scored, "score", "pos", n_bins=10)
+
+
+def _q_score_calibration_sql() -> str:
+    from xml_to_parquet_spark.functions.inference import (
+        calibration_report_sql,
+    )
+
+    scored = (
+        "SELECT vec_id, CAST(label >= 5 AS BIGINT) AS pos, "
+        "(SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
+        " * ((d * 37) % 19 - 9)) "
+        " FROM (SELECT UNNEST(embedding) AS x, "
+        "              UNNEST(range(len(embedding))) AS d)) AS score "
+        "FROM embeddings"
+    )
+    return calibration_report_sql(f"({scored})", "score", "pos", n_bins=10)
+
+
 def q_vocab_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nucleus vocabulary truncation (sampling.top_p_select): per
     language, the smallest set of tokens covering 80% of that
@@ -7546,7 +7587,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_hamming_ann_sql(),
         "binary sign-signature ANN: Hamming-ball candidates + exact re-rank",
     ),
-    "a172_hybrid_rrf": QuerySpec(
+    "q319_hybrid_rrf": QuerySpec(
         q_hybrid_rrf,
         _q_hybrid_rrf_sql(),
         "hybrid retrieval: BM25 + cosine channels fused by integer RRF",
@@ -8017,6 +8058,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a221_score_calibration": QuerySpec(
+        q_score_calibration,
+        _q_score_calibration_sql(),
+        "binned reliability table: 10-bin positive rates + localized "
+        "monotonicity violations for an int64 linear probe",
     ),
     "a220_vocab_top_p": QuerySpec(
         q_vocab_top_p,
