@@ -1893,3 +1893,77 @@ def test_calibration_report_validates_and_replays(spark):
         calibration_report_sql("t", "score", "pos", n_bins=7)
     ).fetchall()
     assert got == want
+
+
+def test_mutual_knn_reciprocity_prunes_hub(spark):
+    """k=1: a hub that everyone points at only keeps the edge to ITS
+    own nearest neighbor — one-directional hub edges are pruned."""
+    from xml_to_parquet_spark.functions.similarity import (
+        mutual_knn_edges,
+    )
+
+    rows = [
+        (0, [10.0, 10.0]),  # hub: biggest dot with everyone
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r.id_a, r.id_b)
+        for r in mutual_knn_edges(df, k=1).collect()
+    ]
+    # every non-hub's top-1 is the hub; the hub's top-1 is whoever has
+    # the largest dot with it (vec 1+3 tie broken... compute: dots with
+    # hub: v1=10240*10240? quantized dots: hub.q=[10240,10240];
+    # v1 dot = 10240*1024; v3 dot = 10240*(921+102)) -> v3? 0.9+0.1=1.0
+    # v1: 1.0 -> equal sums; tie by id -> neighbor 1
+    assert got == [(0, 1)]
+
+
+def test_mutual_knn_edges_are_symmetric_and_canonical(spark):
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.similarity import (
+        mutual_knn_edges,
+    )
+
+    df = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 5), "
+            "d -> CAST(pmod(xxhash64(id, d), 100) AS FLOAT) / 100.0)"
+        ).alias("embedding"),
+    )
+    edges = mutual_knn_edges(df, k=3).collect()
+    assert len(edges) > 0
+    for r in edges:
+        assert r.id_a < r.id_b
+        assert 1 <= r.rank_ab <= 3 and 1 <= r.rank_ba <= 3
+    # canonical edges are unique
+    keys = [(r.id_a, r.id_b) for r in edges]
+    assert len(keys) == len(set(keys))
+
+
+def test_mutual_knn_duckdb_replay(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.similarity import (
+        mutual_knn_edges,
+        mutual_knn_edges_sql,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), "
+            "d -> CAST(pmod(xxhash64(id, d), 997) AS FLOAT) / 997.0)"
+        ).alias("embedding"),
+    )
+    got = [tuple(r) for r in mutual_knn_edges(df, k=4).collect()]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(mutual_knn_edges_sql("t", k=4)).fetchall()
+    assert got == want

@@ -1914,3 +1914,118 @@ SELECT {g}, n, dim,
 FROM moments JOIN counts USING ({g})
 ORDER BY {g}
 """
+
+
+def mutual_knn_edges(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1024,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph by inner product: an undirected
+    edge (a, b) exists iff b is in a's top-k AND a is in b's top-k —
+    the reciprocity filter that turns a kNN list into the graph
+    density-based clustering, manifold methods, and hubness-robust
+    dedup want (one-directional neighbors of a hub vector are NOT
+    evidence of mutual similarity; reciprocity prunes exactly those).
+
+    Determinism: int64-quantized dots (:func:`quantize_vec`), ranking
+    by (dot desc, neighbor id asc) — the whole graph replays in SQL.
+
+    Scale shape: this is the EXACT form — the directed candidate
+    stage is the all-pairs dot (bounded corpora, oracle duty); at
+    corpus scale swap that one stage for the IVF/LSH candidate
+    generators in this module (ivf_topk/lsh_bucket_topk) and keep the
+    reciprocity join unchanged — it is an equi-join on the edge key
+    either way, and the mutual filter only ever SHRINKS candidate
+    lists, so blocked candidates compose exactly like the containment
+    screen→exact pattern.
+
+    Returns undirected edges ``(id_a, id_b, dot_q, rank_ab, rank_ba)``
+    with id_a < id_b, ordered.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(F.col(vec_col), quant).alias("q"),
+    )
+    a = base.select(F.col("id").alias("ida"), F.col("q").alias("qa"))
+    b = base.select(F.col("id").alias("idb"), F.col("q").alias("qb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ida") != F.col("idb"))
+        .withColumn(
+            "dot_q",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    w = Window.partitionBy("ida").orderBy(
+        F.col("dot_q").desc(), F.col("idb").asc()
+    )
+    topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("ida", "idb", "dot_q", "rank")
+    )
+    rev = topk.select(
+        F.col("ida").alias("idb"),
+        F.col("idb").alias("ida"),
+        F.col("rank").alias("rank_rev"),
+    )
+    return (
+        topk.join(rev, on=["ida", "idb"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            "dot_q",
+            F.col("rank").cast("long").alias("rank_ab"),
+            F.col("rank_rev").cast("long").alias("rank_ba"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def mutual_knn_edges_sql(
+    table: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`mutual_knn_edges` — pair dots via a
+    position equi-join over parallel unnests, same rank/tie rule,
+    same reciprocity join."""
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id,
+         CAST(FLOOR(CAST(UNNEST({vec_col}) AS DOUBLE) * {quant} + 0.5)
+              AS BIGINT) AS q,
+         UNNEST(range(len({vec_col}))) AS pos
+  FROM {table}
+),
+dots AS (
+  SELECT a.id AS ida, b.id AS idb,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot_q
+  FROM ex a JOIN ex b USING (pos)
+  WHERE a.id <> b.id
+  GROUP BY a.id, b.id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT ida, idb, dot_q,
+           ROW_NUMBER() OVER (PARTITION BY ida
+                              ORDER BY dot_q DESC, idb ASC) AS rank
+    FROM dots
+  ) WHERE rank <= {k}
+)
+SELECT t.ida AS id_a, t.idb AS id_b, t.dot_q,
+       CAST(t.rank AS BIGINT) AS rank_ab,
+       CAST(r.rank AS BIGINT) AS rank_ba
+FROM topk t JOIN topk r ON t.ida = r.idb AND t.idb = r.ida
+WHERE t.ida < t.idb
+ORDER BY id_a, id_b
+"""

@@ -6780,6 +6780,32 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual kNN graph (similarity.mutual_knn_edges): undirected
+    edges where BOTH endpoints rank each other top-5 by int64 inner
+    product — the reciprocity filter that prunes hub-vector false
+    neighbors before density clustering. Exact form on the label-0/1
+    slice (the all-pairs stage is the documented small-data oracle;
+    at corpus scale the candidate stage swaps to ivf/lsh_topk and the
+    reciprocity equi-join is unchanged)."""
+    from xml_to_parquet_spark.functions.similarity import (
+        mutual_knn_edges,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") <= 1)
+    return mutual_knn_edges(emb, k=5)
+
+
+def _q_mutual_knn_sql() -> str:
+    from xml_to_parquet_spark.functions.similarity import (
+        mutual_knn_edges_sql,
+    )
+
+    return mutual_knn_edges_sql(
+        "(SELECT * FROM embeddings WHERE label <= 1)", k=5
+    )
+
+
 def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned reliability table (inference.calibration_report): score
     every embedding with a deterministic int64 linear probe (quantized
@@ -7726,7 +7752,7 @@ QUERIES: dict[str, QuerySpec] = {
         "semantic dedup: multi-probe k-means cells + exact-cosine "
         "keep-min-id",
     ),
-    "a162_html_extract": QuerySpec(
+    "q320_html_extract": QuerySpec(
         q_html_extract,
         _q_html_extract_sql(),
         "HTML→text curation: element drops, entity decode, title extract",
@@ -8058,6 +8084,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a222_mutual_knn": QuerySpec(
+        q_mutual_knn,
+        _q_mutual_knn_sql(),
+        "mutual kNN graph: reciprocal top-5 inner-product edges on "
+        "the label-0/1 embedding slice",
     ),
     "a221_score_calibration": QuerySpec(
         q_score_calibration,
