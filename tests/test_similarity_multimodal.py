@@ -1967,3 +1967,62 @@ def test_mutual_knn_duckdb_replay(spark):
     con.register("t", df.toPandas())
     want = con.execute(mutual_knn_edges_sql("t", k=4)).fetchall()
     assert got == want
+
+
+def test_threshold_metrics_hand_checked(spark):
+    from xml_to_parquet_spark.functions.inference import (
+        threshold_metrics,
+    )
+
+    # scores 1..10, positives = {6..10}
+    rows = [(s, 1 if s > 5 else 0) for s in range(1, 11)]
+    df = spark.createDataFrame(rows, "score long, pos long")
+    got = {
+        r.threshold: r
+        for r in threshold_metrics(df, "score", "pos", [4, 6, 11])
+        .collect()
+    }
+    r4 = got[4]  # pred = score>=4: 7 predicted, tp=5 fp=2 fn=0 tn=3
+    assert (r4.tp, r4.fp, r4.fn, r4.tn) == (5, 2, 0, 3)
+    assert r4.precision_ppm == 1_000_000 * 5 // 7
+    assert r4.recall_ppm == 1_000_000
+    assert r4.f1_ppm == 2_000_000 * 5 // (10 + 2 + 0)
+    r6 = got[6]  # perfect cut
+    assert (r6.tp, r6.fp, r6.fn, r6.tn) == (5, 0, 0, 5)
+    assert r6.f1_ppm == 1_000_000
+    r11 = got[11]  # nothing predicted: precision undefined, not 0
+    assert (r11.tp, r11.fp) == (0, 0)
+    assert r11.precision_ppm is None
+    assert r11.recall_ppm == 0
+
+
+def test_threshold_metrics_validates_and_replays(spark):
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.inference import (
+        threshold_metrics,
+        threshold_metrics_sql,
+    )
+
+    df = spark.range(500).select(
+        ((F.col("id") * 37 % 211) - 100).alias("score"),
+        (F.col("id") % 4 == 0).cast("long").alias("pos"),
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        threshold_metrics(df, "score", "pos", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        threshold_metrics(df, "score", "pos", [1, 1])
+    ts = [-50, 0, 50]
+    got = [
+        tuple(r)
+        for r in threshold_metrics(df, "score", "pos", ts).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        threshold_metrics_sql("t", "score", "pos", ts)
+    ).fetchall()
+    assert got == want

@@ -463,3 +463,130 @@ SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
 FROM bins
 ORDER BY bin
 """
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Operating-point sweep for a binary gate: confusion counts and
+    precision/recall/F1 at each candidate threshold, ONE pass — the
+    companion to :func:`calibration_report` when the question is
+    "where do we set the cut?" rather than "is the ranking honest?".
+
+    Every threshold adds four conditional sums to a single aggregate
+    (no per-threshold jobs); rates are integer ppm with F1 computed by
+    the division-free identity F1 = 2·tp / (2·tp + fp + fn), so the
+    whole sweep replays exactly in SQL. Zero-denominator cells
+    (no predicted / no actual positives) are NULL, not fake zeros.
+
+    Returns one row per threshold: ``(threshold, tp, fp, fn, tn,
+    precision_ppm, recall_ppm, f1_ppm)`` ordered by threshold.
+    """
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError(f"duplicate thresholds: {sorted(thresholds)}")
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = s >= F.lit(t)
+        pos = y == 1
+        aggs.extend(
+            [
+                F.sum(F.when(pred & pos, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__tp_{i}"),
+                F.sum(F.when(pred & ~pos, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__fp_{i}"),
+                F.sum(F.when(~pred & pos, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__fn_{i}"),
+                F.sum(F.when(~pred & ~pos, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__tn_{i}"),
+            ]
+        )
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(t).cast("long").alias("threshold"),
+            F.col(f"__tp_{i}").alias("tp"),
+            F.col(f"__fp_{i}").alias("fp"),
+            F.col(f"__fn_{i}").alias("fn"),
+            F.col(f"__tn_{i}").alias("tn"),
+            F.expr(
+                f"CASE WHEN __tp_{i} + __fp_{i} > 0 THEN "
+                f"div(1000000 * __tp_{i}, __tp_{i} + __fp_{i}) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                f"CASE WHEN __tp_{i} + __fn_{i} > 0 THEN "
+                f"div(1000000 * __tp_{i}, __tp_{i} + __fn_{i}) END"
+            ).alias("recall_ppm"),
+            F.expr(
+                f"CASE WHEN 2 * __tp_{i} + __fp_{i} + __fn_{i} > 0 THEN "
+                f"div(2000000 * __tp_{i}, "
+                f"2 * __tp_{i} + __fp_{i} + __fn_{i}) END"
+            ).alias("f1_ppm"),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("threshold")
+    )
+
+
+def threshold_metrics_sql(
+    table: str,
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+) -> str:
+    """DuckDB twin of :func:`threshold_metrics` — same conditional
+    sums, ppm floors, and division-free F1."""
+    agg_items = []
+    for i, t in enumerate(thresholds):
+        p = f"CAST({score_col} AS BIGINT) >= {t}"
+        y = f"CAST({label_col} AS BIGINT) = 1"
+        agg_items.extend(
+            [
+                f"SUM(CASE WHEN {p} AND {y} THEN 1 ELSE 0 END) AS tp_{i}",
+                f"SUM(CASE WHEN {p} AND NOT {y} THEN 1 ELSE 0 END)"
+                f" AS fp_{i}",
+                f"SUM(CASE WHEN NOT {p} AND {y} THEN 1 ELSE 0 END)"
+                f" AS fn_{i}",
+                f"SUM(CASE WHEN NOT {p} AND NOT {y} THEN 1 ELSE 0 END)"
+                f" AS tn_{i}",
+            ]
+        )
+    rows = []
+    for i, t in enumerate(thresholds):
+        rows.append(
+            f"""SELECT CAST({t} AS BIGINT) AS threshold,
+       CAST(tp_{i} AS BIGINT) AS tp, CAST(fp_{i} AS BIGINT) AS fp,
+       CAST(fn_{i} AS BIGINT) AS fn, CAST(tn_{i} AS BIGINT) AS tn,
+       CAST(CASE WHEN tp_{i} + fp_{i} > 0
+                 THEN 1000000 * tp_{i} // (tp_{i} + fp_{i}) END
+            AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp_{i} + fn_{i} > 0
+                 THEN 1000000 * tp_{i} // (tp_{i} + fn_{i}) END
+            AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN 2 * tp_{i} + fp_{i} + fn_{i} > 0
+                 THEN 2000000 * tp_{i} // (2 * tp_{i} + fp_{i} + fn_{i})
+            END AS BIGINT) AS f1_ppm
+FROM base"""
+        )
+    return f"""
+WITH base AS (SELECT {', '.join(agg_items)} FROM {table})
+SELECT * FROM (
+{chr(10).join(r + (' UNION ALL' if i < len(thresholds) - 1 else '')
+              for i, r in enumerate(rows))}
+)
+ORDER BY threshold
+"""

@@ -6780,6 +6780,57 @@ def _q_constraint_suite_sql() -> str:
     return constraint_report_sql("orders", _constraint_checks())
 
 
+_PROBE_SCORE_EXPR = (
+    "aggregate(transform(sequence(0, size(embedding) - 1), "
+    "d -> CAST(FLOOR(CAST(element_at(embedding, d + 1) AS DOUBLE) "
+    "* 1024 + 0.5) AS BIGINT) * (pmod(d * 37, 19) - 9)), "
+    "0L, (acc, x) -> acc + x)"
+)
+
+_PROBE_SCORE_SQL = (
+    "SELECT vec_id, CAST(label >= 5 AS BIGINT) AS pos, "
+    "(SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
+    " * ((d * 37) % 19 - 9)) "
+    " FROM (SELECT UNNEST(embedding) AS x, "
+    "              UNNEST(range(len(embedding))) AS d)) AS score "
+    "FROM embeddings"
+)
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep (inference.threshold_metrics): confusion
+    counts + precision/recall/F1 ppm for the a221 linear probe at five
+    candidate cuts, ONE aggregate pass (each threshold = four
+    conditional sums in the same agg; F1 via the division-free
+    identity 2tp/(2tp+fp+fn)). The "where do we set the gate?"
+    companion to the a221 reliability table."""
+    from xml_to_parquet_spark.functions.inference import (
+        threshold_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.expr(_PROBE_SCORE_EXPR).alias("score"),
+        (F.col("label") >= 5).cast("long").alias("pos"),
+    )
+    return threshold_metrics(
+        scored, "score", "pos", [-40_000, -20_000, 0, 20_000, 40_000]
+    )
+
+
+def _q_threshold_sweep_sql() -> str:
+    from xml_to_parquet_spark.functions.inference import (
+        threshold_metrics_sql,
+    )
+
+    return threshold_metrics_sql(
+        f"({_PROBE_SCORE_SQL})",
+        "score",
+        "pos",
+        [-40_000, -20_000, 0, 20_000, 40_000],
+    )
+
+
 def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual kNN graph (similarity.mutual_knn_edges): undirected
     edges where BOTH endpoints rank each other top-5 by int64 inner
@@ -6820,12 +6871,7 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.select(
-        F.expr(
-            "aggregate(transform(sequence(0, size(embedding) - 1), "
-            "d -> CAST(FLOOR(CAST(element_at(embedding, d + 1) AS DOUBLE) "
-            "* 1024 + 0.5) AS BIGINT) * (pmod(d * 37, 19) - 9)), "
-            "0L, (acc, x) -> acc + x)"
-        ).alias("score"),
+        F.expr(_PROBE_SCORE_EXPR).alias("score"),
         (F.col("label") >= 5).cast("long").alias("pos"),
     )
     return calibration_report(scored, "score", "pos", n_bins=10)
@@ -6836,15 +6882,9 @@ def _q_score_calibration_sql() -> str:
         calibration_report_sql,
     )
 
-    scored = (
-        "SELECT vec_id, CAST(label >= 5 AS BIGINT) AS pos, "
-        "(SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
-        " * ((d * 37) % 19 - 9)) "
-        " FROM (SELECT UNNEST(embedding) AS x, "
-        "              UNNEST(range(len(embedding))) AS d)) AS score "
-        "FROM embeddings"
+    return calibration_report_sql(
+        f"({_PROBE_SCORE_SQL})", "score", "pos", n_bins=10
     )
-    return calibration_report_sql(f"({scored})", "score", "pos", n_bins=10)
 
 
 def q_vocab_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8085,6 +8125,12 @@ QUERIES: dict[str, QuerySpec] = {
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
     ),
+    "a223_threshold_sweep": QuerySpec(
+        q_threshold_sweep,
+        _q_threshold_sweep_sql(),
+        "operating-point sweep: confusion counts + P/R/F1 ppm for the "
+        "linear probe at 5 thresholds, one aggregate pass",
+    ),
     "a222_mutual_knn": QuerySpec(
         q_mutual_knn,
         _q_mutual_knn_sql(),
@@ -8161,7 +8207,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmv_merge_sql(),
         "KMV sketch merge == direct sketch (mergeability identity)",
     ),
-    "a170_hist_quantiles": QuerySpec(
+    "q321_hist_quantiles": QuerySpec(
         q_hist_quantiles,
         _q_hist_quantiles_sql(),
         "mergeable log-bucket quantile sketch (est vs exact, <=4.4% err)",
