@@ -292,3 +292,66 @@ def test_robust_group_stats_duckdb_replay(spark):
         robust_group_stats_sql("t", ["grp"], "v", 80_000)
     ).fetchall()
     assert got == want
+
+
+def test_group_normalize_hand_checked(spark):
+    from xml_to_parquet_spark.operators.aggregation import (
+        group_normalize,
+    )
+
+    rows = [("g", 1, 10), ("g", 2, 20), ("g", 3, 20), ("g", 4, 40)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    got = {
+        r.id: r for r in group_normalize(df, ["grp"], "v", "id").collect()
+    }
+    # ranks: 10->1, 20->2 (shared), 40->4; n=4 -> pct = (rk-1)/3
+    assert got[1].pct_rank_ppm == 0
+    assert got[2].pct_rank_ppm == 1_000_000 * 1 // 3
+    assert got[3].pct_rank_ppm == got[2].pct_rank_ppm  # tie shares
+    assert got[4].pct_rank_ppm == 1_000_000
+    # minmax over span [10, 40]
+    assert got[1].minmax_ppm == 0
+    assert got[2].minmax_ppm == 1_000_000 * 10 // 30
+    assert got[4].minmax_ppm == 1_000_000
+
+
+def test_group_normalize_degenerate_groups_are_zero(spark):
+    from xml_to_parquet_spark.operators.aggregation import (
+        group_normalize,
+    )
+
+    rows = [("solo", 1, 5), ("flat", 2, 7), ("flat", 3, 7)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    got = {
+        r.id: r for r in group_normalize(df, ["grp"], "v", "id").collect()
+    }
+    assert (got[1].pct_rank_ppm, got[1].minmax_ppm) == (0, 0)
+    assert (got[2].pct_rank_ppm, got[2].minmax_ppm) == (0, 0)
+    assert (got[3].pct_rank_ppm, got[3].minmax_ppm) == (0, 0)
+
+
+def test_group_normalize_duckdb_replay(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.aggregation import (
+        group_normalize,
+        group_normalize_sql,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.col("id").alias("rid"),
+        ((F.col("id") * 131 % 10007) / 4.0).alias("v"),  # fractional
+    )
+    got = [
+        tuple(r)
+        for r in group_normalize(df, ["grp"], "v", "rid").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        group_normalize_sql("t", ["grp"], "v", "rid")
+    ).fetchall()
+    assert got == want

@@ -563,3 +563,96 @@ FROM bounds
 GROUP BY {g}
 ORDER BY {g}
 """
+
+
+def group_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group feature normalization, the two order-preserving maps
+    every mixed-source scoring pipeline needs before scores from
+    different groups can be compared or mixed: percent-rank (rank
+    within group, ties share a rank — Spark's percent_rank semantics
+    in exact integer ppm) and min-max position within the group span.
+
+    Values are cast to BIGINT (truncation — identical in both engines
+    for the non-negative scores this is for; pre-scale 2-dp doubles by
+    100 via the dsum convention if cents matter), so every output is
+    an integer floor-division and the DuckDB twin replays bit-for-bit.
+    Single-member groups and zero-span groups normalize to 0 (the
+    percent_rank convention) rather than NULL — a constant group IS a
+    well-defined minimum.
+
+    Scale shape: one shuffle on the group key; rank and min/max ride
+    two frames over the same window partitioning.
+
+    Returns ``(group_cols…, id_col, value, pct_rank_ppm, minmax_ppm)``
+    ordered by (group, id).
+    """
+    gcols = list(group_cols)
+    w_ord = Window.partitionBy(*gcols).orderBy(F.col("value").asc())
+    w_all = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        df.select(
+            *gcols,
+            F.col(id_col),
+            F.col(value_col).cast("long").alias("value"),
+        )
+        .withColumn("__rk", F.rank().over(w_ord))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__mn", F.min("value").over(w_all))
+        .withColumn("__mx", F.max("value").over(w_all))
+    )
+    return staged.select(
+        *gcols,
+        id_col,
+        "value",
+        F.expr(
+            "CASE WHEN __n > 1 THEN "
+            "div(1000000 * CAST(__rk - 1 AS BIGINT), __n - 1) ELSE 0 END"
+        ).alias("pct_rank_ppm"),
+        F.expr(
+            "CASE WHEN __mx > __mn THEN "
+            "div(1000000 * (value - __mn), __mx - __mn) ELSE 0 END"
+        ).alias("minmax_ppm"),
+    ).orderBy(*gcols, id_col)
+
+
+def group_normalize_sql(
+    table: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+) -> str:
+    """DuckDB twin of :func:`group_normalize` — same RANK tie
+    semantics, same integer ppm floors, same 0-not-NULL degenerate
+    convention. FLOOR before the BIGINT cast because DuckDB's cast
+    ROUNDS where Spark's truncates — identical for the non-negative
+    scores this operator is documented for."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH staged AS (
+  SELECT {g}, {id_col},
+         CAST(FLOOR({value_col}) AS BIGINT) AS value,
+         RANK() OVER (PARTITION BY {g}
+                      ORDER BY CAST(FLOOR({value_col}) AS BIGINT) ASC)
+             AS rk,
+         COUNT(*) OVER (PARTITION BY {g}) AS n,
+         MIN(CAST(FLOOR({value_col}) AS BIGINT))
+             OVER (PARTITION BY {g}) AS mn,
+         MAX(CAST(FLOOR({value_col}) AS BIGINT))
+             OVER (PARTITION BY {g}) AS mx
+  FROM {table}
+)
+SELECT {g}, {id_col}, value,
+       CAST(CASE WHEN n > 1 THEN 1000000 * (rk - 1) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_rank_ppm,
+       CAST(CASE WHEN mx > mn THEN 1000000 * (value - mn) // (mx - mn)
+                 ELSE 0 END AS BIGINT) AS minmax_ppm
+FROM staged
+ORDER BY {g}, {id_col}
+"""

@@ -7017,6 +7017,32 @@ def _q_doc_chunks_sql() -> str:
     )
 
 
+def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group score normalization (aggregation.group_normalize):
+    percent-rank (RANK tie semantics, exact ppm) and min-max position
+    of every order's totalprice WITHIN its priority class — the
+    order-preserving maps that make scores comparable across groups
+    before mixing. One shuffle; degenerate groups map to 0, not NULL."""
+    from xml_to_parquet_spark.operators.aggregation import (
+        group_normalize,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return group_normalize(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )
+
+
+def _q_group_normalize_sql() -> str:
+    from xml_to_parquet_spark.operators.aggregation import (
+        group_normalize_sql,
+    )
+
+    return group_normalize_sql(
+        "orders", ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )
+
+
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust grouped means (aggregation.robust_group_stats): plain,
     5%-trimmed, and 5%-winsorized mean of o_totalprice per
@@ -7899,7 +7925,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_token_drift_sql(),
         "distribution-drift monitor: top token frequency movers in ppm",
     ),
-    "a181_gopher_rules": QuerySpec(
+    "q322_gopher_rules": QuerySpec(
         q_gopher_rules,
         _q_gopher_rules_sql(),
         "Gopher-style composite quality rules, integer-exact map-only gate",
@@ -8124,6 +8150,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_join_cardinality_sql(),
         "join-size pre-flight: unbiased key-sampled estimate of "
         "|lineitem JOIN orders| with the exact error alongside",
+    ),
+    "a224_group_normalize": QuerySpec(
+        q_group_normalize,
+        _q_group_normalize_sql(),
+        "per-group percent-rank + min-max normalization of totalprice "
+        "within priority classes, exact integer ppm",
     ),
     "a223_threshold_sweep": QuerySpec(
         q_threshold_sweep,
