@@ -290,15 +290,13 @@ def minhash_lsh_candidates(
     band = wide.select(
         F.col(id_col),
         F.posexplode_outer(F.array(*keys)).alias("band", "band_key"),
-    ).localCheckpoint(eager=False)
-    # r13-opt localCheckpoint: the band table is tiny (``bands`` narrow
-    # rows per doc) but its self-join below otherwise embeds the WHOLE
-    # minhash pipeline (shingle explode → md5 → 16-way agg → key build)
-    # once per side — measured at sf0.1: engine CPU 6.9 s → 1.1 s for
-    # the candidate set alone, identical pairs. At 100 TB the
-    # materialized band table is docs × bands × ~50 B — the signature
-    # store every production LSH pipeline persists anyway — vs TWO full
-    # corpus tokenize+hash passes without it.
+    )
+    # r13-opt note: a localCheckpoint of `band` was trialled (the self-
+    # join references it twice) and measured NEUTRAL-to-worse with
+    # bench-identical fresh-session timing — Spark's ReuseExchange
+    # already computes the identical band subtree once at runtime, so
+    # the checkpoint only added a materialization barrier. Left
+    # unpersisted deliberately (OPTIMIZATION_r13.md).
     a = band.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -721,6 +719,13 @@ def simhash_blocked_pairs(
         F.col("ck.chunk").alias("chunk"),
         F.col("ck.ckey").alias("ckey"),
     )
+    # r13-opt note: a localCheckpoint of `keyed` was trialled and
+    # reverted — with AQE, even eager=False localCheckpoint submits the
+    # upstream shuffle stages at CONSTRUCTION time, which broke the
+    # pinned zero-jobs-at-construction contract of simhash_pairs_auto
+    # (test_simhash_pairs_auto_n_docs_hint...), and honest timing showed
+    # ~neutral cost (ReuseExchange already shares the signature
+    # exchange between the two self-join sides).
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
         "chunk", "ckey",
@@ -1055,6 +1060,10 @@ def fuzzy_pairs_symdel(
             )
         ).alias("v"),
     )
+    # r13-opt note: a localCheckpoint of `variants` was measured (in-
+    # session A/B at sf0.1): wall flat, CPU slightly WORSE — storing the
+    # exploded variant strings costs more than the second interpreted
+    # HOF pass. Left unpersisted deliberately.
     nparts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -1451,22 +1460,22 @@ def ngram_jaccard_via_lsh(
     (docs × K) + (candidate pairs × shingles). Same output contract.
 
     The shingle explode feeds four consumers (candidate generation, sizes,
-    both verify-join sides). r13-opt: by default it is localCheckpointed
-    (lazy) so the normalize→ngram→distinct pass runs ONCE instead of once
-    per consumer — measured at sf0.1: engine CPU 11.0 s → 4.9 s, wall
-    1.2 s → 0.5 s, identical pairs. The ``shingles=`` hook still lets a
-    caller substitute its own materialization policy; at 100 TB prefer
-    ``shingles=`` over a parquet-materialized shingle table if executor
-    local storage cannot hold the checkpoint (the checkpoint is
-    MEMORY_AND_DISK and corpus-sized; recompute is 4 extra tokenize
-    passes — pick by storage headroom).
+    both verify-join sides). By default it is embedded UNPERSISTED in the
+    returned plan — recomputed per consumer (map-only, no extra shuffle)
+    but leaving zero cache residue on a shared session. A caller running
+    this hot can pass ``shingles=shingle_table(df, ...).persist()`` and
+    unpersist after its action completes; at 100 TB, materialize the
+    shingle table to parquet instead (executor storage can't hold it, and
+    LRU churn beats recompute only for small corpora). r13-opt note: a
+    default lazy localCheckpoint of the shingle table was trialled and
+    measured NEUTRAL in CPU / slightly worse in wall with bench-identical
+    fresh-session timing (ReuseExchange already shares the identical
+    aggregate exchanges at runtime); kept unpersisted.
     """
     sh = (
         shingles
         if shingles is not None
-        else shingle_table(df, text_col, id_col, n).localCheckpoint(
-            eager=False
-        )
+        else shingle_table(df, text_col, id_col, n)
     )
     cand = minhash_lsh_candidates(df, text_col, id_col, n, shingles=sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -1559,6 +1568,10 @@ def contamination_check(
     which is small by construction (benchmarks are KBs–MBs against TBs of
     train) → broadcast the eval shingles and the fact side never shuffles.
     """
+    # r13-opt note: checkpointing sh_t (it feeds sizes + the overlap
+    # join) was measured in-session at sf0.1: wall flat, engine CPU
+    # WORSE (10.4 vs 7.8 s) — storing the exploded shingle strings costs
+    # more than one extra tokenize pass. Left unpersisted deliberately.
     sh_t = shingle_table(train, text_col, id_col, n).withColumnRenamed(
         id_col, "train_id"
     )

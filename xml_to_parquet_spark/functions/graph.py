@@ -302,8 +302,16 @@ def bfs_levels(
     stop producing), ordered seed asc, hop asc."""
     e = edges.select("src", "dst")
     if undirected:
-        e = e.union(edges.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst")))
+        # r13-opt: inline both directions in ONE pass — the old
+        # union(edges, reversed(edges)) embedded the caller's edge
+        # construction (a heavy co-occurrence groupBy for the catalog
+        # entries) twice in the pre-checkpoint plan
+        e = e.select(
+            F.expr(
+                "inline(array(named_struct('src', src, 'dst', dst),"
+                " named_struct('src', dst, 'dst', src)))"
+            )
+        )
     e = e.distinct().localCheckpoint(eager=False)
     spark = edges.sparkSession
     seed_df = spark.createDataFrame(
@@ -418,8 +426,13 @@ def k_core(
         raise ValueError(f"k_core needs rounds >= 1, got {rounds}")
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if undirected:
-        e = e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # r13-opt: one-pass direction doubling (see bfs_levels) — the
+        # union form computed the caller's edge subtree twice
+        e = e.select(
+            F.expr(
+                "inline(array(named_struct('src', src, 'dst', dst),"
+                " named_struct('src', dst, 'dst', src)))"
+            )
         )
     e = e.distinct().localCheckpoint(eager=False)
     prev_nodes = None
