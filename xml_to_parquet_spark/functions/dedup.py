@@ -1789,6 +1789,13 @@ def setsim_prefix_pairs(
     Returns ``(id_a, id_b, inter_sz, union_sz, jacc_ppm)``, id_a < id_b,
     ordered — bit-comparable to the brute-force all-pairs oracle, which
     is how the losslessness is proven on real data."""
+    # r13-opt: same implementation surgery as containment_prefix_pairs
+    # (OPTIMIZATION_r13.md) — window positions instead of
+    # collect_list/sort_array/posexplode, integer shingle ids (sid,
+    # frozen by the posted checkpoint) as every join key, and an
+    # integer-sid-set verify. Same pair set, bit-identical output.
+    from pyspark.sql import Window
+
     base = (
         df.select(
             F.col(id_col).alias("id"),
@@ -1797,46 +1804,39 @@ def setsim_prefix_pairs(
         .filter(F.size("toks") > 0)
         .localCheckpoint(eager=False)
     )
-    # dfreq feeds exactly one consumer (the ordering join), so a
-    # localCheckpoint here is a pure materialization barrier, not a
-    # reuse win — measured r12: dropping it removes one sequential
-    # stage from the critical path with identical results
     dfreq = (
         base.select(F.explode("toks").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("sid", F.monotonically_increasing_id())
     )
-    # per-doc shingles ordered rarest-first under the (df, shingle)
-    # total order; sort_array over structs orders by fields in sequence
-    ordered = (
+    # per-doc rarest-first positions under the (df, shingle) total order
+    w = Window.partitionBy("id").orderBy("c", "shingle")
+    wsz = Window.partitionBy("id")
+    posted = (
         base.select("id", F.explode("toks").alias("shingle"))
         .join(dfreq, "shingle")
-        .groupBy("id")
-        .agg(
-            F.expr("transform(sort_array(collect_list(struct(c, shingle))),"
-                   " x -> x.shingle)").alias("otoks")
+        .select(
+            "id",
+            "sid",
+            (F.row_number().over(w) - 1).alias("pos"),
+            F.count(F.lit(1)).over(wsz).alias("sz"),
         )
+        .localCheckpoint(eager=False)
     )
     # prefix length p = sz - ceil(t*sz) + 1, ceil as (t_num*sz+t_den-1)//t_den
-    # posexplode keeps each prefix token's 0-based POSITION for the
-    # positional filter below; sz rides along for the length filter
-    prefix = ordered.select(
-        F.col("id"),
-        F.size("otoks").alias("sz"),
-        F.posexplode(
-            F.expr(
-                f"slice(otoks, 1, size(otoks) "
-                f"- div({t_num} * size(otoks) + {t_den - 1}, {t_den}) + 1)"
-            )
-        ).alias("pos", "shingle"),
+    # (0-based: keep pos <= sz - need); sz rides along for the length filter
+    prefix = posted.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"div({t_num} * sz + {t_den - 1}, {t_den})")
     )
     pa = prefix.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
-        F.col("pos").alias("pos_a"), "shingle",
+        F.col("pos").alias("pos_a"), "sid",
     )
     pb = prefix.select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
-        F.col("pos").alias("pos_b"), "shingle",
+        F.col("pos").alias("pos_b"), "sid",
     )
     # Jaccard ≥ t ⇔ overlap ≥ α = ceil(t·(|A|+|B|)/(1+t)); two PPJoin
     # prunes make the surviving candidate set ~output-sized BEFORE any
@@ -1852,7 +1852,8 @@ def setsim_prefix_pairs(
         f"{t_num + t_den})"
     )
     cand = (
-        pa.join(pb, "shingle")
+        pa.hint("shuffle_hash")
+        .join(pb, "sid")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             (F.col("sz_a") * t_den >= F.lit(t_num) * F.col("sz_b"))
@@ -1869,14 +1870,23 @@ def setsim_prefix_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
-    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    sets = posted.groupBy("id").agg(
+        F.collect_list("sid").alias("sids"), F.max("sz").alias("szz")
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("sids").alias("sa"),
+        F.col("szz").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("sids").alias("sb"),
+        F.col("szz").alias("size_b"),
+    )
     verified = (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("inter_sz", F.size(F.array_intersect("ta", "tb")))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter_sz", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
-            "union_sz", F.size("ta") + F.size("tb") - F.col("inter_sz")
+            "union_sz", F.col("size_a") + F.col("size_b") - F.col("inter_sz")
         )
         .filter(
             F.col("inter_sz") * t_den >= F.lit(t_num) * F.col("union_sz")
