@@ -173,10 +173,12 @@ def main() -> None:
     # parsed=None — two rounds of bench data silently lost).  So: the full
     # per-query map goes to a sidecar file, and the printed line carries a
     # FIXED headline subset, hard-capped under the window.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     full = {
         "metric": "workload_total_wall",
         "value": total,
         "unit": "sec",
+        "cpus": int(cpus),  # r14: sidecar provenance (VERDICT r13 item 2)
         "queries": timings,
         "queries_cpu": timings_cpu,  # load-insensitive twin (sec)
         # ADVICE r12: the CPU scope changed mid-r12 (process-tree walk ->
@@ -191,12 +193,16 @@ def main() -> None:
         "xml_etl": etl,
         "era": era,
     }
-    # only the graded config (sf0.1) owns the canonical sidecar — smoke
-    # runs at other SFs must not clobber the committed floor
+    # only the graded config (sf0.1 at the default 32 cores) owns the
+    # canonical sidecar — smoke runs at other SFs must not clobber the
+    # committed floor, and (r14, VERDICT r13 item 2) the driver's low-core
+    # scaling run must not clobber the 32-core per-query map either: the
+    # r13 driver's 8-core leg overwrote the only post-optimization 32-core
+    # CPU record. Non-canonical configs get the core count in the name.
     sidecar = (
         "BENCH_LOCAL_FULL.json"
-        if sf == "0.1"
-        else f"BENCH_LOCAL_FULL_sf{sf}.json"
+        if sf == "0.1" and cpus == "32"
+        else f"BENCH_LOCAL_FULL_sf{sf}_c{cpus}.json"
     )
     with open(os.path.join(REPO, sidecar), "w") as f:
         json.dump(full, f, indent=1)
