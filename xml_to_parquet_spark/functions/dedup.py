@@ -97,6 +97,37 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def materialize_parquet(df: DataFrame, prefix: str = "mat_") -> DataFrame:
+    """Write-then-read freeze for a multiply-consumed corpus-scale
+    intermediate — the scale-safe replacement for ``localCheckpoint``
+    (VERDICT r13 item 3): nothing is pinned in executor memory, an
+    executor loss costs a partial re-read of replicated storage instead
+    of fail-stopping the query, and every consumer scans compact
+    columnar files instead of replaying the build subtree (which AQE's
+    runtime stage reuse does NOT reliably share across differently-
+    pruned branches — measured r14: the unmaterialized 4-consumer
+    postings plan cost +35-90% CPU).
+
+    The tempdir is per-call (never shared across queries or trials — a
+    fresh invocation always recomputes from its inputs) and removed at
+    interpreter exit. Local default is tmpfs; ``SPARK_GRAFT_SCRATCH``
+    points it at real scratch storage (a cluster deployment passes a
+    durable shared path — the write is an ordinary parquet job there).
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    tmp = tempfile.mkdtemp(prefix=prefix, dir=base)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    return df.sparkSession.read.parquet(tmp)
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1778,8 +1809,9 @@ def setsim_prefix_pairs(
     enter the candidate join at all. At t=0.8 the prefix is ~20% of each
     doc; candidate volume drops by the square of that.
 
-    Shape: ONE corpus scan builds per-doc shingle arrays row-locally
-    (checkpointed — they feed ordering and both verify sides); the
+    Shape: ONE corpus scan feeds the shingle explode; its consumers
+    (ordering, prefix sides, both verify sides) share the postings
+    exchange via ReuseExchange; the
     global frequency table is vocabulary-sized; the candidate join is
     keyed on rare prefix shingles (rare ⇒ short postings ⇒ no skew);
     verification is row-local ``array_intersect`` over the two capped
@@ -1791,38 +1823,68 @@ def setsim_prefix_pairs(
     is how the losslessness is proven on real data."""
     # r13-opt: same implementation surgery as containment_prefix_pairs
     # (OPTIMIZATION_r13.md) — window positions instead of
-    # collect_list/sort_array/posexplode, integer shingle ids (sid,
-    # frozen by the posted checkpoint) as every join key, and an
-    # integer-sid-set verify. Same pair set, bit-identical output.
+    # collect_list/sort_array/posexplode, integer shingle ids as every
+    # join key, and an integer-sid-set verify. Same pair set,
+    # bit-identical output.
+    # r14-opt (VERDICT r13 item 3): sid is now DETERMINISTIC —
+    # xxhash64(shingle) with an inline collision fail-stop — instead of
+    # monotonically_increasing_id frozen by a localCheckpoint, and the
+    # multiply-consumed postings table is frozen by write-then-read
+    # parquet (see materialize_parquet) instead of executor-pinned
+    # checkpoint blocks. The per-doc rarity order becomes (c, sid) — a
+    # valid total order given injectivity, and the prefix family is
+    # lossless under ANY total order, so the verified output is
+    # unchanged. The candidate shuffle also narrows further: the
+    # postings join is keyed on the 8-byte sid, not the shingle string.
     from pyspark.sql import Window
 
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), n).alias("toks"),
-        )
-        .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=False)
-    )
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    # vocabulary-sized frequency table keyed by the deterministic sid;
+    # min=max certifies injectivity on the live vocabulary (a 64-bit
+    # collision fail-stops the query instead of silently corrupting the
+    # intersect sizes — the same fail-stop posture the old checkpoint
+    # had on executor loss, now deterministic and restart-safe)
     dfreq = (
-        base.select(F.explode("toks").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("sid", F.monotonically_increasing_id())
+        raw.groupBy(F.xxhash64("shingle").alias("sid"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("shingle").alias("_mn"),
+            F.max("shingle").alias("_mx"),
+        )
+        .select(
+            "sid",
+            F.when(F.col("_mn") == F.col("_mx"), F.col("c"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("xxhash64 shingle-id collision: '"),
+                        F.col("_mn"),
+                        F.lit("' vs '"),
+                        F.col("_mx"),
+                        F.lit("'"),
+                    )
+                )
+            )
+            .alias("c"),
+        )
     )
-    # per-doc rarest-first positions under the (df, shingle) total order
-    w = Window.partitionBy("id").orderBy("c", "shingle")
+    # per-doc rarest-first positions under the (df, sid) total order;
+    # materialized once (write-then-read) for its four consumers
+    w = Window.partitionBy("id").orderBy("c", "sid")
     wsz = Window.partitionBy("id")
-    posted = (
-        base.select("id", F.explode("toks").alias("shingle"))
-        .join(dfreq, "shingle")
+    posted = materialize_parquet(
+        raw.select("id", F.xxhash64("shingle").alias("sid"))
+        .join(dfreq, "sid")
         .select(
             "id",
             "sid",
             (F.row_number().over(w) - 1).alias("pos"),
             F.count(F.lit(1)).over(wsz).alias("sz"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        prefix="setsim_posted_",
     )
     # prefix length p = sz - ceil(t*sz) + 1, ceil as (t_num*sz+t_den-1)//t_den
     # (0-based: keep pos <= sz - need); sz rides along for the length filter
@@ -1943,6 +2005,7 @@ def containment_prefix_pairs(
     t_den: int = 5,
     contained_ids: DataFrame | None = None,
     hot_df_cap: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT asymmetric-containment self-join via a one-sided prefix
     filter — the dedup shape symmetric Jaccard misses (VERDICT r11
@@ -2001,8 +2064,8 @@ def containment_prefix_pairs(
     — by the rarest-first order those are docs made almost entirely of
     boilerplate, vanishingly rare in real corpora; the hot-shingle
     list itself is ≤ corpus_tokens/cap entries by Markov. Verification
-    is row-local ``array_intersect`` over the two checkpointed shingle
-    arrays — no re-shuffle of the corpus.
+    is row-local ``array_intersect`` over the two per-doc sid arrays —
+    no re-shuffle of the corpus.
 
     ``contained_ids`` (optional, single-column DataFrame of ids)
     restricts the CONTAINED side A to those ids — the hook the
@@ -2022,53 +2085,75 @@ def containment_prefix_pairs(
     - positions come from a window (row_number over the per-doc rarity
       order) instead of collect_list → sort_array → double posexplode —
       one pass, no per-doc array materialization;
-    - every join key is an 8-byte integer shingle id (``sid``, assigned
-      by ``monotonically_increasing_id`` on the frequency table and
-      FROZEN by the ``posted`` localCheckpoint — every consumer reads
-      the checkpoint, so the nondeterministic id is evaluated exactly
-      once; injective ⇒ join/intersect semantics identical to the
-      string shingle) — the candidate shuffle moves no strings at all;
+    - every join key is an 8-byte integer shingle id — the candidate
+      shuffle moves no strings at all;
     - the candidate join is an explicit shuffled-hash join building on
       the PREFIX side (the ~(1−t) fraction — the smaller side; Spark's
-      static size estimate inherits the tiny parquet footprint of the
-      checkpointed RDD lineage and used to BROADCAST the full postings
-      side, a plan that dies at corpus scale);
-    - verification intersects per-doc integer sid sets (built from the
-      same checkpointed postings), not the original string arrays —
-      array_intersect hashes longs instead of ~30-byte strings.
+      static size estimate used to BROADCAST the full postings side, a
+      plan that dies at corpus scale);
+    - verification intersects per-doc integer sid sets, not the
+      original string arrays — array_intersect hashes longs instead of
+      ~30-byte strings.
+
+    r14-opt (VERDICT r13 item 3): ``sid`` is now DETERMINISTIC —
+    ``xxhash64(shingle)`` with an inline collision fail-stop (min=max
+    certificate on the frequency aggregate) — replacing
+    ``monotonically_increasing_id`` frozen by a localCheckpoint, and
+    the multiply-consumed ``posted`` table is frozen by write-then-read
+    parquet (see :func:`materialize_parquet`) instead of executor-
+    pinned checkpoint blocks: no fail-stop on executor loss, no
+    recompute-reassigns-sids hazard, no corpus pinned in executor
+    memory. The rarity order becomes (c, sid) — the prefix/positional
+    prunes are lossless under ANY total order, so the verified output
+    is unchanged.
     """
     from pyspark.sql import Window
 
-    base = (
-        df.select(
+    raw = (
+        shingled
+        if shingled is not None
+        else df.select(
             F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), n).alias("toks"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
         )
-        .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=False)
-    )
+    ).filter(F.col("shingle").isNotNull())
     dfreq = (
-        base.select(F.explode("toks").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
-        # integer shingle id: collision-free (unlike a hash) and scale-
-        # safe (no global sort); nondeterministic per run, but posted's
-        # checkpoint pins one assignment for every downstream consumer
-        .withColumn("sid", F.monotonically_increasing_id())
+        raw.groupBy(F.xxhash64("shingle").alias("sid"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("shingle").alias("_mn"),
+            F.max("shingle").alias("_mx"),
+        )
+        .select(
+            "sid",
+            F.when(F.col("_mn") == F.col("_mx"), F.col("c"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("xxhash64 shingle-id collision: '"),
+                        F.col("_mn"),
+                        F.lit("' vs '"),
+                        F.col("_mx"),
+                        F.lit("'"),
+                    )
+                )
+            )
+            .alias("c"),
+        )
     )
-    w = Window.partitionBy("id").orderBy("c", "shingle")
+    w = Window.partitionBy("id").orderBy("c", "sid")
     wsz = Window.partitionBy("id")
-    posted = (
-        base.select("id", F.explode("toks").alias("shingle"))
-        .join(dfreq, "shingle")
+    posted = materialize_parquet(
+        raw.select("id", F.xxhash64("shingle").alias("sid"))
+        .join(dfreq, "sid")
         .select(
             "id",
             "sid",
             "c",
             (F.row_number().over(w) - 1).alias("pos"),
             F.count(F.lit(1)).over(wsz).alias("sz"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        prefix="containment_posted_",
     )
     # ceil(t*sz) as integer arithmetic; the prefix is pos <= sz - need
     # (0-based), identical to the old slice(otoks, 1, sz - need + 1)
@@ -2099,8 +2184,8 @@ def containment_prefix_pairs(
         # hitter shingle-id set (≤ corpus_tokens/cap rows), broadcast
         # into the four semi/anti splitters; the hot branch broadcasts
         # the A-prefix rows so the giant hot postings never shuffle by
-        # key. Derived from posted (not dfreq) so the nondeterministic
-        # sid is never re-evaluated outside the checkpoint.
+        # key. Derived from posted so the splitters share the same
+        # reused exchange as every other posted consumer.
         hot = F.broadcast(
             posted.filter(F.col("c") > hot_df_cap).select("sid").distinct()
         )
@@ -2273,6 +2358,7 @@ def containment_sketch_pairs(
     k: int = 16,
     t_num: int = 4,
     t_den: int = 5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """APPROXIMATE containment pairs from a bottom-k sketch — the
     billion-doc companion to :func:`containment_prefix_pairs` (the
@@ -2307,40 +2393,48 @@ def containment_sketch_pairs(
     from pyspark.sql import Window
 
     hashed = (
-        df.select(
+        shingled
+        if shingled is not None
+        else df.select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
         )
-        .withColumn("h", md5_hash32(F.col("shingle")))
-        .localCheckpoint(eager=False)
-    )
-    w = Window.partitionBy("id").orderBy("h", "shingle")
-    sketch = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(F.col("id").alias("id_a"), "h")
-    )
-    # r13-opt: row_number is dense 1..rows(doc), so the sketch size is
-    # least(k, rows(doc)) — a cheap groupBy of the checkpointed hashed
-    # table instead of a SECOND copy of the whole window subtree (the
-    # old sketch.groupBy plan duplicated WindowGroupLimit+Window+sort);
-    # the candidate join builds on the sketch side (k rows/doc) via an
-    # explicit shuffled-hash join — the static planner used to
+    ).withColumn("h", md5_hash32(F.col("shingle")))
+    # r14-opt (VERDICT r13 items 3/4): ONE window pass computes both the
+    # bottom-k rank and the per-doc row count (same partition key, same
+    # exchange), so the sketch row itself carries sk_a = least(k, rows)
+    # and the former separate sk_sizes groupBy + final re-join are gone;
+    # the ranked table is frozen by write-then-read parquet instead of
+    # a corpus-sized localCheckpoint (see materialize_parquet). The
+    # candidate join still builds on the sketch side (k rows/doc) via
+    # an explicit shuffled-hash join — the static planner used to
     # BROADCAST the full distinct postings (corpus-sized at scale).
-    sk_sizes = hashed.groupBy(F.col("id").alias("id_a")).agg(
-        F.least(F.lit(k), F.count(F.lit(1))).alias("sk_a")
+    w = Window.partitionBy("id").orderBy("h", "shingle")
+    wc = Window.partitionBy("id")
+    ranked = materialize_parquet(
+        hashed.select(
+            "id",
+            "h",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        ),
+        prefix="sketch_ranked_",
     )
-    postings = hashed.select(F.col("id").alias("id_b"), "h").distinct()
+    sketch = ranked.filter(F.col("rn") <= k).select(
+        F.col("id").alias("id_a"),
+        "h",
+        F.least(F.lit(k), F.col("cnt")).alias("sk_a"),
+    )
+    postings = ranked.select(F.col("id").alias("id_b"), "h").distinct()
     m = (
         sketch.hint("shuffle_hash")
         .join(postings, "h")
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.count(F.lit(1)).alias("m"), F.max("sk_a").alias("sk_a"))
     )
     return (
-        m.join(sk_sizes, "id_a")
-        .filter(F.col("m") * t_den >= F.lit(t_num) * F.col("sk_a"))
+        m.filter(F.col("m") * t_den >= F.lit(t_num) * F.col("sk_a"))
         .select(
             "id_a",
             "id_b",
@@ -2452,13 +2546,27 @@ def containment_screened_pairs(
             f"the exact threshold {t_num}/{t_den}: the gap between them "
             f"is what absorbs sketch estimation noise"
         )
+    # r14-opt (VERDICT r13 item 4): the screen and exact stages used to
+    # tokenize + shingle-explode the corpus INDEPENDENTLY (the "pays
+    # both stages' checkpoints" finding). One materialized (id, shingle)
+    # table now feeds both — the regex-heavy normalize/shingle pass runs
+    # once, and each stage derives its own keyed tables (md5 bottom-k /
+    # xxhash64 rarity postings) from the compact parquet.
+    shingled = materialize_parquet(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        ),
+        prefix="screened_shingled_",
+    )
     survivors = containment_sketch_pairs(
         df, text_col=text_col, id_col=id_col, n=n, k=k,
-        t_num=screen_num, t_den=screen_den,
+        t_num=screen_num, t_den=screen_den, shingled=shingled,
     ).select("id_a").distinct()
     return containment_prefix_pairs(
         df, text_col=text_col, id_col=id_col, n=n,
         t_num=t_num, t_den=t_den, contained_ids=survivors,
+        shingled=shingled,
     )
 
 
