@@ -1233,14 +1233,35 @@ def dedup_clusters(
     grows exponentially too. ``localCheckpoint(eager=True)`` per round
     materializes the tiny label table AND truncates the lineage (the
     GraphX-style iterative pattern).
+
+    r14-opt (VERDICT r13 item 2 — 32-core anti-scaling): (a) the edge
+    doubling is a one-pass ``inline`` instead of ``union(pairs,
+    reversed)`` — the union evaluated the candidate-generation subtree
+    above its last shared exchange twice; (b) per-round shuffle
+    partitions are scoped to the STATE size (one partition per ~2M
+    label/edge rows, capped by the session setting) instead of
+    inheriting the core-count-sized session default — per-round state
+    is near-dup-graph-sized, so core-proportional task counts only
+    multiply scheduler/codegen overhead while the data doesn't grow
+    (guide §2/§5). At cluster scale the derived count grows with the
+    edge count, not the executor count.
     """
+    spark = pairs.sparkSession
     sym = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs.select(
+            F.expr(
+                f"inline(array(named_struct('src', {a_col}, 'dst', {b_col}),"
+                f" named_struct('src', {b_col}, 'dst', {a_col})))"
+            )
         )
         .localCheckpoint(eager=True)
     )
+    # metadata-cheap on the materialized blocks; sizes the loop's
+    # shuffles (the checkpointed blocks keep their natural partitioning
+    # — only the per-round exchange width shrinks)
+    n_edges = sym.count()
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    state_parts = max(1, min(sess_parts, n_edges // 2_000_000 + 1))
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -1258,10 +1279,6 @@ def dedup_clusters(
             lbl.union(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            # label tables are bounded by the near-dup node count — tiny
-            # relative to the corpus; coalesce keeps per-round task counts
-            # (and scheduler overhead) proportional to the data
-            .coalesce(8)
             .localCheckpoint(eager=True)
         )
         # fixpoint probe: propagation is monotone, so once labels stop
@@ -1276,19 +1293,28 @@ def dedup_clusters(
         ).collect()[0]
         return nxt, (chk["n"], chk["h"])
 
-    prev_chk = None
-    converged = False
-    for _ in range(iterations):
-        labels, cur = _round(labels)
-        if cur == prev_chk:  # early exit on proven fixpoint
-            converged = True
-            break
-        prev_chk = cur
-    if not converged:
-        # one extra verification round: fixpoint-at-round-k is complete
-        # but unproven; only a round that still MOVES labels is partial
-        _, cur = _round(labels)
-        converged = cur == prev_chk
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    try:
+        prev_chk = None
+        converged = False
+        for _ in range(iterations):
+            labels, cur = _round(labels)
+            if cur == prev_chk:  # early exit on proven fixpoint
+                converged = True
+                break
+            prev_chk = cur
+        if not converged:
+            # one extra verification round: fixpoint-at-round-k is
+            # complete but unproven; only a round that still MOVES
+            # labels is partial
+            _, cur = _round(labels)
+            converged = cur == prev_chk
+    finally:
+        if prev_conf is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     if not converged:
         if on_unconverged == "raise":
             raise ValueError(
@@ -1432,12 +1458,18 @@ def dedup_clusters_star(
     # executor failure); long-running production jobs should
     # sc.setCheckpointDir(...) and use reliable .checkpoint() instead —
     # same plan effect, durable storage.
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r14-opt (VERDICT r13 item 2): per-round shuffles sized to the
+    # (shrinking) edge set, not the core count — see dedup_clusters
+    n_edges = edges.count()
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    state_parts = max(1, min(sess_parts, n_edges // 2_000_000 + 1))
     # no checkpoint: consumed exactly once (final labeling join) and its
     # lineage is one level above the already-checkpointed edge table —
     # an eager checkpoint here was one extra job per call for nothing
@@ -1447,19 +1479,29 @@ def dedup_clusters_star(
         .distinct()
     )
 
-    prev_chk = None
-    for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # bit_xor: order-independent, overflow-free (edge rows are distinct,
-        # so XOR cancellation of duplicates cannot occur)
-        chk = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        cur = (chk["n"], chk["h"])
-        if cur == prev_chk:
-            break
-        prev_chk = cur
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    try:
+        prev_chk = None
+        for _ in range(max_rounds):
+            edges = _small_star(_large_star(edges)).localCheckpoint(
+                eager=True
+            )
+            # bit_xor: order-independent, overflow-free (edge rows are
+            # distinct, so XOR cancellation of duplicates cannot occur)
+            chk = edges.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).collect()[0]
+            cur = (chk["n"], chk["h"])
+            if cur == prev_chk:
+                break
+            prev_chk = cur
+    finally:
+        if prev_conf is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
 
     # converged edges are stars (node > root): label = min root per node
     labeled = edges.groupBy("u").agg(F.min("v").alias("label")).select(
