@@ -618,7 +618,7 @@ def stream_events_quarantined(
 
 
 def stream_events_kmv(
-    spark: SparkSession, sf_dir: str, k: int = 64, n_splits: int = 2
+    spark: SparkSession, sf_dir: str, k: int = 64, n_splits: int = 4
 ) -> DataFrame:
     """Continuous distinct-count maintenance (r8): each micro-batch
     sketches its slice of the events stream (per-event_type KMV rows, ≤k
@@ -758,7 +758,7 @@ def stream_events_kmv(
 
 
 def stream_docs_drift(
-    spark: SparkSession, sf_dir: str, n_splits: int = 2, top_k: int = 20
+    spark: SparkSession, sf_dir: str, n_splits: int = 4, top_k: int = 20
 ) -> DataFrame:
     """Continuous distribution-drift maintenance (r8): each micro-batch
     folds its slice of the document stream into per-token conditional
