@@ -431,6 +431,7 @@ def stream_events_interval_join(
         ),
         query_name=f"events_ssjoin_{abs(hash(sf_dir)) % 99991}",
         output_mode="append",
+        state_partitions=2,
     )
     return out.orderBy("user_id", "left_id", "right_id")
 
