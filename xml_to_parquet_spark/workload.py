@@ -4901,7 +4901,13 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.dedup import repeated_kgram_spans
 
     docs = _t(spark, sf_dir, "documents")
-    spans = repeated_kgram_spans(docs, k=4, min_count=2)
+    # r14-opt: the documented production hash toggle — posting shuffle
+    # and count-join keys are 8-byte longs instead of 32-char md5
+    # strings. Spans are hash-agnostic (the hash only buckets grams for
+    # the repeat count), so the md5-replaying oracle still matches
+    # bit-for-bit; verified at sf0.001/0.01/0.1.
+    spans = repeated_kgram_spans(docs, k=4, min_count=2,
+                                 hash_mode="xxhash64")
     return spans.select(
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),
