@@ -1081,6 +1081,13 @@ def fuzzy_pairs_symdel(
                 " substring(s, q+1, length(s))) END)))"
             )
         )
+    # r14-opt (guide §2.3 — shuffle keys, not payloads): the blocking key
+    # is the 8-byte xxhash64 of the variant, not the variant string —
+    # the candidate shuffle carries ~8 bytes instead of a near-key-length
+    # string per variant row. Collisions are HARMLESS here: a hash
+    # collision can only add a candidate pair, and the exact bounded
+    # levenshtein verify drops it — no certificate needed, output
+    # identical by construction.
     variants = base.select(
         "id", "s", "len",
         F.explode(
@@ -1090,7 +1097,7 @@ def fuzzy_pairs_symdel(
                 )
             )
         ).alias("v"),
-    )
+    ).select("id", "s", "len", F.xxhash64("v").alias("v"))
     # r13-opt note: a localCheckpoint of `variants` was measured (in-
     # session A/B at sf0.1): wall flat, CPU slightly WORSE — storing the
     # exploded variant strings costs more than the second interpreted

@@ -1073,6 +1073,7 @@ def rare_gram_quality(
     max_den: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """Character-n-gram language-model quality filter — the integer-exact
     rendering of the CCNet/KenLM perplexity gate: a document whose char
@@ -1092,7 +1093,14 @@ def rare_gram_quality(
     map-side-combined groupBy on the gram (distinct grams bounded by
     charset^n, NOT corpus size), the total as a 1-row agg OF THE
     FREQUENCY TABLE (no second corpus scan) broadcast into the plan, and
-    a postings⋈freq equi-join on the gram (AQE-skew-splittable — hot
+    the probe join against the frequency table BROADCAST by default
+    (``broadcast_freq=True``): the gram postings never shuffle and the
+    hot-gram skew case disappears outright. The broadcast is safe
+    exactly because distinct grams are bounded by charset^n — for
+    corpora where that bound is loose (Unicode/CJK at larger ``n``,
+    where distinct n-grams could exceed the 8 GB broadcast cap), pass
+    ``broadcast_freq=False`` to fall back to the shuffled equi-join on
+    the gram, which degrades gracefully (AQE-skew-splittable — hot
     grams are exactly the skew-join case, same shape as a42's postings
     join). Docs shorter than ``n`` emit zero grams and PASS (no evidence
     of junk). ``n_rare``-style counts stay int64 at 100 TB (bounded by
@@ -1137,7 +1145,7 @@ def rare_gram_quality(
     )
     tot = freq.agg(F.sum("cnt").alias("total"))
     scored = (
-        grams.join(F.broadcast(freq), "tri")
+        grams.join(F.broadcast(freq) if broadcast_freq else freq, "tri")
         .crossJoin(F.broadcast(tot))
         .groupBy("id")
         .agg(
