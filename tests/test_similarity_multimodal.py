@@ -1489,6 +1489,25 @@ def test_audio_fingerprint64_stereo_downmix(monkeypatch):
     assert fp_anti == 0  # every frame energy equal -> no rising deltas
 
 
+def test_audio_clip_batch_matches_expression_build(spark):
+    # r14: the a184 WAV fixture moved from interpreted JVM HOF assembly
+    # to an Arrow-batched numpy kernel — the bytes must be IDENTICAL
+    # (the oracle replays decoded fingerprints; any construction drift
+    # would silently change what the entry proves). Cover all four
+    # doc_id%4 classes including the flip class (did%4==1) and a
+    # flip-position wraparound (did=64 -> flip bit 1... did%63).
+    from xml_to_parquet_spark.workload import (
+        _audio_clips_batch,
+        _audio_clips_expr,
+    )
+
+    docs = spark.range(0, 70).select(F.col("id").alias("doc_id"))
+    new = {r.id: bytes(r.payload) for r in _audio_clips_batch(docs).collect()}
+    old = {r.id: bytes(r.payload) for r in _audio_clips_expr(docs).collect()}
+    assert set(new) == set(old)
+    assert all(new[k] == old[k] for k in old)
+
+
 def test_audio_neardup_pairs_blocked_exact(spark):
     import itertools
     import random
