@@ -1508,6 +1508,22 @@ def test_audio_clip_batch_matches_expression_build(spark):
     assert all(new[k] == old[k] for k in old)
 
 
+def test_image_raster_batch_matches_expression_build(spark):
+    # r14: q318's P5 raster fixture moved to an Arrow-batched numpy
+    # kernel — bytes must be IDENTICAL to the JVM-expression build
+    # (covers the flip class did%4==0 and the bit-63 cap at k=71).
+    from xml_to_parquet_spark.workload import (
+        _image_rasters_batch,
+        _image_rasters_expr,
+    )
+
+    docs = spark.range(0, 70).select(F.col("id").alias("doc_id"))
+    new = {r.id: bytes(r.payload) for r in _image_rasters_batch(docs).collect()}
+    old = {r.id: bytes(r.payload) for r in _image_rasters_expr(docs).collect()}
+    assert set(new) == set(old)
+    assert all(new[k] == old[k] for k in old)
+
+
 def test_audio_neardup_pairs_blocked_exact(spark):
     import itertools
     import random

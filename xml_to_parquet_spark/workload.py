@@ -1385,15 +1385,16 @@ def _prefix_doubling(df: DataFrame, col: str, n: int = 63):
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup dedup via perceptual hash (r10, VERDICT r9 item 2 —
     the one LLM-pipeline dedup modality that was missing). Deterministic
-    9x8 P5 rasters are BUILT with JVM-side expressions (nested HOFs:
-    per-pixel brightness walk encoding a per-group bit pattern plus a
-    per-doc one-bit flip), then the REAL pipeline runs: netpbm decode →
+    9x8 P5 rasters are BUILT from doc ids (an Arrow-batched numpy
+    kernel assembling the per-pixel brightness walk that encodes a
+    per-group bit pattern plus a per-doc one-bit flip — bit-identical
+    to the original JVM-expression build, see _image_rasters_batch),
+    then the REAL pipeline runs: netpbm decode →
     grayscale grid → 64-bit dHash (multimodal.dhash64, Arrow kernel) →
     pigeonhole Hamming blocking (dedup.simhash_blocked_pairs at bits=64).
     Docs in the same group of 4 differ by ≤1 dHash bit, so every
     intra-group pair qualifies at max_hamming=3; the oracle replays the
     generative bit formula and the exact Hamming join in SQL."""
-    from xml_to_parquet_spark.functions.multimodal import image_neardup_pairs
     from xml_to_parquet_spark.session import _ship_package
 
     _ship_package(spark)
@@ -1401,15 +1402,33 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xml_to_parquet_spark.functions.multimodal import dhash_batch
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    # base bit of the group's 63-bit pattern; per-doc flip at bit
-    # doc_id%63 for every 4th doc; bit 63 structurally 0 (keeps the
-    # hash in the non-negative BIGINT range the SQL oracle can build).
-    # Construction perf (r10, measured): HOFs run INTERPRETED, so the
-    # per-pixel walk is built from ONE bits array + a log-doubling
-    # prefix-sum (6 shifted zip_with rounds — the winnowing idiom);
-    # pixel(r,c) = 128 + 2·(P[r·8+c] − P[r·8]) − c replays the ±1
-    # brightness walk (grid[r,c+1] > grid[r,c] IS bit r·8+c) without
-    # per-pixel aggregates. ~1s/plan vs 6s for the slice/aggregate forms.
+    imgs = _image_rasters_batch(docs)
+    # checkpoint the tiny sig table (one int64 per image) so the
+    # construction + decode kernel run ONCE, not once per blocked-join
+    # side — at scale you'd persist the signature table the same way
+    sig = (
+        dhash_batch(imgs)
+        .select(F.col("id").alias("doc_id"), F.col("dhash").alias("simhash"))
+        .localCheckpoint()
+    )
+    return simhash_blocked_pairs(sig, max_hamming=3, bits=64)
+
+
+def _image_rasters_expr(docs: DataFrame) -> DataFrame:
+    """The original JVM-expression P5 raster build — kept as the
+    reference twin for the bit-identity test of
+    :func:`_image_rasters_batch`.
+
+    Base bit of the group's 63-bit pattern; per-doc flip at bit
+    doc_id%63 for every 4th doc; bit 63 structurally 0 (keeps the
+    hash in the non-negative BIGINT range the SQL oracle can build).
+    Construction perf (r10, measured): HOFs run INTERPRETED, so the
+    per-pixel walk is built from ONE bits array + a log-doubling
+    prefix-sum (6 shifted zip_with rounds — the winnowing idiom);
+    pixel(r,c) = 128 + 2·(P[r·8+c] − P[r·8]) − c replays the ±1
+    brightness walk (grid[r,c+1] > grid[r,c] IS bit r·8+c) without
+    per-pixel aggregates. ~1s/plan vs 6s for the slice/aggregate forms.
+    """
     d = docs.withColumn(
         "bits", _envelope_bits_expr("img", flip_mod=0)
     )
@@ -1446,16 +1465,63 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    imgs = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
-    # checkpoint the tiny sig table (one int64 per image) so the
-    # construction + decode kernel run ONCE, not once per blocked-join
-    # side — at scale you'd persist the signature table the same way
-    sig = (
-        dhash_batch(imgs)
-        .select(F.col("id").alias("doc_id"), F.col("dhash").alias("simhash"))
-        .localCheckpoint()
-    )
-    return simhash_blocked_pairs(sig, max_hamming=3, bits=64)
+    return d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+
+
+def _image_rasters_batch(docs: DataFrame) -> DataFrame:
+    """Arrow-batched twin of :func:`_image_rasters_expr`: the identical
+    deterministic 9x8 P5 netpbm bytes, assembled with numpy in one
+    mapInPandas pass instead of 72 interpreted per-pixel hex
+    expressions (the a184 audio-fixture pattern, r14). Bit-identity is
+    pinned by ``test_image_raster_batch_matches_expression_build``."""
+    import pandas as pd
+
+    def _run(batches):
+        import hashlib
+
+        import numpy as np
+
+        hdr = b"P5\n9 8\n255\n"
+        k = np.arange(72)
+        r = k // 9
+        c = k % 9
+        hi_idx = np.minimum(r * 8 + c, 63) - 1  # 0-based into cumsum
+        lo_idx = np.maximum(r * 8 - 1, 0)
+        group_bits: dict[int, object] = {}
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 4
+                bits = group_bits.get(g)
+                if bits is None:
+                    bits = np.array(
+                        [
+                            int(
+                                hashlib.md5(
+                                    f"{g}:{i}:img".encode()
+                                ).hexdigest()[0],
+                                16,
+                            )
+                            & 1
+                            for i in range(63)
+                        ],
+                        dtype=np.int64,
+                    )
+                    group_bits[g] = bits
+                b = bits
+                if did % 4 == 0:
+                    b = bits.copy()
+                    b[did % 63] ^= 1
+                cum = np.cumsum(b)
+                hi = cum[hi_idx]
+                lo = np.where(r == 0, 0, cum[lo_idx])
+                px = np.where(c == 0, 128, 128 + 2 * (hi - lo) - c)
+                ids.append(did)
+                payloads.append(hdr + px.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_run, "id long, payload binary")
 
 
 # Exact replay: dHash bit i of doc = group base bit XOR per-doc flip, the
